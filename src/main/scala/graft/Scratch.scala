@@ -1,23 +1,15 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
 /** Dev scratch main — quick environment smoke checks. */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val dir = "/root/testdata/sf0.001"
-    for (t <- Seq("lineitem", "orders", "events", "documents", "embeddings")) {
+    val spark = SparkUtil.local()
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    for (t <- Tables.all) {
       try {
-        val df = spark.read.parquet(s"$dir/$t.parquet")
+        val df = Tables.load(spark, dir, t)
         println(s"== $t: ${df.count()} rows")
-        df.printSchema()
-        df.show(2, 60)
-      } catch { case e: Throwable => println(s"== $t FAILED: ${e.getMessage.take(500)}") }
+      } catch { case e: Throwable => println(s"== $t FAILED: ${e.getMessage.take(300)}") }
     }
     spark.stop()
   }

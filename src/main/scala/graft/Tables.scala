@@ -26,14 +26,19 @@ object Tables {
     }
 
   /** events.parquet stores `ts` as INT64 TIMESTAMP(NANOS) which Spark's
-    * vectorized reader rejects. Read nanos as long and truncate to
-    * microseconds — same floor-division DuckDB applies when it coerces
-    * ns→µs, so oracle comparisons line up exactly.
+    * vectorized reader rejects. Sessions are built (SparkUtil) with
+    * spark.sql.legacy.parquet.nanosAsLong=true so the column arrives as
+    * a nanos long; floor-divide to microseconds (matching DuckDB's
+    * ns→µs coercion even for pre-1970 values — Spark `div` truncates
+    * toward zero, so compensate when the remainder is negative).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(
+      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+      "build the session via graft.SparkUtil (sets spark.sql.legacy.parquet.nanosAsLong)")
     spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts",
+        expr("timestamp_micros(ts div 1000 - (case when ts % 1000 < 0 then 1 else 0 end))"))
   }
 
   def region(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "region")

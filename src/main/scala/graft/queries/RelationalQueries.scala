@@ -1,0 +1,442 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** The scan / filter / join / aggregate / window / set-op families of
+  * SURVEY §2 (S, P, J, A, W, O operators), expressed over the driver
+  * testdata star schema with DuckDB oracle parity.
+  *
+  * Oracle-parity conventions (see QueryDef):
+  *  - measure sums go through DECIMAL(18,2) so they are exact and
+  *    order-independent in both engines, then CAST AS DOUBLE;
+  *  - averages are `round(sum_decimal_as_double / count, 6)`;
+  *  - timestamps are compared/emitted via session-TZ UTC formatting;
+  *  - every output has a total ORDER BY.
+  *
+  * Scale notes: dims (region/nation/customer at this SF) are broadcast;
+  * fact-side tables (orders/lineitem/events) only shuffle on group/join
+  * keys; filters and projections are pushed into the parquet scans
+  * (verified via explain — PushedFilters / ReadSchema).
+  */
+object RelationalQueries {
+
+  /** sum(CAST(c AS DECIMAL(18,2))) :: double — exact in both engines. */
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  /** round(dsum/cnt, 6) — deterministic average. */
+  private def davg(c: Column): Column = round(dsum(c) / count(lit(1)), 6)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---------------------------------------------------------------- S3/P3/O1/O2
+    QueryDef(
+      "q_s3_scan_project", "S3 P3 O1 O2",
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+             |FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'
+             |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin),
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .filter(col("l_quantity") > 45 && col("l_returnflag") === "R")
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+          .orderBy("l_orderkey", "l_linenumber")
+          .limit(100)),
+
+    // ---------------------------------------------------------------- P1
+    QueryDef(
+      "q_p1_project_rename", "P1",
+      Some("""SELECT o_orderkey AS order_id, o_orderstatus AS status,
+             |o_orderstatus AS status_clean, o_orderpriority AS priority
+             |FROM orders ORDER BY order_id LIMIT 500""".stripMargin),
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .select(
+            col("o_orderkey").as("order_id"),
+            col("o_orderstatus").as("status"),
+            col("o_orderstatus").as("status_clean"), // raw->staging seed copy (ref insert_raw_to_staging.sql:20-37)
+            col("o_orderpriority").as("priority"))
+          .orderBy("order_id")
+          .limit(500)),
+
+    // ---------------------------------------------------------------- P2
+    QueryDef(
+      "q_p2_incremental", "P2",
+      Some("""SELECT event_type, count(*) AS n,
+             |CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM events WHERE ts >= TIMESTAMP '2024-01-25 00:00:00'
+             |GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, dir) =>
+        Tables.events(s, dir)
+          .filter(col("ts") >= expr("timestamp'2024-01-25 00:00:00'"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .orderBy("event_type")),
+
+    // ---------------------------------------------------------------- P4/P8
+    QueryDef(
+      "q_p4_band_filter", "P4 P8",
+      Some("""SELECT o_orderpriority AS priority, count(*) AS n,
+             |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             |FROM orders
+             |WHERE o_totalprice >= 10000 AND o_totalprice <= 20000
+             |  AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+             |  AND o_orderstatus = 'O'
+             |GROUP BY o_orderpriority ORDER BY priority""".stripMargin),
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .filter(
+            col("o_totalprice") >= 10000 && col("o_totalprice") <= 20000 &&
+              col("o_orderdate") >= expr("timestamp'1998-01-01 00:00:00'") &&
+              col("o_orderstatus") === "O")
+          .groupBy(col("o_orderpriority").as("priority"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+          .orderBy("priority")),
+
+    // ---------------------------------------------------------------- P5
+    QueryDef(
+      "q_p5_ilike_match", "P5",
+      Some("""SELECT p_brand, count(*) AS n FROM part
+             |WHERE lower(p_type) LIKE '%promo%' OR lower(p_name) LIKE '%bolt%'
+             |GROUP BY p_brand ORDER BY p_brand""".stripMargin),
+      (s, dir) =>
+        Tables.part(s, dir)
+          .filter(lower(col("p_type")).contains("promo") || lower(col("p_name")).contains("bolt"))
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("p_brand")),
+
+    // ---------------------------------------------------------------- J1/J4/P8 (vw_current_jobs-style 3-way dim join)
+    QueryDef(
+      "q_j1_three_way_join", "J1 J4 P8",
+      Some("""SELECT r_name, n_name, count(*) AS n_orders,
+             |count(DISTINCT o_custkey) AS n_customers,
+             |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM orders
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin),
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name", "n_name")
+          .agg(
+            count(lit(1)).as("n_orders"),
+            countDistinct(col("o_custkey")).as("n_customers"),
+            dsum(col("o_totalprice")).as("revenue"))
+          .orderBy("r_name", "n_name")),
+
+    // ---------------------------------------------------------------- J2/J5 (fact ⋈ bridge ⋈ dim)
+    QueryDef(
+      "q_j2_bridge_join", "J2 J5",
+      Some("""SELECT p_brand, count(*) AS n_lines,
+             |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+             |FROM orders
+             |JOIN lineitem ON o_orderkey = l_orderkey
+             |JOIN part ON l_partkey = p_partkey
+             |WHERE o_orderstatus = 'F'
+             |GROUP BY p_brand ORDER BY p_brand""".stripMargin),
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .filter(col("o_orderstatus") === "F")
+          .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+          .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("n_lines"), dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy("p_brand")),
+
+    // ---------------------------------------------------------------- J3/O3/F16 (inner+left view w/ distinct)
+    QueryDef(
+      "q_j3_left_join_view", "J3 O3 F16",
+      Some("""SELECT DISTINCT c_custkey, n_name,
+             |coalesce(o_orderkey, -1) AS o_orderkey,
+             |coalesce(o_totalprice, -1.0) AS o_totalprice,
+             |coalesce(date_diff('day', o_orderdate, TIMESTAMP '1999-01-01 00:00:00'), -1) AS days_to_deadline
+             |FROM customer
+             |JOIN nation ON c_nationkey = n_nationkey
+             |LEFT JOIN (SELECT * FROM orders WHERE o_totalprice >= 150000
+             |  AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00') o ON o_custkey = c_custkey
+             |ORDER BY c_custkey, o_orderkey LIMIT 500""".stripMargin),
+      (s, dir) => {
+        val filteredOrders = Tables.orders(s, dir)
+          .filter(col("o_totalprice") >= 150000 &&
+            col("o_orderdate") >= expr("timestamp'1998-01-01 00:00:00'"))
+        Tables.customer(s, dir)
+          .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+          .join(filteredOrders, col("o_custkey") === col("c_custkey"), "left")
+          .select(
+            col("c_custkey"), col("n_name"),
+            coalesce(col("o_orderkey"), lit(-1L)).as("o_orderkey"),
+            coalesce(col("o_totalprice"), lit(-1.0)).as("o_totalprice"),
+            coalesce(datediff(lit("1999-01-01").cast("date"), col("o_orderdate")), lit(-1))
+              .as("days_to_deadline"))
+          .distinct()
+          .orderBy("c_custkey", "o_orderkey")
+          .limit(500)
+      }),
+
+    // ---------------------------------------------------------------- J6 (broadcast SK resolution)
+    QueryDef(
+      "q_j6_sk_resolution", "J6",
+      Some("""SELECT n_name, count(*) AS n_resolved
+             |FROM orders
+             |JOIN (SELECT * FROM customer WHERE c_custkey % 10 <> 3) dim ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY n_name ORDER BY n_name""".stripMargin),
+      (s, dir) => {
+        // dim with 10% of keys missing: resolved-only counts (ref fact_handler.py:84-117)
+        val dim = Tables.customer(s, dir).filter(col("c_custkey") % 10 =!= 3)
+        Tables.orders(s, dir)
+          .join(broadcast(dim), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(count(lit(1)).as("n_resolved"))
+          .orderBy("n_name")
+      }),
+
+    // ---------------------------------------------------------------- P6 (drop rows lacking SKs, count skipped)
+    QueryDef(
+      "q_p6_drop_unresolved", "P6",
+      Some("""SELECT count(*) AS n_skipped,
+             |count(DISTINCT o_custkey) AS n_missing_keys
+             |FROM orders WHERE NOT EXISTS
+             |  (SELECT 1 FROM customer WHERE c_custkey = o_custkey AND c_custkey % 10 <> 3)""".stripMargin),
+      (s, dir) => {
+        val dim = Tables.customer(s, dir).filter(col("c_custkey") % 10 =!= 3)
+        Tables.orders(s, dir)
+          .join(broadcast(dim), col("o_custkey") === col("c_custkey"), "left_anti")
+          .agg(count(lit(1)).as("n_skipped"),
+            countDistinct(col("o_custkey")).as("n_missing_keys"))
+      }),
+
+    // ---------------------------------------------------------------- J7 (null-safe join + Unknown fallback)
+    QueryDef(
+      "q_j7_nullsafe_unknown", "J7 F19",
+      Some("""SELECT coalesce(n_name, 'Unknown') AS nation_name, count(*) AS n
+             |FROM (SELECT CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_nationkey END AS nk
+             |      FROM customer) c
+             |LEFT JOIN nation ON c.nk IS NOT DISTINCT FROM n_nationkey
+             |GROUP BY 1 ORDER BY nation_name""".stripMargin),
+      (s, dir) =>
+        Tables.customer(s, dir)
+          .select(when(col("c_custkey") % 7 === 0, lit(null)).otherwise(col("c_nationkey")).as("nk"))
+          .join(broadcast(Tables.nation(s, dir)), col("nk") <=> col("n_nationkey"), "left")
+          .groupBy(coalesce(col("n_name"), lit("Unknown")).as("nation_name"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("nation_name")),
+
+    // ---------------------------------------------------------------- J9/S6 (semi / anti existence checks)
+    QueryDef(
+      "q_j9_semi_anti", "J9 S6",
+      Some("""SELECT 'anti' AS check_type, count(*) AS n FROM orders
+             |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 49)
+             |UNION ALL
+             |SELECT 'semi' AS check_type, count(*) AS n FROM orders
+             |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 49)
+             |ORDER BY check_type""".stripMargin),
+      (s, dir) => {
+        val big = Tables.lineitem(s, dir).filter(col("l_quantity") > 49)
+        val o = Tables.orders(s, dir)
+        val anti = o.join(big, col("o_orderkey") === col("l_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("n")).select(lit("anti").as("check_type"), col("n"))
+        val semi = o.join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .agg(count(lit(1)).as("n")).select(lit("semi").as("check_type"), col("n"))
+        anti.unionByName(semi).orderBy("check_type")
+      }),
+
+    // ---------------------------------------------------------------- J10 (orphan detection)
+    QueryDef(
+      "q_j10_orphans", "J10",
+      Some("""SELECT o_orderstatus AS status, count(*) AS n_orphans FROM orders
+             |WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey AND c_acctbal > 0)
+             |GROUP BY o_orderstatus ORDER BY status""".stripMargin),
+      (s, dir) => {
+        val dim = Tables.customer(s, dir).filter(col("c_acctbal") > 0)
+        Tables.orders(s, dir)
+          .join(broadcast(dim), col("o_custkey") === col("c_custkey"), "left_anti")
+          .groupBy(col("o_orderstatus").as("status"))
+          .agg(count(lit(1)).as("n_orphans"))
+          .orderBy("status")
+      }),
+
+    // ---------------------------------------------------------------- A1 (vw_monthly_jobs)
+    QueryDef(
+      "q_a1_monthly_agg", "A1 F13",
+      Some("""SELECT strftime(o_orderdate, '%Y-%m') AS load_month,
+             |count(DISTINCT o_custkey) AS n_customers, count(*) AS n_orders,
+             |round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price
+             |FROM orders GROUP BY 1 ORDER BY load_month""".stripMargin),
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("load_month"))
+          .agg(
+            countDistinct(col("o_custkey")).as("n_customers"),
+            count(lit(1)).as("n_orders"),
+            davg(col("o_totalprice")).as("avg_price"))
+          .orderBy("load_month")),
+
+    // ---------------------------------------------------------------- A2/W2/J4 (vw_top_companies)
+    QueryDef(
+      "q_a2_top_customers", "A2 J4 W2",
+      Some("""SELECT c_name, count(DISTINCT o_orderkey) AS n_orders
+             |FROM customer JOIN orders ON o_custkey = c_custkey
+             |GROUP BY c_name ORDER BY n_orders DESC, c_name LIMIT 10""".stripMargin),
+      (s, dir) =>
+        Tables.customer(s, dir)
+          .join(Tables.orders(s, dir), col("o_custkey") === col("c_custkey"))
+          .groupBy("c_name")
+          .agg(countDistinct(col("o_orderkey")).as("n_orders"))
+          .orderBy(col("n_orders").desc, col("c_name"))
+          .limit(10)),
+
+    // ---------------------------------------------------------------- A3/F18 (vw_top_locations w/ coalesce Unknown)
+    QueryDef(
+      "q_a3_top_locations", "A3 F18",
+      Some("""SELECT coalesce(nullif(n_name, 'CHINA'), 'Unknown') AS province,
+             |c_mktsegment AS city, count(DISTINCT c_custkey) AS n
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY 1, 2 ORDER BY n DESC, province, city""".stripMargin),
+      (s, dir) =>
+        Tables.customer(s, dir)
+          .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(
+            coalesce(nullif(col("n_name"), lit("CHINA")), lit("Unknown")).as("province"),
+            col("c_mktsegment").as("city"))
+          .agg(countDistinct(col("c_custkey")).as("n"))
+          .orderBy(col("n").desc, col("province"), col("city"))),
+
+    // ---------------------------------------------------------------- A4/J11 (duplicate detection HAVING count>1)
+    QueryDef(
+      "q_a4_duplicate_groups", "A4 J11",
+      Some("""SELECT count(*) AS dup_groups, CAST(coalesce(sum(c), 0) AS BIGINT) AS dup_rows
+             |FROM (SELECT count(*) AS c FROM lineitem
+             |      GROUP BY l_orderkey, l_partkey HAVING count(*) > 1)""".stripMargin),
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .groupBy("l_orderkey", "l_partkey")
+          .agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1)
+          .agg(count(lit(1)).as("dup_groups"),
+            coalesce(sum(col("c")), lit(0L)).cast("long").as("dup_rows"))),
+
+    // ---------------------------------------------------------------- A6 (staging stats)
+    QueryDef(
+      "q_a6_stats", "A6",
+      Some("""SELECT count(DISTINCT user_id) AS n_users,
+             |count(DISTINCT event_type) AS n_types, count(*) AS n_events,
+             |round(100.0 * count(*) FILTER (WHERE event_type = 'purchase') / count(*), 4) AS purchase_pct
+             |FROM events""".stripMargin),
+      (s, dir) =>
+        Tables.events(s, dir)
+          .agg(
+            countDistinct(col("user_id")).as("n_users"),
+            countDistinct(col("event_type")).as("n_types"),
+            count(lit(1)).as("n_events"),
+            round(lit(100.0) * count(when(col("event_type") === "purchase", 1)) / count(lit(1)), 4)
+              .as("purchase_pct"))),
+
+    // ---------------------------------------------------------------- A7 (avg midpoint expression)
+    QueryDef(
+      "q_a7_avg_midpoint", "A7 F18",
+      Some("""SELECT o_orderstatus AS status,
+             |round(CAST(sum((CAST(o_totalprice AS DECIMAL(18,2)) + CAST(coalesce(o_custkey, 0) AS DECIMAL(18,2))) / 2) AS DOUBLE) / count(*), 6) AS avg_mid
+             |FROM orders GROUP BY o_orderstatus ORDER BY status""".stripMargin),
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .groupBy(col("o_orderstatus").as("status"))
+          .agg(round(
+            sum((col("o_totalprice").cast(DecimalType(18, 2)) +
+              coalesce(col("o_custkey"), lit(0L)).cast(DecimalType(18, 2))) / 2).cast("double")
+              / count(lit(1)), 6).as("avg_mid"))
+          .orderBy("status")),
+
+    // ---------------------------------------------------------------- W1/S2 (keep-first-per-key dedup)
+    QueryDef(
+      "q_w1_keep_first", "W1 S2 A8",
+      Some("""SELECT event_type, count(*) AS n,
+             |CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM (SELECT * FROM events
+             |      QUALIFY row_number() OVER (PARTITION BY user_id
+             |        ORDER BY date_trunc('microseconds', ts), event_id) = 1)
+             |GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        Tables.events(s, dir)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .orderBy("event_type")
+      }),
+
+    // ---------------------------------------------------------------- W2 (top-k)
+    QueryDef(
+      "q_w2_topk", "W2 O1 O2",
+      Some("""SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+             |strftime(o_orderdate, '%Y-%m-%d') AS order_date
+             |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin),
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .select(col("o_orderkey"), col("o_totalprice"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+          .limit(10)),
+
+    // ---------------------------------------------------------------- W3/S5 (last-wins upsert window)
+    QueryDef(
+      "q_w3_last_wins", "W3 S5",
+      Some("""SELECT event_type, count(*) AS n,
+             |CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM (SELECT * FROM events
+             |      QUALIFY row_number() OVER (PARTITION BY user_id
+             |        ORDER BY date_trunc('microseconds', ts) DESC, event_id DESC) = 1)
+             |GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+        Tables.events(s, dir)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .orderBy("event_type")
+      }),
+
+    // ---------------------------------------------------------------- O4/S6 (unionByName + anti-append)
+    QueryDef(
+      "q_o4_anti_append", "O4 S6 S8",
+      Some("""WITH b1 AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0),
+             |b2 AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0),
+             |appended AS (SELECT * FROM b1 UNION ALL
+             |             SELECT * FROM b2 WHERE NOT EXISTS
+             |               (SELECT 1 FROM b1 WHERE b1.o_orderkey = b2.o_orderkey))
+             |SELECT o_orderstatus AS status, count(*) AS n,
+             |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             |FROM appended GROUP BY o_orderstatus ORDER BY status""".stripMargin),
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val b1 = o.filter(col("o_orderkey") % 2 === 0)
+        val b2 = o.filter(col("o_orderkey") % 3 === 0)
+        val newOnly = b2.join(b1.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+        b1.unionByName(newOnly)
+          .groupBy(col("o_orderstatus").as("status"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+          .orderBy("status")
+      }),
+
+    // ---------------------------------------------------------------- A9 (distinct partition values)
+    QueryDef(
+      "q_a9_distinct_months", "A9 O3",
+      Some("""SELECT strftime(o_orderdate, '%Y-%m') AS load_month FROM orders
+             |GROUP BY 1 ORDER BY load_month""".stripMargin),
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .select(date_format(col("o_orderdate"), "yyyy-MM").as("load_month"))
+          .distinct()
+          .orderBy("load_month"))
+  )
+}
