@@ -1,0 +1,71 @@
+package graft.dwh
+
+import graft.functions.LocationFns
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dimension preparation (SURVEY D1-D3, D7, D8).
+  *
+  * Mirrors /root/reference/src/processing/data_prepare.py:29-430 and
+  * src/etl/dimension_handler.py:262-321 as set-based dataflow: project +
+  * fallback-fill + SCD stamp + natural-key dedup; DimLocation explodes
+  * the parsed location pairs and is insert-only with a null-safe
+  * composite key and a seeded 'Unknown' row.
+  */
+object Dimensions {
+
+  /** D1/D2 generic prep: project, fill fallbacks, dedup on the natural
+    * key (deterministic keep-first by tiebreak), stamp SCD columns.
+    */
+  def prepareDim(
+      staging: DataFrame, naturalKey: String, tiebreak: String,
+      asOfDate: String): DataFrame = {
+    val w = Window.partitionBy(naturalKey).orderBy(col(tiebreak))
+    staging
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+      .withColumn(ScdType2.EffectiveCol, lit(asOfDate).cast("date"))
+      .withColumn(ScdType2.ExpiryCol, lit(null).cast("date"))
+      .withColumn(ScdType2.CurrentCol, lit(true))
+  }
+
+  /** D3: explode each staging row's location string into unique
+    * (province, city, district) rows; null/unparseable input falls back
+    * to the Unknown row (which parse_job_location itself emits).
+    */
+  def prepareDimLocation(staging: DataFrame, locationCol: String): DataFrame =
+    staging
+      .select(explode(LocationFns.parseJobLocation(col(locationCol))).as("loc"))
+      .select(col("loc.province").as("province"), col("loc.city").as("city"),
+        col("loc.district").as("district"))
+      .dropDuplicates("province", "city", "district")
+
+  /** D7: insert-only append of locations not already present, null-safe
+    * on the full composite key (ref dimension_handler.py:290-297 builds
+    * `province IS NULL AND ? IS NULL OR province = ?` by hand — `<=>`
+    * is the set-based equivalent).
+    */
+  def appendNewLocations(dimLocation: DataFrame, candidates: DataFrame): DataFrame = {
+    val cand = candidates.select("province", "city", "district")
+    val existing = dimLocation.select(
+      col("province").as("__p"), col("city").as("__c"), col("district").as("__d"))
+    val fresh = cand.join(existing,
+      col("province") <=> col("__p") && col("city") <=> col("__c") &&
+        col("district") <=> col("__d"),
+      "left_anti")
+    dimLocation.select("province", "city", "district").unionByName(fresh)
+  }
+
+  /** D8: idempotent DimDate fill — generate [start, end] and append only
+    * dates absent from the existing dimension (anti-join replaces the
+    * reference's per-day exists probe, etl_main.py:460-484).
+    */
+  def fillDimDate(existingDates: DataFrame, start: String, end: String): DataFrame = {
+    val range = existingDates.sparkSession.range(1)
+      .select(explode(sequence(lit(start).cast("date"), lit(end).cast("date"))).as("date_id"))
+    val fresh = range.join(existingDates.select("date_id"), Seq("date_id"), "left_anti")
+    existingDates.select("date_id").unionByName(fresh)
+  }
+}

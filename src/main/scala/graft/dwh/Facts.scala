@@ -1,0 +1,103 @@
+package graft.dwh
+
+import graft.functions.LocationFns
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Fact generation (SURVEY D9-D12, J6, J7, P6, W1, W3, S9).
+  *
+  * The reference loops per staging row × per day with one UPSERT each
+  * (fact_handler.py:43-326, ~589 ops/s). Here the whole thing is one
+  * declarative plan: broadcast SK-resolution joins → a generated date
+  * explode (never a driver loop) → window dedup — which is also the
+  * 100 TB shape: the only shuffle is the final (job_sk, date_id) dedup,
+  * and dims ride broadcasts.
+  */
+object Facts {
+
+  /** J6/P6: resolve job/company SKs against current dims via broadcast
+    * joins; rows lacking either SK are dropped (the caller can count
+    * them separately, ref fact_handler.py:112-120).
+    */
+  def resolveSks(
+      staging: DataFrame, dimJob: DataFrame, dimCompany: DataFrame,
+      jobKey: String, companyKey: String): DataFrame =
+    staging
+      .join(broadcast(dimJob.filter(col(ScdType2.CurrentCol))
+        .select(col(jobKey), col("job_sk"))), Seq(jobKey))
+      .join(broadcast(dimCompany.filter(col(ScdType2.CurrentCol))
+        .select(col(companyKey), col("company_sk"))), Seq(companyKey))
+
+  /** D9: the ×5-day grain — every staging row yields facts for
+    * [asOf, asOf+4] (fact_handler.py:66-69 uses today..today+4; the
+    * run date is an explicit parameter here). `explode(sequence(...))`
+    * keeps it a generator inside codegen.
+    */
+  def explodeDailyGrain(resolved: DataFrame, asOfDate: String): DataFrame =
+    resolved.withColumn("date_id",
+      explode(sequence(lit(asOfDate).cast("date"), date_add(lit(asOfDate).cast("date"), 4))))
+
+  /** W1/A4/D12: keep exactly one fact per (job_sk, date_id) — lowest
+    * fact_id survives, matching cleanup_duplicate_fact_records's
+    * MIN(fact_id) survivor rule (fact_handler.py:566-615).
+    */
+  def dedupFacts(facts: DataFrame): DataFrame = {
+    val w = Window.partitionBy("job_sk", "date_id").orderBy(col("fact_id"))
+    facts.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** D10/S9/W3: last-wins merge of incoming fact rows onto existing
+    * ones. The UPSERT kept the latest measures but preserved the
+    * original fact_id and load_month (fact_handler.py:237-255
+    * deliberately does not update load_month) — so the merge coalesces
+    * identity columns from the existing side and takes measures from
+    * the incoming side.
+    */
+  def mergeFacts(
+      existing: DataFrame, incoming: DataFrame,
+      measureCols: Seq[String]): DataFrame = {
+    val keys = Seq("job_sk", "date_id")
+    val e = existing.select(
+      keys.map(col) ++
+        Seq(col("fact_id").as("__e_fact_id"), col("load_month").as("__e_load_month")) ++
+        measureCols.map(c => col(c).as(s"__e_$c")): _*)
+    val merged = incoming.join(e, keys, "full")
+    val out = merged
+      .withColumn("fact_id", coalesce(col("__e_fact_id"), col("fact_id")))
+      .withColumn("load_month", coalesce(col("__e_load_month"), col("load_month")))
+    // rows only in existing keep their measures; matched rows take incoming's
+    val withMeasures = measureCols.foldLeft(out) { (df, c) =>
+      df.withColumn(c, coalesce(col(c), col(s"__e_$c")))
+    }
+    withMeasures.drop(
+      Seq("__e_fact_id", "__e_load_month") ++ measureCols.map(c => s"__e_$c"): _*)
+  }
+
+  /** D11: fact→location bridge — explode each fact's parsed locations,
+    * resolve against DimLocation null-safely, fall back to the Unknown
+    * row, dedup (fact_id, location_sk) (fact_handler.py:443-539).
+    */
+  def buildBridge(
+      factsWithLocation: DataFrame, dimLocation: DataFrame): DataFrame = {
+    val exploded = factsWithLocation
+      .select(col("fact_id"), explode(LocationFns.parseJobLocation(col("location"))).as("loc"))
+      .select(col("fact_id"), col("loc.province").as("province"),
+        col("loc.city").as("city"), col("loc.district").as("district"))
+    val dim = broadcast(dimLocation
+      .select(col("location_sk"), col("province").as("__p"), col("city").as("__c"),
+        col("district").as("__d")))
+    val unknownSk = dimLocation
+      .filter(col("city") === "Unknown" && col("province").isNull && col("district").isNull)
+      .agg(min(col("location_sk")).as("__unknown_sk"))
+    exploded
+      .join(dim,
+        col("province") <=> col("__p") && col("city") <=> col("__c") &&
+          col("district") <=> col("__d"),
+        "left")
+      .crossJoin(broadcast(unknownSk))
+      .withColumn("location_sk", coalesce(col("location_sk"), col("__unknown_sk")))
+      .select("fact_id", "location_sk")
+      .dropDuplicates("fact_id", "location_sk")
+  }
+}

@@ -1,6 +1,360 @@
 package graft.queries
 
-/** D-family (SCD2 / dims / facts / validator) queries. */
+import graft.Tables
+import graft.dwh.{Dimensions, Facts, ScdType2}
+import graft.quality.Validator
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** D-family: SCD2 dimensional core, fact explosion, bridge, validator —
+  * the stateful heart of the reference (SURVEY §2.8), exercised over
+  * the testdata star schema with full oracle parity.
+  *
+  * The mapping: customer rows play staging/dim-company records, orders
+  * play staging jobs/facts, nation+mktsegment strings synthesize the
+  * Vietnamese location shapes the parse family expects.
+  */
 object DwhQueries {
-  val defs: Seq[QueryDef] = Seq()
+
+  private val AsOf = "2026-08-12"
+
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  /** customer ⋈ nation with a synthesized per-row location string
+    * covering the four parse shapes: "City: District", bare city, JSON
+    * list with multi-district, and null (→ Unknown).
+    */
+  private def withSynthLocation(s: SparkSession, dir: String): DataFrame = {
+    val k = col("c_custkey")
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .withColumn("location",
+        when(k % 4 === 0, concat(col("n_name"), lit(": "), col("c_mktsegment")))
+          .when(k % 4 === 1, col("n_name"))
+          .when(k % 4 === 2, concat(lit("[\""), col("n_name"), lit(": D1, D2\"]")))
+          .otherwise(lit(null).cast("string")))
+  }
+
+  /** The same four shapes parsed in plain SQL (for oracles). */
+  private val ParsedCte =
+    """src AS (SELECT c_custkey AS k, c_name, n_name, c_mktsegment AS seg
+      |        FROM customer JOIN nation ON c_nationkey = n_nationkey),
+      |parsed AS (
+      |  SELECT k, CAST(NULL AS VARCHAR) AS province, n_name AS city, seg AS district
+      |  FROM src WHERE k % 4 = 0
+      |  UNION ALL SELECT k, NULL, n_name, NULL FROM src WHERE k % 4 = 1
+      |  UNION ALL SELECT k, NULL, n_name, unnest(['D1','D2']) FROM src WHERE k % 4 = 2
+      |  UNION ALL SELECT k, NULL, 'Unknown', NULL FROM src WHERE k % 4 = 3)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---------------------------------------------------------------- D1/D2 (dim prep + dedup + SCD stamp)
+    QueryDef(
+      "q_d2_prepare_dim", "D1 D2 A8 F19",
+      Some("""SELECT company_name, src_key, segment, '2026-08-12' AS effective_date,
+             |TRUE AS is_current
+             |FROM (SELECT substr(c_name, 1, 16) AS company_name, c_custkey AS src_key,
+             |             c_mktsegment AS segment,
+             |             row_number() OVER (PARTITION BY substr(c_name, 1, 16)
+             |                                ORDER BY c_custkey) AS rn
+             |      FROM customer) t
+             |WHERE rn = 1 ORDER BY company_name""".stripMargin),
+      (s, dir) =>
+        Dimensions.prepareDim(
+          Tables.customer(s, dir)
+            .select(substring(col("c_name"), 1, 16).as("company_name"),
+              col("c_custkey").as("src_key"), col("c_mktsegment").as("segment")),
+          "company_name", "src_key", AsOf)
+          .select(col("company_name"), col("src_key"), col("segment"),
+            date_format(col(ScdType2.EffectiveCol), "yyyy-MM-dd").as("effective_date"),
+            col(ScdType2.CurrentCol).as("is_current"))
+          .orderBy("company_name")),
+
+    // ---------------------------------------------------------------- D3 (location dim from parse explode)
+    QueryDef(
+      "q_d3_prepare_dim_location", "D3 A8 F8 F10",
+      Some(s"""WITH $ParsedCte
+              |SELECT DISTINCT province, city, district FROM parsed
+              |ORDER BY city, district NULLS FIRST, province NULLS FIRST""".stripMargin),
+      (s, dir) =>
+        Dimensions.prepareDimLocation(withSynthLocation(s, dir), "location")
+          .orderBy(col("city"), col("district").asc_nulls_first,
+            col("province").asc_nulls_first)),
+
+    // ---------------------------------------------------------------- D5/J8 (SCD2 change routing)
+    QueryDef(
+      "q_d5_scd2_routing", "D5 J8 D4",
+      Some("""SELECT scd_route, count(*) AS n FROM (
+             |  SELECT CASE WHEN c_custkey % 10 = 0 THEN 'insert'
+             |              WHEN c_custkey % 7 = 0 THEN 'update'
+             |              ELSE 'unchanged' END AS scd_route
+             |  FROM customer) t
+             |GROUP BY scd_route ORDER BY scd_route""".stripMargin),
+      (s, dir) => {
+        val base = Tables.customer(s, dir)
+        val current = base.filter(col("c_custkey") % 10 =!= 0)
+          .select(col("c_name"), col("c_mktsegment").as("segment"))
+          .withColumn(ScdType2.CurrentCol, lit(true))
+        val incoming = base.select(col("c_name"),
+          when(col("c_custkey") % 7 === 0, concat(col("c_mktsegment"), lit("_V2")))
+            .otherwise(col("c_mktsegment")).as("segment"))
+        ScdType2.routeChanges(current, incoming, "c_name", Seq("segment"))
+          .groupBy(ScdType2.RouteCol)
+          .agg(count(lit(1)).as("n"))
+          .orderBy(ScdType2.RouteCol)
+      }),
+
+    // ---------------------------------------------------------------- D4/D6 (full SCD2 snapshot rewrite)
+    QueryDef(
+      "q_d6_scd2_snapshot", "D6 D4 J8",
+      Some("""WITH base AS (SELECT c_custkey AS k, c_name, c_mktsegment AS seg FROM customer),
+             |cur AS (SELECT CAST(10000 + k AS BIGINT) AS company_sk, c_name, seg AS segment, k
+             |        FROM base WHERE k % 10 <> 0),
+             |newrows AS (SELECT c_name,
+             |                   CASE WHEN k % 7 = 0 THEN seg || '_V2' ELSE seg END AS segment
+             |            FROM base WHERE k % 10 = 0 OR k % 7 = 0)
+             |SELECT * FROM (
+             |  SELECT company_sk, c_name, segment, '2026-01-01' AS effective_date,
+             |         'current' AS expiry_date, TRUE AS is_current
+             |  FROM cur WHERE k % 7 <> 0
+             |  UNION ALL
+             |  SELECT company_sk, c_name, segment, '2026-01-01', '2026-08-12', FALSE
+             |  FROM cur WHERE k % 7 = 0
+             |  UNION ALL
+             |  SELECT (SELECT max(company_sk) FROM cur) + row_number() OVER (ORDER BY c_name),
+             |         c_name, segment, '2026-08-12', 'current', TRUE
+             |  FROM newrows
+             |) ORDER BY company_sk""".stripMargin),
+      (s, dir) => {
+        val base = Tables.customer(s, dir)
+        val current = base.filter(col("c_custkey") % 10 =!= 0)
+          .select((col("c_custkey") + 10000L).cast("long").as("company_sk"),
+            col("c_name"), col("c_mktsegment").as("segment"))
+          .withColumn(ScdType2.EffectiveCol, lit("2026-01-01").cast("date"))
+          .withColumn(ScdType2.ExpiryCol, lit(null).cast("date"))
+          .withColumn(ScdType2.CurrentCol, lit(true))
+        val incoming = base.select(col("c_name"),
+          when(col("c_custkey") % 7 === 0, concat(col("c_mktsegment"), lit("_V2")))
+            .otherwise(col("c_mktsegment")).as("segment"))
+        ScdType2.applyBatch(current, incoming, "c_name", Seq("segment"), "company_sk", AsOf)
+          .select(col("company_sk"), col("c_name"), col("segment"),
+            date_format(col(ScdType2.EffectiveCol), "yyyy-MM-dd").as("effective_date"),
+            coalesce(date_format(col(ScdType2.ExpiryCol), "yyyy-MM-dd"), lit("current"))
+              .as("expiry_date"),
+            col(ScdType2.CurrentCol).as("is_current"))
+          .orderBy("company_sk")
+      }),
+
+    // ---------------------------------------------------------------- D8 (DimDate idempotent fill)
+    QueryDef(
+      "q_d8_dimdate_fill", "D8 J9 F14",
+      Some("""WITH existing AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS date_id
+             |                  FROM orders WHERE strftime(o_orderdate, '%Y-%m') = '1995-01'),
+             |rng AS (SELECT CAST(d AS DATE) AS date_id
+             |        FROM generate_series(DATE '1995-01-01', DATE '1995-02-28', INTERVAL 1 DAY) t(d)),
+             |filled AS (SELECT date_id FROM existing
+             |           UNION ALL
+             |           SELECT date_id FROM rng
+             |           WHERE date_id NOT IN (SELECT date_id FROM existing))
+             |SELECT (SELECT count(*) FROM existing) AS n_existing,
+             |       (SELECT count(*) FROM filled) AS n_total,
+             |       (SELECT count(*) FROM filled) - (SELECT count(*) FROM existing) AS n_added""".stripMargin),
+      (s, dir) => {
+        val existing = Tables.orders(s, dir)
+          .filter(date_format(col("o_orderdate"), "yyyy-MM") === "1995-01")
+          .select(to_date(col("o_orderdate")).as("date_id")).distinct()
+        val filled = Dimensions.fillDimDate(existing, "1995-01-01", "1995-02-28")
+        existing.agg(count(lit(1)).as("n_existing"))
+          .crossJoin(filled.agg(count(lit(1)).as("n_total")))
+          .withColumn("n_added", col("n_total") - col("n_existing"))
+      }),
+
+    // ---------------------------------------------------------------- D9/J6 (×5-day fact explosion)
+    QueryDef(
+      "q_d9_fact_explode", "D9 J6 F13 F15",
+      Some("""SELECT strftime(CAST(d AS DATE), '%Y-%m-%d') AS date_id,
+             |strftime(CAST(d AS DATE), '%Y-%m') AS load_month,
+             |count(*) AS n_facts, count(DISTINCT o_orderkey) AS n_jobs
+             |FROM orders, generate_series(DATE '2026-08-12', DATE '2026-08-16', INTERVAL 1 DAY) t(d)
+             |WHERE EXISTS (SELECT 1 FROM customer
+             |              WHERE c_custkey = o_custkey AND c_custkey % 10 <> 3)
+             |GROUP BY 1, 2 ORDER BY date_id""".stripMargin),
+      (s, dir) => {
+        val dim = Tables.customer(s, dir).filter(col("c_custkey") % 10 =!= 3)
+          .select(col("c_custkey"))
+        val resolved = Tables.orders(s, dir)
+          .join(broadcast(dim), col("o_custkey") === col("c_custkey"), "left_semi")
+          .withColumn("job_sk", col("o_orderkey"))
+        Facts.explodeDailyGrain(resolved, AsOf)
+          .groupBy(date_format(col("date_id"), "yyyy-MM-dd").as("date_id"),
+            date_format(col("date_id"), "yyyy-MM").as("load_month"))
+          .agg(count(lit(1)).as("n_facts"), countDistinct(col("job_sk")).as("n_jobs"))
+          .orderBy("date_id")
+      }),
+
+    // ---------------------------------------------------------------- D10/S9 (last-wins merge preserving identity)
+    QueryDef(
+      "q_d10_fact_merge", "D10 S9 W3 S7",
+      Some("""WITH e AS (SELECT o_orderkey AS k, o_totalprice AS tp FROM orders WHERE o_orderkey % 2 = 0),
+             |i AS (SELECT o_orderkey AS k, o_totalprice AS tp FROM orders WHERE o_orderkey % 3 = 0),
+             |m AS (
+             |  SELECT '2026-07' AS load_month,
+             |         CASE WHEN i.k IS NOT NULL THEN i.tp + 1000 ELSE e.tp END AS salary
+             |  FROM e LEFT JOIN i USING (k)
+             |  UNION ALL
+             |  SELECT '2026-08', i.tp + 1000 FROM i
+             |  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.k = i.k))
+             |SELECT load_month, count(*) AS n,
+             |CAST(sum(CAST(salary AS DECIMAL(18,2))) AS DOUBLE) AS sum_salary
+             |FROM m GROUP BY load_month ORDER BY load_month""".stripMargin),
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val existing = o.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey").as("job_sk"), to_date(col("o_orderdate")).as("date_id"),
+            (col("o_orderkey") * 10).as("fact_id"), lit("2026-07").as("load_month"),
+            col("o_totalprice").as("salary"))
+        val incoming = o.filter(col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey").as("job_sk"), to_date(col("o_orderdate")).as("date_id"),
+            (col("o_orderkey") * 10 + 1).as("fact_id"), lit("2026-08").as("load_month"),
+            (col("o_totalprice") + 1000).as("salary"))
+        Facts.mergeFacts(existing, incoming, Seq("salary"))
+          .groupBy("load_month")
+          .agg(count(lit(1)).as("n"), dsum(col("salary")).as("sum_salary"))
+          .orderBy("load_month")
+      }),
+
+    // ---------------------------------------------------------------- D11/J7 (bridge build w/ Unknown fallback)
+    QueryDef(
+      "q_d11_bridge_build", "D11 J7 J9 F19",
+      Some(s"""WITH $ParsedCte,
+              |fparsed AS (SELECT o_orderkey AS fact_id, p.province, p.city, p.district
+              |            FROM orders JOIN customer ON o_custkey = c_custkey
+              |            JOIN parsed p ON p.k = c_custkey),
+              |dim0 AS (SELECT DISTINCT province, city, district FROM parsed
+              |         WHERE city <> 'MOROCCO'),
+              |dim AS (SELECT *, row_number() OVER (ORDER BY province NULLS FIRST, city,
+              |                                     district NULLS FIRST) AS location_sk
+              |        FROM dim0),
+              |unk AS (SELECT min(location_sk) AS usk FROM dim
+              |        WHERE city = 'Unknown' AND province IS NULL AND district IS NULL),
+              |bridge AS (SELECT DISTINCT f.fact_id,
+              |                  coalesce(d.location_sk, (SELECT usk FROM unk)) AS location_sk
+              |           FROM fparsed f LEFT JOIN dim d
+              |             ON f.province IS NOT DISTINCT FROM d.province
+              |            AND f.city IS NOT DISTINCT FROM d.city
+              |            AND f.district IS NOT DISTINCT FROM d.district)
+              |SELECT location_sk, count(*) AS n_bridges FROM bridge
+              |GROUP BY location_sk ORDER BY location_sk""".stripMargin),
+      (s, dir) => {
+        val synth = withSynthLocation(s, dir)
+        val facts = Tables.orders(s, dir)
+          .join(synth.select(col("c_custkey"), col("location")),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey").as("fact_id"), col("location"))
+        val dim = Dimensions.prepareDimLocation(synth, "location")
+          .filter(col("city") =!= "MOROCCO")
+          .withColumn("location_sk",
+            row_number().over(Window.orderBy(col("province").asc_nulls_first, col("city"),
+              col("district").asc_nulls_first)).cast("long"))
+        Facts.buildBridge(facts, dim)
+          .groupBy("location_sk")
+          .agg(count(lit(1)).as("n_bridges"))
+          .orderBy("location_sk")
+      }),
+
+    // ---------------------------------------------------------------- D12 (duplicate-fact cleanup)
+    QueryDef(
+      "q_d12_cleanup_dups", "D12 A4 W1 J11",
+      Some("""WITH facts AS (
+             |  SELECT o_orderkey AS job_sk, CAST(o_orderdate AS DATE) AS date_id,
+             |         o_orderkey * 10 AS fact_id FROM orders
+             |  UNION ALL
+             |  SELECT o_orderkey, CAST(o_orderdate AS DATE), o_orderkey * 10 + 1
+             |  FROM orders WHERE o_orderkey % 5 = 0),
+             |cleaned AS (SELECT * FROM facts
+             |            QUALIFY row_number() OVER (PARTITION BY job_sk, date_id
+             |                                       ORDER BY fact_id) = 1)
+             |SELECT 'after' AS stage, count(*) AS n FROM cleaned
+             |UNION ALL SELECT 'before', count(*) FROM facts
+             |UNION ALL SELECT 'removed', (SELECT count(*) FROM facts) - count(*) FROM cleaned
+             |ORDER BY stage""".stripMargin),
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        def shape(idOffset: Int) = o.select(
+          col("o_orderkey").as("job_sk"), to_date(col("o_orderdate")).as("date_id"),
+          (col("o_orderkey") * 10 + idOffset).as("fact_id"))
+        val facts = shape(0).unionByName(shape(1).filter(col("job_sk") % 5 === 0))
+        val cleaned = Facts.dedupFacts(facts)
+        val before = facts.agg(count(lit(1)).as("n"))
+        val after = cleaned.agg(count(lit(1)).as("n"))
+        after.select(lit("after").as("stage"), col("n"))
+          .unionByName(before.select(lit("before").as("stage"), col("n")))
+          .unionByName(before.crossJoin(after.select(col("n").as("__a")))
+            .select(lit("removed").as("stage"), (col("n") - col("__a")).as("n")))
+          .orderBy("stage")
+      }),
+
+    // ---------------------------------------------------------------- A5/J10/D14 (validator report)
+    QueryDef(
+      "q_d14_validator", "D14 A5 J10",
+      Some("""SELECT * FROM (
+             |SELECT 'duplicate_current_keys' AS check_name,
+             |       (SELECT count(*) FROM (SELECT c_custkey FROM (
+             |          SELECT c_custkey FROM customer
+             |          UNION ALL SELECT c_custkey FROM customer WHERE c_custkey % 100 = 0) t
+             |        GROUP BY c_custkey HAVING count(*) > 1) d) AS value
+             |UNION ALL
+             |SELECT 'future_posted', (SELECT count(*) FROM orders
+             |                         WHERE o_orderdate > TIMESTAMP '2001-06-01 00:00:00')
+             |UNION ALL
+             |SELECT 'inverted_range', (SELECT count(*) FROM lineitem WHERE l_discount > l_tax)
+             |UNION ALL
+             |SELECT 'missing_days', (SELECT date_diff('day', min(CAST(o_orderdate AS DATE)),
+             |                               max(CAST(o_orderdate AS DATE))) + 1
+             |                               - count(DISTINCT CAST(o_orderdate AS DATE))
+             |                        FROM orders)
+             |UNION ALL
+             |SELECT 'null_criticals', (SELECT count(*) FROM orders WHERE o_custkey % 97 = 0)
+             |UNION ALL
+             |SELECT 'orphan_orders', (SELECT count(*) FROM orders
+             |                         WHERE NOT EXISTS (SELECT 1 FROM customer
+             |                           WHERE c_custkey = o_custkey AND c_custkey % 10 <> 3))
+             |) ORDER BY check_name""".stripMargin),
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+        val dupDim = c.select(col("c_custkey"))
+          .unionByName(c.filter(col("c_custkey") % 100 === 0).select(col("c_custkey")))
+          .withColumn("is_current", lit(true))
+        val withNulls = o.withColumn("custkey2",
+          when(col("o_custkey") % 97 === 0, lit(null)).otherwise(col("o_custkey")))
+        Validator.report(Seq(
+          Validator.duplicateCurrentKeys(dupDim, "c_custkey"),
+          Validator.futureTimestamps("future_posted", o, "o_orderdate", "2001-06-01 00:00:00"),
+          Validator.invertedRange("inverted_range", Tables.lineitem(s, dir), "l_discount", "l_tax"),
+          Validator.missingDays("missing_days", o, "o_orderdate"),
+          Validator.nullCriticals("null_criticals", withNulls, Seq("custkey2")),
+          Validator.orphanCount("orphan_orders", o.withColumnRenamed("o_custkey", "c_custkey"),
+            c.filter(col("c_custkey") % 10 =!= 3), "c_custkey")))
+      }),
+
+    // ---------------------------------------------------------------- D14 ratio
+    QueryDef(
+      "q_d14_integrity_ratio", "D14 A9",
+      Some("""SELECT (SELECT count(*) FROM orders) AS n_source,
+             |(SELECT count(*) FROM orders o JOIN customer ON c_custkey = o_custkey
+             | WHERE c_custkey % 10 <> 3) AS n_processed,
+             |round(CAST((SELECT count(*) FROM orders o JOIN customer ON c_custkey = o_custkey
+             |            WHERE c_custkey % 10 <> 3) AS DOUBLE)
+             |      / (SELECT count(*) FROM orders), 4) AS ratio""".stripMargin),
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val processed = o.join(
+          broadcast(Tables.customer(s, dir).filter(col("c_custkey") % 10 =!= 3)),
+          col("o_custkey") === col("c_custkey"))
+        Validator.integrityRatio(o, processed)
+      })
+  )
 }
