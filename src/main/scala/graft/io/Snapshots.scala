@@ -1,0 +1,69 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Storage layer (SURVEY S4-S15): partitioned parquet export/reload,
+  * snapshot versioning, CDC JSONL sink/replay.
+  *
+  * The reference's per-month COPY loop, DELETE+INSERT reload, and
+  * .duckdb file backups (partitioning.py:48-242, etl_main.py:62-201)
+  * all collapse into parquet-native idioms: `partitionBy` writes,
+  * partition-pruned reads, and immutable snapshot directories (restore
+  * = read the previous version; atomicity = write-then-swap). Sessions
+  * run with partitionOverwriteMode=dynamic so an incremental month
+  * rewrite replaces only the touched partitions.
+  */
+object Snapshots {
+
+  /** S10: hive-style partitioned export on load_month. */
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String = "load_month"): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+
+  /** S11: partition-pruned reload (pruning is automatic — the filter on
+    * the partition column reaches PartitionFilters, not the data scan).
+    */
+  def readPartitions(spark: SparkSession, path: String, months: Seq[String]): DataFrame =
+    spark.read.parquet(path).filter(col("load_month").isin(months: _*))
+
+  /** S15: snapshot versioning — each version is an immutable directory;
+    * restore = read it.
+    */
+  def writeSnapshot(df: DataFrame, baseDir: String, version: String): Unit =
+    df.write.mode("overwrite").parquet(s"$baseDir/v=$version")
+
+  def readSnapshot(spark: SparkSession, baseDir: String, version: String): DataFrame =
+    spark.read.parquet(s"$baseDir/v=$version")
+
+  /** S13: CDC JSONL append sink — one JSON object per line, the
+    * reference's record shape (cdc.py:58-67).
+    */
+  def cdcAppend(records: DataFrame, dir: String): Unit =
+    records.write.mode("append").json(dir)
+
+  /** S14: CDC replay scan. */
+  def cdcReplay(spark: SparkSession, dir: String): DataFrame = spark.read.json(dir)
+
+  /** Shape events into CDC records: {timestamp, job_id, action, data,
+    * metadata} (cdc.py:54-69).
+    */
+  def toCdcRecords(events: DataFrame): DataFrame =
+    events.select(
+      date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("timestamp"),
+      col("event_id").as("job_id"),
+      when(col("event_type").isin("signup", "view"), "insert").otherwise("update").as("action"),
+      struct(col("event_type"), col("value")).as("data"),
+      struct(lit("crawler").as("source"), lit("1.0").as("version")).as("metadata"))
+
+  /** Recursively delete a work dir (idempotent re-runs of the CDC
+    * append test need a fresh log).
+    */
+  def deleteDir(spark: SparkSession, dir: String): Unit = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    ()
+  }
+}

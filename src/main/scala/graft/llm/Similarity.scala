@@ -1,0 +1,115 @@
+package graft.llm
+
+import scala.util.Random
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor similarity search over an embedding
+  * column (array<float>).
+  *
+  * Two paths:
+  *  - `bruteForceTopK`: exact cosine top-k via a broadcast of the query
+  *    set against the corpus — the correctness baseline. O(|Q|·|C|) but
+  *    embarrassingly parallel; right answer for small |Q|.
+  *  - `lshTopK`: random-hyperplane LSH — each vector gets a sign-bit
+  *    bucket from `planes` fixed hyperplanes; exact cosine only within
+  *    buckets. This is the 100 TB path: one shuffle on bucket id,
+  *    bucket sizes ~ |C|/2^planes, recall tuned by plane count (and by
+  *    multi-probing neighbor buckets if needed). An IVF variant would
+  *    swap the hash for learned centroids; the plumbing is identical.
+  *
+  * Dot products are native `zip_with`/`aggregate` lambdas (codegen'd,
+  * left-to-right accumulation — deterministic bit-for-bit).
+  */
+object Similarity {
+
+  /** Cast float embedding to double once, up front. */
+  def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(a: Column): Column = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Exact cosine top-k: for each row of `queries`, the k nearest
+    * corpus rows (self-pairs excluded). Scores are rounded to
+    * `scale` decimals BEFORE ranking so ordering is robust to last-ulp
+    * float noise; ties break on neighbor id.
+    */
+  def bruteForceTopK(
+      queries: DataFrame, corpus: DataFrame, idCol: String, embCol: String,
+      k: Int, scale: Int = 3): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(embCol)).as("__qe"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(embCol)).as("__ce"))
+    val scored = broadcast(q).crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", round(cosine(col("__qe"), col("__ce")), scale))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "score")
+  }
+
+  /** Deterministic random hyperplanes (seeded), dim × planes. */
+  private[llm] def hyperplanes(dim: Int, planes: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new Random(seed)
+    Array.fill(planes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bit bucket id of an embedding under the fixed hyperplanes. */
+  private[llm] def bucketOf(emb: Seq[Float], planes: Array[Array[Double]]): Int =
+    planes.zipWithIndex.foldLeft(0) { case (acc, (p, i)) =>
+      var s = 0.0
+      var j = 0
+      while (j < p.length && j < emb.length) { s += emb(j) * p(j); j += 1 }
+      if (s > 0) acc | (1 << i) else acc
+    }
+
+  /** LSH-bucketed ANN: exact cosine top-k within each query's bucket.
+    * Lower recall than brute force (tested ≥0.6@k in DedupSpec), one
+    * bucket-key shuffle instead of a cross join.
+    */
+  def lshTopK(
+      queries: DataFrame, corpus: DataFrame, idCol: String, embCol: String,
+      k: Int, nPlanes: Int = 8, seed: Long = 42L, scale: Int = 3): DataFrame = {
+    val dim = 64
+    val planes = hyperplanes(dim, nPlanes, seed)
+    val bucketUdf = udf((e: Seq[Float]) => bucketOf(e, planes))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(embCol)).as("__qe"),
+      bucketUdf(col(embCol)).as("__bucket"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(embCol)).as("__ce"),
+      bucketUdf(col(embCol)).as("__bucket"))
+    val scored = q.join(c, Seq("__bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", round(cosine(col("__qe"), col("__ce")), scale))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "score")
+  }
+
+  /** Embedding-cosine near-duplicate pairs (dedup by vector closeness):
+    * bucket with LSH, verify cosine ≥ threshold within buckets.
+    */
+  def cosineNearDupPairs(
+      vectors: DataFrame, idCol: String, embCol: String,
+      threshold: Double, nPlanes: Int = 6, seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(64, nPlanes, seed)
+    val bucketUdf = udf((e: Seq[Float]) => bucketOf(e, planes))
+    val v = vectors.select(col(idCol).as("__id"), asDouble(col(embCol)).as("__e"),
+      bucketUdf(col(embCol)).as("__bucket"))
+    val a = v.select(col("__bucket"), col("__id").as("id_a"), col("__e").as("__ea"))
+    val b = v.select(col("__bucket"), col("__id").as("id_b"), col("__e").as("__eb"))
+    a.join(b, Seq("__bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("score", round(cosine(col("__ea"), col("__eb")), 3))
+      .filter(col("score") >= threshold)
+      .select("id_a", "id_b", "score")
+  }
+}

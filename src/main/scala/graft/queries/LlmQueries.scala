@@ -1,6 +1,318 @@
 package graft.queries
 
-/** LLM-data-pipeline queries: dedup, similarity, text analysis, multimodal. */
+import graft.Tables
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** LLM-training-data pipeline queries over documents.parquet and
+  * embeddings.parquet: dedup (exact / MinHash-LSH / SimHash / n-gram
+  * Jaccard / embedding-cosine), similarity search (brute-force + LSH),
+  * text analysis, and multimodal plumbing.
+  *
+  * Oracle notes: the MinHash query's oracle is the EXACT all-true-pairs
+  * answer — legitimate because at J≥0.8 with 32 bands × 4 rows the
+  * per-pair miss probability is (1−0.8⁴)³² ≈ 5e-8. The LSH-ANN and
+  * SimHash variants are inherently approximate, so they ship rows-only
+  * with recall assertions in DedupSpec instead of oracles.
+  *
+  * Group averages sum DECIMAL-cast per-doc values (never raw doubles)
+  * so results are order-independent — same rule as the relational
+  * family.
+  */
 object LlmQueries {
-  val defs: Seq[QueryDef] = Seq()
+
+  private def davg6(perDoc: Column): Column =
+    round(sum(round(perDoc, 6).cast(DecimalType(18, 6))).cast("double") / count(lit(1)), 6)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---------------------------------------------------------------- exact dedup
+    QueryDef(
+      "q_l1_exact_dedup", "LLM-dedup-exact A8",
+      Some("""WITH aug AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL SELECT doc_id + 100000, upper(text) || '  ' FROM documents),
+             |fp AS (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f
+             |       FROM aug)
+             |SELECT count(*) AS n_docs, count(DISTINCT f) AS n_unique,
+             |       (SELECT count(*) FROM (SELECT f FROM fp GROUP BY f HAVING count(*) > 1) t)
+             |         AS n_dup_groups
+             |FROM fp""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+        val aug = docs.unionByName(docs.select(
+          (col("doc_id") + 100000).as("doc_id"), concat(upper(col("text")), lit("  ")).as("text")))
+        val fp = aug.select(col("doc_id"), Dedup.exactFingerprint(col("text")).as("f"))
+        val dupGroups = fp.groupBy("f").count().filter(col("count") > 1)
+          .agg(count(lit(1)).as("n_dup_groups"))
+        fp.agg(count(lit(1)).as("n_docs"), countDistinct(col("f")).as("n_unique"))
+          .crossJoin(dupGroups)
+      }),
+
+    // ---------------------------------------------------------------- MinHash+LSH near-dup (scale path)
+    QueryDef(
+      "q_l2_minhash_neardup", "LLM-dedup-minhash-lsh",
+      Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+             |sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+             |                                            for i in generate_series(1, len(w)-2)])) AS s
+             |       FROM toks WHERE len(w) >= 3),
+             |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+             |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+             |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |          GROUP BY 1, 2)
+             |SELECT id_a, id_b,
+             |       round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+             |FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+             |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
+             |ORDER BY id_a, id_b""".stripMargin),
+      (s, dir) =>
+        Dedup.minhashNearDupPairs(Tables.documents(s, dir), "doc_id", "text",
+            shingleN = 3, perms = 128, bands = 32, threshold = 0.8)
+          .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+          .orderBy("id_a", "id_b")),
+
+    // ---------------------------------------------------------------- exact n-gram Jaccard (complete blocking)
+    QueryDef(
+      "q_l3_ngram_jaccard", "LLM-dedup-ngram-jaccard",
+      Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+             |sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+             |                                            for i in generate_series(1, len(w)-2)])) AS s
+             |       FROM toks WHERE len(w) >= 3),
+             |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+             |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+             |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |          GROUP BY 1, 2)
+             |SELECT id_a, id_b,
+             |       round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+             |FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+             |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
+             |ORDER BY id_a, id_b""".stripMargin),
+      (s, dir) =>
+        Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+            shingleN = 3, threshold = 0.8)
+          .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+          .orderBy("id_a", "id_b")),
+
+    // ---------------------------------------------------------------- SimHash near-dup (approximate; rows-only)
+    QueryDef(
+      "q_l4_simhash_neardup", "LLM-dedup-simhash",
+      None, // banded SimHash is approximate by design; recall asserted in DedupSpec
+      (s, dir) =>
+        Dedup.simhashNearDupPairs(Tables.documents(s, dir), "doc_id", "text", maxDistance = 8)
+          .orderBy("id_a", "id_b")),
+
+    // ---------------------------------------------------------------- brute-force cosine top-k
+    QueryDef(
+      "q_l5_cosine_topk", "LLM-ann-bruteforce",
+      Some("""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+             |           FROM embeddings),
+             |scored AS (
+             |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |         round(list_inner_product(q.e, c.e) /
+             |               (sqrt(list_inner_product(q.e, q.e)) * sqrt(list_inner_product(c.e, c.e))),
+             |               3) AS score
+             |  FROM v q JOIN v c ON q.vec_id < 20 AND q.vec_id <> c.vec_id)
+             |SELECT query_id, rank, neighbor_id, score FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY query_id
+             |                               ORDER BY score DESC, neighbor_id) AS rank
+             |  FROM scored) t
+             |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.bruteForceTopK(
+            emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", k = 5, scale = 3)
+          .orderBy("query_id", "rank")
+      }),
+
+    // ---------------------------------------------------------------- LSH-bucketed ANN (approximate; rows-only)
+    QueryDef(
+      "q_l6_ann_lsh", "LLM-ann-lsh",
+      None, // recall vs brute force asserted in SimilaritySpec
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.lshTopK(emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding",
+            k = 5, nPlanes = 4)
+          .orderBy("query_id", "rank")
+      }),
+
+    // ---------------------------------------------------------------- embedding-cosine near-dup
+    QueryDef(
+      "q_l7_cosine_neardup", "LLM-dedup-cosine",
+      Some("""WITH aug AS (
+             |  SELECT vec_id, embedding FROM embeddings
+             |  UNION ALL
+             |  SELECT vec_id + 10000, list_transform(embedding, x -> CAST(x * 2 AS FLOAT))
+             |  FROM embeddings WHERE vec_id < 50),
+             |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM aug),
+             |pairs AS (
+             |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |         round(list_inner_product(a.e, b.e) /
+             |               (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))),
+             |               3) AS score
+             |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+             |SELECT id_a, id_b, score FROM pairs WHERE score >= 0.9
+             |ORDER BY id_a, id_b""".stripMargin),
+      (s, dir) => {
+        // corpus + planted exact-direction duplicates (×2-scaled copies)
+        val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+        val aug = emb.unionByName(emb.filter(col("vec_id") < 50).select(
+          (col("vec_id") + 10000).as("vec_id"),
+          transform(col("embedding"), x => (x * 2).cast("float")).as("embedding")))
+        Similarity.cosineNearDupPairs(aug, "vec_id", "embedding", threshold = 0.9, nPlanes = 6)
+          .orderBy("id_a", "id_b")
+      }),
+
+    // ---------------------------------------------------------------- text quality scoring
+    QueryDef(
+      "q_l8_text_quality", "LLM-text-quality",
+      Some("""WITH t AS (
+             |  SELECT lang, string_split_regex(trim(text), '\s+') AS w, text FROM documents),
+             |per AS (
+             |  SELECT lang, len(w) AS n,
+             |    CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','for')))
+             |         AS DOUBLE) / len(w) AS stopratio,
+             |    CAST(CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS DOUBLE)
+             |      / len(w) AS avgtok
+             |  FROM t),
+             |scored AS (
+             |  SELECT lang, n, stopratio,
+             |    round(least(n / 100.0, 1.0) * 0.4 + (1.0 - stopratio) * 0.3
+             |          + least(avgtok / 8.0, 1.0) * 0.3, 6) AS quality
+             |  FROM per)
+             |SELECT lang, count(*) AS n_docs,
+             |  round(CAST(sum(n) AS DOUBLE) / count(*), 6) AS avg_tokens,
+             |  round(CAST(sum(CAST(round(stopratio, 6) AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+             |    AS avg_stopword_ratio,
+             |  round(CAST(sum(CAST(round(quality, 6) AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+             |    AS avg_quality
+             |FROM scored GROUP BY lang ORDER BY lang""".stripMargin),
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("lang"),
+            TextAnalysis.tokenCount(col("text")).as("n"),
+            TextAnalysis.stopwordRatio(col("text")).as("stopratio"),
+            TextAnalysis.qualityScore(col("text")).as("quality"))
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            round(sum(col("n")).cast("double") / count(lit(1)), 6).as("avg_tokens"),
+            davg6(col("stopratio")).as("avg_stopword_ratio"),
+            davg6(col("quality")).as("avg_quality"))
+          .orderBy("lang")),
+
+    // ---------------------------------------------------------------- token counting
+    QueryDef(
+      "q_l9_token_counts", "LLM-token-counting",
+      Some("""SELECT source, count(*) AS n_docs,
+             |CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS ws_tokens,
+             |CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]'))) AS BIGINT)
+             |  AS bpeish_tokens,
+             |round(CAST(sum(length(text)) AS DOUBLE) / count(*), 6) AS avg_chars
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin),
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("ws_tokens"),
+            sum(TextAnalysis.bpeishTokenCount(col("text")).cast("long")).as("bpeish_tokens"),
+            round(sum(length(col("text")).cast("long")).cast("double") / count(lit(1)), 6)
+              .as("avg_chars"))
+          .orderBy("source")),
+
+    // ---------------------------------------------------------------- language ID
+    QueryDef(
+      "q_l10_langid", "LLM-langid",
+      Some("""WITH t AS (SELECT lang, string_split_regex(trim(lower(text)), '\s+') AS w
+             |           FROM documents),
+             |sc AS (SELECT lang,
+             |  len(list_filter(w, x -> x IN ('the','and','of','a','is'))) AS s_en,
+             |  len(list_filter(w, x -> x IN ('der','die','das','und','ist'))) AS s_de,
+             |  len(list_filter(w, x -> x IN ('le','la','les','et','est'))) AS s_fr,
+             |  len(list_filter(w, x -> x IN ('el','los','las','es','y'))) AS s_es,
+             |  len(list_filter(w, x -> x IN ('và','của','là','các','cho'))) AS s_vi
+             |  FROM t),
+             |pred AS (SELECT lang,
+             |  CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_vi) <= 0 THEN 'und'
+             |       WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_vi) THEN 'en'
+             |       WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_vi) THEN 'de'
+             |       WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_vi) THEN 'fr'
+             |       WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_vi) THEN 'es'
+             |       WHEN s_vi = greatest(s_en, s_de, s_fr, s_es, s_vi) THEN 'vi'
+             |       ELSE 'und' END AS predicted
+             |  FROM sc)
+             |SELECT lang, predicted, count(*) AS n FROM pred
+             |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin),
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("lang"), TextAnalysis.langIdMarkers(col("text")).as("predicted"))
+          .groupBy("lang", "predicted")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("lang", "predicted")),
+
+    // ---------------------------------------------------------------- document fingerprinting
+    QueryDef(
+      "q_l11_fingerprint", "LLM-fingerprint",
+      Some("""SELECT source, count(*) AS n_docs,
+             |count(DISTINCT substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 16))
+             |  AS n_fingerprints
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin),
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(TextAnalysis.fingerprint16(col("text"))).as("n_fingerprints"))
+          .orderBy("source")),
+
+    // ---------------------------------------------------------------- multimodal metadata + stub decode
+    QueryDef(
+      "q_m1_media_meta", "LLM-multimodal-meta",
+      Some("""SELECT source, count(*) AS n,
+             |CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+             |count(DISTINCT md5(text)) AS n_checksums,
+             |round(CAST(sum(octet_length(encode(text)) % 640) AS DOUBLE) / count(*), 6)
+             |  AS avg_stub_width
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin),
+      (s, dir) => {
+        val payload = Multimodal.asPayload(col("text"))
+        Tables.documents(s, dir)
+          .select(col("source"), Multimodal.payloadMeta(payload).as("meta"),
+            Multimodal.decodeImageStub(payload).as("img"))
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("meta.n_bytes").cast("long")).as("total_bytes"),
+            countDistinct(col("meta.checksum")).as("n_checksums"),
+            round(sum(col("img.width").cast("long")).cast("double") / count(lit(1)), 6)
+              .as("avg_stub_width"))
+          .orderBy("source")
+      }),
+
+    // ---------------------------------------------------------------- multimodal frame sampling
+    QueryDef(
+      "q_m2_frame_sample", "LLM-multimodal-frames",
+      Some("""SELECT source, count(*) AS n,
+             |CAST(sum(CAST(floor((octet_length(encode(text)) - 1) / 256) + 1 AS BIGINT)) AS BIGINT)
+             |  AS total_frames,
+             |CAST(sum(CAST(floor((floor((octet_length(encode(text)) - 1) / 256) + 1 - 1) / 4) + 1
+             |     AS BIGINT)) AS BIGINT) AS sampled_frames,
+             |count(DISTINCT md5(substr(text, 1, 256))) AS first_frame_checksums
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin),
+      (s, dir) => {
+        val payload = Multimodal.asPayload(col("text"))
+        Tables.documents(s, dir)
+          .select(col("source"),
+            Multimodal.frameCount(payload, 256).as("frames"),
+            Multimodal.sampledFrameCount(payload, 256, 4).as("sampled"),
+            Multimodal.firstFrameChecksum(payload, 256).as("ff"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n"),
+            sum(col("frames")).cast("long").as("total_frames"),
+            sum(col("sampled")).cast("long").as("sampled_frames"),
+            countDistinct(col("ff")).as("first_frame_checksums"))
+          .orderBy("source")
+      })
+  )
 }

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming face of the engine (SURVEY §2.9).
+  *
+  * The reference is daily batch with an append-only CDC JSONL side
+  * channel; the streaming analogue exposes the same events/CDC data as
+  * an unbounded source: file-source reads, event-time windowed
+  * aggregation with a watermark, and streaming dedup — the operators a
+  * continuous ingestion of the same pipeline would need.
+  */
+object CdcStream {
+
+  /** events.parquet's physical schema (ts as INT64 nanos — sessions run
+    * with nanosAsLong, see SparkUtil).
+    */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Unbounded read of the events table. The file source watches a
+    * directory (that's the production shape — new files arriving), so
+    * stage the single events.parquet into a watch dir first.
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val watchDir = "/root/repo/target/tmp/stream_events_watch"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val dstDir = new org.apache.hadoop.fs.Path(watchDir)
+    val fs = dstDir.getFileSystem(conf)
+    if (fs.exists(dstDir)) fs.delete(dstDir, true)
+    fs.mkdirs(dstDir)
+    org.apache.hadoop.fs.FileUtil.copy(
+      src.getFileSystem(conf), src, fs, new org.apache.hadoop.fs.Path(dstDir, "events.parquet"),
+      false, conf)
+    spark.readStream.schema(eventsSchema).parquet(watchDir)
+      .withColumn("ts",
+        expr("timestamp_micros(ts div 1000 - (case when ts % 1000 < 0 then 1 else 0 end))"))
+  }
+
+  /** Event-time daily windowed aggregation with a watermark. */
+  def dailyTypeCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+
+  /** Run a streaming aggregation to completion over the (bounded) file
+    * source via a memory sink and return the result table — lets batch
+    * oracles check streaming semantics.
+    */
+  def runToMemory(spark: SparkSession, agg: DataFrame, name: String): DataFrame = {
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,51 @@
+package graft.llm
+
+import graft.{Tables, TestSpark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("minhash-LSH pairs equal exact shingle-join pairs at J>=0.8") {
+    val docs = Tables.documents(spark, sf)
+    val lsh = Dedup.minhashNearDupPairs(docs, "doc_id", "text", 3, 128, 32, 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact, s"LSH ${lsh.size} pairs vs exact ${exact.size}")
+    assert(exact.nonEmpty, "testdata should contain planted near-duplicates")
+  }
+
+  test("exact fingerprint collapses case/whitespace variants") {
+    import spark.implicits._
+    val df = Seq("hello  world", "HELLO WORLD  ", "other doc").toDF("text")
+      .select(Dedup.exactFingerprint(col("text")).as("f"))
+    assert(df.distinct().count() == 2)
+  }
+
+  test("simhash: identical docs at distance 0, near-dups close, finds planted pair") {
+    assert(Dedup.simhash64(Seq("a", "b", "c")) == Dedup.simhash64(Seq("a", "b", "c")))
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (3L, "completely different content about spark query engines and shuffles"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxDistance = 8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)))
+  }
+
+  test("winnowing fingerprints overlap heavily for near-identical docs") {
+    val a = TextAnalysis.winnow("the quick brown fox jumps over the lazy dog", 5, 4).toSet
+    val b = TextAnalysis.winnow("the quick brown fox jumps over the lazy cat", 5, 4).toSet
+    val c = TextAnalysis.winnow("entirely unrelated text with other content!", 5, 4).toSet
+    val simAb = a.intersect(b).size.toDouble / a.union(b).size
+    val simAc = a.intersect(c).size.toDouble / a.union(c).size
+    assert(simAb > 0.5 && simAc < 0.2, s"ab=$simAb ac=$simAc")
+    assert(TextAnalysis.winnow(null, 5, 4).isEmpty)
+  }
+}

@@ -1,0 +1,37 @@
+package graft.llm
+
+import graft.{Tables, TestSpark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("LSH ANN recalls a healthy share of brute-force neighbors") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 10)
+    val bf = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(queries, emb, "vec_id", "embedding", 10, nPlanes = 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = bf.intersect(lsh).size.toDouble / bf.size
+    // 3 planes ⇒ ~1/8 of the corpus per bucket; on random vectors even
+    // modest recall confirms the bucketing+rank plumbing works
+    assert(recall >= 0.05, s"recall=$recall")
+    assert(lsh.nonEmpty)
+  }
+
+  test("scaled copies have cosine 1.0 and are found as near-duplicates") {
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val aug = emb.unionByName(emb.filter(col("vec_id") < 5).select(
+      (col("vec_id") + 10000).as("vec_id"),
+      transform(col("embedding"), x => (x * 2).cast("float")).as("embedding")))
+    val pairs = Similarity.cosineNearDupPairs(aug, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.length == 5)
+    assert(pairs.forall { case (a, b, s) => b == a + 10000 && s == 1.0 })
+  }
+}
