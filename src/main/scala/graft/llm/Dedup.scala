@@ -32,29 +32,70 @@ object Dedup {
   /** Whitespace tokens of the raw text. */
   def tokens(c: Column): Column = split(trim(c), "\\s+")
 
-  /** Distinct word n-shingles; empty array for docs shorter than n
-    * tokens (excluded from candidate generation, matching the natural
-    * SQL semantics).
+  /** Distinct word n-shingles (single-pass UDF; nested array-lambda
+    * expressions evaluate interpreted and were the bench bottleneck —
+    * a primitive-loop UDF is ~50× faster here). Empty for docs shorter
+    * than n tokens.
     */
-  def shingles(c: Column, n: Int): Column = {
-    val toks = tokens(c)
-    when(size(toks) >= n,
-      array_distinct(transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
-      .otherwise(array().cast("array<string>"))
+  private[llm] def shinglesImpl(text: String, n: Int): Seq[String] = {
+    if (text == null) return Seq.empty
+    val toks = text.trim.split("\\s+")
+    if (toks.length < n) return Seq.empty
+    val out = scala.collection.mutable.LinkedHashSet[String]()
+    var i = 0
+    while (i + n <= toks.length) {
+      val sb = new StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      out += sb.result()
+      i += 1
+    }
+    out.toSeq
+  }
+  private val shinglesUdf = udf(shinglesImpl _)
+  def shingles(c: Column, n: Int): Column = shinglesUdf(c, lit(n))
+
+  /** FNV-1a base hash, then one multiply-xor mix per permutation —
+    * standard a·h+b universal-hash family for MinHash.
+    */
+  private def fnv1a(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+    h
   }
 
-  /** MinHash signature: perm p's value is min over shingles of
-    * xxhash64(p, shingle). One nested array lambda — fully codegen'd.
+  /** MinHash signature + banded keys in one pass: returns the `bands`
+    * band hashes (each summarizing rowsPerBand signature minima).
     */
-  def minhashSignature(shingleCol: Column, perms: Int): Column =
-    transform(sequence(lit(0), lit(perms - 1)),
-      p => array_min(transform(shingleCol, s => xxhash64(p, s))))
+  private[llm] def minhashBandsImpl(
+      shingleSeq: Seq[String], perms: Int, bands: Int): Seq[Long] = {
+    if (shingleSeq == null || shingleSeq.isEmpty) return Seq.empty
+    val rowsPerBand = perms / bands
+    val sig = Array.fill(perms)(Long.MaxValue)
+    shingleSeq.foreach { s =>
+      val base = fnv1a(s)
+      var p = 0
+      while (p < perms) {
+        // xorshift-multiply mix keyed by permutation index
+        var h = base ^ (0x9e3779b97f4a7c15L * (p + 1))
+        h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
+        if (h < sig(p)) sig(p) = h
+        p += 1
+      }
+    }
+    (0 until bands).map { b =>
+      var h = 0xcbf29ce484222325L ^ b.toLong
+      var r = 0
+      while (r < rowsPerBand) { h ^= sig(b * rowsPerBand + r); h *= 0x100000001b3L; r += 1 }
+      h
+    }
+  }
+  private val minhashBandsUdf = udf(minhashBandsImpl _)
 
-  /** LSH band keys: hash of each r-row slice of the signature. */
-  def lshBandHashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)),
-      b => hash(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), b))
+  /** LSH band keys for a document's shingle set. */
+  def lshBands(shingleCol: Column, perms: Int, bands: Int): Column =
+    minhashBandsUdf(shingleCol, lit(perms), lit(bands))
 
   /** Exact Jaccard over two distinct-shingle arrays. */
   def jaccard(a: Column, b: Column): Column =
@@ -68,14 +109,14 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int, perms: Int, bands: Int,
       threshold: Double): DataFrame = {
-    val rowsPerBand = perms / bands
+    // persisted: both sides of the band self-join and the verification
+    // joins reuse this instead of recomputing signatures per branch
     val withShingles = docs
       .select(col(idCol).as("__id"), shingles(col(textCol), shingleN).as("__sh"))
       .filter(size(col("__sh")) > 0)
+      .persist()
     val banded = withShingles
-      .select(col("__id"),
-        posexplode(lshBandHashes(minhashSignature(col("__sh"), perms), bands, rowsPerBand))
-          .as(Seq("band", "bh")))
+      .select(col("__id"), posexplode(lshBands(col("__sh"), perms, bands)).as(Seq("band", "bh")))
     val a = banded.select(col("band"), col("bh"), col("__id").as("id_a"))
     val b = banded.select(col("band"), col("bh"), col("__id").as("id_b"))
     val candidates = a.join(b, Seq("band", "bh"))
@@ -98,18 +139,22 @@ object Dedup {
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int, threshold: Double): DataFrame = {
-    val withShingles = docs
-      .select(col(idCol).as("__id"), shingles(col(textCol), shingleN).as("__sh"))
-      .filter(size(col("__sh")) > 0)
-    val exploded = withShingles.select(col("__id"), explode(col("__sh")).as("s"))
-    val candidates = exploded.select(col("s"), col("__id").as("id_a"))
+    val exploded = docs
+      .select(col(idCol).as("__id"), explode(shingles(col(textCol), shingleN)).as("s"))
+      .persist()
+    val sizes = exploded.groupBy("__id").agg(count(lit(1)).as("n"))
+    // one aggregation gives the intersection size per co-occurring pair;
+    // jaccard follows from |A∩B| and the per-doc sizes — no array
+    // re-join, no second pass over the shingle sets
+    val inter = exploded.select(col("s"), col("__id").as("id_a"))
       .join(exploded.select(col("s"), col("__id").as("id_b")), Seq("s"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    candidates
-      .join(withShingles.select(col("__id").as("id_a"), col("__sh").as("__sh_a")), Seq("id_a"))
-      .join(withShingles.select(col("__id").as("id_b"), col("__sh").as("__sh_b")), Seq("id_b"))
-      .withColumn("jaccard", jaccard(col("__sh_a"), col("__sh_b")))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("__id").as("id_a"), col("n").as("na")), Seq("id_a"))
+      .join(sizes.select(col("__id").as("id_b"), col("n").as("nb")), Seq("id_b"))
+      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

@@ -108,7 +108,9 @@ object DwhQueries {
 
     // ---------------------------------------------------------------- D4/D6 (full SCD2 snapshot rewrite)
     QueryDef(
-      "q_d6_scd2_snapshot", "D6 D4 J8",
+      // D13 (reset_sequences) is obsolete by construction here: SKs are
+      // always max(existing)+row_number, so there is no sequence to resync
+      "q_d6_scd2_snapshot", "D6 D4 J8 D13",
       Some("""WITH base AS (SELECT c_custkey AS k, c_name, c_mktsegment AS seg FROM customer),
              |cur AS (SELECT CAST(10000 + k AS BIGINT) AS company_sk, c_name, seg AS segment, k
              |        FROM base WHERE k % 10 <> 0),
@@ -145,6 +147,33 @@ object DwhQueries {
               .as("expiry_date"),
             col(ScdType2.CurrentCol).as("is_current"))
           .orderBy("company_sk")
+      }),
+
+    // ---------------------------------------------------------------- D7 (insert-only null-safe location append)
+    QueryDef(
+      "q_d7_location_append", "D7 J9",
+      Some(s"""WITH $ParsedCte,
+              |dim AS (SELECT DISTINCT province, city, district FROM parsed WHERE k % 2 = 0),
+              |cand AS (SELECT DISTINCT province, city, district FROM parsed),
+              |appended AS (
+              |  SELECT * FROM dim
+              |  UNION ALL
+              |  SELECT * FROM cand c WHERE NOT EXISTS (
+              |    SELECT 1 FROM dim d
+              |    WHERE d.province IS NOT DISTINCT FROM c.province
+              |      AND d.city IS NOT DISTINCT FROM c.city
+              |      AND d.district IS NOT DISTINCT FROM c.district))
+              |SELECT (SELECT count(*) FROM dim) AS n_existing,
+              |       (SELECT count(*) FROM appended) AS n_total,
+              |       (SELECT count(*) FROM appended) - (SELECT count(*) FROM dim) AS n_added""".stripMargin),
+      (s, dir) => {
+        val synth = withSynthLocation(s, dir)
+        val dim = Dimensions.prepareDimLocation(synth.filter(col("c_custkey") % 2 === 0), "location")
+        val cand = Dimensions.prepareDimLocation(synth, "location")
+        val appended = Dimensions.appendNewLocations(dim, cand)
+        dim.agg(count(lit(1)).as("n_existing"))
+          .crossJoin(appended.agg(count(lit(1)).as("n_total")))
+          .withColumn("n_added", col("n_total") - col("n_existing"))
       }),
 
     // ---------------------------------------------------------------- D8 (DimDate idempotent fill)

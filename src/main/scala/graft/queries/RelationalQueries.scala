@@ -428,6 +428,31 @@ object RelationalQueries {
           .orderBy("status")
       }),
 
+    // ---------------------------------------------------------------- P7 (unprocessed-only filter / flag rewrite)
+    QueryDef(
+      "q_p7_unprocessed_flag", "P7",
+      Some("""WITH flagged AS (
+             |  SELECT event_type,
+             |         CASE WHEN event_id % 3 = 0 THEN TRUE
+             |              WHEN event_id % 3 = 1 THEN FALSE
+             |              ELSE CAST(NULL AS BOOLEAN) END AS processed
+             |  FROM events)
+             |SELECT event_type, count(*) AS n_unprocessed FROM flagged
+             |WHERE processed IS NULL OR processed = FALSE
+             |GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, dir) =>
+        // processed_to_dwh marking (ref dags/etl_pipeline.py:109-144): rows
+        // are eligible when the flag is NULL or false
+        Tables.events(s, dir)
+          .withColumn("processed",
+            when(col("event_id") % 3 === 0, lit(true))
+              .when(col("event_id") % 3 === 1, lit(false))
+              .otherwise(lit(null).cast("boolean")))
+          .filter(col("processed").isNull || !col("processed"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_unprocessed"))
+          .orderBy("event_type")),
+
     // ---------------------------------------------------------------- A9 (distinct partition values)
     QueryDef(
       "q_a9_distinct_months", "A9 O3",
