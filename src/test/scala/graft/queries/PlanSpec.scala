@@ -1,0 +1,73 @@
+package graft.queries
+
+import graft.{Tables, TestSpark}
+import graft.io.Snapshots
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions — the 100 TB design properties the bench
+  * can't see at small SF. If one of these regresses, the query still
+  * returns right answers but would fall over at scale, so they are
+  * enforced as tests, not just eyeballed once:
+  *  - filters and projections reach the parquet scan (PushedFilters /
+  *    ReadSchema pruning),
+  *  - dimension joins broadcast (no shuffle of the fact side),
+  *  - partition-column filters prune at the source (PartitionFilters),
+  *  - no CartesianProduct outside the intentional tiny cross joins.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  private def queryPlan(name: String): String =
+    plan(Registry.all.find(_.name == name).get.fn(spark, sf))
+
+  test("scan-level filter pushdown reaches parquet (q_s3)") {
+    val p = queryPlan("q_s3_scan_project")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("l_quantity") && p.contains("l_returnflag"), p)
+  }
+
+  test("column pruning: projection-only query reads only needed columns (q_p1)") {
+    val p = queryPlan("q_p1_project_rename")
+    assert(p.contains("ReadSchema"), p)
+    assert(!p.contains("o_totalprice"), s"unneeded column not pruned:\n$p")
+  }
+
+  test("dimension joins broadcast, never shuffle the fact side (q_j1)") {
+    val p = queryPlan("q_j1_three_way_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"dim join fell back to SMJ:\n$p")
+  }
+
+  test("SK resolution is a broadcast semi/inner join (q_j6)") {
+    val p = queryPlan("q_j6_sk_resolution")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("partitioned write + month filter prunes partitions at the source (S10/S11)") {
+    val tmp = "/root/repo/target/tmp/planspec_partitions"
+    val withMonth = Tables.orders(spark, sf)
+      .withColumn("load_month", date_format(col("o_orderdate"), "yyyy-MM"))
+    Snapshots.writePartitioned(withMonth, tmp)
+    val pruned = Snapshots.readPartitions(spark, tmp, Seq("1997-03"))
+    val p = plan(pruned)
+    assert(p.contains("PartitionFilters") && p.contains("load_month"), p)
+  }
+
+  test("no accidental cartesian products in the relational/dwh families") {
+    val intentionallyTiny = Set( // 1-row aggregate cross joins by design
+      "q_d8_dimdate_fill", "q_d7_location_append", "q_d12_cleanup_dups",
+      "q_d14_integrity_ratio", "q_l1_exact_dedup")
+    val offenders = (RelationalQueries.defs ++ DwhQueries.defs)
+      .filterNot(q => intentionallyTiny.contains(q.name))
+      .flatMap { q =>
+        val p = plan(q.fn(spark, sf))
+        if (p.contains("CartesianProduct")) Some(q.name) else None
+      }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+}
