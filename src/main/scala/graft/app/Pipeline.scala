@@ -1,0 +1,119 @@
+package graft.app
+
+import graft.dwh.{Dimensions, Facts, ScdType2}
+import graft.functions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference pipeline's entry points (SURVEY §3), jobs-schema in,
+  * star-schema out — what a JobInsight user calls after switching.
+  *
+  * E2 raw→staging (raw_to_staging.py:412-530): one linear DataFrame
+  * pipeline — the reference's SQL-proc + pandas split collapses into a
+  * single codegen'd projection.
+  *
+  * E3 staging→DWH (etl_main.py:341-597): SCD2 dims, ×5-day fact
+  * explosion, location bridge, DimDate fill — one lazy DAG, shuffling
+  * only at the SCD2 natural-key joins and the fact dedup. All
+  * wall-clock inputs are the explicit `asOf` (SURVEY §7.4(3)).
+  */
+object Pipeline {
+
+  /** E2: raw_jobs → staging_jobs. Expects the crawler's 15-field shape
+    * (job_id, title, company_name, salary, location, location_detail,
+    * deadline, last_update, crawled_at, ... — absent optional columns
+    * may simply be omitted downstream).
+    */
+  def rawToStaging(raw: DataFrame, asOf: String): DataFrame = {
+    val now = to_timestamp(lit(asOf))
+    val withPairs = raw
+      .withColumn("location_pairs", LocationFns.extractLocationInfo(col("location_detail")))
+      .withColumn("location",
+        LocationFns.refineLocation(col("location"), col("location_pairs")))
+    val sal = SalaryFns.normalizeSalary(col("salary"))
+    withPairs
+      .withColumn("title_clean", TextFns.cleanTitle(col("title")))
+      .withColumn("company_name_standardized", TextFns.cleanCompanyName(col("company_name")))
+      .withColumn("salary_min", sal.getField("salary_min"))
+      .withColumn("salary_max", sal.getField("salary_max"))
+      .withColumn("salary_type", sal.getField("salary_type"))
+      .withColumn("due_date",
+        TimeFns.dueDate(lit(null).cast("timestamp"), col("crawled_at"), col("deadline")))
+      .withColumn("time_remaining", TimeFns.timeRemaining(col("due_date"), now))
+      .withColumn("posted_time",
+        TextFns.postedTime(TextFns.parseLastUpdate(col("last_update")), now))
+      .withColumn("load_month", TimeFns.loadMonth(col("crawled_at"), now))
+  }
+
+  /** The DWH star produced by one E3 batch. */
+  final case class Dwh(
+      dimJob: DataFrame, dimCompany: DataFrame, dimLocation: DataFrame,
+      dimDate: DataFrame, fact: DataFrame, bridge: DataFrame)
+
+  /** E3: staging → full star-schema snapshot (initial build; incremental
+    * batches route through the same SCD2/merge primitives with `prev`
+    * snapshots — see ScdType2.applyBatch / Facts.mergeFacts).
+    */
+  def stagingToDwh(staging0: DataFrame, asOf: String): Dwh = {
+    val spark = staging0.sparkSession
+    // location source for dim/bridge parsing: the structured pairs when
+    // present (as a JSON list, the shape parse_job_location expects),
+    // else the freeform location string (fact_handler.py:489-525)
+    val staging = staging0.withColumn("location_src",
+      when(col("location_pairs").isNotNull && size(col("location_pairs")) > 0,
+        to_json(col("location_pairs")))
+        .otherwise(col("location")))
+
+    // -------- dims (D1-D3): prep + dedup + SCD stamp + SK assignment
+    def withSk(df: DataFrame, skCol: String, orderCol: String, base: Long): DataFrame =
+      df.withColumn(skCol,
+        (row_number().over(Window.orderBy(col(orderCol))) + base).cast("long"))
+
+    val dimJob = withSk(
+      Dimensions.prepareDim(
+        staging.select("job_id", "title_clean", "job_url", "skills", "last_update", "logo_url"),
+        "job_id", "job_id", asOf),
+      "job_sk", "job_id", 10000L)
+
+    val dimCompany = withSk(
+      Dimensions.prepareDim(
+        staging.select(col("company_name_standardized"), col("company_url"),
+          col("verified_employer")),
+        "company_name_standardized", "company_name_standardized", asOf),
+      "company_sk", "company_name_standardized", 10000L)
+
+    // Unknown row seeded before bridge resolution (SURVEY §7.4(6))
+    val unknownLoc = spark.range(1).select(
+      lit(null).cast("string").as("province"), lit("Unknown").as("city"),
+      lit(null).cast("string").as("district"))
+    val dimLocation = withSk(
+      Dimensions.appendNewLocations(unknownLoc,
+        Dimensions.prepareDimLocation(staging, "location_src")),
+      "location_sk", "city", 10000L)
+
+    // -------- DimDate (D8): asOf−30d .. asOf+270d (etl_main.py:460-484)
+    val dimDate = TimeFns.dimDateRange(spark,
+      java.time.LocalDate.parse(asOf).minusDays(30).toString,
+      java.time.LocalDate.parse(asOf).plusDays(270).toString)
+
+    // -------- facts (D9/D10): SK resolution → ×5-day explode → dedup
+    val resolved = Facts.resolveSks(
+      staging.select("job_id", "company_name_standardized", "salary_min", "salary_max",
+        "due_date", "load_month", "location_src"),
+      dimJob, dimCompany, "job_id", "company_name_standardized")
+    val exploded = Facts.explodeDailyGrain(resolved, asOf)
+      .withColumn("fact_id",
+        (row_number().over(Window.orderBy(col("job_sk"), col("date_id"))) + 10000L)
+          .cast("long"))
+    val fact = Facts.dedupFacts(exploded)
+      .select("fact_id", "job_sk", "company_sk", "date_id", "salary_min", "salary_max",
+        "due_date", "load_month", "location_src")
+
+    // -------- bridge (D11)
+    val bridge = Facts.buildBridge(
+      fact.select(col("fact_id"), col("location_src").as("location")), dimLocation)
+
+    Dwh(dimJob, dimCompany, dimLocation, dimDate, fact.drop("location_src"), bridge)
+  }
+}

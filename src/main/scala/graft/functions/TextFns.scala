@@ -110,5 +110,5 @@ object TextFns {
     * an explicit parameter for deterministic replays.
     */
   def postedTime(secondsAgo: Column, now: Column): Column =
-    (now.cast("long") - secondsAgo).cast("timestamp")
+    (now.cast("timestamp").cast("long") - secondsAgo).cast("timestamp")
 }

@@ -18,7 +18,10 @@ object TimeFns {
     */
   def dueDate(due: Column, crawledAt: Column, deadlineDays: Column): Column =
     coalesce(due,
-      (crawledAt.cast("long") + deadlineDays.cast("long") * 86400L).cast("timestamp"))
+      // cast through TIMESTAMP first: parquet NTZ timestamps can't cast
+      // to BIGINT directly (session TZ is UTC, so the instant is identical)
+      (crawledAt.cast("timestamp").cast("long") + deadlineDays.cast("long") * 86400L)
+        .cast("timestamp"))
 
   // ------------------------------------------------------------ F3
   /** Tiered Vietnamese countdown (ref sql/stored_procedures.sql:148-184):
@@ -29,7 +32,7 @@ object TimeFns {
     * <1 day, etc.).
     */
   def timeRemaining(due: Column, now: Column): Column = {
-    val diff = due.cast("long") - now.cast("long")
+    val diff = due.cast("timestamp").cast("long") - now.cast("timestamp").cast("long")
     when(due.isNull, lit(null).cast("string"))
       .when(due <= now, lit("Đã hết thời gian ứng tuyển"))
       .when(diff >= 86400L,

@@ -369,6 +369,54 @@ object DwhQueries {
             c.filter(col("c_custkey") % 10 =!= 3), "c_custkey")))
       }),
 
+    // ---------------------------------------------------------------- E2+E3 end-to-end pipeline
+    QueryDef(
+      "q_e2e_pipeline", "E2 E3 F1 F4 F5 D1 D2 D3 D9 J6 F13",
+      Some("""SELECT strftime(o_orderdate, '%Y-%m') AS load_month,
+             |count(*) AS n_jobs, count(*) * 5 AS n_facts,
+             |CAST(sum(CAST(CASE WHEN o_orderkey % 3 = 0 THEN o_orderkey % 15 + 5
+             |                   WHEN o_orderkey % 3 = 1 THEN 0
+             |                   ELSE o_orderkey % 20 + 5 END AS DECIMAL(18,2))) * 5 AS DOUBLE)
+             |  AS sum_salary_min
+             |FROM orders GROUP BY 1 ORDER BY load_month""".stripMargin),
+      (s, dir) => {
+        // synthesize the crawler's 15-field raw shape from testdata, run
+        // the REAL E2+E3 pipeline, and check the resulting fact table
+        val ok = col("o_orderkey")
+        val raw = Tables.orders(s, dir)
+          .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+          .select(
+            ok.cast("string").as("job_id"),
+            concat(lit("Engineer "), col("o_orderpriority"), lit(" - Urgent")).as("title"),
+            col("c_name").as("company_name"),
+            when(ok % 3 === 0,
+              concat((ok % 15 + 5), lit(" - "), (ok % 15 + 10), lit(" triệu")))
+              .when(ok % 3 === 1, lit("Thoả thuận"))
+              .otherwise(concat(lit("từ "), (ok % 20 + 5), lit(" triệu"))).as("salary"),
+            when(col("c_custkey") % 4 === 0,
+              concat(col("n_name"), lit(": "), col("c_mktsegment")))
+              .when(col("c_custkey") % 4 === 1, col("n_name"))
+              .otherwise(lit(null).cast("string")).as("location"),
+            lit(null).cast("string").as("location_detail"),
+            (ok % 30 + 1).cast("string").as("deadline"),
+            lit("1 ngày trước").as("last_update"),
+            col("o_orderdate").as("crawled_at"),
+            concat(lit("https://jobs/"), ok).as("job_url"),
+            lit("[\"Spark\"]").as("skills"),
+            lit(null).cast("string").as("logo_url"),
+            concat(lit("https://co/"), col("c_custkey")).as("company_url"),
+            (col("c_custkey") % 2 === 0).as("verified_employer"))
+        val staging = graft.app.Pipeline.rawToStaging(raw, "2026-08-12 00:00:00")
+        val dwh = graft.app.Pipeline.stagingToDwh(staging, "2026-08-12")
+        dwh.fact
+          .groupBy("load_month")
+          .agg(countDistinct(col("job_sk")).as("n_jobs"), count(lit(1)).as("n_facts"),
+            dsum(col("salary_min")).as("sum_salary_min"))
+          .select(col("load_month"), col("n_jobs"), col("n_facts"), col("sum_salary_min"))
+          .orderBy("load_month")
+      }),
+
     // ---------------------------------------------------------------- D14 ratio
     QueryDef(
       "q_d14_integrity_ratio", "D14 A9",

@@ -1,0 +1,109 @@
+package graft.app
+
+import graft.TestSpark
+import graft.quality.Validator
+import graft.views.AnalyticsViews
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end: FIXTURES.md §1-shaped raw rows → rawToStaging →
+  * stagingToDwh → analytic views + validator, asserting the reference's
+  * observable semantics at every layer (SURVEY §5 test plan, item 4).
+  */
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val AsOf = "2026-08-12"
+  private val AsOfTs = "2026-08-12 10:30:00"
+
+  private def rawFixture: DataFrame = {
+    import spark.implicits._
+    Seq(
+      // job_id, title, company, salary, location, detail, deadline, last_update, crawled
+      ("J1", "Senior Python Developer - Urgent", "công ty tnhh ABC", "15 - 20 triệu",
+        "Hà Nội", "<div>Hà Nội: Cầu Giấy</div>", "30", "2 giờ trước", "2026-08-01 09:00:00"),
+      ("J2", "Frontend React Developer / Team Lead", "CÔNG TY CỔ PHẦN XYZ VIỆT NAM",
+        "Thoả thuận", "Hồ Chí Minh & Đà Nẵng",
+        "<div>Hồ Chí Minh: 456 XYZ<br/>Đà Nẵng: 789 DEF</div>", "15", "1 ngày trước",
+        "2026-08-02 09:00:00"),
+      ("J3", "DevOps Engineer (AWS)", "fpt software", "từ 12 triệu",
+        "Hà Nội", "<div>Hà Nội: Đống Đa</div>", "30", "30 phút trước", "2026-08-03 09:00:00"),
+      ("J4", "Data Engineer", "Tech Corp", "1,000 - 2,000 USD",
+        "TP HCM", null, "1", "3 tuần trước", "2026-08-01 09:00:00"), // expires Aug 2
+      ("J5", "Backend Engineer", "Acme Ltd", "10,5 triệu",
+        "Hà Nội", null, "20", "45 giây trước", "2026-08-05 09:00:00"),
+      ("J6", "QA Engineer", "Null Island Co", "negotiable text",
+        null, null, "10", "vừa xong", "2026-08-06 09:00:00")) // unknown location
+      .toDF("job_id", "title", "company_name", "salary", "location", "location_detail",
+        "deadline", "last_update", "crawled")
+      .withColumn("crawled_at", to_timestamp(col("crawled")))
+      .withColumn("job_url", concat(lit("https://jobs/"), col("job_id")))
+      .withColumn("skills", lit("[\"Python\"]"))
+      .withColumn("logo_url", lit(null).cast("string"))
+      .withColumn("company_url", concat(lit("https://co/"), col("job_id")))
+      .withColumn("verified_employer", col("job_id").isin("J1", "J3"))
+  }
+
+  private lazy val staging = Pipeline.rawToStaging(rawFixture, AsOfTs)
+  private lazy val dwh = Pipeline.stagingToDwh(staging, AsOf)
+
+  test("staging carries reference-golden cleaned values") {
+    val byId = staging
+      .select("job_id", "title_clean", "company_name_standardized", "salary_min",
+        "salary_max", "salary_type", "location")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(byId("J1").getString(1) == "Senior Python Developer")
+    assert(byId("J1").getString(2) == "Công ty tnhh ABC")
+    assert((byId("J1").getDouble(3), byId("J1").getDouble(4)) == ((15.0, 20.0)))
+    assert(byId("J2").getString(6) == "Hồ Chí Minh, Đà Nẵng") // refined via pairs
+    assert(byId("J2").getString(5) == "negotiable")
+    assert(byId("J3").getString(5) == "from")
+    assert((byId("J4").getDouble(3), byId("J4").getDouble(4)) == ((24.0, 48.0)))
+    assert(byId("J5").getDouble(3) == 10.5)
+    assert(byId("J6").getString(5) == "negotiable")
+  }
+
+  test("star schema: x5-day grain, complete SK resolution, seeded Unknown row") {
+    assert(dwh.fact.count() == 6 * 5)
+    assert(dwh.fact.select("job_sk").distinct().count() == 6)
+    assert(dwh.dimJob.count() == 6 && dwh.dimCompany.count() == 6)
+    val unknown = dwh.dimLocation
+      .filter(col("city") === "Unknown" && col("province").isNull && col("district").isNull)
+    assert(unknown.count() == 1)
+    // J6 (null location) bridges to the Unknown row
+    val unknownSk = unknown.select("location_sk").first().getLong(0)
+    val j6Sk = dwh.dimJob.filter(col("job_id") === "J6").select("job_sk").first().getLong(0)
+    val j6Bridges = dwh.fact.filter(col("job_sk") === j6Sk)
+      .join(dwh.bridge, "fact_id").select("location_sk").distinct().collect()
+    assert(j6Bridges.map(_.getLong(0)).toSet == Set(unknownSk))
+  }
+
+  test("analytic views reproduce the warehouse's BI semantics") {
+    // salary band 10-20 + not expired: J1 (15-20), J3 (12), J5 (10.5);
+    // J4 out of band AND expired; J2 negotiable (0,0) out of band
+    val inBand = AnalyticsViews.vwJobSalaryFilter(dwh, AsOf)
+      .select("title_clean").distinct().collect().map(_.getString(0)).toSet
+    assert(inBand == Set("Senior Python Developer", "DevOps Engineer", "Backend Engineer"))
+    // Hanoi top-10: only the Hanoi-bridged band jobs
+    val hanoi = AnalyticsViews.vwTop10Hanoi(dwh, AsOf)
+      .select("title_clean").distinct().collect().map(_.getString(0)).toSet
+    assert(hanoi == Set("Senior Python Developer", "DevOps Engineer", "Backend Engineer"))
+    val topCompanies = AnalyticsViews.vwTopCompanies(dwh).collect()
+    assert(topCompanies.length == 6 && topCompanies.forall(_.getLong(2) == 1L))
+    assert(AnalyticsViews.vwMonthlyJobs(dwh).count() == 1) // single load month
+    val monthly = AnalyticsViews.vwMonthlyJobs(dwh).first()
+    assert(monthly.getAs[Long]("unique_jobs") == 6)
+  }
+
+  test("validator reports a clean warehouse") {
+    val checks = Validator.report(Seq(
+      Validator.duplicateCurrentKeys(dwh.dimJob, "job_id"),
+      Validator.orphanCount("orphan_job_sk", dwh.fact,
+        dwh.dimJob.select(col("job_sk")), "job_sk"),
+      Validator.orphanCount("orphan_bridge_fact", dwh.bridge,
+        dwh.fact.select(col("fact_id")), "fact_id"),
+      Validator.invertedRange("salary_inverted", dwh.fact, "salary_min", "salary_max")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(checks.values.forall(_ == 0L), checks.toString)
+  }
+}
