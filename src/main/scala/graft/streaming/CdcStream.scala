@@ -4,6 +4,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+/** One closed user session emitted by CdcStream.sessionize. */
+final case class UserSession(
+    user_id: Long, n_events: Long, first_ts: java.sql.Timestamp,
+    last_ts: java.sql.Timestamp, total_value: Double)
+
+/** Internal per-user session accumulator (public: Catalyst generates
+  * encoder code for it, which can't see non-public classes).
+  */
+final case class SessionState(
+    n: Long, first: java.sql.Timestamp, last: java.sql.Timestamp, value: Double)
+
 /** Structured-Streaming face of the engine (SURVEY §2.9).
   *
   * The reference is daily batch with an append-only CDC JSONL side
@@ -53,13 +64,69 @@ object CdcStream {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
 
+  /** Streaming dedup: first event per event_id within the watermark
+    * horizon survives (the crawler's ON CONFLICT DO NOTHING, unbounded).
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 day").dropDuplicates("event_id")
+
+
+  /** Custom streaming state via flatMapGroupsWithState: per-user
+    * sessions that close after `gapMinutes` of event-time silence —
+    * the stateful-operator surface (mapGroupsWithState family) a
+    * continuous CDC ingest of the pipeline would use.
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+    val typed = events
+      .withWatermark("ts", "1 day")
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[(Long, java.sql.Timestamp, Double)]
+    typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(UserSession(user, s.n, s.first, s.last, s.value))
+          } else {
+            val sorted = rows.toSeq.sortBy(_._2.getTime)
+            var closed = List.empty[UserSession]
+            var cur = state.getOption
+            sorted.foreach { case (_, ts, v) =>
+              cur match {
+                case Some(s) if ts.getTime - s.last.getTime <= gapMs =>
+                  cur = Some(SessionState(s.n + 1, s.first, ts, s.value + v))
+                case Some(s) =>
+                  closed ::= UserSession(user, s.n, s.first, s.last, s.value)
+                  cur = Some(SessionState(1, ts, ts, v))
+                case None =>
+                  cur = Some(SessionState(1, ts, ts, v))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last.getTime + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+      .toDF()
+  }
+
   /** Run a streaming aggregation to completion over the (bounded) file
     * source via a memory sink and return the result table — lets batch
     * oracles check streaming semantics.
     */
-  def runToMemory(spark: SparkSession, agg: DataFrame, name: String): DataFrame = {
+  def runToMemory(spark: SparkSession, agg: DataFrame, name: String,
+      mode: String = "complete"): DataFrame = {
     val q = agg.writeStream
-      .outputMode("complete")
+      .outputMode(mode)
       .format("memory")
       .queryName(name)
       .start()

@@ -39,6 +39,14 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.contains((1L, 3L)))
   }
 
+  test("minhash band keys are deterministic and order-insensitive over the shingle set") {
+    Seq("a b c d e", "x y z w", "a b q", "q w e r t y u").foreach { t =>
+      val sh = Dedup.shinglesImpl(t, 2)
+      assert(Dedup.minhashBandsImpl(sh, 16, 4) == Dedup.minhashBandsImpl(sh, 16, 4))
+      assert(Dedup.minhashBandsImpl(sh.reverse, 16, 4) == Dedup.minhashBandsImpl(sh, 16, 4))
+    }
+  }
+
   test("winnowing fingerprints overlap heavily for near-identical docs") {
     val a = TextAnalysis.winnow("the quick brown fox jumps over the lazy dog", 5, 4).toSet
     val b = TextAnalysis.winnow("the quick brown fox jumps over the lazy cat", 5, 4).toSet

@@ -1,0 +1,63 @@
+package graft.streaming
+
+import graft.{Tables, TestSpark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming operators against batch ground truth (SURVEY §2.9): the
+  * windowed agg (oracle-checked in q_st1) plus streaming dedup and the
+  * flatMapGroupsWithState sessionizer.
+  */
+class CdcStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("streaming dedup drops re-delivered events") {
+    val stream = CdcStream.readEvents(spark, sf)
+    val deduped = CdcStream.runToMemory(spark,
+      CdcStream.dedupStream(stream).groupBy("event_type").agg(count(lit(1)).as("n")),
+      "cdcspec_dedup")
+    val batch = Tables.events(spark, sf)
+      .dropDuplicates("event_id").groupBy("event_type").agg(count(lit(1)).as("n"))
+    assert(deduped.orderBy("event_type").collect().toSeq ==
+      batch.orderBy("event_type").collect().toSeq)
+  }
+
+  test("sessionize closes sessions on event-time gaps (batch-verified counts)") {
+    import spark.implicits._
+    // deterministic mini-stream: user 1 has two sessions 2h apart,
+    // user 2 one session; 30-minute gap
+    val rows = Seq(
+      (1L, "2024-01-01 10:00:00", 1.0), (1L, "2024-01-01 10:10:00", 2.0),
+      (1L, "2024-01-01 12:30:00", 4.0),
+      (2L, "2024-01-01 09:00:00", 8.0))
+      .toDF("user_id", "tss", "value")
+      .withColumn("ts", to_timestamp(col("tss")))
+      .select("user_id", "ts", "value")
+    val dir = "/root/repo/target/tmp/cdcspec_sessions_src"
+    graft.io.Snapshots.deleteDir(spark, dir)
+    rows.write.parquet(dir)
+    val stream = spark.readStream
+      .schema("user_id LONG, ts TIMESTAMP, value DOUBLE").parquet(dir)
+    val out = CdcStream.runToMemory(spark, CdcStream.sessionize(stream, 30),
+      "cdcspec_sessions", mode = "append")
+    // only sessions followed by later events (or watermark movement)
+    // close in a single bounded batch: user 1's first session closes
+    // when the 12:30 event arrives past the 30-min gap
+    val closed = out.select("user_id", "n_events", "total_value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(closed.contains((1L, 2L, 3.0)), closed.mkString(", "))
+  }
+
+  test("salted join equals plain join (skew utility semantics)") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    val o = Tables.orders(spark, sf).select("o_orderkey", "o_orderstatus")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    val plain = li.join(o, Seq("l_orderkey"))
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"), sum("l_quantity").as("q"))
+    val salted = graft.dwh.Skew.saltedJoin(li, o, Seq("l_orderkey"), 8)
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"), sum("l_quantity").as("q"))
+    assert(plain.orderBy("o_orderstatus").collect().toSeq ==
+      salted.orderBy("o_orderstatus").collect().toSeq)
+  }
+}
