@@ -27,7 +27,8 @@ object SparkUtil {
       // session-wide, so scan behavior is not order-dependent (ADVICE r1).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
 
-  def local(cpus: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt): SparkSession = {
+  def local(cpus: Int = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+              .getOrElse(Runtime.getRuntime.availableProcessors())): SparkSession = {
     val s = builder(s"local[$cpus]", cpus).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -1,9 +1,8 @@
 package graft.app
 
-import graft.dwh.{Dimensions, Facts, ScdType2}
+import graft.dwh.{Dimensions, Facts, StableId}
 import graft.functions._
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The reference pipeline's entry points (SURVEY §3), jobs-schema in,
@@ -66,9 +65,9 @@ object Pipeline {
         .otherwise(col("location")))
 
     // -------- dims (D1-D3): prep + dedup + SCD stamp + SK assignment
+    // (distributed dense numbering — no single-partition window stage)
     def withSk(df: DataFrame, skCol: String, orderCol: String, base: Long): DataFrame =
-      df.withColumn(skCol,
-        (row_number().over(Window.orderBy(col(orderCol))) + base).cast("long"))
+      StableId.assign(df, Seq(col(orderCol)), skCol, base)
 
     val dimJob = withSk(
       Dimensions.prepareDim(
@@ -102,10 +101,9 @@ object Pipeline {
       staging.select("job_id", "company_name_standardized", "salary_min", "salary_max",
         "due_date", "load_month", "location_src"),
       dimJob, dimCompany, "job_id", "company_name_standardized")
-    val exploded = Facts.explodeDailyGrain(resolved, asOf)
-      .withColumn("fact_id",
-        (row_number().over(Window.orderBy(col("job_sk"), col("date_id"))) + 10000L)
-          .cast("long"))
+    val exploded = StableId.assign(
+      Facts.explodeDailyGrain(resolved, asOf),
+      Seq(col("job_sk"), col("date_id")), "fact_id", 10000L)
     val fact = Facts.dedupFacts(exploded)
       .select("fact_id", "job_sk", "company_sk", "date_id", "salary_min", "salary_max",
         "due_date", "load_month", "location_src")

@@ -18,9 +18,18 @@ import org.apache.spark.sql.functions._
   */
 object Snapshots {
 
-  /** S10: hive-style partitioned export on load_month. */
+  /** S10: hive-style partitioned export on load_month.
+    *
+    * Shuffling on the partition column first means each hive partition
+    * is written by one task (≈1 file/month) instead of every task
+    * writing a sliver of every month — without it a 32-task write over
+    * 80 months emits ~2,500 tiny files, the classic small-files
+    * explosion that kills 100 TB-scale reads. AQE coalescing keeps the
+    * shuffle cheap at small SF.
+    */
   def writePartitioned(df: DataFrame, path: String, partitionCol: String = "load_month"): Unit =
-    df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+    df.repartition(col(partitionCol))
+      .write.mode("overwrite").partitionBy(partitionCol).parquet(path)
 
   /** S11: partition-pruned reload (pruning is automatic — the filter on
     * the partition column reaches PartitionFilters, not the data scan).
