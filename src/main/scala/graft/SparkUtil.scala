@@ -27,10 +27,30 @@ object SparkUtil {
       // session-wide, so scan behavior is not order-dependent (ADVICE r1).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
 
-  def local(cpus: Int = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
-              .getOrElse(Runtime.getRuntime.availableProcessors())): SparkSession = {
+  /** Fixed default core count so Bench/Verify numbers are comparable
+    * across machines (ADVICE r2); override via SPARK_GRAFT_CPUS.
+    */
+  val DefaultCpus = 32
+
+  private def envCpus: Option[Int] = sys.env.get("SPARK_GRAFT_CPUS").map { v =>
+    try v.toInt
+    catch {
+      case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"SPARK_GRAFT_CPUS must be an integer, got '$v'")
+    }
+  }
+
+  def local(cpus: Int = envCpus.getOrElse(DefaultCpus)): SparkSession = {
     val s = builder(s"local[$cpus]", cpus).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // The StableId offsets pass runs a cumulative-sum window over a
+    // ≤#partitions-row frame — intentionally unpartitioned. Silence the
+    // per-use warning; data-side window properties are enforced by
+    // PlanSpec/StableIdSpec instead of log eyeballing.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     s
   }
 }

@@ -1,8 +1,9 @@
 package graft.app
 
-import graft.dwh.{Dimensions, Facts, StableId}
+import graft.dwh.{Dimensions, Facts, ScdType2, StableId}
 import graft.functions._
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The reference pipeline's entry points (SURVEY §3), jobs-schema in,
@@ -50,19 +51,33 @@ object Pipeline {
       dimJob: DataFrame, dimCompany: DataFrame, dimLocation: DataFrame,
       dimDate: DataFrame, fact: DataFrame, bridge: DataFrame)
 
-  /** E3: staging → full star-schema snapshot (initial build; incremental
-    * batches route through the same SCD2/merge primitives with `prev`
-    * snapshots — see ScdType2.applyBatch / Facts.mergeFacts).
+  /** SCD2 tracked columns per dimension (the DAG-authoritative sets,
+    * etl_main.py:442,805; SURVEY D5).
     */
-  def stagingToDwh(staging0: DataFrame, asOf: String): Dwh = {
-    val spark = staging0.sparkSession
-    // location source for dim/bridge parsing: the structured pairs when
-    // present (as a JSON list, the shape parse_job_location expects),
-    // else the freeform location string (fact_handler.py:489-525)
-    val staging = staging0.withColumn("location_src",
+  val JobTrackedCols: Seq[String] =
+    Seq("title_clean", "job_url", "skills", "last_update", "logo_url")
+  val CompanyTrackedCols: Seq[String] = Seq("company_url", "verified_employer")
+
+  /** Location source for dim/bridge parsing: the structured pairs when
+    * present (as a JSON list, the shape parse_job_location expects),
+    * else the freeform location string (fact_handler.py:489-525).
+    */
+  private def withLocationSrc(staging: DataFrame): DataFrame =
+    staging.withColumn("location_src",
       when(col("location_pairs").isNotNull && size(col("location_pairs")) > 0,
         to_json(col("location_pairs")))
         .otherwise(col("location")))
+
+  /** E3: staging → full star-schema snapshot (initial build; the daily
+    * incremental mode is `incrementalBatch` below).
+    */
+  def stagingToDwh(staging0: DataFrame, asOf: String): Dwh = {
+    val spark = staging0.sparkSession
+    // staging feeds four consumers (3 dims + facts); checkpoint once so
+    // the E2 parse/normalize chain isn't recomputed per consumer (the
+    // round-2 bench's dominant cost). localCheckpoint = executor-cached
+    // materialization, auto-dropped when the frame is GC'd.
+    val staging = withLocationSrc(staging0).localCheckpoint()
 
     // -------- dims (D1-D3): prep + dedup + SCD stamp + SK assignment
     // (distributed dense numbering — no single-partition window stage)
@@ -111,6 +126,79 @@ object Pipeline {
     // -------- bridge (D11)
     val bridge = Facts.buildBridge(
       fact.select(col("fact_id"), col("location_src").as("location")), dimLocation)
+
+    Dwh(dimJob, dimCompany, dimLocation, dimDate, fact.drop("location_src"), bridge)
+  }
+
+  /** E3 incremental — the reference's ACTUAL daily production mode
+    * (etl_main.py:341-597: a 7-day-lookback staging batch applied onto
+    * the existing warehouse). Composes the snapshot-rewrite primitives:
+    *
+    *  - SCD2 `applyBatch` on DimJob/DimCompany (changed rows close the
+    *    old version and append a new one with a fresh SK; unchanged
+    *    rows pass through untouched);
+    *  - insert-only DimLocation append keeping existing SKs;
+    *  - idempotent DimDate fill for the new asOf window;
+    *  - fact merge: matched (job_sk, date_id) keys keep their fact_id
+    *    and load_month and take the incoming measures (the ON CONFLICT
+    *    DO UPDATE of fact_handler.py:237-255); new keys get dense ids
+    *    after max(fact_id);
+    *  - bridge rebuild for touched facts only (the reference deletes
+    *    and re-inserts bridges per touched fact, fact_handler.py:443-539).
+    *
+    * Idempotent: re-applying the same batch returns an identical star
+    * (asserted in PipelineSpec). Scale shape: dims ride broadcasts, the
+    * fact merge shuffles once on (job_sk, date_id), untouched bridge
+    * rows move only through one anti-join.
+    */
+  def incrementalBatch(prev: Dwh, staging0: DataFrame, asOf: String): Dwh = {
+    val spark = staging0.sparkSession
+    val staging = withLocationSrc(staging0).localCheckpoint()
+
+    // within-batch keep-first dedup per natural key (crawler S2 / D2 —
+    // the reference dedups before dim processing)
+    def dedupBy(df: DataFrame, key: String): DataFrame = {
+      val w = Window.partitionBy(key).orderBy(col(key))
+      df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    }
+
+    val dimJob = ScdType2.applyBatch(
+      prev.dimJob,
+      dedupBy(staging.select(("job_id" +: JobTrackedCols).map(col): _*), "job_id"),
+      "job_id", JobTrackedCols, "job_sk", asOf)
+    val dimCompany = ScdType2.applyBatch(
+      prev.dimCompany,
+      dedupBy(staging.select(("company_name_standardized" +: CompanyTrackedCols).map(col): _*),
+        "company_name_standardized"),
+      "company_name_standardized", CompanyTrackedCols, "company_sk", asOf)
+    val dimLocation = Dimensions.appendNewLocationsKeepSk(
+      prev.dimLocation, Dimensions.prepareDimLocation(staging, "location_src"))
+
+    val day = java.time.LocalDate.parse(asOf)
+    val freshDates = TimeFns.dimDateRange(spark,
+      day.minusDays(30).toString, day.plusDays(270).toString)
+      .join(prev.dimDate.select("date_id"), Seq("date_id"), "left_anti")
+    val dimDate = prev.dimDate.unionByName(freshDates)
+
+    val resolved = Facts.resolveSks(
+      staging.select("job_id", "company_name_standardized", "salary_min", "salary_max",
+        "due_date", "load_month", "location_src"),
+      dimJob, dimCompany, "job_id", "company_name_standardized")
+    val incoming = Facts.explodeDailyGrain(resolved, asOf)
+      .select("job_sk", "company_sk", "date_id", "salary_min", "salary_max",
+        "due_date", "load_month", "location_src")
+    val prevFact =
+      if (prev.fact.columns.contains("location_src")) prev.fact
+      else prev.fact.withColumn("location_src", lit(null).cast("string"))
+    val fact = Facts.mergeFactsAssigning(prevFact, incoming,
+      Seq("company_sk", "salary_min", "salary_max", "due_date", "location_src"))
+
+    // bridge: rebuild exactly the touched facts, keep the rest
+    val touched = fact.join(incoming.select("job_sk", "date_id").distinct(),
+      Seq("job_sk", "date_id"), "left_semi")
+    val untouched = prev.bridge.join(touched.select("fact_id"), Seq("fact_id"), "left_anti")
+    val bridge = untouched.unionByName(Facts.buildBridge(
+      touched.select(col("fact_id"), col("location_src").as("location")), dimLocation))
 
     Dwh(dimJob, dimCompany, dimLocation, dimDate, fact.drop("location_src"), bridge)
   }

@@ -58,6 +58,26 @@ object Dimensions {
     dimLocation.select("province", "city", "district").unionByName(fresh)
   }
 
+  /** D7 incremental form: append candidate locations not already in the
+    * dimension, KEEPING existing surrogate keys and numbering fresh rows
+    * after max(location_sk) (ref dimension_handler.py:262-321 — the
+    * dimension is insert-only, so existing SKs never move).
+    */
+  def appendNewLocationsKeepSk(dimLocation: DataFrame, candidates: DataFrame): DataFrame = {
+    val cand = candidates.select("province", "city", "district")
+    val existing = dimLocation.select(
+      col("province").as("__p"), col("city").as("__c"), col("district").as("__d"))
+    val fresh = cand.join(existing,
+      col("province") <=> col("__p") && col("city") <=> col("__c") &&
+        col("district") <=> col("__d"),
+      "left_anti")
+    val freshWithSk = StableId.assignAfterMax(
+      fresh, Seq(col("city"), col("province"), col("district")), "location_sk",
+      dimLocation, "location_sk", 9999L)
+    dimLocation.select("location_sk", "province", "city", "district")
+      .unionByName(freshWithSk.select("location_sk", "province", "city", "district"))
+  }
+
   /** D8: idempotent DimDate fill — generate [start, end] and append only
     * dates absent from the existing dimension (anti-join replaces the
     * reference's per-day exists probe, etl_main.py:460-484).

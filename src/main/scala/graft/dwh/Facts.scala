@@ -74,6 +74,48 @@ object Facts {
       Seq("__e_fact_id", "__e_load_month") ++ measureCols.map(c => s"__e_$c"): _*)
   }
 
+  /** D10/S9 incremental form: merge an incoming batch WITHOUT fact_ids
+    * onto the existing fact table. Matched (job_sk, date_id) keys keep
+    * the existing fact_id and load_month and take the incoming measures
+    * (the reference's ON CONFLICT DO UPDATE, fact_handler.py:237-255);
+    * brand-new keys get dense ids continuing after max(existing
+    * fact_id), in (job_sk, date_id) order, via the distributed
+    * StableId assigner. Incoming is deduped last-wins within the batch
+    * first (the per-key UPSERT loop's net effect).
+    *
+    * `incoming` carries (job_sk, date_id, carryCols...); `existing`
+    * carries (fact_id, job_sk, date_id, load_month, carryCols...).
+    * carryCols = measures + any passthrough columns (e.g. the location
+    * source for bridge rebuild): matched rows take incoming's value,
+    * existing-only rows keep their own.
+    */
+  def mergeFactsAssigning(
+      existing: DataFrame, incoming: DataFrame, carryCols: Seq[String]): DataFrame = {
+    val keys = Seq("job_sk", "date_id")
+    val dedup = {
+      val w = Window.partitionBy(keys.map(col): _*).orderBy(col("load_month").desc)
+      incoming.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    }
+    val e = existing.select(
+      keys.map(col) ++
+        Seq(col("fact_id").as("__e_fact_id"), col("load_month").as("__e_load_month")) ++
+        carryCols.map(c => col(c).as(s"__e_$c")): _*)
+    val merged = dedup.join(e, keys, "full")
+      .withColumn("load_month", coalesce(col("__e_load_month"), col("load_month")))
+    val withCarry = carryCols.foldLeft(merged) { (df, c) =>
+      df.withColumn(c, coalesce(col(c), col(s"__e_$c")))
+    }
+    val cleaned = withCarry.drop(
+      Seq("__e_load_month") ++ carryCols.map(c => s"__e_$c"): _*)
+    val matched = cleaned.filter(col("__e_fact_id").isNotNull)
+      .withColumn("fact_id", col("__e_fact_id").cast("long"))
+      .drop("__e_fact_id")
+    val fresh = StableId.assignAfterMax(
+      cleaned.filter(col("__e_fact_id").isNull).drop("__e_fact_id"),
+      keys.map(col), "fact_id", existing, "fact_id", 9999L)
+    matched.unionByName(fresh.select(matched.columns.map(col): _*))
+  }
+
   /** D11: fact→location bridge — explode each fact's parsed locations,
     * resolve against DimLocation null-safely, fall back to the Unknown
     * row, dedup (fact_id, location_sk) (fact_handler.py:443-539).

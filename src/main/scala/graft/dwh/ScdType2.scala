@@ -1,7 +1,6 @@
 package graft.dwh
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** SCD Type 2 core (SURVEY D4-D6, J8) as snapshot-rewrite dataflow.
@@ -16,17 +15,17 @@ import org.apache.spark.sql.functions._
   * - Change detection compares tracked columns as strings with the
   *   reference's null matrix (both null → unchanged; null vs value →
   *   changed) — `<=>` over string casts reproduces it exactly.
-  * - Surrogate keys are `max(existing sk) + row_number() over (order by
-  *   natural key)` (SURVEY §7.4(1)): stable across re-runs, no
-  *   sequences, no monotonically_increasing_id. The max is carried as a
-  *   broadcast 1-row aggregate, not a driver collect.
+  * - Surrogate keys are `max(existing sk) + rank in natural-key order`
+  *   (SURVEY §7.4(1)): stable across re-runs, no sequences. The rank is
+  *   StableId.assign — distributed dense numbering, no single-partition
+  *   window — so the incremental path survives fact-scale batches, and
+  *   the max rides a broadcast 1-row aggregate, not a driver collect.
   * - Idempotent: re-applying the same batch routes every row to
   *   `unchanged` and returns an identical snapshot.
   *
-  * Scale note: the row_number window over new rows is a single-partition
-  * sort, which is correct for dimension batches (≪ fact volume). The
-  * joins on the natural key broadcast the incoming batch when small;
-  * the current snapshot never needs to move if bucketed by natural key.
+  * Scale note: the joins on the natural key broadcast the incoming
+  * batch when small; the current snapshot never needs to move if
+  * bucketed by natural key.
   */
 object ScdType2 {
 
@@ -81,12 +80,10 @@ object ScdType2 {
       .withColumn(CurrentCol, lit(false))
 
     // new versions + brand-new rows share one deterministic numbering
+    // (distributed — StableId, not a global window; SURVEY §7.4(1))
     val newRows = routed.filter(col(RouteCol) =!= "unchanged")
-    val maxSk = current.agg(coalesce(max(col(skCol)), lit(9999L)).as("__max_sk"))
-    val numbered = newRows
-      .withColumn("__rn", row_number().over(Window.orderBy(col(naturalKey))))
-      .crossJoin(broadcast(maxSk))
-      .withColumn(skCol, (col("__max_sk") + col("__rn")).cast("long"))
+    val numbered = StableId
+      .assignAfterMax(newRows, Seq(col(naturalKey)), skCol, current, skCol, 9999L)
       .withColumn(EffectiveCol, lit(asOfDate).cast("date"))
       .withColumn(ExpiryCol, lit(null).cast("date"))
       .withColumn(CurrentCol, lit(true))

@@ -10,40 +10,87 @@ import org.apache.spark.sql.functions._
   * table through ONE task — fine for a dimension batch, fatal for a
   * fact table at the 100 TB design point. This assigner produces the
   * exact same dense ids (`base+1 .. base+N` in the total order of
-  * `orderCols`) with no single-partition stage:
+  * `orderCols`) with no single-partition stage and exactly one shuffle
+  * of the data:
   *
-  *   1. range-repartition on the order columns (the same shuffle a
-  *      global sort would do — partitions are contiguous key ranges);
-  *   2. per-partition row counts → cumulative offsets. This is a tiny
-  *      aggregate (one row per partition) and its scan reuses the
-  *      step-1 shuffle output (ReusedExchange), so data moves once;
-  *   3. id = base + offset(partition) + row_number within the
-  *      partition — a *partitioned* window, fully parallel.
+  *   1. range-repartition on the order columns + sort within each
+  *      partition, then `localCheckpoint()` — the checkpoint
+  *      materializes the partitions, so the sampled range boundaries
+  *      and the row order are PINNED: every downstream consumer reads
+  *      the same physical rows. (This is the fix for the
+  *      exchange-reuse hazard: without it, the offsets aggregate and
+  *      the data side could re-sample range boundaries independently
+  *      and disagree on partition ids.)
+  *   2. per-partition row counts → cumulative offsets. One row per
+  *      partition; the cumulative-sum window runs over that tiny frame,
+  *      not the data.
+  *   3. id = base + offset(partition) + position-within-partition. The
+  *      position comes from `monotonically_increasing_id()` (partition
+  *      id in the upper bits, record index in the lower 33) on the
+  *      checkpointed, sorted partitions — no window over the data, so
+  *      no second exchange.
   *
-  * Because partitions are ranges of the same total order, the result
-  * equals the global row_number regardless of where the sampled range
+  * Because partitions are contiguous ranges of the same total order,
+  * the result equals the global row_number regardless of where the
   * boundaries fall; ties across a boundary still number consistently
   * (earlier range first — tie order inside a window is arbitrary in the
   * global-window formulation too). Determinism across re-runs holds
   * when `orderCols` is a (near-)unique ordering, same as the reference's
   * requirement on its sequences (etl_utils.py:364-433).
+  *
+  * Scale note: `localCheckpoint` persists to executor memory/disk —
+  * the same storage cost as the shuffle it pins. On a cluster with
+  * preemptible executors, swap for a reliable `checkpoint()` dir; the
+  * id semantics are unchanged.
   */
 object StableId {
 
+  private val PidCol = "__sid_pid"
+  private val MidCol = "__sid_mid"
+  private val OffCol = "__sid_offset"
+
   def assign(df: DataFrame, orderCols: Seq[Column], idCol: String, base: Long): DataFrame = {
-    val parted = df.repartitionByRange(orderCols: _*)
-      .withColumn("__pid", spark_partition_id())
+    require(!df.columns.contains(idCol),
+      s"StableId.assign: input already has a '$idCol' column")
+    Seq(PidCol, MidCol, OffCol).foreach(h =>
+      require(!df.columns.contains(h), s"StableId.assign: reserved helper column '$h' present"))
+
+    val parted = df
+      .repartitionByRange(orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+      .localCheckpoint() // pins boundaries + row order; single materialization
+      .withColumn(PidCol, spark_partition_id())
+      .withColumn(MidCol, monotonically_increasing_id())
     // offsets: ≤ #partitions rows — the Window.orderBy here is over that
     // tiny frame, not the data
-    val offsets = parted.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
-      .withColumn("__offset",
-        coalesce(sum(col("__n")).over(Window.orderBy(col("__pid"))) - col("__n"), lit(0L)))
-      .select(col("__pid"), col("__offset"))
-    parted.join(broadcast(offsets), Seq("__pid"))
+    val offsets = parted.groupBy(col(PidCol)).agg(count(lit(1)).as("__n"))
+      .withColumn(OffCol,
+        coalesce(sum(col("__n")).over(Window.orderBy(col(PidCol))) - col("__n"), lit(0L)))
+      .select(col(PidCol), col(OffCol))
+    parted.join(broadcast(offsets), Seq(PidCol))
       .withColumn(idCol,
-        (lit(base) + col("__offset") +
-          row_number().over(Window.partitionBy(col("__pid")).orderBy(orderCols: _*)))
+        // monotonically_increasing_id = (pid << 33) + 0-based record
+        // index within the partition; subtract the pid part to recover
+        // the local position in the checkpointed sort order
+        (lit(base) + col(OffCol) +
+          (col(MidCol) - shiftleft(col(PidCol).cast("long"), 33)) + lit(1L))
           .cast("long"))
-      .drop("__pid", "__offset")
+      .drop(PidCol, MidCol, OffCol)
+  }
+
+  /** Assign ids continuing after `max(existing(existingIdCol))` (or
+    * `defaultBase` when `existing` is empty) — the incremental-batch
+    * form of the reference's sequences. The max rides a broadcast 1-row
+    * aggregate; no driver collect.
+    */
+  def assignAfterMax(
+      df: DataFrame, orderCols: Seq[Column], idCol: String,
+      existing: DataFrame, existingIdCol: String, defaultBase: Long): DataFrame = {
+    val baseDf = existing.agg(
+      coalesce(max(col(existingIdCol)).cast("long"), lit(defaultBase)).as("__sid_base"))
+    assign(df, orderCols, idCol, 0L)
+      .crossJoin(broadcast(baseDf))
+      .withColumn(idCol, (col(idCol) + col("__sid_base")).cast("long"))
+      .drop("__sid_base")
   }
 }

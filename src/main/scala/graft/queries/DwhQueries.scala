@@ -417,6 +417,96 @@ object DwhQueries {
           .orderBy("load_month")
       }),
 
+    // ---------------------------------------------------------------- E3 incremental (the production daily mode)
+    QueryDef(
+      "q_e2e_incremental", "E3 D4 D5 D6 D10 S9 J6 J8 W3 P2",
+      // Closed-form replay of two batches through the SCD2 + fact-merge
+      // semantics: batch1 (jobs k%3<>0, asOf 2026-08-01) builds the
+      // star; batch2 (jobs k%2=0, asOf 2026-08-03) is applied
+      // incrementally with changed titles for k%10=0 (SCD2 update →
+      // new job_sk → new facts) and overlap days 08-03..05 for
+      // unchanged jobs (fact merge keeps fact_id + load_month, takes
+      // incoming measures). sum_fact_id / sum_job_sk pin the surrogate
+      // assignment and identity preservation exactly.
+      Some("""WITH a AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 3 <> 0),
+             |b AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 2 = 0),
+             |d1 AS (SELECT k, 10000 + row_number() OVER (ORDER BY CAST(k AS VARCHAR)) AS sk
+             |       FROM a),
+             |nw AS (SELECT k FROM b WHERE k % 3 = 0
+             |       UNION ALL SELECT k FROM a WHERE k % 10 = 0),
+             |d2new AS (SELECT k, (SELECT max(sk) FROM d1)
+             |                    + row_number() OVER (ORDER BY CAST(k AS VARCHAR)) AS sk
+             |          FROM nw),
+             |cur2 AS (SELECT k, sk FROM d2new
+             |         UNION ALL
+             |         SELECT d1.k, d1.sk FROM d1 WHERE d1.k % 2 = 0 AND d1.k % 10 <> 0),
+             |days1 AS (SELECT CAST(d AS DATE) AS d FROM
+             |          generate_series(DATE '2026-08-01', DATE '2026-08-05', INTERVAL 1 DAY) t(d)),
+             |days2 AS (SELECT CAST(d AS DATE) AS d FROM
+             |          generate_series(DATE '2026-08-03', DATE '2026-08-07', INTERVAL 1 DAY) t(d)),
+             |f1id AS (SELECT *, 10000 + row_number() OVER (ORDER BY job_sk, d) AS fact_id FROM
+             |         (SELECT d1.sk AS job_sk, days1.d, d1.k % 15 + 5 AS salary
+             |          FROM d1 CROSS JOIN days1) t),
+             |f2 AS (SELECT c.sk AS job_sk, days2.d, c.k % 20 + 7 AS salary
+             |       FROM cur2 c CROSS JOIN days2),
+             |matched AS (SELECT f.fact_id, f.job_sk, f.d, f2.salary, '2026-08' AS load_month
+             |            FROM f1id f JOIN f2 ON f2.job_sk = f.job_sk AND f2.d = f.d),
+             |only1 AS (SELECT f.fact_id, f.job_sk, f.d, f.salary, '2026-08' AS load_month
+             |          FROM f1id f WHERE NOT EXISTS (
+             |            SELECT 1 FROM f2 WHERE f2.job_sk = f.job_sk AND f2.d = f.d)),
+             |newf AS (SELECT f2.job_sk, f2.d, f2.salary FROM f2 WHERE NOT EXISTS (
+             |           SELECT 1 FROM f1id f WHERE f.job_sk = f2.job_sk AND f.d = f2.d)),
+             |newfid AS (SELECT job_sk, d, salary,
+             |             (SELECT max(fact_id) FROM f1id)
+             |               + row_number() OVER (ORDER BY job_sk, d) AS fact_id,
+             |             '2026-09' AS load_month
+             |           FROM newf),
+             |final AS (SELECT fact_id, job_sk, d, salary, load_month FROM matched
+             |          UNION ALL SELECT fact_id, job_sk, d, salary, load_month FROM only1
+             |          UNION ALL SELECT fact_id, job_sk, d, salary, load_month FROM newfid)
+             |SELECT load_month, strftime(d, '%Y-%m-%d') AS date_id, count(*) AS n_facts,
+             |       count(DISTINCT job_sk) AS n_jobs,
+             |       CAST(sum(CAST(salary AS DECIMAL(18,2))) AS DOUBLE) AS sum_salary,
+             |       CAST(sum(fact_id) AS BIGINT) AS sum_fact_id,
+             |       CAST(sum(job_sk) AS BIGINT) AS sum_job_sk
+             |FROM final GROUP BY 1, 2 ORDER BY load_month, date_id""".stripMargin),
+      (s, dir) => {
+        val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"))
+        def mkStaging(keys: org.apache.spark.sql.DataFrame, title: Column,
+            salaryMin: Column, loadMonth: String) =
+          keys.select(
+            col("k").cast("string").as("job_id"),
+            title.as("title_clean"),
+            concat(lit("u"), col("k")).as("job_url"),
+            lit("[\"Spark\"]").as("skills"),
+            lit("1 ngày trước").as("last_update"),
+            lit(null).cast("string").as("logo_url"),
+            concat(lit("Co"), col("k") % 20).as("company_name_standardized"),
+            concat(lit("cu"), col("k") % 20).as("company_url"),
+            ((col("k") % 20) % 2 === 0).as("verified_employer"),
+            salaryMin.cast("double").as("salary_min"),
+            (salaryMin + 2).cast("double").as("salary_max"),
+            lit(null).cast("timestamp").as("due_date"),
+            lit(loadMonth).as("load_month"),
+            lit(null).cast("string").as("location"),
+            lit(null).cast("array<string>").as("location_pairs"))
+        val b1 = mkStaging(o.filter(col("k") % 3 =!= 0),
+          concat(lit("T"), col("k")), col("k") % 15 + 5, "2026-08")
+        val b2 = mkStaging(o.filter(col("k") % 2 === 0),
+          when(col("k") % 10 === 0, concat(lit("T"), col("k"), lit("v2")))
+            .otherwise(concat(lit("T"), col("k"))),
+          col("k") % 20 + 7, "2026-09")
+        val dwh1 = graft.app.Pipeline.stagingToDwh(b1, "2026-08-01")
+        val dwh2 = graft.app.Pipeline.incrementalBatch(dwh1, b2, "2026-08-03")
+        dwh2.fact
+          .groupBy(col("load_month"), date_format(col("date_id"), "yyyy-MM-dd").as("date_id"))
+          .agg(count(lit(1)).as("n_facts"), countDistinct(col("job_sk")).as("n_jobs"),
+            dsum(col("salary_min")).as("sum_salary"),
+            sum(col("fact_id")).cast("long").as("sum_fact_id"),
+            sum(col("job_sk")).cast("long").as("sum_job_sk"))
+          .orderBy("load_month", "date_id")
+      }),
+
     // ---------------------------------------------------------------- D14 ratio
     QueryDef(
       "q_d14_integrity_ratio", "D14 A9",

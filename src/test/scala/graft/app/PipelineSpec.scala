@@ -95,6 +95,82 @@ class PipelineSpec extends AnyFunSuite {
     assert(monthly.getAs[Long]("unique_jobs") == 6)
   }
 
+  // ------------------------------------------------------------ incremental E3
+  private val AsOf2 = "2026-08-14"
+
+  /** Day-2 batch: J1 re-crawled with a CHANGED title (SCD2 update → new
+    * SK), J3 re-crawled unchanged but with a new salary (fact-measure
+    * update on the overlap days), J7 brand new (insert).
+    */
+  private def raw2Fixture: DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("J1", "Senior Python Developer II - Urgent", "công ty tnhh ABC", "18 - 22 triệu",
+        "Hà Nội", "<div>Hà Nội: Cầu Giấy</div>", "30", "2 giờ trước", "2026-08-13 09:00:00"),
+      ("J3", "DevOps Engineer (AWS)", "fpt software", "từ 14 triệu",
+        "Hà Nội", "<div>Hà Nội: Đống Đa</div>", "30", "30 phút trước", "2026-08-13 09:00:00"),
+      ("J7", "QA Lead", "New Island Co", "20 - 25 triệu",
+        "Hà Nội", null, "15", "1 giờ trước", "2026-08-13 09:00:00"))
+      .toDF("job_id", "title", "company_name", "salary", "location", "location_detail",
+        "deadline", "last_update", "crawled")
+      .withColumn("crawled_at", to_timestamp(col("crawled")))
+      .withColumn("job_url", concat(lit("https://jobs/"), col("job_id")))
+      .withColumn("skills", lit("[\"Python\"]"))
+      .withColumn("logo_url", lit(null).cast("string"))
+      .withColumn("company_url", concat(lit("https://co/"), col("job_id")))
+      .withColumn("verified_employer", col("job_id").isin("J1", "J3"))
+  }
+
+  private lazy val staging2 = Pipeline.rawToStaging(raw2Fixture, "2026-08-14 10:30:00")
+  private lazy val dwh2 = Pipeline.incrementalBatch(dwh, staging2, AsOf2)
+
+  test("incremental batch: SCD2 routing, fact-identity preservation, measure update") {
+    // dims: J1 closed+new version, J7 inserted, J3 untouched
+    assert(dwh2.dimJob.count() == 8)
+    assert(dwh2.dimJob.filter(col("is_current")).count() == 7)
+    val j1Old = dwh2.dimJob
+      .filter(col("job_id") === "J1" && !col("is_current")).collect()
+    assert(j1Old.length == 1 &&
+      j1Old.head.getAs[java.sql.Date]("expiry_date").toString == AsOf2)
+    assert(dwh2.dimJob.filter(col("job_id") === "J1" && col("is_current"))
+      .select("title_clean").first().getString(0) == "Senior Python Developer II")
+    assert(dwh2.dimCompany.count() == 7)
+
+    // facts: 30 original + J1-new-sk ×5 + J3 new days ×2 + J7 ×5
+    assert(dwh2.fact.count() == 42)
+    val j3Sk = dwh.dimJob.filter(col("job_id") === "J3").select("job_sk").first().getLong(0)
+    val before = dwh.fact.filter(col("job_sk") === j3Sk)
+      .select("date_id", "fact_id", "salary_min").collect()
+      .map(r => r.getDate(0).toString -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val after = dwh2.fact.filter(col("job_sk") === j3Sk)
+      .select("date_id", "fact_id", "salary_min").collect()
+      .map(r => r.getDate(0).toString -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // overlap day keeps its fact_id but takes the new measure
+    assert(after("2026-08-14")._1 == before("2026-08-14")._1)
+    assert(after("2026-08-14")._2 == 14.0 && before("2026-08-14")._2 == 12.0)
+    // pre-batch day untouched
+    assert(after("2026-08-12") == before("2026-08-12"))
+    // new trailing days exist
+    assert(after.contains("2026-08-18"))
+    // old-SK facts of the CHANGED job remain (new facts ride the new SK)
+    val j1OldSk = dwh.dimJob.filter(col("job_id") === "J1").select("job_sk").first().getLong(0)
+    assert(dwh2.fact.filter(col("job_sk") === j1OldSk).count() == 5)
+  }
+
+  test("incremental batch is idempotent: re-applying the same batch is a no-op") {
+    val dwh3 = Pipeline.incrementalBatch(dwh2, staging2, AsOf2)
+    def same(a: DataFrame, b: DataFrame, what: String): Unit = {
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty, s"$what differs")
+      assert(a.count() == b.count(), s"$what count differs")
+    }
+    same(dwh2.dimJob, dwh3.dimJob, "dimJob")
+    same(dwh2.dimCompany, dwh3.dimCompany, "dimCompany")
+    same(dwh2.dimLocation, dwh3.dimLocation, "dimLocation")
+    same(dwh2.dimDate, dwh3.dimDate, "dimDate")
+    same(dwh2.fact, dwh3.fact, "fact")
+    same(dwh2.bridge, dwh3.bridge, "bridge")
+  }
+
   test("validator reports a clean warehouse") {
     val checks = Validator.report(Seq(
       Validator.duplicateCurrentKeys(dwh.dimJob, "job_id"),

@@ -28,14 +28,60 @@ class StableIdSpec extends AnyFunSuite {
     assert(a.exceptAll(b).isEmpty)
   }
 
-  test("no single-partition window stage in the physical plan") {
+  test("correct with exchange reuse disabled (partitioning is pinned, not reused)") {
+    // regression for the round-2 advice: ids must not depend on Catalyst
+    // reusing the range Exchange between the offsets side and the data
+    // side — the checkpoint pins the partitioning explicitly
+    val prev = spark.conf.getOption("spark.sql.exchange.reuse")
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try {
+      val df = spark.range(0, 8000).select((col("id") * 29 % 7993).as("k"))
+      val expected = df.withColumn("sk",
+        row_number().over(Window.orderBy(col("k"))).cast("long"))
+      val actual = StableId.assign(df, Seq(col("k")), "sk", 0L)
+      assert(actual.select(countDistinct("sk")).as[Long].head() === 8000L)
+      assert(expected.exceptAll(actual).isEmpty && actual.exceptAll(expected).isEmpty)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.exchange.reuse", v)
+      case None    => spark.conf.unset("spark.sql.exchange.reuse")
+    }
+  }
+
+  test("no shuffle or window over the data in the result plan") {
     val df = spark.range(0, 100).select(col("id").as("k"))
     val plan = StableId.assign(df, Seq(col("k")), "sk", 0L)
       .queryExecution.executedPlan.toString
-    // the only Window.orderBy-without-partition is over the per-partition
-    // count frame (≤ #partitions rows), never over the data: the data-side
-    // window must be partitioned by __pid
-    assert(plan.contains("windowspecdefinition(__pid"))
+    // data side is a checkpointed scan + broadcast join; ids come from
+    // monotonically_increasing_id over the pinned sort order, so there
+    // is no window (and no second exchange) over the data — the only
+    // window is the cumulative sum over the per-partition counts frame
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("rangepartitioning"), // the one data shuffle already ran, pinned
+      s"unpinned range exchange left in result plan:\n$plan")
+  }
+
+  test("helper/id column collisions fail loudly") {
+    val df = spark.range(0, 10).select(col("id").as("k"), lit(1L).as("sk"))
+    intercept[IllegalArgumentException] {
+      StableId.assign(df, Seq(col("k")), "sk", 0L)
+    }
+    val df2 = spark.range(0, 10).select(col("id").as("k"), lit(1).as("__sid_pid"))
+    intercept[IllegalArgumentException] {
+      StableId.assign(df2, Seq(col("k")), "sk", 0L)
+    }
+  }
+
+  test("assignAfterMax continues after the existing max (or default when empty)") {
+    val existing = spark.range(0, 5).select((col("id") + 200L).as("sk"))
+    val df = spark.range(0, 3).select(col("id").as("k"))
+    val ids = StableId.assignAfterMax(df, Seq(col("k")), "sk", existing, "sk", 9999L)
+      .select("sk").as[Long].collect().sorted
+    assert(ids === Array(205L, 206L, 207L))
+    val empty = spark.range(0).select(col("id").as("sk"))
+    val ids2 = StableId.assignAfterMax(df, Seq(col("k")), "sk", empty, "sk", 9999L)
+      .select("sk").as[Long].collect().sorted
+    assert(ids2 === Array(10000L, 10001L, 10002L))
   }
 
   test("empty input yields empty output") {
