@@ -18,6 +18,9 @@ object Bench {
     // One warm scan so first-query numbers aren't dominated by parquet
     // footer reads / JIT; mirrors a warmed cluster's steady state.
     Tables.lineitem(spark, sfDir).write.format("noop").mode("overwrite").save()
+    // Stage the streaming watch dir once (setup, not query work) so
+    // q_st1 times the stream, not a file copy.
+    graft.streaming.CdcStream.ensureStaged(spark, sfDir)
     val results = Registry.benchNames.map { name =>
       val t0 = System.nanoTime()
       val sec =

@@ -58,6 +58,13 @@ object Pipeline {
     Seq("title_clean", "job_url", "skills", "last_update", "logo_url")
   val CompanyTrackedCols: Seq[String] = Seq("company_url", "verified_employer")
 
+  /** Fact measure/attribute columns, mirroring FactJobPostingDaily
+    * (schema_dwh.sql:52-70) minus keys and load_month.
+    */
+  val FactMeasureCols: Seq[String] = Seq(
+    "salary_min", "salary_max", "salary_type", "due_date", "time_remaining",
+    "verified_employer", "posted_time", "crawled_at")
+
   /** Location source for dim/bridge parsing: the structured pairs when
     * present (as a JSON list, the shape parse_job_location expects),
     * else the freeform location string (fact_handler.py:489-525).
@@ -111,17 +118,18 @@ object Pipeline {
       java.time.LocalDate.parse(asOf).minusDays(30).toString,
       java.time.LocalDate.parse(asOf).plusDays(270).toString)
 
-    // -------- facts (D9/D10): SK resolution → ×5-day explode → dedup
+    // -------- facts (D9/D10): SK resolution → ×5-day explode → dedup.
+    // Measure set mirrors FactJobPostingDaily (schema_dwh.sql:52-70).
     val resolved = Facts.resolveSks(
-      staging.select("job_id", "company_name_standardized", "salary_min", "salary_max",
-        "due_date", "load_month", "location_src"),
+      staging.select(("job_id" +: "company_name_standardized" +: FactMeasureCols) ++
+        Seq("load_month", "location_src") map col: _*),
       dimJob, dimCompany, "job_id", "company_name_standardized")
     val exploded = StableId.assign(
       Facts.explodeDailyGrain(resolved, asOf),
       Seq(col("job_sk"), col("date_id")), "fact_id", 10000L)
     val fact = Facts.dedupFacts(exploded)
-      .select("fact_id", "job_sk", "company_sk", "date_id", "salary_min", "salary_max",
-        "due_date", "load_month", "location_src")
+      .select(("fact_id" +: "job_sk" +: "company_sk" +: "date_id" +: FactMeasureCols) ++
+        Seq("load_month", "location_src") map col: _*)
 
     // -------- bridge (D11)
     val bridge = Facts.buildBridge(
@@ -181,17 +189,17 @@ object Pipeline {
     val dimDate = prev.dimDate.unionByName(freshDates)
 
     val resolved = Facts.resolveSks(
-      staging.select("job_id", "company_name_standardized", "salary_min", "salary_max",
-        "due_date", "load_month", "location_src"),
+      staging.select(("job_id" +: "company_name_standardized" +: FactMeasureCols) ++
+        Seq("load_month", "location_src") map col: _*),
       dimJob, dimCompany, "job_id", "company_name_standardized")
     val incoming = Facts.explodeDailyGrain(resolved, asOf)
-      .select("job_sk", "company_sk", "date_id", "salary_min", "salary_max",
-        "due_date", "load_month", "location_src")
+      .select(("job_sk" +: "company_sk" +: "date_id" +: FactMeasureCols) ++
+        Seq("load_month", "location_src") map col: _*)
     val prevFact =
       if (prev.fact.columns.contains("location_src")) prev.fact
       else prev.fact.withColumn("location_src", lit(null).cast("string"))
     val fact = Facts.mergeFactsAssigning(prevFact, incoming,
-      Seq("company_sk", "salary_min", "salary_max", "due_date", "location_src"))
+      ("company_sk" +: FactMeasureCols) :+ "location_src")
 
     // bridge: rebuild exactly the touched facts, keep the rest
     val touched = fact.join(incoming.select("job_sk", "date_id").distinct(),

@@ -20,15 +20,16 @@ object Snapshots {
 
   /** S10: hive-style partitioned export on load_month.
     *
-    * Shuffling on the partition column first means each hive partition
-    * is written by one task (≈1 file/month) instead of every task
-    * writing a sliver of every month — without it a 32-task write over
-    * 80 months emits ~2,500 tiny files, the classic small-files
-    * explosion that kills 100 TB-scale reads. AQE coalescing keeps the
-    * shuffle cheap at small SF.
+    * Clustering on the partition column first bounds the file count
+    * (without it a 32-task write over 80 months emits ~2,500 tiny
+    * files, the classic small-files explosion that kills 100 TB-scale
+    * reads). The REBALANCE hint — rather than a plain
+    * `repartition(col)` — lets AQE split a skewed hive partition
+    * across several tasks, so one hot month doesn't become a
+    * single-task straggler at scale (round-2 advice).
     */
   def writePartitioned(df: DataFrame, path: String, partitionCol: String = "load_month"): Unit =
-    df.repartition(col(partitionCol))
+    df.hint("rebalance", col(partitionCol))
       .write.mode("overwrite").partitionBy(partitionCol).parquet(path)
 
   /** S11: partition-pruned reload (pruning is automatic — the filter on

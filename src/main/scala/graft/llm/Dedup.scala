@@ -109,12 +109,15 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int, perms: Int, bands: Int,
       threshold: Double): DataFrame = {
-    // persisted: both sides of the band self-join and the verification
-    // joins reuse this instead of recomputing signatures per branch
+    // checkpointed: both sides of the band self-join and the
+    // verification joins reuse the materialization instead of
+    // recomputing signatures per branch; unlike persist() the cached
+    // blocks are dropped automatically once the frame is GC'd (the
+    // round-2 unpersist leak)
     val withShingles = docs
       .select(col(idCol).as("__id"), shingles(col(textCol), shingleN).as("__sh"))
       .filter(size(col("__sh")) > 0)
-      .persist()
+      .localCheckpoint()
     val banded = withShingles
       .select(col("__id"), posexplode(lshBands(col("__sh"), perms, bands)).as(Seq("band", "bh")))
     val a = banded.select(col("band"), col("bh"), col("__id").as("id_a"))
@@ -141,7 +144,7 @@ object Dedup {
       shingleN: Int, threshold: Double): DataFrame = {
     val exploded = docs
       .select(col(idCol).as("__id"), explode(shingles(col(textCol), shingleN)).as("s"))
-      .persist()
+      .localCheckpoint() // auto-dropped on GC, no unpersist leak
     val sizes = exploded.groupBy("__id").agg(count(lit(1)).as("n"))
     // one aggregation gives the intersection size per co-occurring pair;
     // jaccard follows from |A∩B| and the per-doc sizes — no array
@@ -161,14 +164,24 @@ object Dedup {
 
   // ------------------------------------------------------------ SimHash
   /** 64-bit SimHash of a token array: each token votes its hash bits
-    * up/down; the sign of each bit-sum forms the fingerprint. FNV-1a
-    * inside the UDF keeps it self-contained and deterministic.
+    * up/down; the sign of each bit-sum forms the fingerprint. The token
+    * hash is the first 64 bits of md5 — chosen over FNV because it is
+    * REPLAYABLE IN SQL (DuckDB `md5` + hex cast), which turns the
+    * banded SimHash query into a fully oracle-checked one (q_l4): the
+    * oracle recomputes identical signatures, bands, and Hamming
+    * distances instead of settling for a rows-only check.
     */
   private[llm] def simhash64(toks: Seq[String]): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
     val votes = new Array[Int](64)
     toks.foreach { t =>
-      var h = 0xcbf29ce484222325L // FNV-1a 64
-      t.foreach { ch => h ^= ch.toLong; h *= 0x100000001b3L }
+      md.reset()
+      val d = md.digest(t.getBytes("UTF-8"))
+      // first 8 digest bytes, big-endian — same bits as the first 16
+      // hex chars of the md5 string
+      var h = 0L
+      var b = 0
+      while (b < 8) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
       var i = 0
       while (i < 64) {
         if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1

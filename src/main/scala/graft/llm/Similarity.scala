@@ -1,7 +1,5 @@
 package graft.llm
 
-import scala.util.Random
-
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -14,14 +12,24 @@ import org.apache.spark.sql.functions._
   *    set against the corpus — the correctness baseline. O(|Q|·|C|) but
   *    embarrassingly parallel; right answer for small |Q|.
   *  - `lshTopK`: random-hyperplane LSH — each vector gets a sign-bit
-  *    bucket from `planes` fixed hyperplanes; exact cosine only within
+  *    bucket from `nPlanes` fixed hyperplanes; exact cosine only within
   *    buckets. This is the 100 TB path: one shuffle on bucket id,
-  *    bucket sizes ~ |C|/2^planes, recall tuned by plane count (and by
+  *    bucket sizes ~ |C|/2^nPlanes, recall tuned by plane count (and by
   *    multi-probing neighbor buckets if needed). An IVF variant would
   *    swap the hash for learned centroids; the plumbing is identical.
   *
-  * Dot products are native `zip_with`/`aggregate` lambdas (codegen'd,
-  * left-to-right accumulation — deterministic bit-for-bit).
+  * The hyperplane weights are md5-derived (`u64(md5("i:j"))/2^63 − 1`,
+  * uniform in [-1,1)) rather than seeded Gaussians: equally valid as
+  * LSH directions, but REPLAYABLE IN SQL — the DuckDB oracle recomputes
+  * the identical planes, buckets, and ranks, so even the approximate
+  * path gets a full value-level correctness gate (q_l6). Dot products
+  * accumulate left-to-right in both engines (Spark `aggregate` lambda,
+  * DuckDB `list_inner_product`), so the sign decisions and scores are
+  * bit-identical.
+  *
+  * Embedding dimensionality is an explicit parameter and is validated
+  * per row — a mismatched vector fails the job loudly instead of
+  * silently truncating (round-2 advice).
   */
 object Similarity {
 
@@ -55,30 +63,44 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "score")
   }
 
-  /** Deterministic random hyperplanes (seeded), dim × planes. */
-  private[llm] def hyperplanes(dim: Int, planes: Int, seed: Long): Array[Array[Double]] = {
-    val rnd = new Random(seed)
-    Array.fill(planes)(Array.fill(dim)(rnd.nextGaussian()))
+  private val TwoPow63 = math.pow(2.0, 63) // exact power of two
+
+  /** Deterministic SQL-replayable hyperplane weight: first 64 md5 bits
+    * of "i:j" as an unsigned integer, mapped to [-1, 1). BigInteger's
+    * correctly-rounded doubleValue matches DuckDB's UBIGINT→DOUBLE cast.
+    */
+  private[llm] def planeWeight(i: Int, j: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(s"$i:$j".getBytes("UTF-8"))
+    new java.math.BigInteger(1, java.util.Arrays.copyOf(d, 8)).doubleValue() / TwoPow63 - 1.0
   }
 
-  /** Sign-bit bucket id of an embedding under the fixed hyperplanes. */
-  private[llm] def bucketOf(emb: Seq[Float], planes: Array[Array[Double]]): Int =
+  /** dim × nPlanes fixed hyperplanes. */
+  private[llm] def hyperplanes(dim: Int, planes: Int): Array[Array[Double]] =
+    Array.tabulate(planes)(i => Array.tabulate(dim)(j => planeWeight(i, j)))
+
+  /** Sign-bit bucket id of an embedding under the fixed hyperplanes.
+    * Fails loudly on a dimensionality mismatch.
+    */
+  private[llm] def bucketOf(emb: Seq[Float], planes: Array[Array[Double]]): Int = {
+    require(emb != null && emb.length == planes(0).length,
+      s"embedding dim ${if (emb == null) "null" else emb.length} != expected ${planes(0).length}")
     planes.zipWithIndex.foldLeft(0) { case (acc, (p, i)) =>
       var s = 0.0
       var j = 0
-      while (j < p.length && j < emb.length) { s += emb(j) * p(j); j += 1 }
+      while (j < p.length) { s += emb(j) * p(j); j += 1 }
       if (s > 0) acc | (1 << i) else acc
     }
+  }
 
   /** LSH-bucketed ANN: exact cosine top-k within each query's bucket.
-    * Lower recall than brute force (tested ≥0.6@k in DedupSpec), one
-    * bucket-key shuffle instead of a cross join.
+    * One bucket-key shuffle instead of a cross join; recall grows as
+    * nPlanes shrinks. Fully oracle-checked (q_l6) — see class doc.
     */
   def lshTopK(
       queries: DataFrame, corpus: DataFrame, idCol: String, embCol: String,
-      k: Int, nPlanes: Int = 8, seed: Long = 42L, scale: Int = 3): DataFrame = {
-    val dim = 64
-    val planes = hyperplanes(dim, nPlanes, seed)
+      k: Int, nPlanes: Int = 8, dim: Int = 64, scale: Int = 3): DataFrame = {
+    val planes = hyperplanes(dim, nPlanes)
     val bucketUdf = udf((e: Seq[Float]) => bucketOf(e, planes))
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(embCol)).as("__qe"),
       bucketUdf(col(embCol)).as("__bucket"))
@@ -99,8 +121,8 @@ object Similarity {
     */
   def cosineNearDupPairs(
       vectors: DataFrame, idCol: String, embCol: String,
-      threshold: Double, nPlanes: Int = 6, seed: Long = 42L): DataFrame = {
-    val planes = hyperplanes(64, nPlanes, seed)
+      threshold: Double, nPlanes: Int = 6, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(dim, nPlanes)
     val bucketUdf = udf((e: Seq[Float]) => bucketOf(e, planes))
     val v = vectors.select(col(idCol).as("__id"), asDouble(col(embCol)).as("__e"),
       bucketUdf(col(embCol)).as("__bucket"))

@@ -37,6 +37,65 @@ object DwhQueries {
           .otherwise(lit(null).cast("string")))
   }
 
+  /** Crawler-shaped raw rows synthesized from testdata for the REAL
+    * E2+E3 pipeline. One nation's customers (NATION_7 — the testdata
+    * nation names are synthetic) get 'Hà Nội' locations so the
+    * Vietnamese ILIKE view leg (vw_top10_hn, views.sql:52) is
+    * exercised; the other shapes cover the "City: District", bare-city,
+    * JSON-multi-district, and null→Unknown parse paths.
+    */
+  private def e2eRaw(s: SparkSession, dir: String): DataFrame = {
+    val ok = col("o_orderkey")
+    Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .select(
+        ok.cast("string").as("job_id"),
+        concat(lit("Engineer "), col("o_orderpriority"), lit(" - Urgent")).as("title"),
+        col("c_name").as("company_name"),
+        when(ok % 3 === 0,
+          concat((ok % 15 + 5), lit(" - "), (ok % 15 + 10), lit(" triệu")))
+          .when(ok % 3 === 1, lit("Thoả thuận"))
+          .otherwise(concat(lit("từ "), (ok % 20 + 5), lit(" triệu"))).as("salary"),
+        when(col("n_name") === "NATION_7", lit("Hà Nội"))
+          .when(col("c_custkey") % 4 === 0,
+            concat(col("n_name"), lit(": "), col("c_mktsegment")))
+          .when(col("c_custkey") % 4 === 1, col("n_name"))
+          .when(col("c_custkey") % 4 === 2,
+            concat(lit("[\""), col("n_name"), lit(": D1, D2\"]")))
+          .otherwise(lit(null).cast("string")).as("location"),
+        lit(null).cast("string").as("location_detail"),
+        (ok % 30 + 1).cast("string").as("deadline"),
+        lit("1 ngày trước").as("last_update"),
+        col("o_orderdate").as("crawled_at"),
+        concat(lit("https://jobs/"), ok).as("job_url"),
+        lit("[\"Spark\"]").as("skills"),
+        lit(null).cast("string").as("logo_url"),
+        concat(lit("https://co/"), col("c_custkey")).as("company_url"),
+        (col("c_custkey") % 2 === 0).as("verified_employer"))
+  }
+
+  /** The e2e star, built ONCE per sf dir and materialized
+    * (localCheckpoint) — q_e2e_pipeline and the q_v_* view queries
+    * share it, the same way warehouse views share one loaded star.
+    */
+  private val dwhCache =
+    scala.collection.concurrent.TrieMap[String, graft.app.Pipeline.Dwh]()
+  private def e2eDwh(s: SparkSession, dir: String): graft.app.Pipeline.Dwh =
+    dwhCache.getOrElseUpdate(dir, {
+      val staging = graft.app.Pipeline.rawToStaging(e2eRaw(s, dir), "2026-08-12 00:00:00")
+      val d = graft.app.Pipeline.stagingToDwh(staging, AsOf)
+      graft.app.Pipeline.Dwh(
+        d.dimJob.localCheckpoint(), d.dimCompany.localCheckpoint(),
+        d.dimLocation.localCheckpoint(), d.dimDate,
+        d.fact.localCheckpoint(), d.bridge.localCheckpoint())
+    })
+
+  /** CURRENT_DATE stand-in for the vw_* queries — mid-1995 so the
+    * orders-derived due_dates split into expired/active nontrivially.
+    */
+  private val AsOfView = "1995-06-01"
+
   /** The same four shapes parsed in plain SQL (for oracles). */
   private val ParsedCte =
     """src AS (SELECT c_custkey AS k, c_name, n_name, c_mktsegment AS seg
@@ -380,35 +439,7 @@ object DwhQueries {
              |  AS sum_salary_min
              |FROM orders GROUP BY 1 ORDER BY load_month""".stripMargin),
       (s, dir) => {
-        // synthesize the crawler's 15-field raw shape from testdata, run
-        // the REAL E2+E3 pipeline, and check the resulting fact table
-        val ok = col("o_orderkey")
-        val raw = Tables.orders(s, dir)
-          .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
-          .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
-          .select(
-            ok.cast("string").as("job_id"),
-            concat(lit("Engineer "), col("o_orderpriority"), lit(" - Urgent")).as("title"),
-            col("c_name").as("company_name"),
-            when(ok % 3 === 0,
-              concat((ok % 15 + 5), lit(" - "), (ok % 15 + 10), lit(" triệu")))
-              .when(ok % 3 === 1, lit("Thoả thuận"))
-              .otherwise(concat(lit("từ "), (ok % 20 + 5), lit(" triệu"))).as("salary"),
-            when(col("c_custkey") % 4 === 0,
-              concat(col("n_name"), lit(": "), col("c_mktsegment")))
-              .when(col("c_custkey") % 4 === 1, col("n_name"))
-              .otherwise(lit(null).cast("string")).as("location"),
-            lit(null).cast("string").as("location_detail"),
-            (ok % 30 + 1).cast("string").as("deadline"),
-            lit("1 ngày trước").as("last_update"),
-            col("o_orderdate").as("crawled_at"),
-            concat(lit("https://jobs/"), ok).as("job_url"),
-            lit("[\"Spark\"]").as("skills"),
-            lit(null).cast("string").as("logo_url"),
-            concat(lit("https://co/"), col("c_custkey")).as("company_url"),
-            (col("c_custkey") % 2 === 0).as("verified_employer"))
-        val staging = graft.app.Pipeline.rawToStaging(raw, "2026-08-12 00:00:00")
-        val dwh = graft.app.Pipeline.stagingToDwh(staging, "2026-08-12")
+        val dwh = e2eDwh(s, dir)
         dwh.fact
           .groupBy("load_month")
           .agg(countDistinct(col("job_sk")).as("n_jobs"), count(lit(1)).as("n_facts"),
@@ -486,7 +517,11 @@ object DwhQueries {
             ((col("k") % 20) % 2 === 0).as("verified_employer"),
             salaryMin.cast("double").as("salary_min"),
             (salaryMin + 2).cast("double").as("salary_max"),
+            lit("range").as("salary_type"),
             lit(null).cast("timestamp").as("due_date"),
+            lit(null).cast("string").as("time_remaining"),
+            lit(null).cast("timestamp").as("posted_time"),
+            to_timestamp(lit(s"$loadMonth-01 09:00:00")).as("crawled_at"),
             lit(loadMonth).as("load_month"),
             lit(null).cast("string").as("location"),
             lit(null).cast("array<string>").as("location_pairs"))
@@ -506,6 +541,97 @@ object DwhQueries {
             sum(col("job_sk")).cast("long").as("sum_job_sk"))
           .orderBy("load_month", "date_id")
       }),
+
+    // ---------------------------------------------------------------- vw_monthly_jobs over the e2e star
+    QueryDef(
+      "q_v_monthly", "A1 J4 V-monthly",
+      Some("""SELECT strftime(o_orderdate, '%Y-%m') AS load_month, '2026-08-01' AS month,
+             |count(DISTINCT o_orderkey) AS unique_jobs,
+             |count(DISTINCT o_custkey) AS unique_companies,
+             |round(avg(CASE WHEN o_orderkey % 3 = 0 THEN CAST(o_orderkey % 15 + 5 AS DOUBLE)
+             |               WHEN o_orderkey % 3 = 1 THEN 0.0
+             |               ELSE CAST(o_orderkey % 20 + 5 AS DOUBLE) END), 6) AS avg_salary_min,
+             |round(avg(CASE WHEN o_orderkey % 3 = 0 THEN CAST(o_orderkey % 15 + 10 AS DOUBLE)
+             |               WHEN o_orderkey % 3 = 1 THEN 0.0
+             |               ELSE CAST(o_orderkey % 20 + 5 AS DOUBLE) END), 6) AS avg_salary_max
+             |FROM orders GROUP BY 1 ORDER BY load_month""".stripMargin),
+      (s, dir) =>
+        graft.views.AnalyticsViews.vwMonthlyJobs(e2eDwh(s, dir))
+          .select(col("load_month"), date_format(col("month"), "yyyy-MM-dd").as("month"),
+            col("unique_jobs"), col("unique_companies"),
+            round(col("avg_salary_min").cast("double"), 6).as("avg_salary_min"),
+            round(col("avg_salary_max").cast("double"), 6).as("avg_salary_max"))
+          .orderBy("load_month")),
+
+    // ---------------------------------------------------------------- vw_job_salary_filter over the e2e star
+    QueryDef(
+      "q_v_salary_filter", "P4 J3 V-salary-filter O3",
+      Some("""WITH j AS (SELECT o_orderkey AS k, o_custkey, o_orderpriority,
+             |                  o_orderdate::TIMESTAMP + (o_orderkey % 30 + 1) * INTERVAL 1 DAY AS due,
+             |                  10000 + row_number() OVER (ORDER BY CAST(o_orderkey AS VARCHAR)) AS job_sk
+             |           FROM orders),
+             |e AS (SELECT j.*, c_name, c_custkey % 4 AS k4, n_name,
+             |             CASE WHEN k % 3 = 0 THEN CAST(k % 15 + 5 AS DOUBLE)
+             |                  WHEN k % 3 = 1 THEN 0.0
+             |                  ELSE CAST(k % 20 + 5 AS DOUBLE) END AS salary_min,
+             |             CASE WHEN k % 3 = 0 THEN CAST(k % 15 + 10 AS DOUBLE)
+             |                  WHEN k % 3 = 1 THEN 0.0
+             |                  ELSE CAST(k % 20 + 5 AS DOUBLE) END AS salary_max
+             |      FROM j JOIN customer ON c_custkey = o_custkey
+             |             JOIN nation ON n_nationkey = c_nationkey)
+             |SELECT job_sk, 'Engineer ' || o_orderpriority AS title_clean,
+             |       c_name AS company_name_standardized, salary_min, salary_max,
+             |       strftime(due, '%Y-%m-%d') AS due_date,
+             |       CASE WHEN n_name = 'NATION_7' THEN 'Hà Nội'
+             |            WHEN k4 IN (0, 1, 2) THEN n_name ELSE 'Unknown' END AS city,
+             |       CAST(NULL AS VARCHAR) AS province
+             |FROM e
+             |WHERE salary_min >= 10 AND salary_max <= 20 AND due >= TIMESTAMP '1995-06-01'
+             |ORDER BY job_sk""".stripMargin),
+      (s, dir) =>
+        graft.views.AnalyticsViews.vwJobSalaryFilter(e2eDwh(s, dir), AsOfView)
+          .select(col("job_sk"), col("title_clean"), col("company_name_standardized"),
+            col("salary_min").cast("double").as("salary_min"),
+            col("salary_max").cast("double").as("salary_max"),
+            date_format(col("due_date"), "yyyy-MM-dd").as("due_date"),
+            col("city"), col("province"))
+          .orderBy("job_sk")),
+
+    // ---------------------------------------------------------------- vw_top10_hn over the e2e star
+    QueryDef(
+      "q_v_top10_hn", "P5 W2 F16 V-top10-hn",
+      Some("""WITH j AS (SELECT o_orderkey AS k, o_custkey, o_orderpriority,
+             |                  o_orderdate::TIMESTAMP + (o_orderkey % 30 + 1) * INTERVAL 1 DAY AS due,
+             |                  10000 + row_number() OVER (ORDER BY CAST(o_orderkey AS VARCHAR)) AS job_sk
+             |           FROM orders),
+             |e AS (SELECT j.*, c_name,
+             |             CASE WHEN k % 3 = 0 THEN CAST(k % 15 + 5 AS DOUBLE)
+             |                  WHEN k % 3 = 1 THEN 0.0
+             |                  ELSE CAST(k % 20 + 5 AS DOUBLE) END AS salary_min,
+             |             CASE WHEN k % 3 = 0 THEN CAST(k % 15 + 10 AS DOUBLE)
+             |                  WHEN k % 3 = 1 THEN 0.0
+             |                  ELSE CAST(k % 20 + 5 AS DOUBLE) END AS salary_max
+             |      FROM j JOIN customer ON c_custkey = o_custkey
+             |             JOIN nation ON n_nationkey = c_nationkey
+             |      WHERE n_name = 'NATION_7')
+             |SELECT job_sk, 'Engineer ' || o_orderpriority AS title_clean,
+             |       c_name AS company_name_standardized, salary_min, salary_max,
+             |       strftime(due, '%Y-%m-%d') AS due_date, 'Hà Nội' AS city,
+             |       CAST(NULL AS VARCHAR) AS province,
+             |       CAST(date_diff('day', DATE '1995-06-01', CAST(due AS DATE)) AS BIGINT)
+             |         AS days_to_deadline
+             |FROM e
+             |WHERE salary_min >= 10 AND salary_max <= 20 AND due >= TIMESTAMP '1995-06-01'
+             |ORDER BY due, job_sk LIMIT 10""".stripMargin),
+      (s, dir) =>
+        graft.views.AnalyticsViews.vwTop10Hanoi(e2eDwh(s, dir), AsOfView)
+          .select(col("job_sk"), col("title_clean"), col("company_name_standardized"),
+            col("salary_min").cast("double").as("salary_min"),
+            col("salary_max").cast("double").as("salary_max"),
+            date_format(col("due_date"), "yyyy-MM-dd").as("due_date"),
+            col("city"), col("province"),
+            col("days_to_deadline").cast("long").as("days_to_deadline"))
+          .orderBy("due_date", "job_sk")),
 
     // ---------------------------------------------------------------- D14 ratio
     QueryDef(

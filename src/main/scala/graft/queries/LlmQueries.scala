@@ -13,9 +13,11 @@ import org.apache.spark.sql.types.DecimalType
   *
   * Oracle notes: the MinHash query's oracle is the EXACT all-true-pairs
   * answer — legitimate because at J≥0.8 with 32 bands × 4 rows the
-  * per-pair miss probability is (1−0.8⁴)³² ≈ 5e-8. The LSH-ANN and
-  * SimHash variants are inherently approximate, so they ship rows-only
-  * with recall assertions in DedupSpec instead of oracles.
+  * per-pair miss probability is (1−0.8⁴)³² ≈ 5e-8. The SimHash and
+  * LSH-ANN queries use md5-derived hashes/hyperplanes precisely so the
+  * DuckDB oracle can REPLAY the whole approximate algorithm (bands,
+  * buckets, ranks) — every query in this family is value-checked, none
+  * ship rows-only.
   *
   * Group averages sum DECIMAL-cast per-doc values (never raw doubles)
   * so results are order-independent — same rule as the relational
@@ -95,12 +97,33 @@ object LlmQueries {
           .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
           .orderBy("id_a", "id_b")),
 
-    // ---------------------------------------------------------------- SimHash near-dup (approximate; rows-only)
+    // ---------------------------------------------------------------- SimHash near-dup (md5 token hash → full oracle)
     QueryDef(
       "q_l4_simhash_neardup", "LLM-dedup-simhash",
-      None, // banded SimHash is approximate by design; recall asserted in DedupSpec
+      // exact replay of the algorithm: md5-derived token hashes → bit
+      // votes → 4×16-bit band blocking → Hamming via xor+bit_count
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+             |              FROM documents),
+             |th AS (SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 16)) AS UBIGINT) AS h
+             |       FROM toks),
+             |votes AS (SELECT doc_id, i, sum(CASE WHEN ((h >> i) & 1) = 1 THEN 1 ELSE -1 END) AS v
+             |          FROM th CROSS JOIN generate_series(0, 63) s(i)
+             |          GROUP BY doc_id, i),
+             |sig AS (SELECT doc_id,
+             |          bit_or(CASE WHEN v > 0 THEN (1::UBIGINT << i) ELSE 0::UBIGINT END) AS sg
+             |        FROM votes GROUP BY doc_id),
+             |bands AS (SELECT doc_id, sg, b, (sg >> (b * 16)) & 65535 AS bh
+             |          FROM sig CROSS JOIN generate_series(0, 3) t(b)),
+             |cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+             |                a.sg AS sa, c.sg AS sc
+             |         FROM bands a JOIN bands c
+             |           ON a.b = c.b AND a.bh = c.bh AND a.doc_id < c.doc_id)
+             |SELECT id_a, id_b, CAST(bit_count(xor(sa, sc)) AS BIGINT) AS hamming
+             |FROM cand WHERE bit_count(xor(sa, sc)) <= 8
+             |ORDER BY id_a, id_b""".stripMargin),
       (s, dir) =>
         Dedup.simhashNearDupPairs(Tables.documents(s, dir), "doc_id", "text", maxDistance = 8)
+          .withColumn("hamming", col("hamming").cast("long"))
           .orderBy("id_a", "id_b")),
 
     // ---------------------------------------------------------------- brute-force cosine top-k
@@ -126,10 +149,37 @@ object LlmQueries {
           .orderBy("query_id", "rank")
       }),
 
-    // ---------------------------------------------------------------- LSH-bucketed ANN (approximate; rows-only)
+    // ---------------------------------------------------------------- LSH-bucketed ANN (md5 planes → full oracle)
     QueryDef(
       "q_l6_ann_lsh", "LLM-ann-lsh",
-      None, // recall vs brute force asserted in SimilaritySpec
+      // exact replay: md5-derived hyperplanes → sign-bit buckets →
+      // within-bucket cosine top-k, identical fp accumulation order
+      Some("""WITH planes AS (
+             |  SELECT i, j, CAST(('0x' || substr(md5(i || ':' || j), 1, 16)) AS UBIGINT)
+             |               / 9223372036854775808.0 - 1.0 AS w
+             |  FROM generate_series(0, 3) a(i) CROSS JOIN generate_series(0, 63) b(j)),
+             |pl AS (SELECT i, list(w ORDER BY j) AS pw FROM planes GROUP BY i),
+             |dots AS (SELECT e.vec_id, pl.i,
+             |           list_inner_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+             |                              pl.pw) AS d
+             |         FROM embeddings e CROSS JOIN pl),
+             |vb AS (SELECT vec_id,
+             |         bit_or(CASE WHEN d > 0 THEN (1::UBIGINT << i) ELSE 0::UBIGINT END) AS bucket
+             |       FROM dots GROUP BY vec_id),
+             |v AS (SELECT e.vec_id, list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS e,
+             |             vb.bucket
+             |      FROM embeddings e JOIN vb ON vb.vec_id = e.vec_id),
+             |scored AS (
+             |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |         round(list_inner_product(q.e, c.e) /
+             |               (sqrt(list_inner_product(q.e, q.e)) * sqrt(list_inner_product(c.e, c.e))),
+             |               3) AS score
+             |  FROM v q JOIN v c ON q.bucket = c.bucket AND q.vec_id < 20 AND q.vec_id <> c.vec_id)
+             |SELECT query_id, rank, neighbor_id, score FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY query_id
+             |                               ORDER BY score DESC, neighbor_id) AS rank
+             |  FROM scored) t
+             |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
         Similarity.lshTopK(emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding",

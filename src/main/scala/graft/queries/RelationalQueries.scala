@@ -45,6 +45,23 @@ object RelationalQueries {
           .orderBy("l_orderkey", "l_linenumber")
           .limit(100)),
 
+    // ---------------------------------------------------------------- P3 (OFFSET pagination)
+    QueryDef(
+      "q_p3_offset", "P3 O1 O2",
+      Some("""SELECT o_orderkey AS order_id, o_totalprice
+             |FROM orders WHERE o_orderstatus = 'O'
+             |ORDER BY o_orderkey LIMIT 50 OFFSET 100""".stripMargin),
+      (s, dir) =>
+        // LIMIT/OFFSET/WHERE pass-through (ref raw_to_staging.py:265-273)
+        // via the native offset operator (CollectLimit with skip — no
+        // full materialization of the page head)
+        Tables.orders(s, dir)
+          .filter(col("o_orderstatus") === "O")
+          .select(col("o_orderkey").as("order_id"), col("o_totalprice"))
+          .orderBy("order_id")
+          .offset(100)
+          .limit(50)),
+
     // ---------------------------------------------------------------- P1
     QueryDef(
       "q_p1_project_rename", "P1",

@@ -12,10 +12,13 @@ import org.apache.spark.sql.functions._
 object AnalyticsViews {
 
   /** vw_current_jobs (schema_dwh.sql:91-97): fact ⋈ current DimJob ⋈
-    * current DimCompany.
+    * current DimCompany. The fact's own denormalized verified_employer
+    * copy (schema_dwh.sql:62) is renamed so the view exposes the
+    * dimension's, as the reference view does.
     */
   def vwCurrentJobs(dwh: Dwh): DataFrame =
     dwh.fact
+      .withColumnRenamed("verified_employer", "fact_verified_employer")
       .join(broadcast(dwh.dimJob.filter(col("is_current"))), "job_sk")
       .join(broadcast(dwh.dimCompany.filter(col("is_current"))), "company_sk")
 

@@ -24,6 +24,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(lsh.nonEmpty)
   }
 
+  test("mismatched embedding dimensionality fails loudly, never truncates") {
+    import spark.implicits._
+    val bad = Seq((1L, Seq(0.1f, 0.2f, 0.3f)), (2L, Seq(0.4f, 0.5f, 0.6f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.lshTopK(bad, bad, "vec_id", "embedding", k = 1, nPlanes = 2, dim = 64)
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("embedding dim")), e.toString)
+  }
+
   test("scaled copies have cosine 1.0 and are found as near-duplicates") {
     val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
     val aug = emb.unionByName(emb.filter(col("vec_id") < 5).select(

@@ -13,7 +13,7 @@ class CdcStreamSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
 
   test("streaming dedup drops re-delivered events") {
-    val stream = CdcStream.readEvents(spark, sf)
+    val stream = CdcStream.readEvents(spark, CdcStream.ensureStaged(spark, sf))
     val deduped = CdcStream.runToMemory(spark,
       CdcStream.dedupStream(stream).groupBy("event_type").agg(count(lit(1)).as("n")),
       "cdcspec_dedup")
@@ -47,6 +47,42 @@ class CdcStreamSpec extends AnyFunSuite {
     val closed = out.select("user_id", "n_events", "total_value").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(closed.contains((1L, 2L, 3.0)), closed.mkString(", "))
+  }
+
+  test("windowed agg absorbs multi-file arrival and matches batch truth") {
+    import spark.implicits._
+    val dir = "/root/repo/target/tmp/cdcspec_multifile"
+    graft.io.Snapshots.deleteDir(spark, dir)
+    def shape(rows: Seq[(Long, String, String, Double)]) =
+      rows.toDF("event_id", "tss", "event_type", "value")
+        .withColumn("ts", to_timestamp(col("tss")))
+        .select("event_id", "ts", "event_type", "value")
+    val f1 = shape(Seq((1L, "2024-01-01 10:00:00", "view", 1.0),
+      (2L, "2024-01-01 11:00:00", "click", 2.0)))
+    val f2 = shape(Seq((3L, "2024-01-02 10:00:00", "view", 3.0),
+      (4L, "2024-01-03 09:00:00", "view", 4.0)))
+    f1.coalesce(1).write.mode("append").parquet(dir)
+    val stream = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, event_type STRING, value DOUBLE").parquet(dir)
+    val q = CdcStream.dailyTypeCounts(stream).writeStream
+      .outputMode("complete").format("memory").queryName("cdcspec_multi").start()
+    q.processAllAvailable()
+    val afterFirst = spark.table("cdcspec_multi").count()
+    f2.coalesce(1).write.mode("append").parquet(dir) // second arrival advances the watermark
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("cdcspec_multi")
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy("day", "event_type").collect().toSeq
+    val want = f1.unionByName(f2)
+      .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy("day", "event_type").collect().toSeq
+    assert(got == want, s"got=$got want=$want")
+    assert(afterFirst == 2 && got.size == 4)
   }
 
   test("salted join equals plain join (skew utility semantics)") {
