@@ -34,6 +34,65 @@ object Scratch {
       val json = SparkEntry.oracleSql.filter(kv => names.contains(kv._1))
         .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
       Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    } else if (args.headOption.contains("profile-e2e")) {
+      // phase timing for the e2e star build at the given sf dir
+      import org.apache.spark.sql.functions._
+      val dir = args(1)
+      def t[A](what: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"[profile] $what: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+      }
+      val q = SparkEntry.queries
+      t("warm lineitem")(graft.Tables.lineitem(spark, dir).write.format("noop").mode("overwrite").save())
+      val raw = spark.read.parquet(s"$dir/orders.parquet")
+        .join(spark.read.parquet(s"$dir/customer.parquet"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(spark.read.parquet(s"$dir/nation.parquet")), col("c_nationkey") === col("n_nationkey"))
+        .select(col("o_orderkey").cast("string").as("job_id"),
+          concat(lit("Engineer "), col("o_orderpriority"), lit(" - Urgent")).as("title"),
+          col("c_name").as("company_name"),
+          concat(lit("từ "), (col("o_orderkey") % 20 + 5), lit(" triệu")).as("salary"),
+          col("n_name").as("location"), lit(null).cast("string").as("location_detail"),
+          (col("o_orderkey") % 30 + 1).cast("string").as("deadline"),
+          lit("1 ngày trước").as("last_update"), col("o_orderdate").as("crawled_at"),
+          concat(lit("https://jobs/"), col("o_orderkey")).as("job_url"),
+          lit("[\"Spark\"]").as("skills"), lit(null).cast("string").as("logo_url"),
+          concat(lit("https://co/"), col("c_custkey")).as("company_url"),
+          (col("c_custkey") % 2 === 0).as("verified_employer"))
+      // per-function cost attribution over the same repartitioned input
+      val now = to_timestamp(lit("2026-08-12 00:00:00"))
+      val base = raw.repartition(32).localCheckpoint()
+      t("noop pass")(base.write.format("noop").mode("overwrite").save())
+      t("F6/F7 location UDFs")(base
+        .withColumn("lp", graft.functions.LocationFns.extractLocationInfo(col("location_detail")))
+        .withColumn("loc2", graft.functions.LocationFns.refineLocation(col("location"), col("lp")))
+        .write.format("noop").mode("overwrite").save())
+      t("F4 clean_title")(base
+        .withColumn("tc", graft.functions.TextFns.cleanTitle(col("title")))
+        .write.format("noop").mode("overwrite").save())
+      t("F5 clean_company")(base
+        .withColumn("cn", graft.functions.TextFns.cleanCompanyName(col("company_name")))
+        .write.format("noop").mode("overwrite").save())
+      t("F1 salary x3 fields")(
+        { val s = graft.functions.SalaryFns.normalizeSalary(col("salary"))
+          base.withColumn("a", s.getField("salary_min")).withColumn("b", s.getField("salary_max"))
+            .withColumn("c", s.getField("salary_type"))
+            .write.format("noop").mode("overwrite").save() })
+      t("F2/F3/F11-F13 time fns")(base
+        .withColumn("dd", graft.functions.TimeFns.dueDate(lit(null).cast("timestamp"), col("crawled_at"), col("deadline")))
+        .withColumn("tr", graft.functions.TimeFns.timeRemaining(col("dd"), now))
+        .withColumn("pt", graft.functions.TextFns.postedTime(graft.functions.TextFns.parseLastUpdate(col("last_update")), now))
+        .withColumn("lm", graft.functions.TimeFns.loadMonth(col("crawled_at"), now))
+        .write.format("noop").mode("overwrite").save())
+      val staging = t("rawToStaging build+checkpoint") {
+        val s0 = graft.app.Pipeline.rawToStaging(raw, "2026-08-12 00:00:00")
+        val c = s0.localCheckpoint(); c.count(); c
+      }
+      val dwh = t("stagingToDwh plan (incl staging ckpt again)")(
+        graft.app.Pipeline.stagingToDwh(staging, "2026-08-12"))
+      t("dims count")(println((dwh.dimJob.count(), dwh.dimCompany.count(), dwh.dimLocation.count())))
+      t("fact count")(println(dwh.fact.count()))
+      t("fact agg")(println(dwh.fact.groupBy("load_month").count().count()))
+      t("bridge count")(println(dwh.bridge.count()))
     } else {
       val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
       for (t <- Tables.all) {

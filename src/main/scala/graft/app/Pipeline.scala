@@ -25,7 +25,16 @@ object Pipeline {
     * deadline, last_update, crawled_at, ... — absent optional columns
     * may simply be omitted downstream).
     */
-  def rawToStaging(raw: DataFrame, asOf: String): DataFrame = {
+  def rawToStaging(raw0: DataFrame, asOf: String): DataFrame = {
+    // The cleaning chain is UDF/regex-heavy and narrow: its parallelism
+    // is whatever the scan gave us. A small-file input (one parquet
+    // file → 1-2 partitions) would run the whole chain on 1-2 cores,
+    // so widen only when the input is narrower than the cluster —
+    // at real scale the scan already has plenty of partitions and no
+    // extra shuffle happens.
+    val target = raw0.sparkSession.sparkContext.defaultParallelism
+    val raw =
+      if (raw0.rdd.getNumPartitions < target) raw0.repartition(target) else raw0
     val now = to_timestamp(lit(asOf))
     val withPairs = raw
       .withColumn("location_pairs", LocationFns.extractLocationInfo(col("location_detail")))
@@ -75,6 +84,15 @@ object Pipeline {
         to_json(col("location_pairs")))
         .otherwise(col("location")))
 
+  /** Widen a narrow input (e.g. a single-file scan → 1-2 partitions) to
+    * cluster parallelism before a checkpoint/materialization; no-op
+    * when the scan is already wide, so nothing changes at real scale.
+    */
+  private def widen(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** E3: staging → full star-schema snapshot (initial build; the daily
     * incremental mode is `incrementalBatch` below).
     */
@@ -84,7 +102,7 @@ object Pipeline {
     // the E2 parse/normalize chain isn't recomputed per consumer (the
     // round-2 bench's dominant cost). localCheckpoint = executor-cached
     // materialization, auto-dropped when the frame is GC'd.
-    val staging = withLocationSrc(staging0).localCheckpoint()
+    val staging = widen(withLocationSrc(staging0)).localCheckpoint()
 
     // -------- dims (D1-D3): prep + dedup + SCD stamp + SK assignment
     // (distributed dense numbering — no single-partition window stage)
@@ -124,10 +142,12 @@ object Pipeline {
       staging.select(("job_id" +: "company_name_standardized" +: FactMeasureCols) ++
         Seq("load_month", "location_src") map col: _*),
       dimJob, dimCompany, "job_id", "company_name_standardized")
-    val exploded = StableId.assign(
-      Facts.explodeDailyGrain(resolved, asOf),
-      Seq(col("job_sk"), col("date_id")), "fact_id", 10000L)
-    val fact = Facts.dedupFacts(exploded)
+    // dedup BEFORE id assignment (same survivors as the reference's
+    // min-fact_id rule — duplicate (job_sk, date_id) keys are ties —
+    // and one less full-width pass over the exploded frame)
+    val deduped = Facts.dedupFirstPerKey(Facts.explodeDailyGrain(resolved, asOf))
+    val fact = StableId.assign(
+        deduped, Seq(col("job_sk"), col("date_id")), "fact_id", 10000L)
       .select(("fact_id" +: "job_sk" +: "company_sk" +: "date_id" +: FactMeasureCols) ++
         Seq("load_month", "location_src") map col: _*)
 
@@ -161,7 +181,7 @@ object Pipeline {
     */
   def incrementalBatch(prev: Dwh, staging0: DataFrame, asOf: String): Dwh = {
     val spark = staging0.sparkSession
-    val staging = withLocationSrc(staging0).localCheckpoint()
+    val staging = widen(withLocationSrc(staging0)).localCheckpoint()
 
     // within-batch keep-first dedup per natural key (crawler S2 / D2 —
     // the reference dedups before dim processing)

@@ -37,6 +37,7 @@ object Dimensions {
     */
   def prepareDimLocation(staging: DataFrame, locationCol: String): DataFrame =
     staging
+      .select(col(locationCol)).distinct() // parse per distinct string, not per row
       .select(explode(LocationFns.parseJobLocation(col(locationCol))).as("loc"))
       .select(col("loc.province").as("province"), col("loc.city").as("city"),
         col("loc.district").as("district"))

@@ -47,6 +47,16 @@ object Facts {
     facts.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** dedupFacts for frames that don't carry fact_id yet (id assignment
+    * happens after dedup): duplicate (job_sk, date_id) keys are exact
+    * ties under the reference's min-fact_id survivor rule, so any
+    * deterministic keep-one matches its semantics.
+    */
+  def dedupFirstPerKey(facts: DataFrame): DataFrame = {
+    val w = Window.partitionBy("job_sk", "date_id").orderBy(col("job_sk"))
+    facts.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
   /** D10/S9/W3: last-wins merge of incoming fact rows onto existing
     * ones. The UPSERT kept the latest measures but preserved the
     * original fact_id and load_month (fact_handler.py:237-255
@@ -122,10 +132,21 @@ object Facts {
     */
   def buildBridge(
       factsWithLocation: DataFrame, dimLocation: DataFrame): DataFrame = {
-    val exploded = factsWithLocation
-      .select(col("fact_id"), explode(LocationFns.parseJobLocation(col("location"))).as("loc"))
-      .select(col("fact_id"), col("loc.province").as("province"),
+    // Parse each DISTINCT location string once, then map facts to the
+    // parsed triples via a broadcast null-safe join: the location
+    // vocabulary (crawler city/district strings) is orders of magnitude
+    // smaller than the fact table, so this replaces a per-fact-row
+    // parse UDF with a per-distinct-string one. If the vocabulary ever
+    // outgrew broadcast size, drop the hint and AQE picks a shuffle
+    // join — semantics unchanged.
+    val locs = factsWithLocation.select("location").distinct()
+      .select(col("location").as("__loc"),
+        explode(LocationFns.parseJobLocation(col("location"))).as("loc"))
+      .select(col("__loc"), col("loc.province").as("province"),
         col("loc.city").as("city"), col("loc.district").as("district"))
+    val exploded = factsWithLocation
+      .join(broadcast(locs), col("location") <=> col("__loc"))
+      .select(col("fact_id"), col("province"), col("city"), col("district"))
     val dim = broadcast(dimLocation
       .select(col("location_sk"), col("province").as("__p"), col("city").as("__c"),
         col("district").as("__d")))

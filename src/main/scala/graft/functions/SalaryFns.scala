@@ -32,13 +32,13 @@ import org.apache.spark.sql.types.DecimalType
   */
 object SalaryFns {
 
-  private val RangeUsd   = "(?i)([0-9,.]+)\\s*-\\s*([0-9,.]+)\\s*usd"
-  private val RangeTrieu = "(?i)([0-9,.]+)\\s*-\\s*([0-9,.]+)\\s*triệu"
-  private val UptoUsd    = "(?i)tới\\s+([0-9,.]+)\\s*usd"
-  private val UptoTrieu  = "(?i)tới\\s+([0-9,.]+)\\s*triệu"
-  private val FromTrieu  = "(?i)từ\\s+([0-9,.]+)\\s*triệu"
-  private val OneUsd     = "(?i)([0-9,.]+)\\s*usd"
-  private val OneTrieu   = "(?i)([0-9,.]+)\\s*triệu"
+  private val RangeUsd   = "(?iu)([0-9,.]+)\\s*-\\s*([0-9,.]+)\\s*usd"
+  private val RangeTrieu = "(?iu)([0-9,.]+)\\s*-\\s*([0-9,.]+)\\s*triệu"
+  private val UptoUsd    = "(?iu)tới\\s+([0-9,.]+)\\s*usd"
+  private val UptoTrieu  = "(?iu)tới\\s+([0-9,.]+)\\s*triệu"
+  private val FromTrieu  = "(?iu)từ\\s+([0-9,.]+)\\s*triệu"
+  private val OneUsd     = "(?iu)([0-9,.]+)\\s*usd"
+  private val OneTrieu   = "(?iu)([0-9,.]+)\\s*triệu"
 
   private val Dec = DecimalType(18, 6)
   private def usdNum(s: Column): Column =
@@ -47,8 +47,23 @@ object SalaryFns {
     regexp_replace(s, ",", ".").cast(Dec)
   private def zero: Column = lit(0).cast(Dec)
 
-  /** Returns struct(salary_min: double, salary_max: double, salary_type: string). */
-  def normalizeSalary(c: Column): Column = {
+  /** Returns struct(salary_min: double, salary_max: double, salary_type: string).
+    *
+    * Backed by the custom Catalyst expression `NormalizeSalaryExpr`
+    * (single evaluation per row, precompiled patterns, codegen) — the
+    * `when`/`regexp_extract` chain below is kept as the executable
+    * specification and exercised by SalaryFnsSpec's parity test.
+    */
+  def normalizeSalary(c: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      NormalizeSalaryExpr(org.apache.spark.sql.GraftColumnBridge.expression(c)))
+
+  /** The same semantics as pure column expressions (the original
+    * formulation): each struct-field access re-inlines the whole branch
+    * chain, which measured ~10× slower than the custom expression at
+    * sf0.1 — kept for documentation and differential testing.
+    */
+  def normalizeSalaryColumns(c: Column): Column = {
     val pre = when(c.isNull || c === "" || lower(c) === "thoả thuận",
         struct(zero.as("mn"), zero.as("mx"), lit("negotiable").as("ty")))
       .when(c.rlike(RangeUsd),

@@ -85,10 +85,13 @@ object DwhQueries {
     dwhCache.getOrElseUpdate(dir, {
       val staging = graft.app.Pipeline.rawToStaging(e2eRaw(s, dir), "2026-08-12 00:00:00")
       val d = graft.app.Pipeline.stagingToDwh(staging, AsOf)
+      // LAZY checkpoints: each component materializes on first use and
+      // is re-read from cache after — q_e2e doesn't pay for the bridge
+      // it never touches, the view queries don't rebuild the fact
       graft.app.Pipeline.Dwh(
-        d.dimJob.localCheckpoint(), d.dimCompany.localCheckpoint(),
-        d.dimLocation.localCheckpoint(), d.dimDate,
-        d.fact.localCheckpoint(), d.bridge.localCheckpoint())
+        d.dimJob.localCheckpoint(false), d.dimCompany.localCheckpoint(false),
+        d.dimLocation.localCheckpoint(false), d.dimDate,
+        d.fact.localCheckpoint(false), d.bridge.localCheckpoint(false))
     })
 
   /** CURRENT_DATE stand-in for the vw_* queries — mid-1995 so the

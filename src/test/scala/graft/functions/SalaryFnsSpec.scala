@@ -40,4 +40,19 @@ class SalaryFnsSpec extends AnyFunSuite {
       assert(g == exp, s"input=$in")
     }
   }
+
+  test("custom expression equals the column-chain specification on goldens + fuzz") {
+    import spark.implicits._
+    val fuzz = Seq("5-9 triệu", "  ", "TỚI 7 TRIỆU", "từ 0 triệu", "1.5 - 2.5 triệu",
+      "100 USD - nope", "triệu", "usd", "8 - 6 triệu", "0 USD", "9,9 - 11,1 triệu")
+    val inputs = cases.flatMap(_._1) ++ fuzz
+    val df = inputs.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "salary")
+    val both = df.select(col("id"),
+      SalaryFns.normalizeSalary(col("salary")).as("fast"),
+      SalaryFns.normalizeSalaryColumns(col("salary")).as("spec"))
+      .orderBy("id").collect()
+    both.zip(inputs).foreach { case (r, in) =>
+      assert(r.get(1) == r.get(2), s"input='$in': fast=${r.get(1)} spec=${r.get(2)}")
+    }
+  }
 }
