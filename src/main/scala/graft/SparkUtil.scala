@@ -26,6 +26,8 @@ object SparkUtil {
       // reader rejects it unless nanos are surfaced as long. Set once,
       // session-wide, so scan behavior is not order-dependent (ADVICE r1).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // bucketed tables (co-located joins) land here instead of ./spark-warehouse
+      .config("spark.sql.warehouse.dir", "/root/repo/target/spark-warehouse")
 
   /** Fixed default core count so Bench/Verify numbers are comparable
     * across machines (ADVICE r2); override via SPARK_GRAFT_CPUS.

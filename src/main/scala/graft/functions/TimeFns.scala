@@ -45,6 +45,22 @@ object TimeFns {
         concat(lit("Còn "), diff, lit(" giây để ứng tuyển")))
   }
 
+  /** The variant the reference pipeline ACTUALLY EXECUTES
+    * (raw_to_staging.py:222-237 runs this inline 2-branch CASE instead
+    * of the 4-tier stored procedure): due in the future → whole-days
+    * countdown, everything else — including <1-day remainders that the
+    * proc would humanize as hours/minutes, and NULL due dates — →
+    * 'Đã hết thời gian ứng tuyển'. Kept separately from the proc-faithful
+    * `timeRemaining` so an e2e replay of reference OUTPUT can choose
+    * the executed semantics.
+    */
+  def timeRemainingExecuted(due: Column, now: Column): Column = {
+    val diff = due.cast("timestamp").cast("long") - now.cast("timestamp").cast("long")
+    when(due > now,
+      concat(lit("Còn "), floor(diff / 86400L).cast("int"), lit(" ngày để ứng tuyển")))
+      .otherwise(lit("Đã hết thời gian ứng tuyển"))
+  }
+
   // ------------------------------------------------------------ F13
   /** 'YYYY-MM' partition key; null → asOf's month
     * (ref data_prepare.py:304-323).

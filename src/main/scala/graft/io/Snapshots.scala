@@ -38,6 +38,18 @@ object Snapshots {
   def readPartitions(spark: SparkSession, path: String, months: Seq[String]): DataFrame =
     spark.read.parquet(path).filter(col("load_month").isin(months: _*))
 
+  /** Scale path for repeated co-located joins (SURVEY §4): write both
+    * sides bucketed AND sorted by the join key into the same bucket
+    * count — joins between them then read pre-partitioned, pre-sorted
+    * buckets and skip both the Exchange and the Sort (asserted in
+    * PlanSpec). This is how the fact↔bridge and staging↔dim joins
+    * avoid re-shuffling 100 TB on every daily batch: the expensive
+    * shuffle happens once at write time, not once per join.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
+
   /** S15: snapshot versioning — each version is an immutable directory;
     * restore = read it.
     */

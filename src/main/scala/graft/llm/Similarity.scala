@@ -116,6 +116,63 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "score")
   }
 
+  /** Deterministic SQL-replayable IVF centroids (namespaced separately
+    * from the LSH planes).
+    */
+  private[llm] def centroids(dim: Int, k: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(k) { c =>
+      Array.tabulate(dim) { j =>
+        val d = md.digest(s"c:$c:$j".getBytes("UTF-8"))
+        new java.math.BigInteger(1, java.util.Arrays.copyOf(d, 8)).doubleValue() / TwoPow63 - 1.0
+      }
+    }
+  }
+
+  /** Cell ids ordered by ascending squared-L2 distance (ties by cell
+    * id), truncated to `take`. Sequential accumulation so the DuckDB
+    * oracle replays the distances bit-for-bit.
+    */
+  private[llm] def nearestCells(
+      emb: Seq[Float], cents: Array[Array[Double]], take: Int): Seq[Int] = {
+    require(emb != null && emb.length == cents(0).length,
+      s"embedding dim ${if (emb == null) "null" else emb.length} != expected ${cents(0).length}")
+    cents.zipWithIndex.map { case (c, i) =>
+      var s = 0.0
+      var j = 0
+      while (j < c.length) { val d = emb(j) - c(j); s += d * d; j += 1 }
+      (s, i)
+    }.sortBy(identity).take(take).map(_._2).toSeq
+  }
+
+  /** IVF-style ANN: corpus vectors are indexed under their nearest of
+    * `nCells` fixed centroids; each query probes its `nProbe` nearest
+    * cells and ranks exact cosine inside them. Same scale shape as a
+    * trained-centroid IVF (one shuffle on cell id, cells ~ |C|/nCells)
+    * — the centroids here are md5-derived instead of learned so the
+    * DuckDB oracle can replay assignment and ranking exactly (q_l12);
+    * swapping in k-means centroids changes only the `centroids` table.
+    */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame, idCol: String, embCol: String,
+      k: Int, nCells: Int = 8, nProbe: Int = 2, dim: Int = 64, scale: Int = 3): DataFrame = {
+    val cents = centroids(dim, nCells)
+    val probeUdf = udf((e: Seq[Float]) => nearestCells(e, cents, nProbe))
+    val cellUdf = udf((e: Seq[Float]) => nearestCells(e, cents, 1).head)
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(embCol)).as("__qe"),
+      explode(probeUdf(col(embCol))).as("__cell"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(embCol)).as("__ce"),
+      cellUdf(col(embCol)).as("__cell"))
+    val scored = q.join(c, Seq("__cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", round(cosine(col("__qe"), col("__ce")), scale))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "score")
+  }
+
   /** Embedding-cosine near-duplicate pairs (dedup by vector closeness):
     * bucket with LSH, verify cosine ≥ threshold within buckets.
     */

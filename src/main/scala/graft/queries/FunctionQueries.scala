@@ -109,6 +109,35 @@ object FunctionQueries {
           .orderBy("case_id")
       }),
 
+    // ---------------------------------------------------------------- F3 executed variant
+    QueryDef(
+      // the inline CASE the reference pipeline actually runs
+      // (raw_to_staging.py:222-237): whole-days countdown or expired —
+      // the <1-day tiers and the NULL case collapse to 'Đã hết...'
+      "q_f3b_time_remaining_executed", "F3",
+      Some("""SELECT * FROM (VALUES
+             | (CAST(1 AS BIGINT), 'Còn 8 ngày để ứng tuyển'),
+             | (2, 'Còn 0 ngày để ứng tuyển'),
+             | (3, 'Còn 0 ngày để ứng tuyển'),
+             | (4, 'Còn 0 ngày để ứng tuyển'),
+             | (5, 'Đã hết thời gian ứng tuyển'),
+             | (6, 'Đã hết thời gian ứng tuyển'),
+             | (7, 'Đã hết thời gian ứng tuyển')
+             |) AS t(case_id, time_remaining) ORDER BY case_id""".stripMargin),
+      (s, _) => {
+        import s.implicits._
+        Seq(
+          1L -> Some("2026-08-20 10:30:00"), 2L -> Some("2026-08-13 05:30:00"),
+          3L -> Some("2026-08-12 10:59:30"), 4L -> Some("2026-08-12 10:30:45"),
+          5L -> Some("2026-08-01 00:00:00"), 6L -> Some("2026-08-12 10:30:00"),
+          7L -> Option.empty[String])
+          .toDF("case_id", "due")
+          .select(col("case_id"),
+            TimeFns.timeRemainingExecuted(to_timestamp(col("due")), to_timestamp(lit(Now)))
+              .as("time_remaining"))
+          .orderBy("case_id")
+      }),
+
     // ---------------------------------------------------------------- F4
     QueryDef(
       "q_f4_clean_title", "F4",

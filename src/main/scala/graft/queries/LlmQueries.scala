@@ -187,6 +187,47 @@ object LlmQueries {
           .orderBy("query_id", "rank")
       }),
 
+    // ---------------------------------------------------------------- IVF-bucketed ANN (md5 centroids → full oracle)
+    QueryDef(
+      "q_l12_ann_ivf", "LLM-ann-ivf",
+      // exact replay: fixed centroids → nearest-cell assignment (corpus)
+      // and 2-cell probing (queries) → within-cell cosine top-k
+      Some("""WITH cents AS (
+             |  SELECT c, j, CAST(('0x' || substr(md5('c:' || c || ':' || j), 1, 16)) AS UBIGINT)
+             |               / 9223372036854775808.0 - 1.0 AS w
+             |  FROM generate_series(0, 7) a(c) CROSS JOIN generate_series(0, 63) b(j)),
+             |cl AS (SELECT c, list(w ORDER BY j) AS cw FROM cents GROUP BY c),
+             |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+             |      FROM embeddings),
+             |dists AS (
+             |  SELECT vec_id, c, list_inner_product(d, d) AS dist
+             |  FROM (SELECT v.vec_id, cl.c,
+             |               list_transform(list_zip(v.e, cl.cw), s -> s[1] - s[2]) AS d
+             |        FROM v CROSS JOIN cl) t),
+             |ranked AS (SELECT vec_id, c,
+             |             row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS r
+             |           FROM dists),
+             |cc AS (SELECT vec_id, c FROM ranked WHERE r = 1),
+             |qc AS (SELECT vec_id, c FROM ranked WHERE r <= 2 AND vec_id < 20),
+             |scored AS (
+             |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+             |         round(list_inner_product(vq.e, vn.e) /
+             |               (sqrt(list_inner_product(vq.e, vq.e))
+             |                * sqrt(list_inner_product(vn.e, vn.e))), 3) AS score
+             |  FROM qc q JOIN cc n ON n.c = q.c AND n.vec_id <> q.vec_id
+             |  JOIN v vq ON vq.vec_id = q.vec_id JOIN v vn ON vn.vec_id = n.vec_id)
+             |SELECT query_id, rank, neighbor_id, score FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY query_id
+             |                               ORDER BY score DESC, neighbor_id) AS rank
+             |  FROM scored) t
+             |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.ivfTopK(emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding",
+            k = 5, nCells = 8, nProbe = 2)
+          .orderBy("query_id", "rank")
+      }),
+
     // ---------------------------------------------------------------- embedding-cosine near-dup
     QueryDef(
       "q_l7_cosine_neardup", "LLM-dedup-cosine",

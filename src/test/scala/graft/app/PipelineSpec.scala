@@ -171,6 +171,34 @@ class PipelineSpec extends AnyFunSuite {
     same(dwh2.bridge, dwh3.bridge, "bridge")
   }
 
+  test("streaming micro-batches through StreamingStar equal the batch incremental path") {
+    import org.apache.spark.sql.DataFrame
+    def same(a: DataFrame, b: DataFrame, what: String): Unit =
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty && a.count() == b.count(),
+        s"$what differs between streaming and batch path")
+    // batch 1 = the day-2 staging; batch 2 = J7 re-crawled with a new salary
+    val raw3 = raw2Fixture.filter(col("job_id") === "J7")
+      .withColumn("salary", lit("22 - 26 triệu"))
+      .withColumn("crawled_at", to_timestamp(lit("2026-08-15 09:00:00")))
+    val staging3 = Pipeline.rawToStaging(raw3, "2026-08-16 10:30:00")
+    val dir = "/root/repo/target/tmp/pipelinespec_stream_staging"
+    graft.io.Snapshots.deleteDir(spark, dir)
+    staging2.write.parquet(dir)
+    val star = new graft.streaming.StreamingStar(dwh,
+      Map(0L -> AsOf2, 1L -> "2026-08-16"))
+    val q = star.start(spark.readStream.schema(staging2.schema).parquet(dir))
+    q.processAllAvailable()
+    same(star.dwh.fact, dwh2.fact, "fact after batch 1")
+    same(star.dwh.dimJob, dwh2.dimJob, "dimJob after batch 1")
+    staging3.write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    q.stop()
+    val expected = Pipeline.incrementalBatch(dwh2, staging3, "2026-08-16")
+    same(star.dwh.dimJob, expected.dimJob, "dimJob after batch 2")
+    same(star.dwh.fact, expected.fact, "fact after batch 2")
+    same(star.dwh.bridge, expected.bridge, "bridge after batch 2")
+  }
+
   test("validator reports a clean warehouse") {
     val checks = Validator.report(Seq(
       Validator.duplicateCurrentKeys(dwh.dimJob, "job_id"),

@@ -24,6 +24,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(lsh.nonEmpty)
   }
 
+  test("IVF ANN recalls a healthy share of brute-force neighbors") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 10)
+    val bf = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(queries, emb, "vec_id", "embedding", 10,
+      nCells = 8, nProbe = 2)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = bf.intersect(ivf).size.toDouble / bf.size
+    // 8 cells, 2 probed ⇒ ~1/4 of the corpus scanned per query
+    assert(recall >= 0.1, s"recall=$recall")
+    assert(ivf.nonEmpty)
+  }
+
   test("mismatched embedding dimensionality fails loudly, never truncates") {
     import spark.implicits._
     val bad = Seq((1L, Seq(0.1f, 0.2f, 0.3f)), (2L, Seq(0.4f, 0.5f, 0.6f)))

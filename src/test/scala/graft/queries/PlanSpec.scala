@@ -58,6 +58,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("PartitionFilters") && p.contains("load_month"), p)
   }
 
+  test("bucketed tables join with no shuffle and no sort (co-located join)") {
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+    try {
+      Snapshots.writeBucketed(
+        Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice"),
+        "planspec_orders_b", "o_orderkey", 8)
+      Snapshots.writeBucketed(
+        Tables.lineitem(spark, sf).select(col("l_orderkey").as("o_orderkey"), col("l_quantity")),
+        "planspec_lineitem_b", "o_orderkey", 8)
+      val joined = spark.table("planspec_orders_b")
+        .join(spark.table("planspec_lineitem_b"), "o_orderkey")
+      val p = plan(joined)
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange"), s"bucketed join still shuffles:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   test("no accidental cartesian products in the relational/dwh families") {
     val intentionallyTiny = Set( // 1-row aggregate cross joins by design
       "q_d8_dimdate_fill", "q_d7_location_append", "q_d12_cleanup_dups",
