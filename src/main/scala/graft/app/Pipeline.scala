@@ -84,6 +84,19 @@ object Pipeline {
         to_json(col("location_pairs")))
         .otherwise(col("location")))
 
+  /** Loud contract check: the E3 entry points need exactly these
+    * staging columns (a subset of Schemas.stagingJobs — synthesized
+    * test batches may omit raw-only passthrough fields).
+    */
+  private def requireStagingCols(df: DataFrame): Unit = {
+    val needed = (("job_id" +: JobTrackedCols) ++
+      ("company_name_standardized" +: CompanyTrackedCols) ++
+      FactMeasureCols ++ Seq("load_month", "location", "location_pairs")).distinct
+    val missing = needed.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"staging input is missing required columns: ${missing.mkString(", ")}")
+  }
+
   /** Widen a narrow input (e.g. a single-file scan → 1-2 partitions) to
     * cluster parallelism before a checkpoint/materialization; no-op
     * when the scan is already wide, so nothing changes at real scale.
@@ -97,6 +110,7 @@ object Pipeline {
     * incremental mode is `incrementalBatch` below).
     */
   def stagingToDwh(staging0: DataFrame, asOf: String): Dwh = {
+    requireStagingCols(staging0)
     val spark = staging0.sparkSession
     // staging feeds four consumers (3 dims + facts); checkpoint once so
     // the E2 parse/normalize chain isn't recomputed per consumer (the
@@ -180,6 +194,7 @@ object Pipeline {
     * rows move only through one anti-join.
     */
   def incrementalBatch(prev: Dwh, staging0: DataFrame, asOf: String): Dwh = {
+    requireStagingCols(staging0)
     val spark = staging0.sparkSession
     val staging = widen(withLocationSrc(staging0)).localCheckpoint()
 

@@ -2,7 +2,6 @@ package graft.dwh
 
 import graft.functions.LocationFns
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Dimension preparation (SURVEY D1-D3, D7, D8).
@@ -17,15 +16,21 @@ object Dimensions {
 
   /** D1/D2 generic prep: project, fill fallbacks, dedup on the natural
     * key (deterministic keep-first by tiebreak), stamp SCD columns.
+    *
+    * The dedup is a `min_by` hash aggregation rather than a
+    * row_number window: same keep-first-by-tiebreak semantics, but
+    * with map-side partial aggregation and no sort — one cheaper
+    * shuffle per dimension build, which matters when the "dimension"
+    * is per-job (≈ row count of staging).
     */
   def prepareDim(
       staging: DataFrame, naturalKey: String, tiebreak: String,
       asOfDate: String): DataFrame = {
-    val w = Window.partitionBy(naturalKey).orderBy(col(tiebreak))
+    val payload = staging.columns.filterNot(_ == naturalKey).toSeq
     staging
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+      .groupBy(col(naturalKey))
+      .agg(min_by(struct(payload.map(col): _*), col(tiebreak)).as("__p"))
+      .select(col(naturalKey) +: payload.map(c => col(s"__p.$c").as(c)): _*)
       .withColumn(ScdType2.EffectiveCol, lit(asOfDate).cast("date"))
       .withColumn(ScdType2.ExpiryCol, lit(null).cast("date"))
       .withColumn(ScdType2.CurrentCol, lit(true))

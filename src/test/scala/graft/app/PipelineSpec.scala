@@ -199,6 +199,22 @@ class PipelineSpec extends AnyFunSuite {
     same(star.dwh.bridge, expected.bridge, "bridge after batch 2")
   }
 
+  test("pipeline outputs conform to the declared DDL schemas") {
+    import graft.schemas.Schemas
+    Schemas.requireColumns(staging, Schemas.stagingJobs, "staging")
+    Schemas.requireColumns(dwh.dimJob, Schemas.dimJob, "dimJob")
+    Schemas.requireColumns(dwh.dimCompany, Schemas.dimCompany, "dimCompany")
+    Schemas.requireColumns(dwh.dimLocation, Schemas.dimLocation, "dimLocation")
+    Schemas.requireColumns(dwh.dimDate, Schemas.dimDate, "dimDate")
+    Schemas.requireColumns(dwh.fact, Schemas.factJobPostingDaily, "fact")
+    Schemas.requireColumns(dwh.bridge, Schemas.factJobLocationBridge, "bridge")
+    // and a missing column fails loudly at the entry point
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.stagingToDwh(staging.drop("salary_min"), AsOf)
+    }
+    assert(e.getMessage.contains("salary_min"))
+  }
+
   test("validator reports a clean warehouse") {
     val checks = Validator.report(Seq(
       Validator.duplicateCurrentKeys(dwh.dimJob, "job_id"),

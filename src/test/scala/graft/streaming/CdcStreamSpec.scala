@@ -49,6 +49,22 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(closed.contains((1L, 2L, 3.0)), closed.mkString(", "))
   }
 
+  test("native session_window sessionization matches gap semantics") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "2024-01-01 10:00:00", 1.0), (1L, "2024-01-01 10:10:00", 2.0),
+      (1L, "2024-01-01 12:30:00", 4.0),
+      (2L, "2024-01-01 09:00:00", 8.0))
+      .toDF("user_id", "tss", "value")
+      .withColumn("ts", to_timestamp(col("tss")))
+      .select("user_id", "ts", "value")
+    val sessions = CdcStream.sessionizeNative(rows, 30)
+      .select("user_id", "n_events", "total_value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // user 1: two sessions split by the 2h20m gap; user 2: one session
+    assert(sessions == Set((1L, 2L, 3.0), (1L, 1L, 4.0), (2L, 1L, 8.0)), sessions)
+  }
+
   test("windowed agg absorbs multi-file arrival and matches batch truth") {
     import spark.implicits._
     val dir = "/root/repo/target/tmp/cdcspec_multifile"
