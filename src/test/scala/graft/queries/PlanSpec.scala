@@ -61,6 +61,13 @@ class PlanSpec extends AnyFunSuite {
   test("bucketed tables join with no shuffle and no sort (co-located join)") {
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+    // a fresh in-memory catalog can't overwrite a previous JVM's
+    // orphaned managed-table location — clear it first
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    Seq("planspec_orders_b", "planspec_lineitem_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      Snapshots.deleteDir(spark, s"$wh/$t")
+    }
     try {
       Snapshots.writeBucketed(
         Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice"),
