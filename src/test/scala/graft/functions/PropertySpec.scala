@@ -43,6 +43,19 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("custom salary expression equals the column-chain spec on generated inputs") {
+    val inputs = samples(salaryGen, 300)
+    import spark.implicits._
+    val rows = inputs.toDF("salary")
+      .select(col("salary"),
+        SalaryFns.normalizeSalary(col("salary")).as("fast"),
+        SalaryFns.normalizeSalaryColumns(col("salary")).as("spec"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.get(1) == r.get(2), s"divergence for '${r.getString(0)}'")
+    }
+  }
+
   private val locationGen: Gen[String] = {
     val word = Gen.oneOf("Hà Nội", "TP.HCM", "Đà Nẵng", "Quận 1", "Cầu Giấy", "X", "")
     Gen.oneOf(

@@ -1,0 +1,34 @@
+package graft.io
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Storage-layer semantics that the incremental pipeline relies on:
+  * dynamic partition overwrite must replace ONLY the months present in
+  * the incoming frame (the reference's per-month DELETE+COPY,
+  * partitioning.py:184-242, collapses into this one write mode —
+  * SURVEY §4).
+  */
+class SnapshotsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("dynamic partition overwrite rewrites only the touched month") {
+    import spark.implicits._
+    assert(spark.conf.get("spark.sql.sources.partitionOverwriteMode") == "dynamic")
+    val path = "/root/repo/target/tmp/snapshots_dyn_overwrite"
+    Snapshots.deleteDir(spark, path)
+    val v1 = Seq(("2026-07", 1L, 10.0), ("2026-07", 2L, 20.0), ("2026-08", 3L, 30.0))
+      .toDF("load_month", "id", "v")
+    Snapshots.writePartitioned(v1, path)
+    // the incremental batch touches only August
+    val aug = Seq(("2026-08", 3L, 99.0), ("2026-08", 4L, 40.0)).toDF("load_month", "id", "v")
+    aug.write.mode("overwrite").partitionBy("load_month").parquet(path)
+    val got = spark.read.parquet(path)
+      .select("load_month", "id", "v").orderBy("id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq(
+      ("2026-07", 1L, 10.0), ("2026-07", 2L, 20.0), // July untouched
+      ("2026-08", 3L, 99.0), ("2026-08", 4L, 40.0))) // August replaced
+  }
+}
