@@ -1,0 +1,47 @@
+package graft
+
+import graft.functions.NormalizeSalaryExpr
+import org.apache.spark.sql.{GraftColumnBridge, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: makes graft's native expressions
+  * available as SQL functions, so `spark.sql("... normalize_salary(s)
+  * ...")` works in any session built with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` — the
+  * standard extension-injection surface for a library shipping custom
+  * Catalyst expressions (SURVEY §7.3's option (b) toolchain).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      ext.injectFunction(
+        (org.apache.spark.sql.catalyst.FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def oneArg(name: String)(f: Expression => Expression)
+      : (String, ExpressionInfo, Seq[Expression] => Expression) =
+    (name,
+      new ExpressionInfo(classOf[NormalizeSalaryExpr].getName, name),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, s"$name expects exactly one argument")
+        f(children.head)
+      })
+
+  /** (name, info, builder) triples — one place to add future native
+    * expressions.
+    */
+  val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq(oneArg("normalize_salary")(NormalizeSalaryExpr(_)))
+
+  /** Register on an already-running session (tests / REPLs that didn't
+    * set spark.sql.extensions at build time).
+    */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, info, builder) =>
+      GraftColumnBridge.registerFunction(spark, name, info, builder)
+    }
+}

@@ -41,6 +41,18 @@ class SalaryFnsSpec extends AnyFunSuite {
     }
   }
 
+  test("normalize_salary is SQL-callable via the extensions registration") {
+    graft.GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT normalize_salary('15 - 20 triệu') AS r, normalize_salary(NULL) AS n")
+      .select("r.salary_min", "r.salary_max", "r.salary_type", "n.salary_type")
+      .head()
+    assert((r.getDouble(0), r.getDouble(1), r.getString(2)) == ((15.0, 20.0, "range")))
+    assert(r.getString(3) == "negotiable")
+    // the session-build path wires the same builders without error
+    new graft.GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+
   test("custom expression equals the column-chain specification on goldens + fuzz") {
     import spark.implicits._
     val fuzz = Seq("5-9 triệu", "  ", "TỚI 7 TRIỆU", "từ 0 triệu", "1.5 - 2.5 triệu",
