@@ -111,7 +111,11 @@ object IoQueries {
         val months = Seq("1995-01", "1995-02")
         Exports.exportMonths(dwh, months, tmp, "2026-08-12")
         // re-read everything from disk: data parquet, metadata, index
-        val meta = s.read.json(s"$tmp/*/metadata_*.json")
+        // (explicit schemas: declared contract, no inference pass)
+        val metaSchema = "load_month STRING, export_time STRING, " +
+          "record_counts STRUCT<analytics: BIGINT, facts: BIGINT, locations: BIGINT>, " +
+          "files ARRAY<STRING>"
+        val meta = s.read.schema(metaSchema).json(s"$tmp/*/metadata_*.json")
           .select(col("load_month"), expr(
             """stack(3, 'analytics', record_counts.analytics,
               |         'facts', record_counts.facts,
@@ -134,8 +138,11 @@ object IoQueries {
         }.reduce(_ unionByName _)
         val perType = data.join(meta, Seq("load_month", "export_type"))
           .select("load_month", "export_type", "n_rows", "n_meta", "checksum")
+        val indexSchema = "load_months ARRAY<STRING>, export_time STRING, " +
+          "export_count BIGINT, total_records BIGINT"
         val index = data.agg(sum(col("n_rows")).as("n_rows"))
-          .crossJoin(s.read.json(s"$tmp/index.json").select(col("total_records").as("n_meta")))
+          .crossJoin(s.read.schema(indexSchema).json(s"$tmp/index.json")
+            .select(col("total_records").as("n_meta")))
           .select(lit("_index").as("load_month"), lit("total").as("export_type"),
             col("n_rows"), col("n_meta"), lit(null).cast("double").as("checksum"))
         perType.unionByName(index).orderBy("load_month", "export_type")
