@@ -162,6 +162,35 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Winnowing-fingerprint near-dup pairs: each doc's winnow set
+    * (TextAnalysis.winnow over normalized text) plays the shingle role
+    * — fingerprint equi-join candidate generation, Jaccard over the
+    * fingerprint sets. Character-level, so it catches near-dups that
+    * word-shingle methods miss (reformatted whitespace, joined words),
+    * with ~|text|/w fingerprints per doc instead of one per token
+    * shingle. Same complete-blocking scale shape as ngramJaccardPairs.
+    */
+  def winnowNearDupPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int, threshold: Double): DataFrame = {
+    val exploded = docs
+      .select(col(idCol).as("__id"),
+        explode(TextAnalysis.winnowUdf(normalizeText(col(textCol)), lit(k), lit(w))).as("fp"))
+      .localCheckpoint() // shared by sizes + both join sides, GC-dropped
+    val sizes = exploded.groupBy("__id").agg(count(lit(1)).as("n"))
+    val inter = exploded.select(col("fp"), col("__id").as("id_a"))
+      .join(exploded.select(col("fp"), col("__id").as("id_b")), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("__id").as("id_a"), col("n").as("na")), Seq("id_a"))
+      .join(sizes.select(col("__id").as("id_b"), col("n").as("nb")), Seq("id_b"))
+      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   // ------------------------------------------------------------ SimHash
   /** 64-bit SimHash of a token array: each token votes its hash bits
     * up/down; the sign of each bit-sum forms the fingerprint. The token

@@ -87,30 +87,39 @@ object TextAnalysis {
   def fingerprint16(c: Column): Column = substring(md5(Dedup.normalizeText(c)), 1, 16)
 
   // ------------------------------------------------------------ winnowing
-  /** Winnowing fingerprints (Schleimer et al., SIGMOD'03): rolling-hash
-    * every k-gram of characters, slide a window of w hashes, keep each
-    * window's minimum (rightmost on ties) — the classic local
-    * document-fingerprint guarantee for substring matching at scale.
+  /** Winnowing fingerprints (Schleimer et al., SIGMOD'03): hash every
+    * k-gram of characters, slide a window of w hashes, keep each
+    * window's minimum — the classic local document-fingerprint
+    * guarantee for substring matching at scale. Gram hashes are the
+    * first 64 md5 bits (unsigned compare) so the DuckDB oracle can
+    * replay the selection exactly (q_l13): the selected VALUES are
+    * per-window minima, which SQL window-min reproduces regardless of
+    * tie position.
     */
   private[llm] def winnow(text: String, k: Int, w: Int): Seq[Long] = {
     if (text == null || text.length < k) return Seq.empty
+    val md = java.security.MessageDigest.getInstance("MD5")
     val n = text.length - k + 1
     val hashes = new Array[Long](n)
     var i = 0
     while (i < n) {
-      var h = 0xcbf29ce484222325L
-      var j = 0
-      while (j < k) { h ^= text.charAt(i + j).toLong; h *= 0x100000001b3L; j += 1 }
+      md.reset()
+      val d = md.digest(text.substring(i, i + k).getBytes("UTF-8"))
+      var h = 0L
+      var b = 0
+      while (b < 8) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
       hashes(i) = h
       i += 1
     }
-    if (n <= w) return Seq(hashes.min)
+    // unsigned ordering (md5 bits are uniform in [0, 2^64))
+    def lt(a: Long, b: Long): Boolean = java.lang.Long.compareUnsigned(a, b) < 0
+    if (n <= w) return Seq(hashes.reduce((a, b) => if (lt(b, a)) b else a))
     val out = scala.collection.mutable.LinkedHashSet[Long]()
     var start = 0
     while (start + w <= n) {
       var minIdx = start
       var m = start
-      while (m < start + w) { if (hashes(m) <= hashes(minIdx)) minIdx = m; m += 1 }
+      while (m < start + w) { if (!lt(hashes(minIdx), hashes(m))) minIdx = m; m += 1 }
       out += hashes(minIdx)
       start += 1
     }

@@ -357,6 +357,41 @@ object LlmQueries {
             countDistinct(TextAnalysis.fingerprint16(col("text"))).as("n_fingerprints"))
           .orderBy("source")),
 
+    // ---------------------------------------------------------------- winnowing near-dup (md5 grams → full oracle)
+    QueryDef(
+      "q_l13_winnow_neardup", "LLM-dedup-winnowing",
+      // exact replay of Schleimer et al. winnowing: md5 char-7-gram
+      // hashes → window-4 minima → fingerprint-set Jaccard
+      Some("""WITH t AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s
+             |           FROM documents),
+             |gi AS (SELECT doc_id, s, length(s) - 6 AS n,
+             |              unnest(generate_series(1, length(s) - 6)) AS i
+             |       FROM t),
+             |g AS (SELECT doc_id, i, n,
+             |             CAST(('0x' || substr(md5(substr(s, i, 7)), 1, 16)) AS UBIGINT) AS h
+             |      FROM gi),
+             |wins AS (SELECT doc_id, i, n,
+             |           min(h) OVER (PARTITION BY doc_id ORDER BY i
+             |                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh
+             |         FROM g),
+             |sel AS (SELECT DISTINCT doc_id, mh AS fp FROM wins WHERE n > 4 AND i <= n - 3
+             |        UNION ALL
+             |        SELECT doc_id, min(h) AS fp FROM g WHERE n <= 4 GROUP BY doc_id),
+             |sizes AS (SELECT doc_id, count(*) AS n FROM sel GROUP BY doc_id),
+             |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+             |          FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+             |          GROUP BY 1, 2)
+             |SELECT id_a, id_b,
+             |       round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+             |FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+             |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+             |ORDER BY id_a, id_b""".stripMargin),
+      (s, dir) =>
+        Dedup.winnowNearDupPairs(Tables.documents(s, dir), "doc_id", "text",
+            k = 7, w = 4, threshold = 0.5)
+          .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+          .orderBy("id_a", "id_b")),
+
     // ---------------------------------------------------------------- multimodal metadata + stub decode
     QueryDef(
       "q_m1_media_meta", "LLM-multimodal-meta",
