@@ -34,6 +34,23 @@ object Scratch {
       val json = SparkEntry.oracleSql.filter(kv => names.contains(kv._1))
         .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
       Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    } else if (args.headOption.contains("profile-winnow")) {
+      import org.apache.spark.sql.functions._
+      val dir = args(1)
+      def t[A](what: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"[profile] $what: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+      }
+      val docs = Tables.documents(spark, dir)
+      t("docs warm")(docs.write.format("noop").mode("overwrite").save())
+      val exploded = t("winnow UDF + cap + checkpoint") {
+        val e = graft.llm.Dedup.winnowExplodedForProfile(docs, "doc_id", "text", 7, 4, 500)
+        e.count(); e
+      }
+      t("full query (2nd run)")(graft.llm.Dedup.winnowNearDupPairs(docs, "doc_id", "text", 7, 4, 0.5, 500)
+        .write.format("noop").mode("overwrite").save())
+      t("full query")(graft.llm.Dedup.winnowNearDupPairs(docs, "doc_id", "text", 7, 4, 0.5, 500)
+        .write.format("noop").mode("overwrite").save())
     } else if (args.headOption.contains("profile-e2e")) {
       // phase timing for the e2e star build at the given sf dir
       import org.apache.spark.sql.functions._

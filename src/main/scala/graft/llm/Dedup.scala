@@ -101,6 +101,85 @@ object Dedup {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)) / size(array_union(a, b))
 
+  /** Ensure enough input partitions that per-document UDF work (winnow,
+    * shingling) spreads across the cluster: a single small parquet file
+    * arrives as 1-2 partitions, serializing the map stage. No-op when
+    * the scan is already parallel (the real-scale case).
+    */
+  private def spread(docs: DataFrame): DataFrame = {
+    val want = docs.sparkSession.sparkContext.defaultParallelism
+    if (docs.rdd.getNumPartitions < want) docs.repartition(want) else docs
+  }
+
+  /** Exact Jaccard pairs from a (doc, key) exploded frame via
+    * blocking-join candidate generation with a stopword-key cap.
+    *
+    * The cap: keys present in more than `maxDocFreq` documents are
+    * dropped before pairing, and Jaccard is computed over the kept
+    * (informative) key sets on both sides. A key shared by thousands
+    * of documents is template boilerplate — it cannot make a pair
+    * near-duplicate on its own (J ≥ t needs the pair to share ~t of
+    * EACH side's keys) but it would make its bucket's pair work
+    * quadratic in frequency. With the cap, per-bucket pair work is
+    * ≤ maxDocFreq²/2 however templated the corpus, which is what keeps
+    * this linear at 100 TB. Key frequencies come from an aggregation
+    * joined back (AQE broadcasts the frequency side when the
+    * vocabulary is small; at real scale it degrades to a shuffle join,
+    * never a sort).
+    *
+    * Intersection sizes come from counting each bucket's emitted
+    * pairs — one count-shuffle keyed by the pair, no array re-join.
+    *
+    * `keyed` must be one row per (doc, key) with columns
+    * (__id: long, `keyCol`).
+    */
+  private def jaccardPairsViaBlocking(
+      keyed: DataFrame, keyCol: String,
+      threshold: Double, maxDocFreq: Int): DataFrame = {
+    // Cap via a count window on the key: one shuffle computes the
+    // explosion (UDF once), frequencies, and the filter, and the
+    // result is materialized once (localCheckpoint, GC-dropped) for
+    // the three downstream consumers.
+    val kept = keyed
+      .withColumn("__df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(keyCol)))
+      .filter(col("__df") <= maxDocFreq)
+      .drop("__df")
+      .localCheckpoint()
+    val sizes = kept.groupBy("__id").agg(count(lit(1)).as("n"))
+    // The candidate join's grouping keys are nearly unique per input
+    // partition (pairs repeat across keys, which live elsewhere), so a
+    // partial aggregate would hash ~all rows for no reduction — an
+    // explicit repartition on the pair makes Catalyst plan a single
+    // final aggregate instead.
+    val inter = kept.select(col(keyCol), col("__id").as("id_a"))
+      .join(kept.select(col(keyCol), col("__id").as("id_b")), Seq(keyCol))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .repartition(col("id_a"), col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("__id").as("id_a"), col("n").as("na")), Seq("id_a"))
+      .join(sizes.select(col("__id").as("id_b"), col("n").as("nb")), Seq("id_b"))
+      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Profiling hook: the winnow → cap → checkpoint stage on its own. */
+  private[graft] def winnowExplodedForProfile(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int, maxDocFreq: Int): DataFrame =
+    spread(docs)
+      .select(col(idCol).as("__id"),
+        explode(TextAnalysis.winnowUdf(normalizeText(col(textCol)), lit(k), lit(w))).as("fp"))
+      .withColumn("__df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+      .filter(col("__df") <= maxDocFreq)
+      .drop("__df")
+      .localCheckpoint()
+
   /** MinHash/LSH near-duplicate pairs: banded bucketing → candidate
     * pairs → exact-Jaccard verification. `docs` needs (idCol, textCol).
     * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
@@ -133,34 +212,20 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** Exact n-gram Jaccard pairs via shingle-join blocking: any pair with
-    * J > 0 shares a shingle, so the equi-join on distinct shingles is a
-    * COMPLETE candidate generator — no all-pairs scan, and at scale the
-    * hottest (most common) shingles can be dropped as stopword-shingles
-    * to bound bucket sizes.
+  /** Exact n-gram Jaccard pairs via shingle-join blocking: any pair
+    * sharing an informative shingle meets in the equi-join; shingles in
+    * more than `maxDocFreq` docs are dropped as stopword-shingles
+    * (capDocFreq) so bucket sizes — and the join's pair work — stay
+    * bounded however templated the corpus is. Jaccard is over the kept
+    * shingle sets.
     */
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int, threshold: Double): DataFrame = {
-    val exploded = docs
-      .select(col(idCol).as("__id"), explode(shingles(col(textCol), shingleN)).as("s"))
-      .localCheckpoint() // auto-dropped on GC, no unpersist leak
-    val sizes = exploded.groupBy("__id").agg(count(lit(1)).as("n"))
-    // one aggregation gives the intersection size per co-occurring pair;
-    // jaccard follows from |A∩B| and the per-doc sizes — no array
-    // re-join, no second pass over the shingle sets
-    val inter = exploded.select(col("s"), col("__id").as("id_a"))
-      .join(exploded.select(col("s"), col("__id").as("id_b")), Seq("s"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("__id").as("id_a"), col("n").as("na")), Seq("id_a"))
-      .join(sizes.select(col("__id").as("id_b"), col("n").as("nb")), Seq("id_b"))
-      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
-  }
+      shingleN: Int, threshold: Double, maxDocFreq: Int = 500): DataFrame =
+    jaccardPairsViaBlocking(
+      spread(docs)
+        .select(col(idCol).as("__id"), explode(shingles(col(textCol), shingleN)).as("s")),
+      "s", threshold, maxDocFreq)
 
   /** Winnowing-fingerprint near-dup pairs: each doc's winnow set
     * (TextAnalysis.winnow over normalized text) plays the shingle role
@@ -168,28 +233,21 @@ object Dedup {
     * fingerprint sets. Character-level, so it catches near-dups that
     * word-shingle methods miss (reformatted whitespace, joined words),
     * with ~|text|/w fingerprints per doc instead of one per token
-    * shingle. Same complete-blocking scale shape as ngramJaccardPairs.
+    * shingle. Same blocking-join scale shape as ngramJaccardPairs,
+    * including the stopword-fingerprint cap: char-k-gram fingerprints
+    * of templated text have hot keys (ubiquitous substrings) whose
+    * join buckets would otherwise grow quadratically, so fingerprints
+    * in more than `maxDocFreq` docs are dropped before the pair join
+    * and Jaccard is computed over the kept sets.
     */
   def winnowNearDupPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      k: Int, w: Int, threshold: Double): DataFrame = {
-    val exploded = docs
-      .select(col(idCol).as("__id"),
-        explode(TextAnalysis.winnowUdf(normalizeText(col(textCol)), lit(k), lit(w))).as("fp"))
-      .localCheckpoint() // shared by sizes + both join sides, GC-dropped
-    val sizes = exploded.groupBy("__id").agg(count(lit(1)).as("n"))
-    val inter = exploded.select(col("fp"), col("__id").as("id_a"))
-      .join(exploded.select(col("fp"), col("__id").as("id_b")), Seq("fp"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("__id").as("id_a"), col("n").as("na")), Seq("id_a"))
-      .join(sizes.select(col("__id").as("id_b"), col("n").as("nb")), Seq("id_b"))
-      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
-  }
+      k: Int, w: Int, threshold: Double, maxDocFreq: Int = 500): DataFrame =
+    jaccardPairsViaBlocking(
+      spread(docs)
+        .select(col(idCol).as("__id"),
+          explode(TextAnalysis.winnowUdf(normalizeText(col(textCol)), lit(k), lit(w))).as("fp")),
+      "fp", threshold, maxDocFreq)
 
   // ------------------------------------------------------------ SimHash
   /** 64-bit SimHash of a token array: each token votes its hash bits

@@ -99,17 +99,56 @@ object TextAnalysis {
   private[llm] def winnow(text: String, k: Int, w: Int): Seq[Long] = {
     if (text == null || text.length < k) return Seq.empty
     val md = java.security.MessageDigest.getInstance("MD5")
+    val digestBuf = new Array[Byte](16)
     val n = text.length - k + 1
     val hashes = new Array[Long](n)
-    var i = 0
-    while (i < n) {
-      md.reset()
-      val d = md.digest(text.substring(i, i + k).getBytes("UTF-8"))
-      var h = 0L
-      var b = 0
-      while (b < 8) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
-      hashes(i) = h
-      i += 1
+    // Batched digesting: encode the whole text to UTF-8 once and feed
+    // each gram as a byte slice (char index → byte offset precomputed),
+    // instead of substring+getBytes per position — same hashes, no
+    // per-gram String/array allocation. Lone-surrogate texts (where a
+    // gram boundary could split a code point, changing the encoding)
+    // fall back to the per-substring path.
+    var hasSurrogate = false
+    var ci = 0
+    while (ci < text.length && !hasSurrogate) {
+      if (Character.isSurrogate(text.charAt(ci))) hasSurrogate = true
+      ci += 1
+    }
+    if (!hasSurrogate) {
+      val bytes = text.getBytes("UTF-8")
+      val offs = new Array[Int](text.length + 1)
+      var bi = 0
+      ci = 0
+      while (ci < text.length) {
+        offs(ci) = bi
+        val c = text.charAt(ci)
+        bi += (if (c < 0x80) 1 else if (c < 0x800) 2 else 3)
+        ci += 1
+      }
+      offs(text.length) = bi
+      var i = 0
+      while (i < n) {
+        md.reset()
+        md.update(bytes, offs(i), offs(i + k) - offs(i))
+        md.digest(digestBuf, 0, 16)
+        var h = 0L
+        var b = 0
+        while (b < 8) { h = (h << 8) | (digestBuf(b) & 0xffL); b += 1 }
+        hashes(i) = h
+        i += 1
+      }
+    } else {
+      var i = 0
+      while (i < n) {
+        md.reset()
+        md.update(text.substring(i, i + k).getBytes("UTF-8"))
+        md.digest(digestBuf, 0, 16)
+        var h = 0L
+        var b = 0
+        while (b < 8) { h = (h << 8) | (digestBuf(b) & 0xffL); b += 1 }
+        hashes(i) = h
+        i += 1
+      }
     }
     // unsigned ordering (md5 bits are uniform in [0, 2^64))
     def lt(a: Long, b: Long): Boolean = java.lang.Long.compareUnsigned(a, b) < 0

@@ -82,9 +82,11 @@ object LlmQueries {
              |sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+2], ' ')
              |                                            for i in generate_series(1, len(w)-2)])) AS s
              |       FROM toks WHERE len(w) >= 3),
-             |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+             |kept AS (SELECT * FROM sh
+             |         QUALIFY count(*) OVER (PARTITION BY s) <= 500),
+             |sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
              |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-             |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |          FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
              |          GROUP BY 1, 2)
              |SELECT id_a, id_b,
              |       round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
@@ -93,7 +95,7 @@ object LlmQueries {
              |ORDER BY id_a, id_b""".stripMargin),
       (s, dir) =>
         Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
-            shingleN = 3, threshold = 0.8)
+            shingleN = 3, threshold = 0.8, maxDocFreq = 500)
           .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
           .orderBy("id_a", "id_b")),
 
@@ -377,9 +379,11 @@ object LlmQueries {
              |sel AS (SELECT DISTINCT doc_id, mh AS fp FROM wins WHERE n > 4 AND i <= n - 3
              |        UNION ALL
              |        SELECT doc_id, min(h) AS fp FROM g WHERE n <= 4 GROUP BY doc_id),
-             |sizes AS (SELECT doc_id, count(*) AS n FROM sel GROUP BY doc_id),
+             |kept AS (SELECT * FROM sel
+             |         QUALIFY count(*) OVER (PARTITION BY fp) <= 500),
+             |sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
              |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-             |          FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+             |          FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
              |          GROUP BY 1, 2)
              |SELECT id_a, id_b,
              |       round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
@@ -388,7 +392,7 @@ object LlmQueries {
              |ORDER BY id_a, id_b""".stripMargin),
       (s, dir) =>
         Dedup.winnowNearDupPairs(Tables.documents(s, dir), "doc_id", "text",
-            k = 7, w = 4, threshold = 0.5)
+            k = 7, w = 4, threshold = 0.5, maxDocFreq = 500)
           .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
           .orderBy("id_a", "id_b")),
 

@@ -47,6 +47,46 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("stopword-fingerprint cap changes no winnow pairs at threshold 0.5 on testdata") {
+    val docs = Tables.documents(spark, sf)
+    def pairSet(cap: Int) =
+      Dedup.winnowNearDupPairs(docs, "doc_id", "text", k = 7, w = 4,
+          threshold = 0.5, maxDocFreq = cap)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = pairSet(500)
+    val uncapped = pairSet(Int.MaxValue)
+    assert(capped == uncapped, s"capped ${capped.size} pairs vs uncapped ${uncapped.size}")
+    assert(capped.nonEmpty, "testdata should contain planted near-duplicates")
+  }
+
+  test("winnow batched-digest path matches per-substring hashing incl. unicode") {
+    // ASCII, multi-byte BMP (Vietnamese), and a supplementary char
+    // (forces the surrogate fallback) must all hash identically to the
+    // definitional per-substring md5.
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "cần tuyển kỹ sư phần mềm tại hà nội lương cao",
+      "emoji 😀 inside the document text stream")
+    texts.foreach { t =>
+      val fast = TextAnalysis.winnow(t, 7, 4)
+      val ref = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val n = t.length - 7 + 1
+        val hs = (0 until n).map { i =>
+          val d = md.digest(t.substring(i, i + 7).getBytes("UTF-8"))
+          (0 until 8).foldLeft(0L)((h, b) => (h << 8) | (d(b) & 0xffL))
+        }.toArray
+        def lt(a: Long, b: Long) = java.lang.Long.compareUnsigned(a, b) < 0
+        val out = scala.collection.mutable.LinkedHashSet[Long]()
+        (0 to n - 4).foreach { s =>
+          out += (s until s + 4).map(hs).reduce((a, b) => if (lt(b, a)) b else a)
+        }
+        out.toSeq
+      }
+      assert(fast == ref, s"mismatch for: $t")
+    }
+  }
+
   test("winnowing fingerprints overlap heavily for near-identical docs") {
     val a = TextAnalysis.winnow("the quick brown fox jumps over the lazy dog", 5, 4).toSet
     val b = TextAnalysis.winnow("the quick brown fox jumps over the lazy cat", 5, 4).toSet
