@@ -111,41 +111,64 @@ object Dedup {
     if (docs.rdd.getNumPartitions < want) docs.repartition(want) else docs
   }
 
-  /** Exact Jaccard pairs from a (doc, key) exploded frame via
-    * blocking-join candidate generation with a stopword-key cap.
-    *
-    * The cap: keys present in more than `maxDocFreq` documents are
-    * dropped before pairing, and Jaccard is computed over the kept
-    * (informative) key sets on both sides. A key shared by thousands
-    * of documents is template boilerplate — it cannot make a pair
-    * near-duplicate on its own (J ≥ t needs the pair to share ~t of
-    * EACH side's keys) but it would make its bucket's pair work
+  /** Stopword-key cap over a (doc, key) exploded frame: keys present in
+    * more than `maxDocFreq` documents are dropped. A key shared by
+    * thousands of documents is template boilerplate — it cannot make a
+    * pair near-duplicate on its own (J ≥ t needs the pair to share ~t
+    * of EACH side's keys) but it would make its bucket's pair work
     * quadratic in frequency. With the cap, per-bucket pair work is
-    * ≤ maxDocFreq²/2 however templated the corpus, which is what keeps
-    * this linear at 100 TB. Key frequencies come from an aggregation
-    * joined back (AQE broadcasts the frequency side when the
-    * vocabulary is small; at real scale it degrades to a shuffle join,
-    * never a sort).
+    * ≤ maxDocFreq²/2 however templated the corpus.
     *
-    * Intersection sizes come from counting each bucket's emitted
-    * pairs — one count-shuffle keyed by the pair, no array re-join.
+    * Key frequencies come from `groupBy(key).count()` joined back —
+    * partial aggregation absorbs hot keys map-side, so no task ever
+    * holds a whole key group. (A `Window.partitionBy(key)` count would
+    * sort the hottest key's entire bucket in ONE task — the exact skew
+    * the cap exists to defuse; at 100 TB a boilerplate key in 1% of
+    * docs is billions of rows in that task.) AQE broadcasts the
+    * frequency side when the vocabulary is small; at real scale it
+    * degrades to a shuffle join, never a single-task sort.
     *
-    * `keyed` must be one row per (doc, key) with columns
-    * (__id: long, `keyCol`).
+    * KNOWN BLIND SPOT: a near-duplicate CLUSTER with more members than
+    * the cap (one page byte-duplicated thousands of times — the
+    * primary target of LLM dedup) has every one of its keys over-cap,
+    * so its members emit ZERO pairs here. Run exact dedup first
+    * (`exactFingerprint` groupBy, q_l1): byte-identical mass
+    * duplicates are its job, and the clusters that survive it are far
+    * below any sane cap. The corpus-relative cap sometimes suggested
+    * instead (e.g. 1% of doc count) was measured on the planted
+    * testdata clusters and REJECTED: at sf0.1 it drops 18 true pairs
+    * and admits 904 spurious ones (mid-frequency keys carry real
+    * similarity signal), while 500 is result-identical to no cap at
+    * every SF (DedupSpec cap-invariance).
+    *
+    * Input must be one row per (doc, key) with columns (__id: long,
+    * `keyCol`). Output carries (__id, keyCol, __df) and is lazily
+    * localCheckpoint'd (materialize-on-first-use, blocks GC-dropped
+    * with the frame) so the explode UDF and the cap join run once for
+    * all downstream consumers; the input is checkpointed too so the
+    * frequency aggregation and the join probe share one explosion.
     */
-  private def jaccardPairsViaBlocking(
+  private[llm] def cappedKeyed(
+      keyed: DataFrame, keyCol: String, maxDocFreq: Int): DataFrame = {
+    val keyedCk = keyed.localCheckpoint(false)
+    val freq = keyedCk.groupBy(keyCol).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDocFreq)
+    keyedCk.join(freq, Seq(keyCol)).localCheckpoint(false)
+  }
+
+  /** Exact Jaccard pairs from a (doc, key) exploded frame via
+    * COMPLETE blocking-join candidate generation: every pair sharing
+    * any kept key meets in the equi-join. Intersection sizes come from
+    * counting each bucket's emitted pairs — one count-shuffle keyed by
+    * the pair, no array re-join. Pair work is quadratic in per-key
+    * frequency, so this is for corpora where the cap keeps buckets
+    * genuinely small; `jaccardPairsViaSketch` is the cheaper candidate
+    * generator when per-doc key sets are large (winnowing).
+    */
+  private[llm] def jaccardPairsViaBlocking(
       keyed: DataFrame, keyCol: String,
       threshold: Double, maxDocFreq: Int): DataFrame = {
-    // Cap via a count window on the key: one shuffle computes the
-    // explosion (UDF once), frequencies, and the filter, and the
-    // result is materialized once (localCheckpoint, GC-dropped) for
-    // the three downstream consumers.
-    val kept = keyed
-      .withColumn("__df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(keyCol)))
-      .filter(col("__df") <= maxDocFreq)
-      .drop("__df")
-      .localCheckpoint()
+    val kept = cappedKeyed(keyed, keyCol, maxDocFreq)
     val sizes = kept.groupBy("__id").agg(count(lit(1)).as("n"))
     // The candidate join's grouping keys are nearly unique per input
     // partition (pairs repeat across keys, which live elsewhere), so a
@@ -167,18 +190,75 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** Profiling hook: the winnow → cap → checkpoint stage on its own. */
+  /** Exact Jaccard pairs via RARE-KEY SKETCH candidate generation: each
+    * doc is sketched by its `sketchK` rarest kept keys (ordered by
+    * corpus doc-frequency asc, then signed key value asc — fully
+    * deterministic and SQL-replayable), candidates are pairs sharing at
+    * least `minShared` sketch keys, and only candidates are verified
+    * with an exact intersection over the full kept sets. The Jaccard
+    * values returned are exact; only candidate RECALL is heuristic.
+    *
+    * Why this beats complete blocking for winnowing: per-doc key sets
+    * are large (~|text|/w fingerprints), so complete blocking emits
+    * Σ_key freq²/2 pair rows — 50M at sf0.1 even with the cap. The
+    * rarest keys are exactly the discriminative ones (template keys
+    * sort last), so the sketch join's buckets are tiny and the
+    * emitted-pair volume drops ~25× while planted-cluster recall stays
+    * exact at every SF (measured; a true pair at J ≥ 0.5 shares ~half
+    * of each side's keys, so missing ≥ sketchK−minShared+1 of the 16
+    * rarest is vanishingly unlikely). One groupBy(__id) produces the
+    * full set, its size, and the sketch in a single shuffle — no
+    * per-key window anywhere.
+    */
+  private[llm] def jaccardPairsViaSketch(
+      keyed: DataFrame, keyCol: String, threshold: Double,
+      maxDocFreq: Int, sketchK: Int, minShared: Int): DataFrame = {
+    val kept = cappedKeyed(keyed, keyCol, maxDocFreq)
+    // one aggregation: full key set (for exact verify), size, and the
+    // (df asc, key asc)-sorted sketch prefix
+    val sets = kept
+      .groupBy("__id")
+      .agg(collect_list(struct(col("__df").as("df"), col(keyCol).as("k"))).as("__dk"))
+      .select(col("__id"),
+        transform(col("__dk"), s => s.getField("k")).as("__keys"),
+        size(col("__dk")).as("n"),
+        transform(slice(array_sort(col("__dk")), 1, sketchK), s => s.getField("k"))
+          .as("__sketch"))
+      .drop("__dk")
+      .localCheckpoint(false)
+    val sk = sets.select(col("__id"), explode(col("__sketch")).as(keyCol))
+    val candidates = sk.select(col(keyCol), col("__id").as("id_a"))
+      .join(sk.select(col(keyCol), col("__id").as("id_b")), Seq(keyCol))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .repartition(col("id_a"), col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("__shared"))
+      .filter(col("__shared") >= minShared)
+      .select("id_a", "id_b")
+    candidates
+      .join(sets.select(col("__id").as("id_a"), col("__keys").as("__ka"), col("n").as("na")),
+        Seq("id_a"))
+      .join(sets.select(col("__id").as("id_b"), col("__keys").as("__kb"), col("n").as("nb")),
+        Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("__ka"), col("__kb"))))
+      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Profiling hook: the winnow → cap → checkpoint stage on its own —
+    * the same `cappedKeyed` call the production pair generators make,
+    * so profile numbers cannot drift from the measured path.
+    */
   private[graft] def winnowExplodedForProfile(
       docs: DataFrame, idCol: String, textCol: String,
       k: Int, w: Int, maxDocFreq: Int): DataFrame =
-    spread(docs)
-      .select(col(idCol).as("__id"),
-        explode(TextAnalysis.winnowUdf(normalizeText(col(textCol)), lit(k), lit(w))).as("fp"))
-      .withColumn("__df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("fp")))
-      .filter(col("__df") <= maxDocFreq)
-      .drop("__df")
-      .localCheckpoint()
+    cappedKeyed(
+      spread(docs)
+        .select(col(idCol).as("__id"),
+          explode(TextAnalysis.winnowUdf(normalizeText(col(textCol)), lit(k), lit(w))).as("fp")),
+      "fp", maxDocFreq)
 
   /** MinHash/LSH near-duplicate pairs: banded bucketing → candidate
     * pairs → exact-Jaccard verification. `docs` needs (idCol, textCol).
@@ -196,7 +276,7 @@ object Dedup {
     val withShingles = docs
       .select(col(idCol).as("__id"), shingles(col(textCol), shingleN).as("__sh"))
       .filter(size(col("__sh")) > 0)
-      .localCheckpoint()
+      .localCheckpoint(false)
     val banded = withShingles
       .select(col("__id"), posexplode(lshBands(col("__sh"), perms, bands)).as(Seq("band", "bh")))
     val a = banded.select(col("band"), col("bh"), col("__id").as("id_a"))
@@ -228,26 +308,29 @@ object Dedup {
       "s", threshold, maxDocFreq)
 
   /** Winnowing-fingerprint near-dup pairs: each doc's winnow set
-    * (TextAnalysis.winnow over normalized text) plays the shingle role
-    * — fingerprint equi-join candidate generation, Jaccard over the
-    * fingerprint sets. Character-level, so it catches near-dups that
-    * word-shingle methods miss (reformatted whitespace, joined words),
-    * with ~|text|/w fingerprints per doc instead of one per token
-    * shingle. Same blocking-join scale shape as ngramJaccardPairs,
-    * including the stopword-fingerprint cap: char-k-gram fingerprints
-    * of templated text have hot keys (ubiquitous substrings) whose
-    * join buckets would otherwise grow quadratically, so fingerprints
-    * in more than `maxDocFreq` docs are dropped before the pair join
-    * and Jaccard is computed over the kept sets.
+    * (TextAnalysis.winnow over normalized text) plays the shingle role.
+    * Character-level, so it catches near-dups that word-shingle methods
+    * miss (reformatted whitespace, joined words), with ~|text|/w
+    * fingerprints per doc instead of one per token shingle.
+    *
+    * Because per-doc fingerprint sets are large, candidates come from
+    * the rare-fingerprint sketch (`jaccardPairsViaSketch`): the
+    * `sketchK` rarest kept fingerprints per doc, pairs sharing at
+    * least `minShared` of them, exact Jaccard over the full kept sets
+    * for candidates only. The stopword-fingerprint cap (`maxDocFreq`)
+    * still bounds bucket sizes first — see `cappedKeyed` for the cap's
+    * semantics, its groupBy (not window) implementation, and the
+    * mass-duplicate blind spot (run exact dedup first).
     */
   def winnowNearDupPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      k: Int, w: Int, threshold: Double, maxDocFreq: Int = 500): DataFrame =
-    jaccardPairsViaBlocking(
+      k: Int, w: Int, threshold: Double, maxDocFreq: Int = 500,
+      sketchK: Int = 16, minShared: Int = 2): DataFrame =
+    jaccardPairsViaSketch(
       spread(docs)
         .select(col(idCol).as("__id"),
           explode(TextAnalysis.winnowUdf(normalizeText(col(textCol)), lit(k), lit(w))).as("fp")),
-      "fp", threshold, maxDocFreq)
+      "fp", threshold, maxDocFreq, sketchK, minShared)
 
   // ------------------------------------------------------------ SimHash
   /** 64-bit SimHash of a token array: each token votes its hash bits

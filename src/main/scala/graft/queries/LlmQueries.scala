@@ -363,7 +363,12 @@ object LlmQueries {
     QueryDef(
       "q_l13_winnow_neardup", "LLM-dedup-winnowing",
       // exact replay of Schleimer et al. winnowing: md5 char-7-gram
-      // hashes → window-4 minima → fingerprint-set Jaccard
+      // hashes → window-4 minima → rare-fingerprint sketch candidates
+      // (16 rarest per doc by (doc-freq asc, signed fp asc), pairs
+      // sharing ≥2) → exact fingerprint-set Jaccard for candidates.
+      // `(fp < 2⁶³), fp` in the sketch ORDER BY replays Spark's
+      // signed-long ordering of the same md5-derived fingerprints
+      // (UBIGINTs ≥ 2⁶³ are negative longs, so they sort first).
       Some("""WITH t AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s
              |           FROM documents),
              |gi AS (SELECT doc_id, s, length(s) - 6 AS n,
@@ -379,16 +384,25 @@ object LlmQueries {
              |sel AS (SELECT DISTINCT doc_id, mh AS fp FROM wins WHERE n > 4 AND i <= n - 3
              |        UNION ALL
              |        SELECT doc_id, min(h) AS fp FROM g WHERE n <= 4 GROUP BY doc_id),
-             |kept AS (SELECT * FROM sel
-             |         QUALIFY count(*) OVER (PARTITION BY fp) <= 500),
-             |sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
-             |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-             |          FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
-             |          GROUP BY 1, 2)
+             |freq AS (SELECT fp, count(*) AS df FROM sel GROUP BY fp),
+             |kept AS (SELECT s.doc_id, s.fp, f.df FROM sel s JOIN freq f USING (fp)
+             |         WHERE f.df <= 500),
+             |ordered AS (SELECT doc_id, fp,
+             |              row_number() OVER (PARTITION BY doc_id
+             |                                 ORDER BY df, (fp < 9223372036854775808), fp) AS rn
+             |            FROM kept),
+             |sk AS (SELECT doc_id, fp FROM ordered WHERE rn <= 16),
+             |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |         FROM sk a JOIN sk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+             |         GROUP BY 1, 2 HAVING count(*) >= 2),
+             |sets AS (SELECT doc_id, list(fp) AS fps, count(*) AS n FROM kept GROUP BY doc_id),
+             |ver AS (SELECT id_a, id_b, len(list_intersect(sa.fps, sb.fps)) AS inter,
+             |               sa.n AS na, sb.n AS nb
+             |        FROM cand JOIN sets sa ON sa.doc_id = id_a
+             |                  JOIN sets sb ON sb.doc_id = id_b)
              |SELECT id_a, id_b,
-             |       round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
-             |FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
-             |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+             |       round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+             |FROM ver WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
              |ORDER BY id_a, id_b""".stripMargin),
       (s, dir) =>
         Dedup.winnowNearDupPairs(Tables.documents(s, dir), "doc_id", "text",

@@ -47,16 +47,25 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
-  test("stopword-fingerprint cap changes no winnow pairs at threshold 0.5 on testdata") {
+  test("winnow sketch+cap pairs equal uncapped complete-blocking pairs at threshold 0.5") {
+    // the production path (doc-freq cap 500 + 16-rarest sketch with
+    // minShared=2) must return exactly the pairs of the uncapped,
+    // complete shingle-join blocking — i.e. neither the cap nor the
+    // sketch candidate generation loses (or invents) a pair on the
+    // planted testdata clusters
     val docs = Tables.documents(spark, sf)
-    def pairSet(cap: Int) =
-      Dedup.winnowNearDupPairs(docs, "doc_id", "text", k = 7, w = 4,
-          threshold = 0.5, maxDocFreq = cap)
+    def keyed = docs
+      .select(col("doc_id").as("__id"),
+        explode(TextAnalysis.winnowUdf(Dedup.normalizeText(col("text")), lit(7), lit(4))).as("fp"))
+    val production =
+      Dedup.winnowNearDupPairs(docs, "doc_id", "text", k = 7, w = 4, threshold = 0.5)
         .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val capped = pairSet(500)
-    val uncapped = pairSet(Int.MaxValue)
-    assert(capped == uncapped, s"capped ${capped.size} pairs vs uncapped ${uncapped.size}")
-    assert(capped.nonEmpty, "testdata should contain planted near-duplicates")
+    val uncappedExact =
+      Dedup.jaccardPairsViaBlocking(keyed, "fp", 0.5, Int.MaxValue)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(production == uncappedExact,
+      s"sketch+cap ${production.size} pairs vs uncapped exact ${uncappedExact.size}")
+    assert(production.nonEmpty, "testdata should contain planted near-duplicates")
   }
 
   test("winnow batched-digest path matches per-substring hashing incl. unicode") {
