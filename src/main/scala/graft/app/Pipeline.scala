@@ -198,20 +198,26 @@ object Pipeline {
     val spark = staging0.sparkSession
     val staging = widen(withLocationSrc(staging0)).localCheckpoint()
 
-    // within-batch keep-first dedup per natural key (crawler S2 / D2 —
-    // the reference dedups before dim processing)
+    // within-batch dedup per natural key: the reference's upsert loop
+    // processes rows in crawl order, so for conflicting duplicates the
+    // LAST crawl wins — order by crawled_at desc (ordering by the
+    // partition key itself would tie every row and leave the survivor
+    // to partition layout)
     def dedupBy(df: DataFrame, key: String): DataFrame = {
-      val w = Window.partitionBy(key).orderBy(col(key))
-      df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+      val w = Window.partitionBy(key).orderBy(col("crawled_at").desc)
+      df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .drop("__rn", "crawled_at")
     }
 
     val dimJob = ScdType2.applyBatch(
       prev.dimJob,
-      dedupBy(staging.select(("job_id" +: JobTrackedCols).map(col): _*), "job_id"),
+      dedupBy(staging.select(("job_id" +: JobTrackedCols :+ "crawled_at").map(col): _*),
+        "job_id"),
       "job_id", JobTrackedCols, "job_sk", asOf)
     val dimCompany = ScdType2.applyBatch(
       prev.dimCompany,
-      dedupBy(staging.select(("company_name_standardized" +: CompanyTrackedCols).map(col): _*),
+      dedupBy(staging.select(
+        ("company_name_standardized" +: CompanyTrackedCols :+ "crawled_at").map(col): _*),
         "company_name_standardized"),
       "company_name_standardized", CompanyTrackedCols, "company_sk", asOf)
     val dimLocation = Dimensions.appendNewLocationsKeepSk(
@@ -233,8 +239,11 @@ object Pipeline {
     val prevFact =
       if (prev.fact.columns.contains("location_src")) prev.fact
       else prev.fact.withColumn("location_src", lit(null).cast("string"))
+    // company_sk rides preserveCols (default): the reference's DO
+    // UPDATE list omits it, so matched facts keep their original
+    // company assignment even if the incoming batch re-resolved it
     val fact = Facts.mergeFactsAssigning(prevFact, incoming,
-      ("company_sk" +: FactMeasureCols) :+ "location_src")
+      FactMeasureCols :+ "location_src")
 
     // bridge: rebuild exactly the touched facts, keep the rest
     val touched = fact.join(incoming.select("job_sk", "date_id").distinct(),

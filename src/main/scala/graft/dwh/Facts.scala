@@ -48,12 +48,16 @@ object Facts {
   }
 
   /** dedupFacts for frames that don't carry fact_id yet (id assignment
-    * happens after dedup): duplicate (job_sk, date_id) keys are exact
-    * ties under the reference's min-fact_id survivor rule, so any
-    * deterministic keep-one matches its semantics.
+    * happens after dedup). The reference's per-row UPSERT loop makes
+    * the LAST-processed row win, and rows arrive in crawl order — so
+    * the survivor is the latest `crawled_at` (desc, with load_month
+    * desc breaking exact-timestamp ties). Ordering by the partition
+    * key itself would make every row tie and the survivor
+    * partition-layout-dependent.
     */
   def dedupFirstPerKey(facts: DataFrame): DataFrame = {
-    val w = Window.partitionBy("job_sk", "date_id").orderBy(col("job_sk"))
+    val w = Window.partitionBy("job_sk", "date_id")
+      .orderBy(col("crawled_at").desc, col("load_month").desc)
     facts.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
@@ -72,51 +76,68 @@ object Facts {
       keys.map(col) ++
         Seq(col("fact_id").as("__e_fact_id"), col("load_month").as("__e_load_month")) ++
         measureCols.map(c => col(c).as(s"__e_$c")): _*)
-    val merged = incoming.join(e, keys, "full")
+    // presence flag, not coalesce: the reference's ON CONFLICT DO
+    // UPDATE overwrites each measure with the incoming value INCLUDING
+    // NULL (fact_handler.py:237-255) — `coalesce(incoming, existing)`
+    // would silently resurrect the old value whenever the new crawl
+    // nulled a field out (e.g. a salary removed from the posting)
+    val merged = incoming.withColumn("__inc", lit(true)).join(e, keys, "full")
     val out = merged
       .withColumn("fact_id", coalesce(col("__e_fact_id"), col("fact_id")))
       .withColumn("load_month", coalesce(col("__e_load_month"), col("load_month")))
-    // rows only in existing keep their measures; matched rows take incoming's
+    // rows only in existing keep their measures; matched rows take
+    // incoming's value even when it is NULL
     val withMeasures = measureCols.foldLeft(out) { (df, c) =>
-      df.withColumn(c, coalesce(col(c), col(s"__e_$c")))
+      df.withColumn(c, when(col("__inc").isNotNull, col(c)).otherwise(col(s"__e_$c")))
     }
     withMeasures.drop(
-      Seq("__e_fact_id", "__e_load_month") ++ measureCols.map(c => s"__e_$c"): _*)
+      Seq("__inc", "__e_fact_id", "__e_load_month") ++ measureCols.map(c => s"__e_$c"): _*)
   }
 
   /** D10/S9 incremental form: merge an incoming batch WITHOUT fact_ids
     * onto the existing fact table. Matched (job_sk, date_id) keys keep
-    * the existing fact_id and load_month and take the incoming measures
-    * (the reference's ON CONFLICT DO UPDATE, fact_handler.py:237-255);
-    * brand-new keys get dense ids continuing after max(existing
-    * fact_id), in (job_sk, date_id) order, via the distributed
-    * StableId assigner. Incoming is deduped last-wins within the batch
-    * first (the per-key UPSERT loop's net effect).
+    * the existing fact_id, load_month AND every `preserveCols` column
+    * (the reference's DO UPDATE list deliberately excludes company_sk,
+    * fact_handler.py:245-254) and take the incoming value — including
+    * NULL — for every `carryCols` column; brand-new keys get dense ids
+    * continuing after max(existing fact_id), in (job_sk, date_id)
+    * order, via the distributed StableId assigner. Incoming is deduped
+    * last-wins within the batch first: the per-key UPSERT loop runs in
+    * crawl order, so the latest `crawled_at` wins (load_month desc
+    * breaks exact-timestamp ties).
     *
-    * `incoming` carries (job_sk, date_id, carryCols...); `existing`
-    * carries (fact_id, job_sk, date_id, load_month, carryCols...).
-    * carryCols = measures + any passthrough columns (e.g. the location
-    * source for bridge rebuild): matched rows take incoming's value,
-    * existing-only rows keep their own.
+    * `incoming` carries (job_sk, date_id, carryCols ++ preserveCols);
+    * `existing` carries (fact_id, job_sk, date_id, load_month,
+    * carryCols ++ preserveCols). carryCols = measures + passthroughs
+    * (e.g. the location source for bridge rebuild).
     */
   def mergeFactsAssigning(
-      existing: DataFrame, incoming: DataFrame, carryCols: Seq[String]): DataFrame = {
+      existing: DataFrame, incoming: DataFrame, carryCols: Seq[String],
+      preserveCols: Seq[String] = Seq("company_sk")): DataFrame = {
     val keys = Seq("job_sk", "date_id")
     val dedup = {
-      val w = Window.partitionBy(keys.map(col): _*).orderBy(col("load_month").desc)
+      val w = Window.partitionBy(keys.map(col): _*)
+        .orderBy(col("crawled_at").desc, col("load_month").desc)
       incoming.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
     }
     val e = existing.select(
       keys.map(col) ++
         Seq(col("fact_id").as("__e_fact_id"), col("load_month").as("__e_load_month")) ++
-        carryCols.map(c => col(c).as(s"__e_$c")): _*)
-    val merged = dedup.join(e, keys, "full")
+        (carryCols ++ preserveCols).map(c => col(c).as(s"__e_$c")): _*)
+    val merged = dedup.withColumn("__inc", lit(true)).join(e, keys, "full")
       .withColumn("load_month", coalesce(col("__e_load_month"), col("load_month")))
+    // carry: incoming wins on matched rows even when NULL (presence
+    // flag, same DO UPDATE semantics as mergeFacts above)
     val withCarry = carryCols.foldLeft(merged) { (df, c) =>
-      df.withColumn(c, coalesce(col(c), col(s"__e_$c")))
+      df.withColumn(c, when(col("__inc").isNotNull, col(c)).otherwise(col(s"__e_$c")))
     }
-    val cleaned = withCarry.drop(
-      Seq("__e_load_month") ++ carryCols.map(c => s"__e_$c"): _*)
+    // preserve: existing wins on matched rows (the DO UPDATE list
+    // omits these); incoming supplies them only for brand-new keys
+    val withPreserve = preserveCols.foldLeft(withCarry) { (df, c) =>
+      df.withColumn(c, when(col("__e_fact_id").isNotNull, col(s"__e_$c")).otherwise(col(c)))
+    }
+    val cleaned = withPreserve.drop(
+      Seq("__inc", "__e_load_month") ++ (carryCols ++ preserveCols).map(c => s"__e_$c"): _*)
     val matched = cleaned.filter(col("__e_fact_id").isNotNull)
       .withColumn("fact_id", col("__e_fact_id").cast("long"))
       .drop("__e_fact_id")

@@ -291,16 +291,23 @@ object DwhQueries {
     // ---------------------------------------------------------------- D10/S9 (last-wins merge preserving identity)
     QueryDef(
       "q_d10_fact_merge", "D10 S9 W3 S7",
+      // incoming salary is NULL for k % 9 = 0: a matched row whose
+      // incoming measure is NULL must OVERWRITE the existing value
+      // (ON CONFLICT DO UPDATE semantics) — n_null_salary catches a
+      // coalesce-style merge that would resurrect the old value
       Some("""WITH e AS (SELECT o_orderkey AS k, o_totalprice AS tp FROM orders WHERE o_orderkey % 2 = 0),
-             |i AS (SELECT o_orderkey AS k, o_totalprice AS tp FROM orders WHERE o_orderkey % 3 = 0),
+             |i AS (SELECT o_orderkey AS k,
+             |             CASE WHEN o_orderkey % 9 = 0 THEN NULL ELSE o_totalprice + 1000 END AS tp
+             |      FROM orders WHERE o_orderkey % 3 = 0),
              |m AS (
              |  SELECT '2026-07' AS load_month,
-             |         CASE WHEN i.k IS NOT NULL THEN i.tp + 1000 ELSE e.tp END AS salary
+             |         CASE WHEN i.k IS NOT NULL THEN i.tp ELSE e.tp END AS salary
              |  FROM e LEFT JOIN i USING (k)
              |  UNION ALL
-             |  SELECT '2026-08', i.tp + 1000 FROM i
+             |  SELECT '2026-08', i.tp FROM i
              |  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.k = i.k))
              |SELECT load_month, count(*) AS n,
+             |CAST(count(*) - count(salary) AS BIGINT) AS n_null_salary,
              |CAST(sum(CAST(salary AS DECIMAL(18,2))) AS DOUBLE) AS sum_salary
              |FROM m GROUP BY load_month ORDER BY load_month""".stripMargin),
       (s, dir) => {
@@ -312,10 +319,13 @@ object DwhQueries {
         val incoming = o.filter(col("o_orderkey") % 3 === 0)
           .select(col("o_orderkey").as("job_sk"), to_date(col("o_orderdate")).as("date_id"),
             (col("o_orderkey") * 10 + 1).as("fact_id"), lit("2026-08").as("load_month"),
-            (col("o_totalprice") + 1000).as("salary"))
+            when(col("o_orderkey") % 9 === 0, lit(null).cast("decimal(15,2)"))
+              .otherwise(col("o_totalprice") + 1000).as("salary"))
         Facts.mergeFacts(existing, incoming, Seq("salary"))
           .groupBy("load_month")
-          .agg(count(lit(1)).as("n"), dsum(col("salary")).as("sum_salary"))
+          .agg(count(lit(1)).as("n"),
+            (count(lit(1)) - count(col("salary"))).cast("long").as("n_null_salary"),
+            dsum(col("salary")).as("sum_salary"))
           .orderBy("load_month")
       }),
 

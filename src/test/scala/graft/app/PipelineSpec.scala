@@ -171,6 +171,42 @@ class PipelineSpec extends AnyFunSuite {
     same(dwh2.bridge, dwh3.bridge, "bridge")
   }
 
+  test("conflicting same-job_id rows in one batch: latest crawled_at wins, stable across runs") {
+    import spark.implicits._
+    // two crawls of J3 in one batch with conflicting tracked values and
+    // measures — the reference's upsert loop processes rows in crawl
+    // order, so the 11:00 crawl must win everywhere, independent of
+    // partition layout
+    val dup = Seq(
+      ("J3", "DevOps Engineer Alpha", "fpt software", "từ 10 triệu",
+        "Hà Nội", null, "30", "2 giờ trước", "2026-08-13 08:00:00"),
+      ("J3", "DevOps Engineer Beta", "fpt software", "từ 16 triệu",
+        "Hà Nội", null, "30", "30 phút trước", "2026-08-13 11:00:00"))
+      .toDF("job_id", "title", "company_name", "salary", "location", "location_detail",
+        "deadline", "last_update", "crawled")
+      .withColumn("crawled_at", to_timestamp(col("crawled")))
+      .withColumn("job_url", concat(lit("https://jobs/"), col("job_id")))
+      .withColumn("skills", lit("[\"Python\"]"))
+      .withColumn("logo_url", lit(null).cast("string"))
+      .withColumn("company_url", concat(lit("https://co/"), col("job_id")))
+      .withColumn("verified_employer", lit(true))
+    val st = Pipeline.rawToStaging(dup, "2026-08-14 10:30:00")
+    def winners(d: Pipeline.Dwh): (String, Set[Double]) = {
+      val title = d.dimJob.filter(col("job_id") === "J3" && col("is_current"))
+        .select("title_clean").first().getString(0)
+      val sk = d.dimJob.filter(col("job_id") === "J3" && col("is_current"))
+        .select("job_sk").first().getLong(0)
+      val sals = d.fact.filter(col("job_sk") === sk)
+        .select("salary_min").collect().map(_.getDouble(0)).toSet
+      (title, sals)
+    }
+    val (t1, s1) = winners(Pipeline.incrementalBatch(dwh, st, AsOf2))
+    assert(t1 == "DevOps Engineer Beta", s"dim survivor should be the latest crawl, got $t1")
+    assert(s1 == Set(16.0), s"fact measures should come from the latest crawl, got $s1")
+    val (t2, s2) = winners(Pipeline.incrementalBatch(dwh, st, AsOf2))
+    assert((t1, s1) == ((t2, s2)), "survivor must be stable across re-runs")
+  }
+
   test("streaming micro-batches through StreamingStar equal the batch incremental path") {
     import org.apache.spark.sql.DataFrame
     def same(a: DataFrame, b: DataFrame, what: String): Unit =
@@ -184,8 +220,13 @@ class PipelineSpec extends AnyFunSuite {
     val dir = "/root/repo/target/tmp/pipelinespec_stream_staging"
     graft.io.Snapshots.deleteDir(spark, dir)
     staging2.write.parquet(dir)
+    // total function, not a Map: the appended day-3 files can be
+    // discovered across more than one trigger listing (the running
+    // source lists mid-write), so any batch id past 0 is day 3 —
+    // splits are harmless because only one split holds the single row
+    // and empty batches are skipped
     val star = new graft.streaming.StreamingStar(dwh,
-      Map(0L -> AsOf2, 1L -> "2026-08-16"))
+      (id: Long) => if (id == 0L) AsOf2 else "2026-08-16")
     val q = star.start(spark.readStream.schema(staging2.schema).parquet(dir))
     q.processAllAvailable()
     same(star.dwh.fact, dwh2.fact, "fact after batch 1")
