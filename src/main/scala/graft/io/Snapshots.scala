@@ -2,7 +2,7 @@ package graft.io
 
 import org.apache.hadoop.fs.Path
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Storage layer (SURVEY S4-S15): partitioned parquet export/reload,
@@ -58,6 +58,33 @@ object Snapshots {
 
   def readSnapshot(spark: SparkSession, baseDir: String, version: String): DataFrame =
     spark.read.parquet(s"$baseDir/v=$version")
+
+  /** S16: schema-evolution read across snapshot generations. The
+    * reference evolves its staging table in place with `ALTER TABLE
+    * ... ADD COLUMN IF NOT EXISTS` (stored_procedures.sql:111-116) and
+    * adds `processed_to_dwh BOOLEAN DEFAULT FALSE` mid-flight
+    * (dags/etl_pipeline.py:119-124). Parquet-native equivalent: a new
+    * generation simply writes files with the wider schema next to the
+    * old ones; `mergeSchema` unions the footers at read time, so
+    * pre-evolution files surface the new column as NULL and NO old
+    * data is rewritten — the only way an ADD COLUMN can work on 100 TB
+    * of immutable files. mergeSchema costs a footer read per file at
+    * planning; at real scale pin the merged schema in a catalog and
+    * pass it via `.schema(...)` instead.
+    */
+  def readEvolved(spark: SparkSession, dir: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(dir)
+
+  /** The ADD COLUMN default, applied at read time: rows from
+    * generations predating `name` (surfaced as NULL by the merged
+    * read) take `default`, exactly like the reference's `DEFAULT
+    * FALSE` backfill — newer rows keep their written value. Also
+    * covers the add-if-absent case when no generation carries the
+    * column yet.
+    */
+  def withColumnDefault(df: DataFrame, name: String, default: Column): DataFrame =
+    if (df.columns.contains(name)) df.withColumn(name, coalesce(col(name), default))
+    else df.withColumn(name, default)
 
   /** S13: CDC JSONL append sink — one JSON object per line, the
     * reference's record shape (cdc.py:58-67).
