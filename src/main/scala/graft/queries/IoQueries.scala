@@ -190,22 +190,69 @@ object IoQueries {
           .orderBy("segment")
       }),
 
+    // ---------------------------------------------------------------- S16 schema evolution across generations
+    QueryDef(
+      "q_s16_schema_evolution", "S16 (ALTER TABLE ADD COLUMN IF NOT EXISTS)",
+      // gen-1 snapshot lacks processed_to_dwh; gen-2 adds it with
+      // per-row values. The merged read must surface gen-1 rows with
+      // the ADD COLUMN default (FALSE) and gen-2 rows with their
+      // written values — the reference's in-place ALTER TABLE
+      // (stored_procedures.sql:111-116, etl_pipeline.py:119-124)
+      // without rewriting any old file.
+      Some("""WITH gen1 AS (SELECT o_orderkey AS k, o_totalprice AS tp, CAST(NULL AS BOOLEAN) AS p
+             |              FROM orders WHERE o_orderkey % 2 = 0),
+             |gen2 AS (SELECT o_orderkey, o_totalprice, o_orderkey % 4 = 1
+             |         FROM orders WHERE o_orderkey % 2 = 1),
+             |merged AS (SELECT k, tp, coalesce(p, FALSE) AS processed
+             |           FROM (SELECT * FROM gen1 UNION ALL SELECT * FROM gen2))
+             |SELECT processed, count(*) AS n,
+             |CAST(sum(CAST(tp AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             |FROM merged GROUP BY processed ORDER BY processed""".stripMargin),
+      (s, dir) => {
+        val tmp = s"$TmpBase/q_s16_evolution"
+        Snapshots.deleteDir(s, tmp)
+        val o = Tables.orders(s, dir)
+        // generation 1: pre-evolution schema
+        o.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey").as("k"), col("o_totalprice").as("tp"))
+          .write.parquet(tmp)
+        // generation 2: schema widened mid-flight, appended in place
+        o.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey").as("k"), col("o_totalprice").as("tp"),
+            (col("o_orderkey") % 4 === 1).as("processed_to_dwh"))
+          .write.mode("append").parquet(tmp)
+        val merged = Snapshots.withColumnDefault(
+          Snapshots.readEvolved(s, tmp), "processed_to_dwh", lit(false))
+        merged.groupBy(col("processed_to_dwh").as("processed"))
+          .agg(count(lit(1)).as("n"), dsum(col("tp")).as("sum_price"))
+          .orderBy("processed")
+      }),
+
     // ---------------------------------------------------------------- S1/S2 full 15-field crawl contract
     QueryDef(
       "q_s1_html_ingest", "S1 S2 S4 F11 F12",
       // the crawler's record contract (parser.py:202-218): all 15
       // fields incl. skills tooltip expansion, verified badge, logo,
       // and last_update → posted_time, in the fixed column order
-      // (parser.py:458-466); duplicated input deduped by job_id (S2)
+      // (parser.py:458-466); duplicated input deduped by job_id (S2).
+      // Salary covers every parser branch incl. the USD card
+      // (parser.py:260-300); even keys carry a "+N" skill label whose
+      // tooltip holds a comma-separated list the parse must expand to
+      // individual skills (parser.py:303-320).
       Some("""SELECT CAST(p_partkey AS VARCHAR) AS job_id, p_name AS title,
              |  'https://www.topcv.vn/viec-lam-' || p_partkey || '.html' AS job_url,
              |  p_brand AS company_name,
              |  'https://co/' || p_brand AS company_url,
-             |  CASE WHEN p_partkey % 3 = 0
+             |  CASE WHEN p_partkey % 4 = 0
              |         THEN (p_partkey % 15 + 5) || ' - ' || (p_partkey % 15 + 10) || ' triệu'
-             |       WHEN p_partkey % 3 = 1 THEN 'Thoả thuận'
-             |       ELSE 'từ ' || (p_partkey % 20 + 5) || ' triệu' END AS salary,
-             |  '["' || p_type || '","SK' || p_size || '"]' AS skills,
+             |       WHEN p_partkey % 4 = 1 THEN 'Thoả thuận'
+             |       WHEN p_partkey % 4 = 2 THEN 'từ ' || (p_partkey % 20 + 5) || ' triệu'
+             |       ELSE (p_partkey % 5 + 1) || ',000 - ' || (p_partkey % 5 + 2) || ',000 USD'
+             |  END AS salary,
+             |  CASE WHEN p_partkey % 2 = 0
+             |         THEN '["' || p_type || '","SK' || p_size || '","SK' || (p_size + 1)
+             |              || '","SK' || (p_size + 2) || '"]'
+             |       ELSE '["' || p_type || '","SK' || p_size || '"]' END AS skills,
              |  CASE WHEN p_partkey % 2 = 0 THEN 'Hà Nội' ELSE 'Hồ Chí Minh' END AS location,
              |  CASE WHEN p_partkey % 2 = 0 THEN 'Hà Nội: Cầu Giấy' END AS location_detail,
              |  CAST(p_partkey % 30 + 1 AS VARCHAR) AS deadline,
@@ -226,11 +273,16 @@ object IoQueries {
           lit("<h3 class=\"title\"><a><span data-original-title=\""), col("p_name"),
           lit("\"></span></a></h3><a class=\"company\" href=\"https://co/"), col("p_brand"),
           lit("\">"), col("p_brand"), lit("</a><span class=\"salary\">"),
-          when(k % 3 === 0, concat((k % 15 + 5), lit(" - "), (k % 15 + 10), lit(" triệu")))
-            .when(k % 3 === 1, lit("Thoả thuận"))
-            .otherwise(concat(lit("từ "), (k % 20 + 5), lit(" triệu"))),
+          when(k % 4 === 0, concat((k % 15 + 5), lit(" - "), (k % 15 + 10), lit(" triệu")))
+            .when(k % 4 === 1, lit("Thoả thuận"))
+            .when(k % 4 === 2, concat(lit("từ "), (k % 20 + 5), lit(" triệu")))
+            .otherwise(concat((k % 5 + 1), lit(",000 - "), (k % 5 + 2), lit(",000 USD"))),
           lit("</span><span class=\"skill\">"), col("p_type"),
-          lit("</span><div class=\"skill-tooltip\" data-skills=\"SK"), col("p_size"),
+          lit("</span><div class=\"skill-tooltip\" data-skills=\""),
+          when(k % 2 === 0,
+            concat(lit("SK"), col("p_size"), lit(", SK"), col("p_size") + 1,
+              lit(", SK"), col("p_size") + 2))
+            .otherwise(concat(lit("SK"), col("p_size"))),
           lit("\"></div><span class=\"city\">"),
           when(k % 2 === 0, lit("Hà Nội")).otherwise(lit("Hồ Chí Minh")),
           lit("</span>"),
@@ -252,8 +304,10 @@ object IoQueries {
           ex("<a class=\"company\"[^>]*>([^<]*)</a>").as("company_name"),
           ex("<a class=\"company\" href=\"([^\"]*)\"").as("company_url"),
           ex("<span class=\"salary\">([^<]*)</span>").as("salary"),
-          to_json(array(ex("<span class=\"skill\">([^<]*)</span>"),
-            ex("data-skills=\"([^\"]*)\""))).as("skills"),
+          // tooltip lists are comma-separated and expand to individual
+          // skills (parser.py:310-317)
+          to_json(concat(array(ex("<span class=\"skill\">([^<]*)</span>")),
+            split(ex("data-skills=\"([^\"]*)\""), ", "))).as("skills"),
           ex("<span class=\"city\">([^<]*)</span>").as("location"),
           when(ex("<div class=\"city-tooltip\">([^<]*)</div>") === "", lit(null).cast("string"))
             .otherwise(ex("<div class=\"city-tooltip\">([^<]*)</div>")).as("location_detail"),
@@ -290,6 +344,87 @@ object IoQueries {
           .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
             col("event_type"), col("n"), col("sum_value"))
           .orderBy("day", "event_type")
+      }),
+
+    // ---------------------------------------------------------------- ST: streaming dedup
+    QueryDef(
+      "q_st2_stream_dedup", "ST dedup (S6 unbounded)",
+      // the stream is the events source delivered TWICE (at-least-once
+      // redelivery, the case streaming dedup exists for); dedup must
+      // collapse it back to exactly-once, so the closed form is the
+      // plain batch aggregate over events
+      Some("""SELECT event_type, count(*) AS n, count(DISTINCT event_id) AS n_ids,
+             |CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        val name = "q_st2_mem"
+        val watch = CdcStream.ensureStaged(s, dir)
+        val doubled = CdcStream.readEvents(s, watch)
+          .unionByName(CdcStream.readEvents(s, watch))
+        val deduped = CdcStream.runToMemory(
+          s, CdcStream.dedupStream(doubled), name, mode = "append")
+        deduped.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), countDistinct(col("event_id")).as("n_ids"),
+            dsum(col("value")).as("sum_value"))
+          .orderBy("event_type")
+      }),
+
+    // ---------------------------------------------------------------- ST: streaming sessionization (native session_window)
+    QueryDef(
+      "q_st3_stream_sessionize", "ST sessionize (session_window)",
+      // append-mode session_window only emits sessions the watermark
+      // has passed, and a bounded stream's watermark stops at max(ts) −
+      // delay — so the watch dir gains ONE sentinel event 10 days past
+      // the end (user −1): the watermark then clears every real
+      // session while the sentinel's own session stays open and is
+      // never emitted. The oracle is the batch closed form (gap-break
+      // cumulative-sum sessionization; a new session starts when the
+      // gap is ≥ 30 minutes, matching session_window's end-exclusive
+      // [start, last+gap) windows), grouped by session length.
+      // total_value is rounded per-session before the decimal sum so
+      // the float-add order inside window merges cannot leak in.
+      Some("""WITH g AS (
+             |  SELECT user_id, ts, value,
+             |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+             |               OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+             |                  >= INTERVAL 30 MINUTE
+             |              THEN 1 ELSE 0 END AS brk
+             |  FROM events),
+             |s AS (SELECT user_id, ts, value,
+             |        sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+             |                       ROWS UNBOUNDED PRECEDING) AS sid
+             |      FROM g),
+             |sess AS (SELECT user_id, sid, count(*) AS n_events,
+             |                sum(value) AS total_value
+             |         FROM s GROUP BY user_id, sid)
+             |SELECT n_events, count(*) AS n_sessions,
+             |       count(DISTINCT user_id) AS n_users,
+             |       CAST(sum(CAST(round(total_value, 6) AS DECIMAL(18,6))) AS DOUBLE)
+             |         AS sum_value
+             |FROM sess GROUP BY n_events ORDER BY n_events""".stripMargin),
+      (s, dir) => {
+        val name = "q_st3_mem"
+        val tmp = s"$TmpBase/q_st3_watch"
+        Snapshots.deleteDir(s, tmp)
+        val base = s.read.schema(CdcStream.eventsSchema).parquet(s"$dir/events.parquet")
+        base.write.parquet(tmp)
+        val maxTs = base.agg(max(col("ts"))).first().getLong(0)
+        val sentinel = s.range(1).select(
+          lit(-1L).as("event_id"),
+          lit(maxTs + 864000L * 1000000000L).as("ts"), // +10 days in nanos
+          lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+          lit(0.0).as("value"), lit(null).cast("string").as("props"))
+        sentinel.write.mode("append").parquet(tmp)
+        val stream = CdcStream.readEvents(s, tmp).withWatermark("ts", "1 day")
+        val sessions = CdcStream.runToMemory(
+          s, CdcStream.sessionizeNative(stream, gapMinutes = 30), name, mode = "append")
+        sessions.filter(col("user_id") =!= -1L)
+          .groupBy(col("n_events").cast("long").as("n_events"))
+          .agg(count(lit(1)).as("n_sessions"),
+            countDistinct(col("user_id")).as("n_users"),
+            sum(round(col("total_value"), 6).cast(DecimalType(18, 6))).cast("double")
+              .as("sum_value"))
+          .orderBy("n_events")
       })
   )
 }
