@@ -658,6 +658,53 @@ object DwhQueries {
             col("days_to_deadline").cast("long").as("days_to_deadline"))
           .orderBy("due_date", "job_sk")),
 
+    // ---------------------------------------------------------------- vw_top_companies over the e2e star
+    QueryDef(
+      "q_v_top_companies", "J4 A2 V-top-companies",
+      // schema_dwh.sql:121-130: current-company job counts over the
+      // pipeline-produced star. c_name survives cleanCompanyName
+      // unchanged (no legal-suffix patterns in the synthetic names),
+      // and the single-batch star has exactly one current version per
+      // company, so the closed form is orders ⋈ customer.
+      Some("""SELECT c_name AS company_name_standardized,
+             |       c_custkey % 2 = 0 AS verified_employer,
+             |       count(DISTINCT o_orderkey) AS job_count
+             |FROM orders JOIN customer ON c_custkey = o_custkey
+             |GROUP BY 1, 2
+             |ORDER BY job_count DESC, company_name_standardized""".stripMargin),
+      (s, dir) =>
+        graft.views.AnalyticsViews.vwTopCompanies(e2eDwh(s, dir))
+          .select(col("company_name_standardized"), col("verified_employer"),
+            col("job_count").cast("long").as("job_count"))
+          .orderBy(col("job_count").desc, col("company_name_standardized"))),
+
+    // ---------------------------------------------------------------- vw_top_locations over the e2e star
+    QueryDef(
+      "q_v_top_locations", "J4 A3 V-top-locations",
+      // schema_dwh.sql:133-143: job counts per (province, city) through
+      // the bridge. The e2e corpus parses to NULL provinces everywhere
+      // (bare-city, city:district, JSON-districts, and null→Unknown
+      // shapes), so COALESCE maps them all to 'Unknown'; the JSON
+      // shape's two districts collapse under the (province, city)
+      // grouping.
+      Some("""WITH e AS (SELECT o_orderkey AS job, c_custkey AS k, n_name
+             |           FROM orders JOIN customer ON c_custkey = o_custkey
+             |                       JOIN nation ON n_nationkey = c_nationkey),
+             |loc AS (
+             |  SELECT job, 'Hà Nội' AS city FROM e WHERE n_name = 'NATION_7'
+             |  UNION ALL SELECT job, n_name FROM e
+             |  WHERE n_name <> 'NATION_7' AND k % 4 IN (0, 1, 2)
+             |  UNION ALL SELECT job, 'Unknown' FROM e
+             |  WHERE n_name <> 'NATION_7' AND k % 4 = 3)
+             |SELECT 'Unknown' AS province, city, count(DISTINCT job) AS job_count
+             |FROM loc GROUP BY city
+             |ORDER BY job_count DESC, province, city""".stripMargin),
+      (s, dir) =>
+        graft.views.AnalyticsViews.vwTopLocations(e2eDwh(s, dir))
+          .select(col("province"), col("city"),
+            col("job_count").cast("long").as("job_count"))
+          .orderBy(col("job_count").desc, col("province"), col("city"))),
+
     // ---------------------------------------------------------------- D14 ratio
     QueryDef(
       "q_d14_integrity_ratio", "D14 A9",
