@@ -114,9 +114,10 @@ object Pipeline {
     val spark = staging0.sparkSession
     // staging feeds four consumers (3 dims + facts); checkpoint once so
     // the E2 parse/normalize chain isn't recomputed per consumer (the
-    // round-2 bench's dominant cost). localCheckpoint = executor-cached
-    // materialization, auto-dropped when the frame is GC'd.
-    val staging = widen(withLocationSrc(staging0)).localCheckpoint()
+    // round-2 bench's dominant cost). Lazy: materializes inside the
+    // first consuming job instead of a separate eager one at plan
+    // time; blocks are auto-dropped when the frame is GC'd.
+    val staging = widen(withLocationSrc(staging0)).localCheckpoint(false)
 
     // -------- dims (D1-D3): prep + dedup + SCD stamp + SK assignment
     // (distributed dense numbering — no single-partition window stage)
@@ -156,12 +157,10 @@ object Pipeline {
       staging.select(("job_id" +: "company_name_standardized" +: FactMeasureCols) ++
         Seq("load_month", "location_src") map col: _*),
       dimJob, dimCompany, "job_id", "company_name_standardized")
-    // dedup BEFORE id assignment (same survivors as the reference's
-    // min-fact_id rule — duplicate (job_sk, date_id) keys are ties —
-    // and one less full-width pass over the exploded frame)
-    val deduped = Facts.dedupFirstPerKey(Facts.explodeDailyGrain(resolved, asOf))
-    val fact = StableId.assign(
-        deduped, Seq(col("job_sk"), col("date_id")), "fact_id", 10000L)
+    // dedup and id assignment fused into one range exchange (see
+    // Facts.dedupAssigningIds); survivors follow the latest-crawl rule
+    val fact = Facts.dedupAssigningIds(
+        Facts.explodeDailyGrain(resolved, asOf), "fact_id", 10000L)
       .select(("fact_id" +: "job_sk" +: "company_sk" +: "date_id" +: FactMeasureCols) ++
         Seq("load_month", "location_src") map col: _*)
 
@@ -196,7 +195,7 @@ object Pipeline {
   def incrementalBatch(prev: Dwh, staging0: DataFrame, asOf: String): Dwh = {
     requireStagingCols(staging0)
     val spark = staging0.sparkSession
-    val staging = widen(withLocationSrc(staging0)).localCheckpoint()
+    val staging = widen(withLocationSrc(staging0)).localCheckpoint(false)
 
     // within-batch dedup per natural key: the reference's upsert loop
     // processes rows in crawl order, so for conflicting duplicates the

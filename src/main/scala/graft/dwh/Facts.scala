@@ -47,18 +47,28 @@ object Facts {
     facts.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** dedupFacts for frames that don't carry fact_id yet (id assignment
-    * happens after dedup). The reference's per-row UPSERT loop makes
-    * the LAST-processed row win, and rows arrive in crawl order — so
-    * the survivor is the latest `crawled_at` (desc, with load_month
-    * desc breaking exact-timestamp ties). Ordering by the partition
-    * key itself would make every row tie and the survivor
-    * partition-layout-dependent.
+  /** Fused W1 dedup + fact_id assignment for the initial build: ONE
+    * range exchange on (job_sk, date_id) serves both the keep-latest
+    * window (RangePartitioning on the keys satisfies the window's
+    * ClusteredDistribution, and the within-partition sort already
+    * matches its required ordering, so Catalyst inserts no second
+    * exchange or sort) and the dense id numbering
+    * (StableId.assignPrearranged numbers the checkpointed partitions
+    * in place). The separate dedup-then-assign formulation shuffled
+    * and sorted the exploded fact twice; survivors and ids are
+    * identical (keys are unique after dedup, so the id order is the
+    * same (job_sk, date_id) total order).
     */
-  def dedupFirstPerKey(facts: DataFrame): DataFrame = {
+  def dedupAssigningIds(exploded: DataFrame, idCol: String, base: Long): DataFrame = {
+    val arranged = exploded
+      .repartitionByRange(col("job_sk"), col("date_id"))
+      .sortWithinPartitions(
+        col("job_sk"), col("date_id"), col("crawled_at").desc, col("load_month").desc)
     val w = Window.partitionBy("job_sk", "date_id")
       .orderBy(col("crawled_at").desc, col("load_month").desc)
-    facts.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    val deduped = arranged
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    StableId.assignPrearranged(deduped, idCol, base)
   }
 
   /** D10/S9/W3: last-wins merge of incoming fact rows onto existing

@@ -49,16 +49,23 @@ object StableId {
   private val MidCol = "__sid_mid"
   private val OffCol = "__sid_offset"
 
-  def assign(df: DataFrame, orderCols: Seq[Column], idCol: String, base: Long): DataFrame = {
+  private def requireClean(df: DataFrame, idCol: String): Unit = {
     require(!df.columns.contains(idCol),
       s"StableId.assign: input already has a '$idCol' column")
     Seq(PidCol, MidCol, OffCol).foreach(h =>
       require(!df.columns.contains(h), s"StableId.assign: reserved helper column '$h' present"))
+  }
 
-    val parted = df
-      .repartitionByRange(orderCols: _*)
-      .sortWithinPartitions(orderCols: _*)
-      .localCheckpoint() // pins boundaries + row order; single materialization
+  /** Number a frame whose partitions are contiguous ranges of the id
+    * order with rows sorted inside each: checkpoint (lazy — pins
+    * boundaries + row order at first materialization; every consumer,
+    * including the offsets aggregate riding the broadcast, reads the
+    * same physical rows), then base + cumulative-offset + local
+    * position.
+    */
+  private def numberArranged(arranged: DataFrame, idCol: String, base: Long): DataFrame = {
+    val parted = arranged
+      .localCheckpoint(false)
       .withColumn(PidCol, spark_partition_id())
       .withColumn(MidCol, monotonically_increasing_id())
     // offsets: ≤ #partitions rows — the Window.orderBy here is over that
@@ -76,6 +83,27 @@ object StableId {
           (col(MidCol) - shiftleft(col(PidCol).cast("long"), 33)) + lit(1L))
           .cast("long"))
       .drop(PidCol, MidCol, OffCol)
+  }
+
+  def assign(df: DataFrame, orderCols: Seq[Column], idCol: String, base: Long): DataFrame = {
+    requireClean(df, idCol)
+    numberArranged(
+      df.repartitionByRange(orderCols: _*).sortWithinPartitions(orderCols: _*),
+      idCol, base)
+  }
+
+  /** `assign` for inputs that are ALREADY range-partitioned and sorted
+    * in the id order (e.g. a dedup window that just shuffled on the
+    * same keys) — skips the repartition+sort, so the caller's exchange
+    * and the id assignment are ONE data shuffle instead of two. The
+    * caller owns the invariant: partitions must be contiguous key
+    * ranges with rows sorted inside (a `repartitionByRange` +
+    * `sortWithinPartitions` upstream, with only order-preserving
+    * narrow ops — filter/project — in between).
+    */
+  def assignPrearranged(df: DataFrame, idCol: String, base: Long): DataFrame = {
+    requireClean(df, idCol)
+    numberArranged(df, idCol, base)
   }
 
   /** Assign ids continuing after `max(existing(existingIdCol))` (or
