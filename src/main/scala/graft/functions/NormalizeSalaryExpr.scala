@@ -3,6 +3,7 @@ package graft.functions
 import java.util.regex.Pattern
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
@@ -30,6 +31,13 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class NormalizeSalaryExpr(child: Expression)
     extends UnaryExpression with Serializable {
+
+  // analysis-time type contract: a non-string child fails analysis
+  // instead of throwing ClassCastException inside codegen
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"NORMALIZE_SALARY requires STRING input, got ${child.dataType.catalogString}")
 
   override def dataType: DataType = NormalizeSalaryExpr.OutType
 

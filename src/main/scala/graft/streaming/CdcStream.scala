@@ -52,13 +52,26 @@ object CdcStream {
     val dstDir = new org.apache.hadoop.fs.Path(watchDir)
     val fs = dstDir.getFileSystem(conf)
     val marker = new org.apache.hadoop.fs.Path(dstDir, "_STAGED")
-    if (!fs.exists(marker)) {
+    // marker stores the source's (mtime, length): a rewritten source
+    // invalidates the staged copy instead of being silently ignored
+    val srcFs = src.getFileSystem(conf)
+    val st = srcFs.getFileStatus(src)
+    val stamp = s"${st.getModificationTime}:${st.getLen}"
+    val current =
+      if (!fs.exists(marker)) None
+      else {
+        val in = fs.open(marker)
+        try Some(new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8"))
+        finally in.close()
+      }
+    if (!current.contains(stamp)) {
       if (fs.exists(dstDir)) fs.delete(dstDir, true)
       fs.mkdirs(dstDir)
       org.apache.hadoop.fs.FileUtil.copy(
-        src.getFileSystem(conf), src, fs,
+        srcFs, src, fs,
         new org.apache.hadoop.fs.Path(dstDir, "events.parquet"), false, conf)
-      fs.create(marker, true).close()
+      val out = fs.create(marker, true)
+      try out.write(stamp.getBytes("UTF-8")) finally out.close()
     }
     watchDir
   }
