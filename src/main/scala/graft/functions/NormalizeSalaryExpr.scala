@@ -33,9 +33,11 @@ case class NormalizeSalaryExpr(child: Expression)
     extends UnaryExpression with Serializable {
 
   // analysis-time type contract: a non-string child fails analysis
-  // instead of throwing ClassCastException inside codegen
+  // instead of throwing ClassCastException inside codegen. NullType is
+  // allowed — NULL input is defined behavior ((0, 0, negotiable)), and
+  // a bare NULL literal in SQL arrives untyped.
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    if (child.dataType == StringType || child.dataType == NullType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"NORMALIZE_SALARY requires STRING input, got ${child.dataType.catalogString}")
 

@@ -386,4 +386,59 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxDistance)
   }
+
+  /** Connected components of the undirected pair graph via iterative
+    * min-label propagation: every node repeatedly adopts the smallest
+    * label among itself and its neighbors until no label changes, so
+    * each component ends up labeled by its minimum member id. This is
+    * the step that turns near-duplicate PAIRS (minhash/simhash/winnow
+    * operators above) into deduplication DECISIONS — one keeper per
+    * transitive duplicate cluster.
+    *
+    * Scale shape: every round is fully distributed (one equi-join on
+    * the node id + one partial-aggregating groupBy; no windows, no
+    * driver-side data). The driver only checks the per-round changed
+    * count — control flow, not data movement. Labels are lazily
+    * checkpointed each round: without that the iterative plan grows by
+    * two joins per round and each action re-executes the whole
+    * history. Rounds are bounded by component diameter; near-dup
+    * clusters are dense (diameter ≲ 3), so convergence takes 2-4
+    * rounds. For adversarial path-shaped graphs, star contraction
+    * (large-star/small-star alternation) converges in O(log n) rounds
+    * at the cost of more machinery — min-propagation is the right
+    * default for dedup graphs.
+    *
+    * Returns one row per node that appears in `pairs`: (id, comp).
+    * Nodes with no pair are absent — callers treat them as their own
+    * singleton component (see the q_l14 registry query).
+    */
+  def connectedComponents(
+      pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 25): DataFrame = {
+    val sym = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint(false)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint(false)
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxIter) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("dst"), col("comp")), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min("comp").as("__nc"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("__nc"), col("comp"))).as("comp"),
+          (coalesce(col("__nc"), col("comp")) < col("comp")).as("__chg"))
+        .localCheckpoint(false)
+      changed = next.filter(col("__chg")).count()
+      labels = next.drop("__chg")
+      round += 1
+    }
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIter rounds — " +
+        "pathological graph diameter; raise maxIter or switch to star contraction")
+    labels
+  }
 }

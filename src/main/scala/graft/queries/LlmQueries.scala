@@ -410,6 +410,60 @@ object LlmQueries {
           .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
           .orderBy("id_a", "id_b")),
 
+    // ---------------------------------------------------------------- duplicate clusters (pairs → components → keeper)
+    QueryDef(
+      "q_l14_dedup_clusters", "LLM-dedup-clusters (connected components)",
+      // The decision step of dedup: exact-duplicate pairs (same
+      // normalized-md5 fingerprint) unioned with near-dup pairs
+      // (exact shingle Jaccard >= 0.8, the q_l2-verified semantics),
+      // connected components over the union graph, one cluster row per
+      // component labeled by its minimum doc_id (= the keeper; every
+      // other member is dropped). The oracle computes components as
+      // min reachable id via a recursive CTE — a different algorithm
+      // arriving at the same fixpoint, so the propagation loop is
+      // value-checked, not replayed.
+      Some("""WITH RECURSIVE
+             |toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+             |sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+             |                                            for i in generate_series(1, len(w)-2)])) AS s
+             |       FROM toks WHERE len(w) >= 3),
+             |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+             |np AS (SELECT id_a, id_b FROM
+             |         (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+             |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |          GROUP BY 1, 2) p
+             |       JOIN sizes sa ON sa.doc_id = p.id_a
+             |       JOIN sizes sb ON sb.doc_id = p.id_b
+             |       WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8),
+             |fp AS (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f
+             |       FROM documents),
+             |ep AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |       FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id),
+             |edges AS (SELECT id_a, id_b FROM np UNION SELECT id_a, id_b FROM ep),
+             |sym AS (SELECT id_a AS src, id_b AS dst FROM edges
+             |        UNION SELECT id_b, id_a FROM edges),
+             |reach(id, r) AS (
+             |  SELECT src, src FROM (SELECT DISTINCT src FROM sym) t
+             |  UNION
+             |  SELECT s.src, q.r FROM sym s JOIN reach q ON q.id = s.dst),
+             |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+             |SELECT cluster_id, count(*) AS n_docs, CAST(sum(id) AS BIGINT) AS id_sum
+             |FROM comp GROUP BY cluster_id ORDER BY cluster_id""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val near = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+            shingleN = 3, perms = 128, bands = 32, threshold = 0.8)
+          .select("id_a", "id_b")
+        val fp = docs.select(col("doc_id"), Dedup.exactFingerprint(col("text")).as("f"))
+        val exact = fp.as("a")
+          .join(fp.as("b"), col("a.f") === col("b.f") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        val cc = Dedup.connectedComponents(near.unionByName(exact).distinct(), "id_a", "id_b")
+        cc.groupBy(col("comp").as("cluster_id"))
+          .agg(count(lit(1)).as("n_docs"), sum("id").cast("long").as("id_sum"))
+          .orderBy("cluster_id")
+      }),
+
     // ---------------------------------------------------------------- multimodal metadata + stub decode
     QueryDef(
       "q_m1_media_meta", "LLM-multimodal-meta",

@@ -105,4 +105,19 @@ class DedupSpec extends AnyFunSuite {
     assert(simAb > 0.5 && simAc < 0.2, s"ab=$simAb ac=$simAc")
     assert(TextAnalysis.winnow(null, 5, 4).isEmpty)
   }
+
+  test("connected components: chain needs multiple propagation rounds, components labeled by min id") {
+    import spark.implicits._
+    // 9→8→…→1 chain (diameter 8 exercises the loop), a 2-cycle-free
+    // triangle sharing no nodes, and an isolated pair
+    val chain = (1L to 8L).map(i => (i + 1, i))
+    val edges = (chain ++ Seq((20L, 21L), (21L, 22L), (20L, 22L), (30L, 31L)))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(edges, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 9L).forall(cc(_) == 1L), s"chain labels: $cc")
+    assert(Seq(20L, 21L, 22L).forall(cc(_) == 20L))
+    assert(cc(30L) == 30L && cc(31L) == 30L)
+    assert(cc.size == 14)
+  }
 }
