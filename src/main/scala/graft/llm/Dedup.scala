@@ -195,8 +195,8 @@ object Dedup {
     * corpus doc-frequency asc, then signed key value asc — fully
     * deterministic and SQL-replayable), candidates are pairs sharing at
     * least `minShared` sketch keys, and only candidates are verified
-    * with an exact intersection over the full kept sets. The Jaccard
-    * values returned are exact; only candidate RECALL is heuristic.
+    * exactly. The Jaccard values returned are exact; only candidate
+    * RECALL is heuristic.
     *
     * Why this beats complete blocking for winnowing: per-doc key sets
     * are large (~|text|/w fingerprints), so complete blocking emits
@@ -207,41 +207,64 @@ object Dedup {
     * exact at every SF (measured; a true pair at J ≥ 0.5 shares ~half
     * of each side's keys, so missing ≥ sketchK−minShared+1 of the 16
     * rarest is vanishingly unlikely). One groupBy(__id) produces the
-    * full set, its size, and the sketch in a single shuffle — no
-    * per-key window anywhere.
+    * size and the sketch in a single shuffle — no per-key window
+    * anywhere.
+    *
+    * SHORT-DOC GUARD: a doc with fewer than `minShared` kept keys could
+    * never clear a fixed share floor, so the floor is per-pair
+    * min(minShared, |sketch_a|, |sketch_b|) — two one-fingerprint docs
+    * that share it are candidates (and verify to Jaccard 1.0). Docs
+    * with ZERO kept keys (empty/too-short text) remain invisible to
+    * every path, blocking included.
+    *
+    * Verification re-counts shared keys on the already-capped exploded
+    * frame — the candidate pair list joins back to (id, key) rows and
+    * one count-shuffle per pair gives the exact intersection, the same
+    * aggregation shape the blocking path uses. Nothing materializes
+    * per-doc key ARRAYS: the sketch aggregation buffers one doc's keys
+    * at a time and emits only the sketchK prefix, so no fat arrays
+    * cross a shuffle boundary (the previous full-set array re-join was
+    * the dominant verify cost and a skew hazard at scale).
     */
   private[llm] def jaccardPairsViaSketch(
       keyed: DataFrame, keyCol: String, threshold: Double,
       maxDocFreq: Int, sketchK: Int, minShared: Int): DataFrame = {
     val kept = cappedKeyed(keyed, keyCol, maxDocFreq)
-    // one aggregation: full key set (for exact verify), size, and the
-    // (df asc, key asc)-sorted sketch prefix
+    // one aggregation: set size plus the (df asc, key asc)-sorted
+    // sketch prefix; the full key set never leaves the aggregate
     val sets = kept
       .groupBy("__id")
       .agg(collect_list(struct(col("__df").as("df"), col(keyCol).as("k"))).as("__dk"))
       .select(col("__id"),
-        transform(col("__dk"), s => s.getField("k")).as("__keys"),
         size(col("__dk")).as("n"),
         transform(slice(array_sort(col("__dk")), 1, sketchK), s => s.getField("k"))
           .as("__sketch"))
-      .drop("__dk")
       .localCheckpoint(false)
-    val sk = sets.select(col("__id"), explode(col("__sketch")).as(keyCol))
-    val candidates = sk.select(col(keyCol), col("__id").as("id_a"))
-      .join(sk.select(col(keyCol), col("__id").as("id_b")), Seq(keyCol))
+    val sk = sets.select(col("__id"), size(col("__sketch")).as("__z"),
+      explode(col("__sketch")).as(keyCol))
+    val candidates = sk.select(col(keyCol), col("__id").as("id_a"), col("__z").as("__za"))
+      .join(sk.select(col(keyCol), col("__id").as("id_b"), col("__z").as("__zb")), Seq(keyCol))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
+      .select("id_a", "id_b", "__za", "__zb")
       .repartition(col("id_a"), col("id_b"))
       .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("__shared"))
-      .filter(col("__shared") >= minShared)
+      .agg(count(lit(1)).as("__shared"),
+        min(least(col("__za"), col("__zb"))).as("__msz"))
+      .filter(col("__shared") >= least(lit(minShared), col("__msz")))
       .select("id_a", "id_b")
-    candidates
-      .join(sets.select(col("__id").as("id_a"), col("__keys").as("__ka"), col("n").as("na")),
-        Seq("id_a"))
-      .join(sets.select(col("__id").as("id_b"), col("__keys").as("__kb"), col("n").as("nb")),
-        Seq("id_b"))
-      .withColumn("inter", size(array_intersect(col("__ka"), col("__kb"))))
+      .localCheckpoint(false)
+    // exact verify: count shared keys per candidate pair over the
+    // capped exploded frame — a row survives the second join iff both
+    // docs hold the key, so count == |intersection|
+    val inter = candidates
+      .join(kept.select(col("__id").as("id_a"), col(keyCol)), Seq("id_a"))
+      .join(kept.select(col("__id").as("id_b"), col(keyCol)), Seq("id_b", keyCol))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter"))
+    val sizes = sets.select(col("__id"), col("n"))
+    inter
+      .join(sizes.select(col("__id").as("id_a"), col("n").as("na")), Seq("id_a"))
+      .join(sizes.select(col("__id").as("id_b"), col("n").as("nb")), Seq("id_b"))
       .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
@@ -292,20 +315,26 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** Exact n-gram Jaccard pairs via shingle-join blocking: any pair
-    * sharing an informative shingle meets in the equi-join; shingles in
-    * more than `maxDocFreq` docs are dropped as stopword-shingles
-    * (capDocFreq) so bucket sizes — and the join's pair work — stay
-    * bounded however templated the corpus is. Jaccard is over the kept
-    * shingle sets.
+  /** Exact n-gram Jaccard pairs via rare-shingle sketch candidates:
+    * shingles in more than `maxDocFreq` docs are dropped as
+    * stopword-shingles first (see `cappedKeyed`), then candidates come
+    * from each doc's `sketchK` rarest kept shingles (pairs sharing at
+    * least `minShared`, floored per-pair for short docs) and only
+    * candidates pay an exact intersection count. Jaccard is over the
+    * kept shingle sets and exact; the sketch only bounds RECALL, with
+    * the same argument as winnowing — a pair at J ≥ t shares ~t of
+    * each side's shingles, and rare shingles are the discriminative
+    * ones. `jaccardPairsViaBlocking` remains available for corpora of
+    * very short documents where complete blocking is already cheap.
     */
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int, threshold: Double, maxDocFreq: Int = 500): DataFrame =
-    jaccardPairsViaBlocking(
+      shingleN: Int, threshold: Double, maxDocFreq: Int = 500,
+      sketchK: Int = 16, minShared: Int = 2): DataFrame =
+    jaccardPairsViaSketch(
       spread(docs)
         .select(col(idCol).as("__id"), explode(shingles(col(textCol), shingleN)).as("s")),
-      "s", threshold, maxDocFreq)
+      "s", threshold, maxDocFreq, sketchK, minShared)
 
   /** Winnowing-fingerprint near-dup pairs: each doc's winnow set
     * (TextAnalysis.winnow over normalized text) plays the shingle role.

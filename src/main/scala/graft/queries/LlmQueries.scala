@@ -75,22 +75,39 @@ object LlmQueries {
           .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
           .orderBy("id_a", "id_b")),
 
-    // ---------------------------------------------------------------- exact n-gram Jaccard (complete blocking)
+    // ---------------------------------------------------------------- exact n-gram Jaccard (rare-shingle sketch)
     QueryDef(
       "q_l3_ngram_jaccard", "LLM-dedup-ngram-jaccard",
+      // replays the rare-shingle sketch: doc-frequency cap (≤500) →
+      // 16 rarest kept shingles per doc by (df asc, shingle asc — both
+      // engines compare strings as raw UTF-8 bytes) → pairs sharing
+      // ≥ min(2, either side's sketch size) → exact kept-set
+      // intersection for candidates only.
       Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
              |sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+2], ' ')
              |                                            for i in generate_series(1, len(w)-2)])) AS s
              |       FROM toks WHERE len(w) >= 3),
-             |kept AS (SELECT * FROM sh
-             |         QUALIFY count(*) OVER (PARTITION BY s) <= 500),
+             |freq AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+             |kept AS (SELECT h.doc_id, h.s, f.df FROM sh h JOIN freq f USING (s)
+             |         WHERE f.df <= 500),
+             |ordered AS (SELECT doc_id, s,
+             |              row_number() OVER (PARTITION BY doc_id ORDER BY df, s) AS rn
+             |            FROM kept),
+             |sk AS (SELECT doc_id, s FROM ordered WHERE rn <= 16),
+             |sksz AS (SELECT doc_id, count(*) AS z FROM sk GROUP BY doc_id),
+             |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |         FROM sk a JOIN sk b ON a.s = b.s AND a.doc_id < b.doc_id
+             |         JOIN sksz za ON za.doc_id = a.doc_id
+             |         JOIN sksz zb ON zb.doc_id = b.doc_id
+             |         GROUP BY 1, 2 HAVING count(*) >= least(2, min(za.z), min(zb.z))),
              |sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
-             |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-             |          FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+             |inter AS (SELECT c.id_a, c.id_b, count(*) AS inter
+             |          FROM cand c JOIN kept a ON a.doc_id = c.id_a
+             |                      JOIN kept b ON b.doc_id = c.id_b AND b.s = a.s
              |          GROUP BY 1, 2)
              |SELECT id_a, id_b,
              |       round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
-             |FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+             |FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
              |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
              |ORDER BY id_a, id_b""".stripMargin),
       (s, dir) =>
@@ -365,7 +382,8 @@ object LlmQueries {
       // exact replay of Schleimer et al. winnowing: md5 char-7-gram
       // hashes → window-4 minima → rare-fingerprint sketch candidates
       // (16 rarest per doc by (doc-freq asc, signed fp asc), pairs
-      // sharing ≥2) → exact fingerprint-set Jaccard for candidates.
+      // sharing ≥ min(2, either side's sketch size — the short-doc
+      // floor) → exact fingerprint-set intersection for candidates.
       // `(fp < 2⁶³), fp` in the sketch ORDER BY replays Spark's
       // signed-long ordering of the same md5-derived fingerprints
       // (UBIGINTs ≥ 2⁶³ are negative longs, so they sort first).
@@ -392,17 +410,21 @@ object LlmQueries {
              |                                 ORDER BY df, (fp < 9223372036854775808), fp) AS rn
              |            FROM kept),
              |sk AS (SELECT doc_id, fp FROM ordered WHERE rn <= 16),
+             |sksz AS (SELECT doc_id, count(*) AS z FROM sk GROUP BY doc_id),
              |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
              |         FROM sk a JOIN sk b ON a.fp = b.fp AND a.doc_id < b.doc_id
-             |         GROUP BY 1, 2 HAVING count(*) >= 2),
-             |sets AS (SELECT doc_id, list(fp) AS fps, count(*) AS n FROM kept GROUP BY doc_id),
-             |ver AS (SELECT id_a, id_b, len(list_intersect(sa.fps, sb.fps)) AS inter,
-             |               sa.n AS na, sb.n AS nb
-             |        FROM cand JOIN sets sa ON sa.doc_id = id_a
-             |                  JOIN sets sb ON sb.doc_id = id_b)
+             |         JOIN sksz za ON za.doc_id = a.doc_id
+             |         JOIN sksz zb ON zb.doc_id = b.doc_id
+             |         GROUP BY 1, 2 HAVING count(*) >= least(2, min(za.z), min(zb.z))),
+             |sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+             |inter AS (SELECT c.id_a, c.id_b, count(*) AS inter
+             |          FROM cand c JOIN kept a ON a.doc_id = c.id_a
+             |                      JOIN kept b ON b.doc_id = c.id_b AND b.fp = a.fp
+             |          GROUP BY 1, 2)
              |SELECT id_a, id_b,
-             |       round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
-             |FROM ver WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
+             |       round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+             |FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+             |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
              |ORDER BY id_a, id_b""".stripMargin),
       (s, dir) =>
         Dedup.winnowNearDupPairs(Tables.documents(s, dir), "doc_id", "text",

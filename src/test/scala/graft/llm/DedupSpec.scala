@@ -68,6 +68,20 @@ class DedupSpec extends AnyFunSuite {
     assert(production.nonEmpty, "testdata should contain planted near-duplicates")
   }
 
+  test("sketch short-doc guard: docs with a single fingerprint can still pair") {
+    import spark.implicits._
+    // byte-distinct near-identical short docs: both normalize to the
+    // same 7-char string → exactly one winnow fingerprint each, below
+    // the default minShared=2 — the per-pair floor min(minShared,
+    // sketch sizes) must let them meet (Jaccard 1.0)
+    val docs = Seq(
+      (1L, "ABCDEFG"), (2L, "abcdefg  "), (3L, "zzzzzzzzzz different pad"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.winnowNearDupPairs(docs, "doc_id", "text", k = 7, w = 4, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
+
   test("winnow batched-digest path matches per-substring hashing incl. unicode") {
     // ASCII, multi-byte BMP (Vietnamese), and a supplementary char
     // (forces the surrogate fallback) must all hash identically to the
