@@ -28,7 +28,11 @@ object Bench {
     // Stage the streaming watch dir once (setup, not query work) so
     // q_st1 times the stream, not a file copy.
     graft.streaming.CdcStream.ensureStaged(spark, sfDir)
-    val results = Registry.benchNames.map { name =>
+    // Optional name args restrict the run (dev iteration on a subset);
+    // the driver passes none and always benches the full registry.
+    val names =
+      if (args.nonEmpty) Registry.benchNames.filter(args.toSet) else Registry.benchNames
+    val results = names.map { name =>
       val passes = (1 to Passes).map { _ =>
         val t0 = System.nanoTime()
         try {

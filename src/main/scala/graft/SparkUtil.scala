@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** One place for session construction so every entrypoint (Verify,
   * Bench, Scratch, tests) runs with identical semantics-relevant conf.
@@ -41,6 +41,24 @@ object SparkUtil {
         throw new IllegalArgumentException(
           s"SPARK_GRAFT_CPUS must be an integer, got '$v'")
     }
+  }
+
+  /** Widen a narrow input (e.g. a single small parquet file → 1-2 scan
+    * partitions) to cluster parallelism before per-row-heavy work,
+    * WITHOUT executing the plan: the check counts leaf input FILES —
+    * pure metadata. The previous `df.rdd.getNumPartitions` check was a
+    * hidden execution: under AQE, `Dataset.rdd` materializes every
+    * non-final query stage, so a plan with an upstream shuffle ran in
+    * full at build time and the downstream lazy checkpoint then
+    * re-executed it — the e2e staging chain was computed TWICE per
+    * build. Non-file-backed frames (checkpoints, synthesized unions)
+    * report zero files and take the repartition — a single bounded
+    * shuffle before the heavy map work, never a re-execution. A real
+    * 100 TB scan has thousands of files and is left untouched.
+    */
+  def widenByFiles(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.inputFiles.length < target) df.repartition(target) else df
   }
 
   def local(cpus: Int = envCpus.getOrElse(DefaultCpus)): SparkSession = {

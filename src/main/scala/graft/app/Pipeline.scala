@@ -29,12 +29,11 @@ object Pipeline {
     // The cleaning chain is UDF/regex-heavy and narrow: its parallelism
     // is whatever the scan gave us. A small-file input (one parquet
     // file → 1-2 partitions) would run the whole chain on 1-2 cores,
-    // so widen only when the input is narrower than the cluster —
-    // at real scale the scan already has plenty of partitions and no
-    // extra shuffle happens.
-    val target = raw0.sparkSession.sparkContext.defaultParallelism
-    val raw =
-      if (raw0.rdd.getNumPartitions < target) raw0.repartition(target) else raw0
+    // so widen only when the input is narrower than the cluster — a
+    // metadata-only file-count check (see SparkUtil.widenByFiles: the
+    // old getNumPartitions check EXECUTED the upstream plan under AQE).
+    // At real scale the scan has plenty of files and nothing changes.
+    val raw = graft.SparkUtil.widenByFiles(raw0)
     val now = to_timestamp(lit(asOf))
     val withPairs = raw
       .withColumn("location_pairs", LocationFns.extractLocationInfo(col("location_detail")))
@@ -97,13 +96,19 @@ object Pipeline {
       s"staging input is missing required columns: ${missing.mkString(", ")}")
   }
 
-  /** Widen a narrow input (e.g. a single-file scan → 1-2 partitions) to
-    * cluster parallelism before a checkpoint/materialization; no-op
-    * when the scan is already wide, so nothing changes at real scale.
+  /** Checkpoint staging once for its four consumers (3 dims + facts),
+    * then widen AFTER the checkpoint if the materialized frame came out
+    * narrow: the partition check on a checkpointed frame is free (the
+    * RDD already exists — no plan execution), whereas checking the
+    * un-checkpointed plan via `.rdd` executed the whole staging chain a
+    * second time under AQE (the round-5 e2e numbers paid the E2 parse
+    * chain TWICE per build). The repartition, when it fires, re-shuffles
+    * only cached checkpoint blocks — bounded by the narrow-input premise.
     */
-  private def widen(df: DataFrame): DataFrame = {
+  private def checkpointWide(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint(false)
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    if (ck.rdd.getNumPartitions < target) ck.repartition(target) else ck
   }
 
   /** E3: staging → full star-schema snapshot (initial build; the daily
@@ -117,34 +122,31 @@ object Pipeline {
     // round-2 bench's dominant cost). Lazy: materializes inside the
     // first consuming job instead of a separate eager one at plan
     // time; blocks are auto-dropped when the frame is GC'd.
-    val staging = widen(withLocationSrc(staging0)).localCheckpoint(false)
+    val staging = checkpointWide(withLocationSrc(staging0))
 
-    // -------- dims (D1-D3): prep + dedup + SCD stamp + SK assignment
-    // (distributed dense numbering — no single-partition window stage)
-    def withSk(df: DataFrame, skCol: String, orderCol: String, base: Long): DataFrame =
-      StableId.assign(df, Seq(col(orderCol)), skCol, base)
+    // -------- dims (D1/D2): dedup keep-latest-crawl + SCD stamp + SK
+    // assignment fused into ONE range exchange per dimension (see
+    // Dimensions.prepareDimAssigning); SKs are dense in natural-key
+    // order with no single-partition window stage anywhere
+    val dimJob = Dimensions.prepareDimAssigning(
+      staging.select(("job_id" +: JobTrackedCols :+ "crawled_at").map(col): _*),
+      "job_id", "job_sk", 10000L, asOf)
 
-    val dimJob = withSk(
-      Dimensions.prepareDim(
-        staging.select("job_id", "title_clean", "job_url", "skills", "last_update", "logo_url"),
-        "job_id", "job_id", asOf),
-      "job_sk", "job_id", 10000L)
-
-    val dimCompany = withSk(
-      Dimensions.prepareDim(
-        staging.select(col("company_name_standardized"), col("company_url"),
-          col("verified_employer")),
-        "company_name_standardized", "company_name_standardized", asOf),
-      "company_sk", "company_name_standardized", 10000L)
+    val dimCompany = Dimensions.prepareDimAssigning(
+      staging.select(
+        ("company_name_standardized" +: CompanyTrackedCols :+ "crawled_at").map(col): _*),
+      "company_name_standardized", "company_sk", 10000L, asOf)
 
     // Unknown row seeded before bridge resolution (SURVEY §7.4(6))
     val unknownLoc = spark.range(1).select(
       lit(null).cast("string").as("province"), lit("Unknown").as("city"),
       lit(null).cast("string").as("district"))
-    val dimLocation = withSk(
+    // full-triple order: city alone ties for multi-district cities,
+    // which would leave equal-city SKs to sort-order luck across runs
+    val dimLocation = StableId.assign(
       Dimensions.appendNewLocations(unknownLoc,
         Dimensions.prepareDimLocation(staging, "location_src")),
-      "location_sk", "city", 10000L)
+      Seq(col("city"), col("province"), col("district")), "location_sk", 10000L)
 
     // -------- DimDate (D8): asOf−30d .. asOf+270d (etl_main.py:460-484)
     val dimDate = TimeFns.dimDateRange(spark,
@@ -195,15 +197,18 @@ object Pipeline {
   def incrementalBatch(prev: Dwh, staging0: DataFrame, asOf: String): Dwh = {
     requireStagingCols(staging0)
     val spark = staging0.sparkSession
-    val staging = widen(withLocationSrc(staging0)).localCheckpoint(false)
+    val staging = checkpointWide(withLocationSrc(staging0))
 
     // within-batch dedup per natural key: the reference's upsert loop
     // processes rows in crawl order, so for conflicting duplicates the
     // LAST crawl wins — order by crawled_at desc (ordering by the
     // partition key itself would tie every row and leave the survivor
-    // to partition layout)
+    // to partition layout); exact-timestamp ties break on a
+    // deterministic payload hash, same rule as prepareDimAssigning
     def dedupBy(df: DataFrame, key: String): DataFrame = {
-      val w = Window.partitionBy(key).orderBy(col("crawled_at").desc)
+      val tie = xxhash64(struct(
+        df.columns.filterNot(c => c == key || c == "crawled_at").map(col).toSeq: _*))
+      val w = Window.partitionBy(key).orderBy(col("crawled_at").desc, tie)
       df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
         .drop("__rn", "crawled_at")
     }

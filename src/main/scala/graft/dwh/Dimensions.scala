@@ -2,6 +2,7 @@ package graft.dwh
 
 import graft.functions.LocationFns
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Dimension preparation (SURVEY D1-D3, D7, D8).
@@ -31,6 +32,52 @@ object Dimensions {
       .groupBy(col(naturalKey))
       .agg(min_by(struct(payload.map(col): _*), col(tiebreak)).as("__p"))
       .select(col(naturalKey) +: payload.map(c => col(s"__p.$c").as(c)): _*)
+      .withColumn(ScdType2.EffectiveCol, lit(asOfDate).cast("date"))
+      .withColumn(ScdType2.ExpiryCol, lit(null).cast("date"))
+      .withColumn(ScdType2.CurrentCol, lit(true))
+  }
+
+  /** D1/D2 prep FUSED with surrogate-key assignment for the pipeline
+    * build: ONE range exchange on the natural key serves the dedup
+    * window (RangePartitioning on the key satisfies the window's
+    * ClusteredDistribution and the within-partition sort already
+    * matches its required ordering, so Catalyst inserts no second
+    * exchange or sort), the SCD stamp, and the dense SK numbering
+    * (`StableId.assignPrearranged` numbers the same checkpointed
+    * partitions in place — the trick `Facts.dedupAssigningIds` uses).
+    * The separate prepareDim-then-assign formulation paid a hash
+    * shuffle for the min_by dedup AND a range shuffle for the ids —
+    * per dimension, over a frame the size of staging.
+    *
+    * Survivor rule: LATEST crawl wins (`crawled_at` desc), matching the
+    * reference's crawl-order upsert (its per-row loop processes crawls
+    * in order, so the last write per key sticks) and incrementalBatch's
+    * dedupBy — the initial build and the daily mode share one rule
+    * (round-5 advice: the old min_by-on-natural-key tiebreak tied every
+    * row and left the survivor to partition layout). Exact-timestamp
+    * ties break on a deterministic payload hash so re-runs cannot flip
+    * survivors. SKs are `base+1..base+N` in natural-key order.
+    */
+  def prepareDimAssigning(
+      staging: DataFrame, naturalKey: String, skCol: String, base: Long,
+      asOfDate: String): DataFrame =
+    StableId.assignPrearranged(prepareDimArranged(staging, naturalKey, asOfDate), skCol, base)
+
+  /** The pre-numbering stage of `prepareDimAssigning`, exposed so
+    * PlanSpec can assert its one-exchange shape on the REAL plan (the
+    * checkpoint inside assignPrearranged truncates lineage).
+    */
+  private[graft] def prepareDimArranged(
+      staging: DataFrame, naturalKey: String, asOfDate: String): DataFrame = {
+    val payload = staging.columns.filterNot(c => c == naturalKey || c == "crawled_at").toSeq
+    val tieHash = xxhash64(struct(payload.map(col): _*))
+    val arranged = staging
+      .repartitionByRange(col(naturalKey))
+      .sortWithinPartitions(col(naturalKey), col("crawled_at").desc, tieHash)
+    val w = Window.partitionBy(naturalKey).orderBy(col("crawled_at").desc, tieHash)
+    arranged
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col(naturalKey) +: payload.map(col): _*)
       .withColumn(ScdType2.EffectiveCol, lit(asOfDate).cast("date"))
       .withColumn(ScdType2.ExpiryCol, lit(null).cast("date"))
       .withColumn(ScdType2.CurrentCol, lit(true))

@@ -59,13 +59,23 @@ object Facts {
     * identical (keys are unique after dedup, so the id order is the
     * same (job_sk, date_id) total order).
     */
+  /** Deterministic final dedup tiebreak: two same-key rows with an
+    * IDENTICAL crawled_at but different measures (a crawler retry that
+    * re-parsed differently) must not leave the survivor to shuffle
+    * fetch order — hash the full payload so exact-timestamp ties are
+    * stable across runs (round-5 advice).
+    */
+  private def tieHash(df: DataFrame, excluded: Seq[String]): org.apache.spark.sql.Column =
+    xxhash64(struct(df.columns.filterNot(excluded.contains).map(col).toSeq: _*))
+
   def dedupAssigningIds(exploded: DataFrame, idCol: String, base: Long): DataFrame = {
+    val tie = tieHash(exploded, Seq("job_sk", "date_id", "crawled_at", "load_month"))
     val arranged = exploded
       .repartitionByRange(col("job_sk"), col("date_id"))
       .sortWithinPartitions(
-        col("job_sk"), col("date_id"), col("crawled_at").desc, col("load_month").desc)
+        col("job_sk"), col("date_id"), col("crawled_at").desc, col("load_month").desc, tie)
     val w = Window.partitionBy("job_sk", "date_id")
-      .orderBy(col("crawled_at").desc, col("load_month").desc)
+      .orderBy(col("crawled_at").desc, col("load_month").desc, tie)
     val deduped = arranged
       .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
     StableId.assignPrearranged(deduped, idCol, base)
@@ -127,7 +137,8 @@ object Facts {
     val keys = Seq("job_sk", "date_id")
     val dedup = {
       val w = Window.partitionBy(keys.map(col): _*)
-        .orderBy(col("crawled_at").desc, col("load_month").desc)
+        .orderBy(col("crawled_at").desc, col("load_month").desc,
+          tieHash(incoming, keys ++ Seq("crawled_at", "load_month")))
       incoming.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
     }
     val e = existing.select(
@@ -155,6 +166,33 @@ object Facts {
       cleaned.filter(col("__e_fact_id").isNull).drop("__e_fact_id"),
       keys.map(col), "fact_id", existing, "fact_id", 9999L)
     matched.unionByName(fresh.select(matched.columns.map(col): _*))
+  }
+
+  /** S9 upsert statistics — the reference surfaces "N inserted /
+    * M updated" per bulk upsert (bulk_operations.py:235-241, counting
+    * `xmax = 0` rows) and warns when processed/attempted drops below
+    * 95% (fact_handler.py:186-196). Set-based replay: one left join of
+    * the incoming keys onto the existing keys flags each processed key
+    * as insert (no match) or update (match), and one aggregate emits
+    * the counts, the success rate against the raw `attempted` batch
+    * (rows lost to parsing/SK resolution upstream), and the ≥95% flag.
+    * The key probe is dimension-of-the-batch sized; nothing collects.
+    */
+  def upsertStats(
+      existing: DataFrame, incoming: DataFrame, attempted: DataFrame): DataFrame = {
+    val keys = Seq("job_sk", "date_id")
+    val flagged = incoming.select(keys.map(col): _*).distinct()
+      .join(existing.select(keys.map(col): _*).withColumn("__e", lit(true)), keys, "left")
+    flagged
+      .agg(
+        count(lit(1)).as("n_processed"),
+        sum(when(col("__e").isNotNull, 0L).otherwise(1L)).as("n_inserted"),
+        sum(when(col("__e").isNotNull, 1L).otherwise(0L)).as("n_updated"))
+      .crossJoin(broadcast(attempted.agg(count(lit(1)).as("n_attempted"))))
+      .withColumn("success_rate", round(col("n_processed") / col("n_attempted"), 4))
+      .withColumn("success_ok", col("n_processed") / col("n_attempted") >= 0.95)
+      .select("n_attempted", "n_processed", "n_inserted", "n_updated",
+        "success_rate", "success_ok")
   }
 
   /** D11: fact→location bridge — explode each fact's parsed locations,

@@ -101,28 +101,37 @@ object Exports {
     val spark = dwh.fact.sparkSession
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+    // each tagged projection is lazily checkpointed so the counts
+    // aggregate and the parquet write SHARE one computation of the
+    // joins — the previous formulation planned every projection twice
+    // (once per consumer), doubling the export's join work
+    val taggedFrames: Seq[(String, DataFrame)] =
+      Types.map(t => t -> tagged(dwh, t, months).localCheckpoint(false))
+
     // all (type, month) record counts in one aggregation job — never a
     // per-file re-read
-    val counts: Map[(String, String), Long] = Types.map { t =>
-      tagged(dwh, t, months)
-        .groupBy(MonthTag).agg(count(lit(1)).as("n"))
+    val counts: Map[(String, String), Long] = taggedFrames.map { case (t, df) =>
+      df.groupBy(MonthTag).agg(count(lit(1)).as("n"))
         .select(lit(t).as("t"), col(MonthTag), col("n"))
     }.reduce(_ unionByName _)
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
 
     // one partitioned write per type; per-month dirs land via renames
-    // (driver-side metadata operations, not Spark jobs)
-    Types.foreach { t =>
+    // (driver-side metadata operations, not Spark jobs). mkdirs/rename
+    // results are CHECKED: a false return (dest-parent race, cross-FS
+    // staging) would otherwise leave the month's parquet stranded under
+    // .staging_<type> while metadata still reported it (round-5 advice).
+    taggedFrames.foreach { case (t, df) =>
       val staging = s"$dir/.staging_$t"
-      tagged(dwh, t, months)
-        .write.mode("overwrite").partitionBy(MonthTag).parquet(staging)
+      df.write.mode("overwrite").partitionBy(MonthTag).parquet(staging)
       months.foreach { m =>
         val src = new Path(s"$staging/$MonthTag=$m")
         if (fs.exists(src)) {
-          fs.mkdirs(new Path(s"$dir/$m"))
+          val monthDir = new Path(s"$dir/$m")
+          require(fs.mkdirs(monthDir), s"export: mkdirs failed for $monthDir")
           val dest = new Path(s"$dir/$m/job_${t}_$m.parquet")
           if (fs.exists(dest)) fs.delete(dest, true)
-          fs.rename(src, dest)
+          require(fs.rename(src, dest), s"export: rename $src -> $dest failed")
         }
       }
       fs.delete(new Path(staging), true)

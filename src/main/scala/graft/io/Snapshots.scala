@@ -3,6 +3,7 @@ package graft.io
 import org.apache.hadoop.fs.Path
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Storage layer (SURVEY S4-S15): partitioned parquet export/reload,
@@ -96,15 +97,31 @@ object Snapshots {
   def cdcReplay(spark: SparkSession, dir: String): DataFrame = spark.read.json(dir)
 
   /** Shape events into CDC records: {timestamp, job_id, action, data,
-    * metadata} (cdc.py:54-69).
+    * metadata} (cdc.py:54-69). The action derives from PRIOR EXISTENCE,
+    * the reference's actual rule (crawler.py:152-186 decides insert vs
+    * update by whether the job_id is already in the store; cdc.py:58-67
+    * logs that decision): a job absent from the previous snapshot gets
+    * `insert` on its earliest event in the batch, and `update` on every
+    * later one — the set-based replay of the reference's sequential
+    * loop, whose store grows as it processes. `priorIds` carries the
+    * previous snapshot's ids in a `job_id` column; it is
+    * dimension-sized, so the existence probe rides a broadcast and the
+    * first-event window is the only event shuffle.
     */
-  def toCdcRecords(events: DataFrame): DataFrame =
-    events.select(
-      date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("timestamp"),
-      col("event_id").as("job_id"),
-      when(col("event_type").isin("signup", "view"), "insert").otherwise("update").as("action"),
-      struct(col("event_type"), col("value")).as("data"),
-      struct(lit("crawler").as("source"), lit("1.0").as("version")).as("metadata"))
+  def toCdcRecords(events: DataFrame, priorIds: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_id"))
+    events
+      .join(broadcast(priorIds.select(col("job_id").as("__prior_id")).distinct()),
+        col("event_id") === col("__prior_id"), "left")
+      .withColumn("__first_ts", min(col("ts")).over(w))
+      .select(
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("timestamp"),
+        col("event_id").as("job_id"),
+        when(col("__prior_id").isNull && col("ts") === col("__first_ts"), "insert")
+          .otherwise("update").as("action"),
+        struct(col("event_type"), col("value")).as("data"),
+        struct(lit("crawler").as("source"), lit("1.0").as("version")).as("metadata"))
+  }
 
   /** Recursively delete a work dir (idempotent re-runs of the CDC
     * append test need a fresh log).

@@ -104,12 +104,11 @@ object Dedup {
   /** Ensure enough input partitions that per-document UDF work (winnow,
     * shingling) spreads across the cluster: a single small parquet file
     * arrives as 1-2 partitions, serializing the map stage. No-op when
-    * the scan is already parallel (the real-scale case).
+    * the scan is already parallel (the real-scale case). File-count
+    * check — metadata only, never executes the plan (SparkUtil
+    * .widenByFiles).
     */
-  private def spread(docs: DataFrame): DataFrame = {
-    val want = docs.sparkSession.sparkContext.defaultParallelism
-    if (docs.rdd.getNumPartitions < want) docs.repartition(want) else docs
-  }
+  private def spread(docs: DataFrame): DataFrame = graft.SparkUtil.widenByFiles(docs)
 
   /** Stopword-key cap over a (doc, key) exploded frame: keys present in
     * more than `maxDocFreq` documents are dropped. A key shared by
@@ -441,6 +440,25 @@ object Dedup {
     * Nodes with no pair are absent — callers treat them as their own
     * singleton component (see the q_l14 registry query).
     */
+  /** The dedup DECISION applied to the corpus: given duplicate pairs
+    * (near or exact, any generator above), keep each cluster's
+    * minimum-id member plus every unpaired document, drop the rest —
+    * the filtered corpus a training pipeline actually ships. One
+    * anti-join of the corpus against the losers (cluster members that
+    * are not their component's minimum); unpaired docs never appear in
+    * `pairs` and pass through untouched. Scale shape: the loser set is
+    * the paired subset only (tiny next to the corpus), so the anti-join
+    * broadcasts; the corpus itself moves through zero shuffles.
+    */
+  def dedupCorpus(
+      docs: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String, bCol: String): DataFrame = {
+    val losers = connectedComponents(pairs, aCol, bCol)
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as(idCol))
+    docs.join(broadcast(losers), Seq(idCol), "left_anti")
+  }
+
   def connectedComponents(
       pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 25): DataFrame = {
     val sym = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))

@@ -65,6 +65,18 @@ object TextAnalysis {
     * language whose marker tokens appear most often; ties and all-zero
     * scores fall back to 'und'. Native expression; profiles are tiny
     * embedded lists, not a model.
+    *
+    * ONE tokenize pass per row: the per-language counts accumulate in a
+    * single `aggregate` over the token array (one 5-int vector updated
+    * per token), and the argmax runs inside a `transform` lambda so the
+    * counts vector is BOUND TO A LAMBDA VARIABLE — evaluated once, then
+    * referenced. The previous formulation inlined the whole
+    * filter-count expression into `greatest` and into every `when`
+    * branch; after CollapseProject that re-evaluated the `split` ~30×
+    * per row — harmless at 5 languages, combinatorial at a realistic
+    * 50-language profile (round-5 advice). Whole-stage codegen's
+    * subexpression elimination does NOT rescue the old shape:
+    * conditionally-evaluated `when` branches are excluded from it.
     */
   def langIdMarkers(c: Column): Column = {
     val markers = Seq(
@@ -73,14 +85,22 @@ object TextAnalysis {
       "fr" -> Seq("le", "la", "les", "et", "est"),
       "es" -> Seq("el", "los", "las", "es", "y"),
       "vi" -> Seq("và", "của", "là", "các", "cho"))
-    val toks = tokens(lower(c))
-    val scores = markers.map { case (lang, ws) =>
-      lang -> size(filter(toks, t => ws.map(w => t === w).reduce[Column](_ || _)))
-    }
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    scores.foldLeft(when(best <= 0, "und")) { case (acc, (lang, s)) =>
-      acc.when(s === best, lang) // first language in marker order wins ties
-    }.otherwise("und")
+    val counts = aggregate(
+      tokens(lower(c)),
+      array(markers.map(_ => lit(0)): _*),
+      (acc, t) => array(markers.zipWithIndex.map { case ((_, ws), i) =>
+        element_at(acc, i + 1) +
+          when(ws.map(w => t === w).reduce[Column](_ || _), 1).otherwise(0)
+      }: _*))
+    element_at(
+      transform(array(counts), cnts => {
+        val best = array_max(cnts)
+        markers.zipWithIndex.foldLeft(when(best <= 0, "und")) {
+          case (acc, ((lang, _), i)) =>
+            acc.when(element_at(cnts, i + 1) === best, lang) // first lang in marker order wins ties
+        }.otherwise("und")
+      }),
+      1)
   }
 
   /** Content fingerprint: first 16 hex chars of md5 over normalized text. */

@@ -151,18 +151,34 @@ object IoQueries {
     // ---------------------------------------------------------------- S13/S14 CDC JSONL sink + replay
     QueryDef(
       "q_s13_cdc_roundtrip", "S13 S14 F17",
-      Some("""SELECT CASE WHEN event_type IN ('signup', 'view') THEN 'insert'
-             |            ELSE 'update' END AS action,
-             |count(*) AS n, count(DISTINCT event_id) AS n_jobs,
+      // action-by-existence: the CDC entity is the user (event_ids are
+      // unique per event; users recur), the prior warehouse holds
+      // users with user_id % 3 <> 0. A batch entity absent from the
+      // prior snapshot is `insert` on its earliest batch event and
+      // `update` on every later one — the reference's sequential
+      // insert-then-update loop replayed set-based (crawler.py:152-186,
+      // cdc.py:58-67); already-known entities are always `update`.
+      Some("""WITH batch AS (SELECT user_id, ts, event_type, value FROM events
+             |               WHERE ts >= TIMESTAMP '2024-01-28 00:00:00'),
+             |rec AS (SELECT user_id, ts,
+             |  CASE WHEN user_id % 3 = 0
+             |        AND ts = min(ts) OVER (PARTITION BY user_id)
+             |       THEN 'insert' ELSE 'update' END AS action
+             |  FROM batch)
+             |SELECT action, count(*) AS n, count(DISTINCT user_id) AS n_jobs,
              |min(strftime(ts, '%Y-%m-%dT%H:%M:%S')) AS min_ts,
              |max(strftime(ts, '%Y-%m-%dT%H:%M:%S')) AS max_ts
-             |FROM events WHERE ts >= TIMESTAMP '2024-01-28 00:00:00'
-             |GROUP BY 1 ORDER BY action""".stripMargin),
+             |FROM rec GROUP BY 1 ORDER BY action""".stripMargin),
       (s, dir) => {
         val tmp = s"$TmpBase/q_s13_cdc"
         Snapshots.deleteDir(s, tmp)
-        val records = Snapshots.toCdcRecords(
-          Tables.events(s, dir).filter(col("ts") >= expr("timestamp'2024-01-28 00:00:00'")))
+        val cutoff = expr("timestamp'2024-01-28 00:00:00'")
+        val batch = Tables.events(s, dir).filter(col("ts") >= cutoff)
+          .select(col("user_id").as("event_id"), col("ts"), col("event_type"), col("value"))
+        val prior = Tables.events(s, dir)
+          .filter(col("user_id") % 3 =!= 0)
+          .select(col("user_id").as("job_id")).distinct()
+        val records = Snapshots.toCdcRecords(batch, prior)
         Snapshots.cdcAppend(records, tmp)
         Snapshots.cdcReplay(s, tmp)
           .groupBy("action")

@@ -486,6 +486,64 @@ object LlmQueries {
           .orderBy("cluster_id")
       }),
 
+    // ---------------------------------------------------------------- dedup decision applied: the shipped corpus
+    QueryDef(
+      "q_l15_dedup_corpus", "LLM-dedup-corpus (cluster keepers applied)",
+      // q_l14 turned pairs into clusters; this composes the full
+      // decision into the actual FILTERED CORPUS a training pipeline
+      // ships: keep each cluster's minimum doc_id and every unpaired
+      // doc, drop the rest. The oracle derives the same loser set from
+      // the recursive-CTE components (members ≠ their component min)
+      // and anti-joins it — different algorithm, same corpus.
+      Some("""WITH RECURSIVE
+             |toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+             |sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+             |                                            for i in generate_series(1, len(w)-2)])) AS s
+             |       FROM toks WHERE len(w) >= 3),
+             |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+             |np AS (SELECT id_a, id_b FROM
+             |         (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+             |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |          GROUP BY 1, 2) p
+             |       JOIN sizes sa ON sa.doc_id = p.id_a
+             |       JOIN sizes sb ON sb.doc_id = p.id_b
+             |       WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8),
+             |fp AS (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f
+             |       FROM documents),
+             |ep AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |       FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id),
+             |edges AS (SELECT id_a, id_b FROM np UNION SELECT id_a, id_b FROM ep),
+             |sym AS (SELECT id_a AS src, id_b AS dst FROM edges
+             |        UNION SELECT id_b, id_a FROM edges),
+             |reach(id, r) AS (
+             |  SELECT src, src FROM (SELECT DISTINCT src FROM sym) t
+             |  UNION
+             |  SELECT s.src, q.r FROM sym s JOIN reach q ON q.id = s.dst),
+             |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+             |losers AS (SELECT id FROM comp WHERE id <> cluster_id),
+             |kept AS (SELECT * FROM documents
+             |         WHERE doc_id NOT IN (SELECT id FROM losers))
+             |SELECT source, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+             |       CAST(sum(octet_length(encode(text))) AS BIGINT) AS bytes_kept
+             |FROM kept GROUP BY source ORDER BY source""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val near = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+            shingleN = 3, perms = 128, bands = 32, threshold = 0.8)
+          .select("id_a", "id_b")
+        val fp = docs.select(col("doc_id"), Dedup.exactFingerprint(col("text")).as("f"))
+        val exact = fp.as("a")
+          .join(fp.as("b"), col("a.f") === col("b.f") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        Dedup.dedupCorpus(docs, "doc_id",
+            near.unionByName(exact).distinct(), "id_a", "id_b")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_kept"),
+            sum(col("doc_id")).cast("long").as("id_sum"),
+            sum(octet_length(col("text"))).cast("long").as("bytes_kept"))
+          .orderBy("source")
+      }),
+
     // ---------------------------------------------------------------- multimodal metadata + stub decode
     QueryDef(
       "q_m1_media_meta", "LLM-multimodal-meta",

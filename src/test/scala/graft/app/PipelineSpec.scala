@@ -205,6 +205,11 @@ class PipelineSpec extends AnyFunSuite {
     assert(s1 == Set(16.0), s"fact measures should come from the latest crawl, got $s1")
     val (t2, s2) = winners(Pipeline.incrementalBatch(dwh, st, AsOf2))
     assert((t1, s1) == ((t2, s2)), "survivor must be stable across re-runs")
+    // the INITIAL build shares the same survivor rule (round-5 advice:
+    // it used to keep a partition-layout-dependent min_by survivor)
+    val (ti, si) = winners(Pipeline.stagingToDwh(st, AsOf2))
+    assert(ti == "DevOps Engineer Beta", s"initial-build dim survivor should be latest crawl, got $ti")
+    assert(si == Set(16.0), s"initial-build fact measures should be latest crawl, got $si")
   }
 
   test("streaming micro-batches through StreamingStar equal the batch incremental path") {

@@ -134,4 +134,14 @@ class DedupSpec extends AnyFunSuite {
     assert(cc(30L) == 30L && cc(31L) == 30L)
     assert(cc.size == 14)
   }
+
+  test("dedupCorpus keeps cluster minima and unpaired docs, drops the rest") {
+    import spark.implicits._
+    val docs = (1L to 10L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // clusters {1,2,3} and {7,9}; 4,5,6,8,10 unpaired
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val kept = Dedup.dedupCorpus(docs, "doc_id", pairs, "id_a", "id_b")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L, 5L, 6L, 7L, 8L, 10L), kept.toString)
+  }
 }

@@ -112,6 +112,32 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("rangepartitioning"), p)
   }
 
+  test("fused dim prep + SK assignment plans one range exchange") {
+    // Same invariant as the fact test above, for the dimension build:
+    // the keep-latest-crawl window must reuse prepareDimAssigning's
+    // range exchange — a second exchange would both break the
+    // prearranged-numbering contract and double-shuffle every dim
+    // build at scale. Asserted on the real pre-checkpoint stage.
+    val staging = Tables.customer(spark, sf).select(
+      col("c_name").as("job_id"), col("c_mktsegment").as("title_clean"),
+      col("c_custkey").cast("timestamp").as("crawled_at"))
+    val p = plan(graft.dwh.Dimensions.prepareDimArranged(staging, "job_id", "2026-08-12"))
+    val nExchanges = "(?i)exchange".r.findAllIn(p).size
+    assert(nExchanges == 1, s"expected one exchange, got $nExchanges:\n$p")
+    assert(p.toLowerCase.contains("rangepartitioning"), p)
+  }
+
+  test("langid tokenizes once per row (q_l10 plan)") {
+    // langIdMarkers accumulates all 5 marker counts in one aggregate
+    // over one token array and binds the counts vector to a lambda
+    // variable for the argmax — if the tokenize ever leaks back into
+    // per-branch inlining (the round-5 ~30-splits-per-row shape), the
+    // optimized plan shows more than one `split(`.
+    val p = queryPlan("q_l10_langid")
+    val nSplits = "split\\(".r.findAllIn(p).size
+    assert(nSplits == 1, s"expected exactly one split( in the plan, got $nSplits:\n$p")
+  }
+
   test("no accidental cartesian products in the relational/dwh families") {
     val intentionallyTiny = Set( // 1-row aggregate cross joins by design
       "q_d8_dimdate_fill", "q_d7_location_append", "q_d12_cleanup_dups",
