@@ -26,5 +26,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // Whole-stage codegen emits fresh classes per query plan (expression
+  // ids differ), so a long run churns through JIT code cache; at the
+  // 240 MB default HotSpot eventually DISABLES the compiler and every
+  // later task runs interpreted ~5x slower (measured: identical
+  // 400-task pipeline went 192 -> 1000+ aggregate task-seconds once the
+  // cache filled). A 2 GB reserve keeps the JIT alive for the whole
+  // 85-query benchmark; UseCodeCacheFlushing stays at its default (on).
+  "-XX:ReservedCodeCacheSize=2g",
 )

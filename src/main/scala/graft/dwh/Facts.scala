@@ -177,17 +177,26 @@ object Facts {
     * the counts, the success rate against the raw `attempted` batch
     * (rows lost to parsing/SK resolution upstream), and the ≥95% flag.
     * The key probe is dimension-of-the-batch sized; nothing collects.
+    *
+    * Grains match the reference exactly: n_processed and n_attempted
+    * are both ROW counts (fact_handler.py:186-196 compares fact rows
+    * against valid_records — a batch with duplicate keys no longer
+    * understates success_rate), while insert/update split at KEY grain
+    * (the reference counts them from the upserted table via xmax, one
+    * per key). Both probe sides are deduped to key grain so duplicate
+    * existing keys cannot fan the join out and inflate every count.
     */
   def upsertStats(
       existing: DataFrame, incoming: DataFrame, attempted: DataFrame): DataFrame = {
     val keys = Seq("job_sk", "date_id")
     val flagged = incoming.select(keys.map(col): _*).distinct()
-      .join(existing.select(keys.map(col): _*).withColumn("__e", lit(true)), keys, "left")
+      .join(existing.select(keys.map(col): _*).distinct().withColumn("__e", lit(true)),
+        keys, "left")
     flagged
       .agg(
-        count(lit(1)).as("n_processed"),
         sum(when(col("__e").isNotNull, 0L).otherwise(1L)).as("n_inserted"),
         sum(when(col("__e").isNotNull, 1L).otherwise(0L)).as("n_updated"))
+      .crossJoin(broadcast(incoming.agg(count(lit(1)).as("n_processed"))))
       .crossJoin(broadcast(attempted.agg(count(lit(1)).as("n_attempted"))))
       .withColumn("success_rate", round(col("n_processed") / col("n_attempted"), 4))
       .withColumn("success_ok", col("n_processed") / col("n_attempted") >= 0.95)

@@ -3,7 +3,6 @@ package graft.io
 import org.apache.hadoop.fs.Path
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Storage layer (SURVEY S4-S15): partitioned parquet export/reload,
@@ -38,6 +37,28 @@ object Snapshots {
     */
   def readPartitions(spark: SparkSession, path: String, months: Seq[String]): DataFrame =
     spark.read.parquet(path).filter(col("load_month").isin(months: _*))
+
+  /** S10 companion: the reference registers a NAMED VIEW per exported
+    * month partition (partitioning.py:48-80 creates
+    * `{table}_load_month_{value}` DuckDB views so BI queries can name a
+    * month directly). Spark equivalent: temp views over the partitioned
+    * directory with the month pinned — the equality on the partition
+    * column prunes the scan to that month's directory
+    * (PartitionFilters), so each view reads exactly what the
+    * reference's per-month view reads. `-` sanitizes to `_` the same
+    * way the reference sanitizes its view names (partitioning.py:55).
+    * Returns the registered view names.
+    */
+  def registerPartitionViews(
+      spark: SparkSession, table: String, path: String,
+      months: Seq[String], partitionCol: String = "load_month"): Seq[String] = {
+    val base = spark.read.parquet(path)
+    months.map { m =>
+      val name = s"${table}_${partitionCol}_${m.replaceAll("[^A-Za-z0-9_]", "_")}"
+      base.filter(col(partitionCol) === m).createOrReplaceTempView(name)
+      name
+    }
+  }
 
   /** Scale path for repeated co-located joins (SURVEY §4): write both
     * sides bucketed AND sorted by the join key into the same bucket
@@ -98,30 +119,29 @@ object Snapshots {
 
   /** Shape events into CDC records: {timestamp, job_id, action, data,
     * metadata} (cdc.py:54-69). The action derives from PRIOR EXISTENCE,
-    * the reference's actual rule (crawler.py:152-186 decides insert vs
-    * update by whether the job_id is already in the store; cdc.py:58-67
-    * logs that decision): a job absent from the previous snapshot gets
-    * `insert` on its earliest event in the batch, and `update` on every
-    * later one — the set-based replay of the reference's sequential
-    * loop, whose store grows as it processes. `priorIds` carries the
-    * previous snapshot's ids in a `job_id` column; it is
-    * dimension-sized, so the existence probe rides a broadcast and the
-    * first-event window is the only event shuffle.
+    * the reference's actual rule: crawler.py:152-186 computes
+    * `inserted_ids` from the upsert ONCE per batch and then marks EVERY
+    * batch record of a newly-inserted job_id as `insert` (is_new checks
+    * membership per record, not recency), so a new entity's whole batch
+    * is `insert` and already-known entities are always `update` —
+    * replayed here as one existence join, no window, no per-entity
+    * ordering (which also removes the old min-timestamp tie ambiguity).
+    * `priorIds` carries the previous snapshot's ids in a `job_id`
+    * column. No forced broadcast: a mature crawler store's id
+    * population is unbounded, so the join strategy is AQE's call — it
+    * broadcasts while the id set is dimension-sized and degrades to a
+    * shuffled join instead of an OOM when it isn't.
     */
-  def toCdcRecords(events: DataFrame, priorIds: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("event_id"))
+  def toCdcRecords(events: DataFrame, priorIds: DataFrame): DataFrame =
     events
-      .join(broadcast(priorIds.select(col("job_id").as("__prior_id")).distinct()),
+      .join(priorIds.select(col("job_id").as("__prior_id")).distinct(),
         col("event_id") === col("__prior_id"), "left")
-      .withColumn("__first_ts", min(col("ts")).over(w))
       .select(
         date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("timestamp"),
         col("event_id").as("job_id"),
-        when(col("__prior_id").isNull && col("ts") === col("__first_ts"), "insert")
-          .otherwise("update").as("action"),
+        when(col("__prior_id").isNull, "insert").otherwise("update").as("action"),
         struct(col("event_type"), col("value")).as("data"),
         struct(lit("crawler").as("source"), lit("1.0").as("version")).as("metadata"))
-  }
 
   /** Recursively delete a work dir (idempotent re-runs of the CDC
     * append test need a fresh log).

@@ -254,10 +254,22 @@ object Dedup {
       .localCheckpoint(false)
     // exact verify: count shared keys per candidate pair over the
     // capped exploded frame — a row survives the second join iff both
-    // docs hold the key, so count == |intersection|
+    // docs hold the key, so count == |intersection|. The frame is first
+    // semi-joined down to ids that appear in ANY candidate: the id set
+    // is small (AQE broadcasts it when it is), so the filter runs
+    // map-side over the checkpointed blocks and the full exploded frame
+    // never crosses a shuffle — joining `kept` directly re-shuffled the
+    // whole corpus's (id, key) rows once PER SIDE (the round-6 q_l13
+    // regression). No forced hint: if a pathological corpus ever makes
+    // the candidate id set huge, the semi-join degrades to a shuffle
+    // instead of an OOM.
+    val candIds = candidates.select(col("id_a").as("__id"))
+      .unionByName(candidates.select(col("id_b").as("__id")))
+      .distinct()
+    val keptCand = kept.join(candIds, Seq("__id"), "left_semi")
     val inter = candidates
-      .join(kept.select(col("__id").as("id_a"), col(keyCol)), Seq("id_a"))
-      .join(kept.select(col("__id").as("id_b"), col(keyCol)), Seq("id_b", keyCol))
+      .join(keptCand.select(col("__id").as("id_a"), col(keyCol)), Seq("id_a"))
+      .join(keptCand.select(col("__id").as("id_b"), col(keyCol)), Seq("id_b", keyCol))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("inter"))
     val sizes = sets.select(col("__id"), col("n"))
@@ -446,9 +458,12 @@ object Dedup {
     * the filtered corpus a training pipeline actually ships. One
     * anti-join of the corpus against the losers (cluster members that
     * are not their component's minimum); unpaired docs never appear in
-    * `pairs` and pass through untouched. Scale shape: the loser set is
-    * the paired subset only (tiny next to the corpus), so the anti-join
-    * broadcasts; the corpus itself moves through zero shuffles.
+    * `pairs` and pass through untouched. Scale shape: no forced
+    * broadcast — in heavily-duplicated LLM corpora the loser set is
+    * routinely 20-50% of all docs, far past any broadcast limit, so the
+    * join strategy is left to AQE: it broadcasts when the loser set is
+    * actually small and falls back to a shuffled anti-join when it
+    * isn't, instead of failing the job on the 8 GB broadcast ceiling.
     */
   def dedupCorpus(
       docs: DataFrame, idCol: String, pairs: DataFrame,
@@ -456,7 +471,7 @@ object Dedup {
     val losers = connectedComponents(pairs, aCol, bCol)
       .filter(col("id") =!= col("comp"))
       .select(col("id").as(idCol))
-    docs.join(broadcast(losers), Seq(idCol), "left_anti")
+    docs.join(losers, Seq(idCol), "left_anti")
   }
 
   def connectedComponents(

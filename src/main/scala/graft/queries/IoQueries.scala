@@ -34,10 +34,15 @@ object IoQueries {
              |GROUP BY 1 ORDER BY load_month""".stripMargin),
       (s, dir) => {
         val tmp = s"$TmpBase/q_s10_partitions"
+        val months = Seq("1997-03", "1998-11")
         val withMonth = Tables.orders(s, dir)
           .withColumn("load_month", date_format(col("o_orderdate"), "yyyy-MM"))
         Snapshots.writePartitioned(withMonth, tmp)
-        Snapshots.readPartitions(s, tmp, Seq("1997-03", "1998-11"))
+        // read back through the reference's per-partition NAMED VIEWS
+        // (partitioning.py:48-80) — each view prunes to its month's
+        // directory, and their union is the multi-month reload
+        val views = Snapshots.registerPartitionViews(s, "orders_export", tmp, months)
+        views.map(s.table).reduce(_ unionByName _)
           .groupBy("load_month")
           .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
           .orderBy("load_month")
@@ -153,17 +158,15 @@ object IoQueries {
       "q_s13_cdc_roundtrip", "S13 S14 F17",
       // action-by-existence: the CDC entity is the user (event_ids are
       // unique per event; users recur), the prior warehouse holds
-      // users with user_id % 3 <> 0. A batch entity absent from the
-      // prior snapshot is `insert` on its earliest batch event and
-      // `update` on every later one — the reference's sequential
-      // insert-then-update loop replayed set-based (crawler.py:152-186,
-      // cdc.py:58-67); already-known entities are always `update`.
+      // users with user_id % 3 <> 0. The reference computes the batch's
+      // inserted_ids once and marks EVERY record of a newly-inserted
+      // entity `insert` (crawler.py:152-186 is_new is set membership,
+      // cdc.py:58-67 logs it), so a new entity's whole batch is
+      // `insert`; already-known entities are always `update`.
       Some("""WITH batch AS (SELECT user_id, ts, event_type, value FROM events
              |               WHERE ts >= TIMESTAMP '2024-01-28 00:00:00'),
              |rec AS (SELECT user_id, ts,
-             |  CASE WHEN user_id % 3 = 0
-             |        AND ts = min(ts) OVER (PARTITION BY user_id)
-             |       THEN 'insert' ELSE 'update' END AS action
+             |  CASE WHEN user_id % 3 = 0 THEN 'insert' ELSE 'update' END AS action
              |  FROM batch)
              |SELECT action, count(*) AS n, count(DISTINCT user_id) AS n_jobs,
              |min(strftime(ts, '%Y-%m-%dT%H:%M:%S')) AS min_ts,

@@ -44,8 +44,19 @@ class PipelineSpec extends AnyFunSuite {
       .withColumn("verified_employer", col("job_id").isin("J1", "J3"))
   }
 
+  /** Materialize a star the way a production day boundary does (the
+    * reference persists the warehouse between daily runs): without
+    * this, every assertion over a star built ON TOP of another star
+    * re-optimizes the full nested lineage — Catalyst time on those
+    * towering trees once dominated this suite's runtime by minutes.
+    */
+  private def materialized(d: Pipeline.Dwh): Pipeline.Dwh =
+    Pipeline.Dwh(d.dimJob.localCheckpoint(), d.dimCompany.localCheckpoint(),
+      d.dimLocation.localCheckpoint(), d.dimDate.localCheckpoint(),
+      d.fact.localCheckpoint(), d.bridge.localCheckpoint())
+
   private lazy val staging = Pipeline.rawToStaging(rawFixture, AsOfTs)
-  private lazy val dwh = Pipeline.stagingToDwh(staging, AsOf)
+  private lazy val dwh = materialized(Pipeline.stagingToDwh(staging, AsOf))
 
   test("staging carries reference-golden cleaned values") {
     val byId = staging
@@ -122,7 +133,7 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   private lazy val staging2 = Pipeline.rawToStaging(raw2Fixture, "2026-08-14 10:30:00")
-  private lazy val dwh2 = Pipeline.incrementalBatch(dwh, staging2, AsOf2)
+  private lazy val dwh2 = materialized(Pipeline.incrementalBatch(dwh, staging2, AsOf2))
 
   test("incremental batch: SCD2 routing, fact-identity preservation, measure update") {
     // dims: J1 closed+new version, J7 inserted, J3 untouched
