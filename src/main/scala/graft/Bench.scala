@@ -43,9 +43,10 @@ object Bench {
     // One warm scan so first-query numbers aren't dominated by parquet
     // footer reads / JIT; mirrors a warmed cluster's steady state.
     Tables.lineitem(spark, sfDir).write.format("noop").mode("overwrite").save()
-    // Stage the streaming watch dir once (setup, not query work) so
-    // q_st1 times the stream, not a file copy.
+    // Stage the streaming watch dirs once (setup, not query work) so
+    // q_st1/q_st3 time the stream, not a file copy.
     graft.streaming.CdcStream.ensureStaged(spark, sfDir)
+    graft.streaming.CdcStream.ensureStagedWithSentinel(spark, sfDir)
     // Shared star + day-1 warehouse (setup: BI views query an
     // already-loaded star; the incremental query measures the apply).
     graft.queries.DwhQueries.warmShared(spark, sfDir)

@@ -28,6 +28,14 @@ object SparkUtil {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // bucketed tables (co-located joins) land here instead of ./spark-warehouse
       .config("spark.sql.warehouse.dir", "/root/repo/target/spark-warehouse")
+      // Spark 4.1 turned on checksum generation+verification for every
+      // streaming-checkpoint file (ChecksumCheckpointFileManager, a
+      // thread pool per write). For ephemeral local checkpoints the
+      // corruption-detection buys nothing and its pool stalls showed up
+      // as multi-second per-batch overhead in the stateful operators
+      // (q_st2/q_st3). Durable production checkpoints on object stores
+      // can re-enable it per query.
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
 
   /** Fixed default core count so Bench/Verify numbers are comparable
     * across machines (ADVICE r2); override via SPARK_GRAFT_CPUS.

@@ -76,6 +76,52 @@ object CdcStream {
     watchDir
   }
 
+  /** Watch dir with a sentinel event appended 10 days past max(ts)
+    * (user −1): append-mode session_window only emits sessions the
+    * watermark has passed, and a bounded stream's watermark stops at
+    * max(ts) − delay — the sentinel advances it past every real
+    * session while its own open session is never emitted. Idempotent
+    * and marker-guarded like `ensureStaged`, so benchmarked queries
+    * don't re-pay the copy per pass.
+    */
+  def ensureStagedWithSentinel(spark: SparkSession, dir: String): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9]+", "_")
+    val watchDir = s"/root/repo/target/tmp/stream_events_sentinel/$key"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val dstDir = new org.apache.hadoop.fs.Path(watchDir)
+    val fs = dstDir.getFileSystem(conf)
+    val marker = new org.apache.hadoop.fs.Path(dstDir, "_STAGED")
+    val srcFs = src.getFileSystem(conf)
+    val st = srcFs.getFileStatus(src)
+    val stamp = s"${st.getModificationTime}:${st.getLen}"
+    val current =
+      if (!fs.exists(marker)) None
+      else {
+        val in = fs.open(marker)
+        try Some(new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8"))
+        finally in.close()
+      }
+    if (!current.contains(stamp)) {
+      if (fs.exists(dstDir)) fs.delete(dstDir, true)
+      fs.mkdirs(dstDir)
+      org.apache.hadoop.fs.FileUtil.copy(
+        srcFs, src, fs,
+        new org.apache.hadoop.fs.Path(dstDir, "events.parquet"), false, conf)
+      val base = spark.read.schema(eventsSchema).parquet(s"$dir/events.parquet")
+      val maxTs = base.agg(max(col("ts"))).first().getLong(0)
+      spark.range(1).select(
+        lit(-1L).as("event_id"),
+        lit(maxTs + 864000L * 1000000000L).as("ts"), // +10 days in nanos
+        lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+        lit(0.0).as("value"), lit(null).cast("string").as("props"))
+        .write.mode("append").parquet(watchDir)
+      val out = fs.create(marker, true)
+      try out.write(stamp.getBytes("UTF-8")) finally out.close()
+    }
+    watchDir
+  }
+
   /** Unbounded read of a staged watch directory (see `ensureStaged`). */
   def readEvents(spark: SparkSession, watchDir: String): DataFrame =
     spark.readStream.schema(eventsSchema).parquet(watchDir)
