@@ -173,16 +173,35 @@ object TextAnalysis {
     // unsigned ordering (md5 bits are uniform in [0, 2^64))
     def lt(a: Long, b: Long): Boolean = java.lang.Long.compareUnsigned(a, b) < 0
     if (n <= w) return Seq(hashes.reduce((a, b) => if (lt(b, a)) b else a))
-    val out = scala.collection.mutable.LinkedHashSet[Long]()
+    // Distinct selected minima as a primitive sort+dedup: the previous
+    // LinkedHashSet[Long] boxed every candidate (millions of
+    // allocations per partition at sf0.1). Consecutive windows usually
+    // re-select the same minimum, so the adjacent-duplicate skip drops
+    // most repeats before the sort. Output order differs from
+    // first-seen but every consumer (explode → set ops) and the oracle
+    // (DISTINCT) treat the fingerprints as a set.
+    val sel = new Array[Long](n - w + 1)
+    var nSel = 0
+    var prev = 0L
     var start = 0
     while (start + w <= n) {
       var minIdx = start
       var m = start
       while (m < start + w) { if (!lt(hashes(minIdx), hashes(m))) minIdx = m; m += 1 }
-      out += hashes(minIdx)
+      val h = hashes(minIdx)
+      if (nSel == 0 || h != prev) { sel(nSel) = h; nSel += 1; prev = h }
       start += 1
     }
-    out.toSeq
+    java.util.Arrays.sort(sel, 0, nSel)
+    val out = new Array[Long](nSel)
+    var nOut = 0
+    var i2 = 0
+    while (i2 < nSel) {
+      if (nOut == 0 || sel(i2) != out(nOut - 1)) { out(nOut) = sel(i2); nOut += 1 }
+      i2 += 1
+    }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(
+      java.util.Arrays.copyOf(out, nOut))
   }
   val winnowUdf = udf((t: String, k: Int, w: Int) => winnow(t, k, w))
 }
