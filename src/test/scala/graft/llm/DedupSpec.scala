@@ -106,7 +106,10 @@ class DedupSpec extends AnyFunSuite {
         }
         out.toSeq
       }
-      assert(fast == ref, s"mismatch for: $t")
+      // the contract is the SET of selected fingerprints (consumers
+      // explode + set-compare; the production path returns them sorted)
+      assert(fast.toSet == ref.toSet && fast.length == fast.toSet.size,
+        s"mismatch for: $t")
     }
   }
 
