@@ -57,6 +57,20 @@ object Bench {
         .values.foreach(_.unpersist(false))
       System.gc()
     }
+    // job/task counters: aggregate task-seconds is (mostly) independent
+    // of host contention, so a noisy-box run still shows whether a
+    // query's WORK changed round-over-round
+    val nJobs = new java.util.concurrent.atomic.AtomicLong
+    val nTasks = new java.util.concurrent.atomic.AtomicLong
+    val taskMs = new java.util.concurrent.atomic.AtomicLong
+    sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        nJobs.incrementAndGet()
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        nTasks.incrementAndGet()
+        if (t.taskInfo != null) taskMs.addAndGet(t.taskInfo.duration)
+      }
+    })
     def telemetry: String = {
       val rt = Runtime.getRuntime
       val heap = (rt.totalMemory - rt.freeMemory) / (1 << 20)
@@ -68,21 +82,26 @@ object Bench {
     val names =
       if (args.nonEmpty) Registry.benchNames.filter(args.toSet) else Registry.benchNames
     val results = names.map { name =>
-      val passes = (1 to Passes).map { _ =>
+      val passStats = (1 to Passes).map { _ =>
+        val j0 = nJobs.get; val k0 = nTasks.get; val m0 = taskMs.get
         val t0 = System.nanoTime()
-        try {
-          queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            -1.0
-        } finally sweep()
+        val sec =
+          try {
+            queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+              -1.0
+          } finally sweep()
+        (sec, nJobs.get - j0, nTasks.get - k0, (taskMs.get - m0) / 1000.0)
       }
+      val passes = passStats.map(_._1)
       val ok = passes.filter(_ >= 0)
       val sec = if (ok.isEmpty) -1.0 else ok.min
+      val work = passStats.map(p => f"${p._2}j/${p._3}t/${p._4}%.1fs").mkString(",")
       System.err.println(
-        f"[bench] $name passes=${passes.map(p => f"$p%.3f").mkString(",")} min=$sec%.3f $telemetry")
+        f"[bench] $name passes=${passes.map(p => f"$p%.3f").mkString(",")} min=$sec%.3f work=$work $telemetry")
       name -> sec
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
