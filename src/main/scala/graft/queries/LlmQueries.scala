@@ -547,24 +547,40 @@ object LlmQueries {
     // ---------------------------------------------------------------- multimodal metadata + stub decode
     QueryDef(
       "q_m1_media_meta", "LLM-multimodal-meta",
+      // REAL header decode: each doc becomes a valid PNG (even doc_id)
+      // or GIF89a (odd) byte stream with dimensions derived from
+      // doc_id; decodeImage then parses the dimensions BACK out of the
+      // raw bytes (big-endian IHDR ints / little-endian GIF shorts).
+      // The oracle replays the construction in closed form — sum_width/
+      // sum_height only match if the byte-level parse recovered every
+      // dimension exactly. Header sizes: PNG magic+IHDR = 29 bytes,
+      // GIF89a+dims = 10.
       Some("""SELECT source, count(*) AS n,
-             |CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
-             |count(DISTINCT md5(text)) AS n_checksums,
-             |round(CAST(sum(octet_length(encode(text)) % 640) AS DOUBLE) / count(*), 6)
-             |  AS avg_stub_width
+             |CAST(sum(octet_length(encode(text)) + CASE WHEN doc_id % 2 = 0 THEN 29 ELSE 10 END)
+             |     AS BIGINT) AS total_bytes,
+             |count(DISTINCT struct_pack(p := doc_id % 2, w := doc_id % 640,
+             |                           h := doc_id % 480, t := text)) AS n_checksums,
+             |CAST(sum(doc_id % 640 + 1) AS BIGINT) AS sum_width,
+             |CAST(sum(doc_id % 480 + 1) AS BIGINT) AS sum_height,
+             |CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_png
              |FROM documents GROUP BY source ORDER BY source""".stripMargin),
       (s, dir) => {
-        val payload = Multimodal.asPayload(col("text"))
+        val w = (col("doc_id") % 640 + 1).cast("int")
+        val h = (col("doc_id") % 480 + 1).cast("int")
+        val payload = when(col("doc_id") % 2 === 0,
+            Multimodal.pngPayload(w, h, col("text")))
+          .otherwise(Multimodal.gifPayload(w, h, col("text")))
         Tables.documents(s, dir)
           .select(col("source"), Multimodal.payloadMeta(payload).as("meta"),
-            Multimodal.decodeImageStub(payload).as("img"))
+            Multimodal.decodeImage(payload).as("img"))
           .groupBy("source")
           .agg(
             count(lit(1)).as("n"),
             sum(col("meta.n_bytes").cast("long")).as("total_bytes"),
             countDistinct(col("meta.checksum")).as("n_checksums"),
-            round(sum(col("img.width").cast("long")).cast("double") / count(lit(1)), 6)
-              .as("avg_stub_width"))
+            sum(col("img.width").cast("long")).as("sum_width"),
+            sum(col("img.height").cast("long")).as("sum_height"),
+            sum(when(col("img.format") === "png", 1L).otherwise(0L)).as("n_png"))
           .orderBy("source")
       }),
 
