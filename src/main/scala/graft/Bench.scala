@@ -51,11 +51,19 @@ object Bench {
     // already-loaded star; the incremental query measures the apply).
     graft.queries.DwhQueries.warmShared(spark, sfDir)
     val protectedIds = sc.getPersistentRDDs.keySet
+    // GC fires when a pass actually left checkpoint residue (so the
+    // ContextCleaner reaps its blocks/shuffles) or every 10th pass as a
+    // heartbeat — a 48 GB heap rarely GCs on its own, and a forced gc
+    // per floor-query pass would add ~tens of seconds to the run's wall
+    var passesSinceGc = 0
     def sweep(): Unit = {
-      sc.getPersistentRDDs
-        .filterNot { case (id, _) => protectedIds(id) }
-        .values.foreach(_.unpersist(false))
-      System.gc()
+      val stray = sc.getPersistentRDDs.filterNot { case (id, _) => protectedIds(id) }
+      stray.values.foreach(_.unpersist(false))
+      passesSinceGc += 1
+      if (stray.nonEmpty || passesSinceGc >= 10) {
+        System.gc()
+        passesSinceGc = 0
+      }
     }
     // job/task counters: aggregate task-seconds is (mostly) independent
     // of host contention, so a noisy-box run still shows whether a

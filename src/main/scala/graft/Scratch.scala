@@ -185,6 +185,30 @@ object Scratch {
           System.gc()
         }
       }
+    } else if (args.headOption.contains("profile-e2e-stages")) {
+      // one q_e2e_pipeline run with per-stage task-second attribution
+      import org.apache.spark.sql.functions._
+      val dir = args(1)
+      val sc = spark.sparkContext
+      val stages = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String, Int, Double)]
+      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val i = s.stageInfo
+          stages.add((i.stageId, i.name.take(80), i.numTasks,
+            i.taskMetrics.executorRunTime / 1000.0))
+        }
+      })
+      Tables.lineitem(spark, dir).write.format("noop").mode("overwrite").save()
+      stages.clear()
+      val t0 = System.nanoTime()
+      SparkEntry.queries("q_e2e_pipeline")(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      println(f"[stages] wall=${(System.nanoTime() - t0) / 1e9}%.1f s")
+      import scala.jdk.CollectionConverters._
+      stages.asScala.toSeq.sortBy(-_._4).take(25).foreach { case (id, name, n, sec) =>
+        println(f"[stages] $sec%8.1f taskSec  $n%4d tasks  stage $id%4d  $name")
+      }
     } else if (args.headOption.contains("profile-incremental")) {
       // phase timing for q_e2e_incremental's bench body: day-1 build,
       // incremental apply, final aggregate
