@@ -9,7 +9,7 @@ import java.nio.file.{Files, Paths}
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkUtil.local()
-    if (args.length >= 3) {
+    if (args.length >= 3 && !args(0).startsWith("profile-")) {
       val sfDir = args(0); val outDir = args(1); val names = args.drop(2).toSet
       new java.io.File(outDir).mkdirs()
       SparkEntry.queries.filter(kv => names.contains(kv._1)).foreach { case (name, fn) =>
@@ -185,13 +185,45 @@ object Scratch {
           System.gc()
         }
       }
-    } else if (args.headOption.contains("profile-e2e-stages")) {
-      // one q_e2e_pipeline run with per-stage task-second attribution
+    } else if (args.headOption.contains("profile-l3")) {
+      // isolate q_l3's cost components, warm (2nd run of each)
       import org.apache.spark.sql.functions._
       val dir = args(1)
+      def t[A](what: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"[profile] $what: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+      }
+      val docs = Tables.documents(spark, dir)
+      t("docs warm")(docs.write.format("noop").mode("overwrite").save())
+      val keyed = graft.SparkUtil.widenByFiles(docs)
+        .select(col("doc_id").as("__id"),
+          explode(graft.llm.Dedup.shingles(col("text"), 3)).as("s"))
+      for (i <- 1 to 2)
+        t(s"explode+count #$i")(keyed.agg(count(lit(1))).collect())
+      for (i <- 1 to 2) {
+        val ck = t(s"explode+localCheckpoint #$i") {
+          val c = keyed.localCheckpoint(false); c.count(); c }
+        t(s"freq agg over ckpt #$i")(
+          ck.groupBy("s").agg(count(lit(1)).as("__df"))
+            .filter(col("__df") <= 500).agg(count(lit(1))).collect())
+        ck.unpersist(false)
+      }
+      for (i <- 1 to 2)
+        t(s"full q_l3 #$i")(
+          graft.llm.Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8, 500)
+            .write.format("noop").mode("overwrite").save())
+    } else if (args.headOption.contains("profile-stages")) {
+      // one run of the named query (default q_e2e_pipeline) with
+      // per-stage task-second attribution and a job count
+      import org.apache.spark.sql.functions._
+      val dir = args(1)
+      val qname = if (args.length > 2) args(2) else "q_e2e_pipeline"
       val sc = spark.sparkContext
       val stages = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String, Int, Double)]
+      val nJobs = new java.util.concurrent.atomic.AtomicLong
       sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          nJobs.incrementAndGet()
         override def onStageCompleted(
             s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
           val i = s.stageInfo
@@ -200,11 +232,12 @@ object Scratch {
         }
       })
       Tables.lineitem(spark, dir).write.format("noop").mode("overwrite").save()
-      stages.clear()
+      Tables.documents(spark, dir).write.format("noop").mode("overwrite").save()
+      stages.clear(); nJobs.set(0)
       val t0 = System.nanoTime()
-      SparkEntry.queries("q_e2e_pipeline")(spark, dir)
+      SparkEntry.queries(qname)(spark, dir)
         .write.format("noop").mode("overwrite").save()
-      println(f"[stages] wall=${(System.nanoTime() - t0) / 1e9}%.1f s")
+      println(f"[stages] $qname wall=${(System.nanoTime() - t0) / 1e9}%.1f s jobs=${nJobs.get}")
       import scala.jdk.CollectionConverters._
       stages.asScala.toSeq.sortBy(-_._4).take(25).foreach { case (id, name, n, sec) =>
         println(f"[stages] $sec%8.1f taskSec  $n%4d tasks  stage $id%4d  $name")

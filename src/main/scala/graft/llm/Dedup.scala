@@ -263,9 +263,11 @@ object Dedup {
     // regression). No forced hint: if a pathological corpus ever makes
     // the candidate id set huge, the semi-join degrades to a shuffle
     // instead of an OOM.
+    // no distinct(): left_semi ignores probe-side duplicates, and the
+    // dedup would cost a full extra shuffle stage just to shrink an
+    // already-small (2 rows per candidate pair) build side
     val candIds = candidates.select(col("id_a").as("__id"))
       .unionByName(candidates.select(col("id_b").as("__id")))
-      .distinct()
     val keptCand = kept.join(candIds, Seq("__id"), "left_semi")
     val inter = candidates
       .join(keptCand.select(col("__id").as("id_a"), col(keyCol)), Seq("id_a"))
