@@ -185,6 +185,27 @@ object Scratch {
           System.gc()
         }
       }
+    } else if (args.headOption.contains("bench-md5")) {
+      // isolate the per-gram MessageDigest cost that dominates winnow
+      val text = ("the quick brown fox jumps over the lazy dog " * 8).take(297)
+      val bytes = text.getBytes("UTF-8")
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val buf = new Array[Byte](16)
+      val n = 1500000
+      for (round <- 1 to 3) {
+        val t0 = System.nanoTime()
+        var i = 0
+        var acc = 0L
+        while (i < n) {
+          md.reset()
+          md.update(bytes, i % 290, 7)
+          md.digest(buf, 0, 16)
+          acc += buf(0)
+          i += 1
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[md5] round $round: $n digests in $sec%.2f s (${sec / n * 1e9}%.0f ns each, acc=$acc)")
+      }
     } else if (args.headOption.contains("profile-l3")) {
       // isolate q_l3's cost components, warm (2nd run of each)
       import org.apache.spark.sql.functions._
@@ -219,7 +240,9 @@ object Scratch {
       val dir = args(1)
       val qname = if (args.length > 2) args(2) else "q_e2e_pipeline"
       val sc = spark.sparkContext
-      val stages = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String, Int, Double)]
+      // runTime is task-thread WALL (inflated by host CPU starvation);
+      // cpuTime is actual CPU — a wide gap means throttle, not compute
+      val stages = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String, Int, Double, Double)]
       val nJobs = new java.util.concurrent.atomic.AtomicLong
       sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
@@ -228,7 +251,8 @@ object Scratch {
             s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
           val i = s.stageInfo
           stages.add((i.stageId, i.name.take(80), i.numTasks,
-            i.taskMetrics.executorRunTime / 1000.0))
+            i.taskMetrics.executorRunTime / 1000.0,
+            i.taskMetrics.executorCpuTime / 1e9))
         }
       })
       Tables.lineitem(spark, dir).write.format("noop").mode("overwrite").save()
@@ -239,8 +263,8 @@ object Scratch {
         .write.format("noop").mode("overwrite").save()
       println(f"[stages] $qname wall=${(System.nanoTime() - t0) / 1e9}%.1f s jobs=${nJobs.get}")
       import scala.jdk.CollectionConverters._
-      stages.asScala.toSeq.sortBy(-_._4).take(25).foreach { case (id, name, n, sec) =>
-        println(f"[stages] $sec%8.1f taskSec  $n%4d tasks  stage $id%4d  $name")
+      stages.asScala.toSeq.sortBy(-_._4).take(25).foreach { case (id, name, n, run, cpu) =>
+        println(f"[stages] $run%8.1f runSec $cpu%8.1f cpuSec  $n%4d tasks  stage $id%4d  $name")
       }
     } else if (args.headOption.contains("profile-incremental")) {
       // phase timing for q_e2e_incremental's bench body: day-1 build,
