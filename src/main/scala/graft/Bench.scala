@@ -65,18 +65,20 @@ object Bench {
         passesSinceGc = 0
       }
     }
-    // job/task counters: aggregate task-seconds is (mostly) independent
-    // of host contention, so a noisy-box run still shows whether a
-    // query's WORK changed round-over-round
+    // job/task counters: task-seconds (thread wall) still inflates
+    // under host CPU starvation, so ALSO track executorCpuTime — equal
+    // job/task/cpu with divergent taskSec or wall = host, not plan
     val nJobs = new java.util.concurrent.atomic.AtomicLong
     val nTasks = new java.util.concurrent.atomic.AtomicLong
     val taskMs = new java.util.concurrent.atomic.AtomicLong
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong
     sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
         nJobs.incrementAndGet()
       override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
         nTasks.incrementAndGet()
         if (t.taskInfo != null) taskMs.addAndGet(t.taskInfo.duration)
+        if (t.taskMetrics != null) cpuNs.addAndGet(t.taskMetrics.executorCpuTime)
       }
     })
     def telemetry: String = {
@@ -91,7 +93,7 @@ object Bench {
       if (args.nonEmpty) Registry.benchNames.filter(args.toSet) else Registry.benchNames
     val results = names.map { name =>
       val passStats = (1 to Passes).map { _ =>
-        val j0 = nJobs.get; val k0 = nTasks.get; val m0 = taskMs.get
+        val j0 = nJobs.get; val k0 = nTasks.get; val m0 = taskMs.get; val c0 = cpuNs.get
         val t0 = System.nanoTime()
         val sec =
           try {
@@ -102,12 +104,13 @@ object Bench {
               System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
               -1.0
           } finally sweep()
-        (sec, nJobs.get - j0, nTasks.get - k0, (taskMs.get - m0) / 1000.0)
+        (sec, nJobs.get - j0, nTasks.get - k0, (taskMs.get - m0) / 1000.0,
+          (cpuNs.get - c0) / 1e9)
       }
       val passes = passStats.map(_._1)
       val ok = passes.filter(_ >= 0)
       val sec = if (ok.isEmpty) -1.0 else ok.min
-      val work = passStats.map(p => f"${p._2}j/${p._3}t/${p._4}%.1fs").mkString(",")
+      val work = passStats.map(p => f"${p._2}j/${p._3}t/${p._4}%.1fs/${p._5}%.1fcpu").mkString(",")
       System.err.println(
         f"[bench] $name passes=${passes.map(p => f"$p%.3f").mkString(",")} min=$sec%.3f work=$work $telemetry")
       name -> sec
