@@ -104,6 +104,20 @@ object Bench {
               System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
               -1.0
           } finally sweep()
+        // Listener events arrive on an async bus; sample only after two
+        // consecutive reads agree (bounded wait), else a busy minute's
+        // straggler events leak this pass's work into the next pass —
+        // corrupting exactly the counters this telemetry exists for.
+        var snap = (nJobs.get, nTasks.get, taskMs.get, cpuNs.get)
+        var settled = false
+        var tries = 0
+        while (!settled && tries < 40) {
+          Thread.sleep(50)
+          val next = (nJobs.get, nTasks.get, taskMs.get, cpuNs.get)
+          settled = next == snap
+          snap = next
+          tries += 1
+        }
         (sec, nJobs.get - j0, nTasks.get - k0, (taskMs.get - m0) / 1000.0,
           (cpuNs.get - c0) / 1e9)
       }

@@ -119,35 +119,10 @@ object Scratch {
       val sweep = args.contains("sweep")
       val iters = 4
       val sc = spark.sparkContext
-      val o = Tables.orders(spark, dir).select(col("o_orderkey").as("k"))
-      def mkStaging(keys: org.apache.spark.sql.DataFrame, title: Column,
-          salaryMin: Column, loadMonth: String) =
-        keys.select(
-          col("k").cast("string").as("job_id"), title.as("title_clean"),
-          concat(lit("u"), col("k")).as("job_url"), lit("[\"Spark\"]").as("skills"),
-          lit("1 ngày trước").as("last_update"), lit(null).cast("string").as("logo_url"),
-          concat(lit("Co"), col("k") % 20).as("company_name_standardized"),
-          concat(lit("cu"), col("k") % 20).as("company_url"),
-          ((col("k") % 20) % 2 === 0).as("verified_employer"),
-          salaryMin.cast("double").as("salary_min"),
-          (salaryMin + 2).cast("double").as("salary_max"),
-          lit("range").as("salary_type"), lit(null).cast("timestamp").as("due_date"),
-          lit(null).cast("string").as("time_remaining"),
-          lit(null).cast("timestamp").as("posted_time"),
-          to_timestamp(lit(s"$loadMonth-01 09:00:00")).as("crawled_at"),
-          lit(loadMonth).as("load_month"), lit(null).cast("string").as("location"),
-          lit(null).cast("array<string>").as("location_pairs"))
-      val b1 = mkStaging(o.filter(col("k") % 3 =!= 0),
-        concat(lit("T"), col("k")), col("k") % 15 + 5, "2026-08")
-      val b2 = mkStaging(o.filter(col("k") % 2 === 0),
-        when(col("k") % 10 === 0, concat(lit("T"), col("k"), lit("v2")))
-          .otherwise(concat(lit("T"), col("k"))),
-        col("k") % 20 + 7, "2026-09")
-      val d = graft.app.Pipeline.stagingToDwh(b1, "2026-08-01")
-      val dwh1 = graft.app.Pipeline.Dwh(
-        d.dimJob.localCheckpoint(), d.dimCompany.localCheckpoint(),
-        d.dimLocation.localCheckpoint(), d.dimDate,
-        d.fact.localCheckpoint(), d.bridge.localCheckpoint())
+      // the EXACT scenario q_e2e_incremental benches — reuse its batch
+      // definitions so profile numbers stay attributable to the query
+      val b2 = graft.queries.DwhQueries.incStagingBatches(spark, dir)._2
+      val dwh1 = graft.queries.DwhQueries.prevDwh(spark, dir)
       val protectedIds = sc.getPersistentRDDs.keySet
       // per-iteration job/stage/task counters to split "more work" from
       // "same work, slower"
@@ -277,42 +252,11 @@ object Scratch {
         println(f"[profile] $what: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
       }
       t("warm orders")(Tables.orders(spark, dir).write.format("noop").mode("overwrite").save())
-      val o = Tables.orders(spark, dir).select(col("o_orderkey").as("k"))
-      def mkStaging(keys: org.apache.spark.sql.DataFrame, title: Column,
-          salaryMin: Column, loadMonth: String) =
-        keys.select(
-          col("k").cast("string").as("job_id"),
-          title.as("title_clean"),
-          concat(lit("u"), col("k")).as("job_url"),
-          lit("[\"Spark\"]").as("skills"),
-          lit("1 ngày trước").as("last_update"),
-          lit(null).cast("string").as("logo_url"),
-          concat(lit("Co"), col("k") % 20).as("company_name_standardized"),
-          concat(lit("cu"), col("k") % 20).as("company_url"),
-          ((col("k") % 20) % 2 === 0).as("verified_employer"),
-          salaryMin.cast("double").as("salary_min"),
-          (salaryMin + 2).cast("double").as("salary_max"),
-          lit("range").as("salary_type"),
-          lit(null).cast("timestamp").as("due_date"),
-          lit(null).cast("string").as("time_remaining"),
-          lit(null).cast("timestamp").as("posted_time"),
-          to_timestamp(lit(s"$loadMonth-01 09:00:00")).as("crawled_at"),
-          lit(loadMonth).as("load_month"),
-          lit(null).cast("string").as("location"),
-          lit(null).cast("array<string>").as("location_pairs"))
-      val b1 = mkStaging(o.filter(col("k") % 3 =!= 0),
-        concat(lit("T"), col("k")), col("k") % 15 + 5, "2026-08")
-      val b2 = mkStaging(o.filter(col("k") % 2 === 0),
-        when(col("k") % 10 === 0, concat(lit("T"), col("k"), lit("v2")))
-          .otherwise(concat(lit("T"), col("k"))),
-        col("k") % 20 + 7, "2026-09")
-      val d = t("day-1 stagingToDwh (plan)")(graft.app.Pipeline.stagingToDwh(b1, "2026-08-01"))
-      val dwh1 = t("day-1 eager checkpoints") {
-        graft.app.Pipeline.Dwh(
-          d.dimJob.localCheckpoint(), d.dimCompany.localCheckpoint(),
-          d.dimLocation.localCheckpoint(), d.dimDate,
-          d.fact.localCheckpoint(), d.bridge.localCheckpoint())
-      }
+      // the EXACT scenario q_e2e_incremental benches — reuse its batch
+      // definitions so profile numbers stay attributable to the query
+      val b2 = graft.queries.DwhQueries.incStagingBatches(spark, dir)._2
+      val dwh1 = t("day-1 build + eager checkpoints (prevDwh)")(
+        graft.queries.DwhQueries.prevDwh(spark, dir))
       val dwh2 = t("incrementalBatch (plan)")(
         graft.app.Pipeline.incrementalBatch(dwh1, b2, "2026-08-03"))
       t("final fact agg noop")(

@@ -76,7 +76,18 @@ object SparkUtil {
     val target = spark.sparkContext.defaultParallelism
     val maxSplit = math.max(1L,
       spark.sessionState.conf.filesMaxPartitionBytes)
-    val estSplits = df.queryExecution.analyzed.collect {
+    val plan = df.queryExecution.analyzed
+    // Catalog (Hive) tables and DSv2 scans expose no file metadata
+    // here; they'd estimate 0 splits and eat a full repartition on an
+    // arbitrarily large table. Treat them as "unknown, assume wide" —
+    // the widening premise (a known-small local input) can't hold.
+    val hasOpaqueRelation = plan.exists {
+      case _: org.apache.spark.sql.catalyst.catalog.HiveTableRelation => true
+      case _: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation => true
+      case _ => false
+    }
+    if (hasOpaqueRelation) return df
+    val estSplits = plan.collect {
       case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
         lr.relation match {
           case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>

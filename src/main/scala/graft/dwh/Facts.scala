@@ -194,8 +194,10 @@ object Facts {
         keys, "left")
     flagged
       .agg(
-        sum(when(col("__e").isNotNull, 0L).otherwise(1L)).as("n_inserted"),
-        sum(when(col("__e").isNotNull, 1L).otherwise(0L)).as("n_updated"))
+        // coalesce: sum over an EMPTY flagged frame (a batch fully
+        // dropped upstream) is NULL, the reference reports 0/0
+        coalesce(sum(when(col("__e").isNotNull, 0L).otherwise(1L)), lit(0L)).as("n_inserted"),
+        coalesce(sum(when(col("__e").isNotNull, 1L).otherwise(0L)), lit(0L)).as("n_updated"))
       .crossJoin(broadcast(incoming.agg(count(lit(1)).as("n_processed"))))
       .crossJoin(broadcast(attempted.agg(count(lit(1)).as("n_attempted"))))
       .withColumn("success_rate", round(col("n_processed") / col("n_attempted"), 4))

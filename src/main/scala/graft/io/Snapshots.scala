@@ -53,8 +53,18 @@ object Snapshots {
       spark: SparkSession, table: String, path: String,
       months: Seq[String], partitionCol: String = "load_month"): Seq[String] = {
     val base = spark.read.parquet(path)
-    months.map { m =>
-      val name = s"${table}_${partitionCol}_${m.replaceAll("[^A-Za-z0-9_]", "_")}"
+    val named = months.map { m =>
+      m -> s"${table}_${partitionCol}_${m.replaceAll("[^A-Za-z0-9_]", "_")}"
+    }
+    // sanitization is lossy — two distinct partition values may map to
+    // one view name, and the second createOrReplaceTempView would
+    // silently shadow the first (a BI query then reads one month twice
+    // and the other never); fail loudly instead
+    val dups = named.groupBy(_._2).filter(_._2.map(_._1).distinct.size > 1)
+    require(dups.isEmpty,
+      s"partition view name collision after sanitizing: " +
+        dups.map { case (n, ms) => s"$n <- ${ms.map(_._1).mkString(",")}" }.mkString("; "))
+    named.map { case (m, name) =>
       base.filter(col(partitionCol) === m).createOrReplaceTempView(name)
       name
     }

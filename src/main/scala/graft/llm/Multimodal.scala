@@ -50,9 +50,17 @@ object Multimodal {
   private val IhdrTail: Array[Byte] = Array[Byte](8, 6, 0, 0, 0)
   private val GifMagic: Array[Byte] = "GIF89a".getBytes("US-ASCII")
 
-  private def be4(v: Column): Column = unhex(lpad(hex(v), 8, "0"))
+  // lpad TRUNCATES a too-long hex string (keeping the high digits), so
+  // an out-of-range dimension would silently encode a corrupt header —
+  // fail the task instead
+  private def inRange(v: Column, max: Long, what: String): Column =
+    when(v.isNull || v < 0 || v > max,
+      raise_error(concat(lit(s"$what out of range [0, $max]: "), v.cast("string"))))
+      .otherwise(v)
+  private def be4(v: Column): Column =
+    unhex(lpad(hex(inRange(v, 0xFFFFFFFFL, "be4 value")), 8, "0"))
   private def le2(v: Column): Column = {
-    val h = lpad(hex(v), 4, "0")
+    val h = lpad(hex(inRange(v, 0xFFFFL, "le2 value")), 4, "0")
     unhex(concat(substring(h, 3, 2), substring(h, 1, 2)))
   }
 

@@ -105,7 +105,7 @@ object DwhQueries {
   /** The two synthetic staging batches of the incremental scenario
     * (shared by q_e2e_incremental and the Bench warm hook).
     */
-  private def incStagingBatches(
+  private[graft] def incStagingBatches(
       s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"))
     def mkStaging(keys: DataFrame, title: Column,
@@ -143,7 +143,7 @@ object DwhQueries {
     * JVM with eager checkpoints — the PRE-EXISTING state in the daily
     * production scenario; the measured work is the incremental apply.
     */
-  private def prevDwh(s: SparkSession, dir: String): graft.app.Pipeline.Dwh =
+  private[graft] def prevDwh(s: SparkSession, dir: String): graft.app.Pipeline.Dwh =
     prevDwhCache.getOrElseUpdate(dir, {
       val d = graft.app.Pipeline.stagingToDwh(incStagingBatches(s, dir)._1, "2026-08-01")
       graft.app.Pipeline.Dwh(

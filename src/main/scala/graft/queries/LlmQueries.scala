@@ -556,10 +556,10 @@ object LlmQueries {
       // dimension exactly. Header sizes: PNG magic+IHDR = 29 bytes,
       // GIF89a+dims = 10.
       Some("""SELECT source, count(*) AS n,
-             |CAST(sum(octet_length(encode(text)) + CASE WHEN doc_id % 2 = 0 THEN 29 ELSE 10 END)
+             |CAST(sum(octet_length(encode(coalesce(text, ''))) + CASE WHEN doc_id % 2 = 0 THEN 29 ELSE 10 END)
              |     AS BIGINT) AS total_bytes,
              |count(DISTINCT struct_pack(p := doc_id % 2, w := doc_id % 640,
-             |                           h := doc_id % 480, t := text)) AS n_checksums,
+             |                           h := doc_id % 480, t := coalesce(text, ''))) AS n_checksums,
              |CAST(sum(doc_id % 640 + 1) AS BIGINT) AS sum_width,
              |CAST(sum(doc_id % 480 + 1) AS BIGINT) AS sum_height,
              |CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_png
@@ -567,9 +567,13 @@ object LlmQueries {
       (s, dir) => {
         val w = (col("doc_id") % 640 + 1).cast("int")
         val h = (col("doc_id") % 480 + 1).cast("int")
+        // coalesce: a NULL text would null the whole payload concat and
+        // diverge from the oracle's per-row closed form — an empty body
+        // is still a valid PNG/GIF header stream
+        val body = coalesce(col("text"), lit(""))
         val payload = when(col("doc_id") % 2 === 0,
-            Multimodal.pngPayload(w, h, col("text")))
-          .otherwise(Multimodal.gifPayload(w, h, col("text")))
+            Multimodal.pngPayload(w, h, body))
+          .otherwise(Multimodal.gifPayload(w, h, body))
         Tables.documents(s, dir)
           .select(col("source"), Multimodal.payloadMeta(payload).as("meta"),
             Multimodal.decodeImage(payload).as("img"))
