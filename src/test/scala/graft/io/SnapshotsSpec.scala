@@ -31,4 +31,24 @@ class SnapshotsSpec extends AnyFunSuite {
       ("2026-07", 1L, 10.0), ("2026-07", 2L, 20.0), // July untouched
       ("2026-08", 3L, 99.0), ("2026-08", 4L, 40.0))) // August replaced
   }
+
+  test("partition views: one pruned view per month, collisions rejected") {
+    import spark.implicits._
+    val path = "/root/repo/target/tmp/snapshots_partition_views"
+    Snapshots.deleteDir(spark, path)
+    Seq(("2026-07", 1L), ("2026-07", 2L), ("2026-08", 3L))
+      .toDF("load_month", "id")
+      .write.mode("overwrite").partitionBy("load_month").parquet(path)
+    val names = Snapshots.registerPartitionViews(
+      spark, "t", path, Seq("2026-07", "2026-08"))
+    assert(names == Seq("t_load_month_2026_07", "t_load_month_2026_08"))
+    assert(spark.table("t_load_month_2026_07").count() == 2)
+    assert(spark.table("t_load_month_2026_08").count() == 1)
+    // name sanitization is lossy: distinct values mapping to one view
+    // name must fail loudly, not silently shadow a month
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.registerPartitionViews(spark, "t", path, Seq("2026-07", "2026_07"))
+    }
+    assert(e.getMessage.contains("collision"))
+  }
 }
