@@ -160,6 +160,23 @@ object Scratch {
           System.gc()
         }
       }
+    } else if (args.headOption.contains("explain-inc")) {
+      // does the executed incremental plan reuse the routing-join
+      // subtrees (ReusedExchange/ReusedSubquery), or pay them per
+      // consumer? (code-review finding: applyBatch has 3 consumers of
+      // the routed frame, mergeFactsAssigning 2 of the merge join)
+      import org.apache.spark.sql.functions._
+      val dir = args(1)
+      val b2 = graft.queries.DwhQueries.incStagingBatches(spark, dir)._2
+      val dwh1 = graft.queries.DwhQueries.prevDwh(spark, dir)
+      val fact = graft.app.Pipeline.incrementalBatch(dwh1, b2, "2026-08-03").fact
+      fact.write.format("noop").mode("overwrite").save()
+      val plan = fact.queryExecution.executedPlan.toString
+      def count(pat: String) = pat.r.findAllIn(plan).size
+      println(s"[explain-inc] ReusedExchange=${count("ReusedExchange")} " +
+        s"Exchange=${count("Exchange")} BroadcastExchange=${count("BroadcastExchange")} " +
+        s"SortMergeJoin=${count("SortMergeJoin")} BroadcastHashJoin=${count("BroadcastHashJoin")} " +
+        s"TableCacheQueryStage=${count("TableCacheQueryStage")}")
     } else if (args.headOption.contains("bench-md5")) {
       // isolate the per-gram MessageDigest cost that dominates winnow
       val text = ("the quick brown fox jumps over the lazy dog " * 8).take(297)

@@ -206,8 +206,7 @@ object Pipeline {
     // to partition layout); exact-timestamp ties break on a
     // deterministic payload hash, same rule as prepareDimAssigning
     def dedupBy(df: DataFrame, key: String): DataFrame = {
-      val tie = xxhash64(struct(
-        df.columns.filterNot(c => c == key || c == "crawled_at").map(col).toSeq: _*))
+      val tie = Facts.tieHash(df, Seq(key, "crawled_at"))
       val w = Window.partitionBy(key).orderBy(col("crawled_at").desc, tie)
       df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
         .drop("__rn", "crawled_at")

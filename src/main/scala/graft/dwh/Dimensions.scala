@@ -28,9 +28,17 @@ object Dimensions {
       staging: DataFrame, naturalKey: String, tiebreak: String,
       asOfDate: String): DataFrame = {
     val payload = staging.columns.filterNot(_ == naturalKey).toSeq
+    // order by a STRUCT of (tiebreak, payload hash), not the bare
+    // tiebreak: min_by ignores rows whose ordering value is NULL (a key
+    // whose rows all carry a NULL tiebreak would surface an all-NULL
+    // payload), and bare-tiebreak ties would leave the survivor to
+    // shuffle order — the struct is never NULL and the hash makes ties
+    // deterministic (same rule as prepareDimArranged / dedupBy)
+    val ord = struct(col(tiebreak),
+      Facts.tieHash(staging, Seq(naturalKey, tiebreak)))
     staging
       .groupBy(col(naturalKey))
-      .agg(min_by(struct(payload.map(col): _*), col(tiebreak)).as("__p"))
+      .agg(min_by(struct(payload.map(col): _*), ord).as("__p"))
       .select(col(naturalKey) +: payload.map(c => col(s"__p.$c").as(c)): _*)
       .withColumn(ScdType2.EffectiveCol, lit(asOfDate).cast("date"))
       .withColumn(ScdType2.ExpiryCol, lit(null).cast("date"))
@@ -70,7 +78,7 @@ object Dimensions {
   private[graft] def prepareDimArranged(
       staging: DataFrame, naturalKey: String, asOfDate: String): DataFrame = {
     val payload = staging.columns.filterNot(c => c == naturalKey || c == "crawled_at").toSeq
-    val tieHash = xxhash64(struct(payload.map(col): _*))
+    val tieHash = Facts.tieHash(staging, Seq(naturalKey, "crawled_at"))
     val arranged = staging
       .repartitionByRange(col(naturalKey))
       .sortWithinPartitions(col(naturalKey), col("crawled_at").desc, tieHash)
@@ -136,8 +144,12 @@ object Dimensions {
     * reference's per-day exists probe, etl_main.py:460-484).
     */
   def fillDimDate(existingDates: DataFrame, start: String, end: String): DataFrame = {
+    // validate driver-side: a malformed bound would cast to NULL and
+    // the sequence would silently generate nothing
+    val (s0, e0) = (java.time.LocalDate.parse(start).toString,
+      java.time.LocalDate.parse(end).toString)
     val range = existingDates.sparkSession.range(1)
-      .select(explode(sequence(lit(start).cast("date"), lit(end).cast("date"))).as("date_id"))
+      .select(explode(sequence(lit(s0).cast("date"), lit(e0).cast("date"))).as("date_id"))
     val fresh = range.join(existingDates.select("date_id"), Seq("date_id"), "left_anti")
     existingDates.select("date_id").unionByName(fresh)
   }

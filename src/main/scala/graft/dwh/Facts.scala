@@ -34,9 +34,13 @@ object Facts {
     * run date is an explicit parameter here). `explode(sequence(...))`
     * keeps it a generator inside codegen.
     */
-  def explodeDailyGrain(resolved: DataFrame, asOfDate: String): DataFrame =
+  def explodeDailyGrain(resolved: DataFrame, asOfDate: String): DataFrame = {
+    // validate driver-side: a malformed date would cast to NULL and
+    // explode(sequence(NULL, ...)) silently emits an EMPTY fact table
+    val d = java.time.LocalDate.parse(asOfDate).toString
     resolved.withColumn("date_id",
-      explode(sequence(lit(asOfDate).cast("date"), date_add(lit(asOfDate).cast("date"), 4))))
+      explode(sequence(lit(d).cast("date"), date_add(lit(d).cast("date"), 4))))
+  }
 
   /** W1/A4/D12: keep exactly one fact per (job_sk, date_id) — lowest
     * fact_id survives, matching cleanup_duplicate_fact_records's
@@ -63,9 +67,12 @@ object Facts {
     * IDENTICAL crawled_at but different measures (a crawler retry that
     * re-parsed differently) must not leave the survivor to shuffle
     * fetch order — hash the full payload so exact-timestamp ties are
-    * stable across runs (round-5 advice).
+    * stable across runs (round-5 advice). Shared by every dedup site
+    * (fact dedup, dim prep, the daily batch's dedupBy) so the survivor
+    * rule cannot silently diverge between the initial build and the
+    * incremental mode.
     */
-  private def tieHash(df: DataFrame, excluded: Seq[String]): org.apache.spark.sql.Column =
+  private[graft] def tieHash(df: DataFrame, excluded: Seq[String]): org.apache.spark.sql.Column =
     xxhash64(struct(df.columns.filterNot(excluded.contains).map(col).toSeq: _*))
 
   def dedupAssigningIds(exploded: DataFrame, idCol: String, base: Long): DataFrame = {
@@ -101,7 +108,17 @@ object Facts {
     // NULL (fact_handler.py:237-255) — `coalesce(incoming, existing)`
     // would silently resurrect the old value whenever the new crawl
     // nulled a field out (e.g. a salary removed from the posting)
-    val merged = incoming.withColumn("__inc", lit(true)).join(e, keys, "full")
+    // defensive within-batch dedup: duplicate incoming keys would fan
+    // the full-outer join out and emit several rows sharing one
+    // fact_id; callers with an ordering (crawl time) dedup upstream,
+    // residual duplicates collapse deterministically by payload hash
+    val incomingDeduped = {
+      val w = Window.partitionBy(keys.map(col): _*)
+        .orderBy(tieHash(incoming, keys))
+      incoming.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    }
+    val merged = incomingDeduped.withColumn("__inc", lit(true)).join(e, keys, "full")
     val out = merged
       .withColumn("fact_id", coalesce(col("__e_fact_id"), col("fact_id")))
       .withColumn("load_month", coalesce(col("__e_load_month"), col("load_month")))
@@ -157,8 +174,12 @@ object Facts {
     val withPreserve = preserveCols.foldLeft(withCarry) { (df, c) =>
       df.withColumn(c, when(col("__e_fact_id").isNotNull, col(s"__e_$c")).otherwise(col(c)))
     }
+    // lazy checkpoint: cleaned feeds both the matched branch and the
+    // fresh branch (via assignAfterMax) — without the pin the full
+    // outer merge join and its dedup window execute twice per action
     val cleaned = withPreserve.drop(
       Seq("__inc", "__e_load_month") ++ (carryCols ++ preserveCols).map(c => s"__e_$c"): _*)
+      .localCheckpoint(false)
     val matched = cleaned.filter(col("__e_fact_id").isNotNull)
       .withColumn("fact_id", col("__e_fact_id").cast("long"))
       .drop("__e_fact_id")
@@ -200,8 +221,11 @@ object Facts {
         coalesce(sum(when(col("__e").isNotNull, 1L).otherwise(0L)), lit(0L)).as("n_updated"))
       .crossJoin(broadcast(incoming.agg(count(lit(1)).as("n_processed"))))
       .crossJoin(broadcast(attempted.agg(count(lit(1)).as("n_attempted"))))
+      // zero-attempted boundary: the rate is honestly unknown (NULL),
+      // but the flag must stay a usable boolean — multiplication form
+      // avoids the NULL division and reads 0 ≥ 0 as vacuous success
       .withColumn("success_rate", round(col("n_processed") / col("n_attempted"), 4))
-      .withColumn("success_ok", col("n_processed") / col("n_attempted") >= 0.95)
+      .withColumn("success_ok", col("n_processed") >= col("n_attempted") * 0.95)
       .select("n_attempted", "n_processed", "n_inserted", "n_updated",
         "success_rate", "success_ok")
   }

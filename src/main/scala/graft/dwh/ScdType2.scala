@@ -67,8 +67,28 @@ object ScdType2 {
       naturalKey: String, trackedCols: Seq[String],
       skCol: String, asOfDate: String): DataFrame = {
 
-    val payloadCols = incoming.columns.filterNot(_ == naturalKey).toSeq
-    val routed = routeChanges(current, incoming, naturalKey, trackedCols)
+    // The natural key is the reference's PRIMARY KEY — NOT NULL by
+    // schema. A NULL-key row can never match the routing join, so it
+    // would route 'insert' on EVERY daily batch and grow one duplicate
+    // is_current row per day, breaking the idempotency contract above;
+    // reject it like the reference's PK constraint does. Duplicate keys
+    // within one batch would double-insert current versions the same
+    // way — callers with an ordering dedup first (Pipeline.dedupBy);
+    // residual duplicates collapse deterministically by payload hash.
+    val keyed = incoming.filter(col(naturalKey).isNotNull)
+    val incomingDeduped = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(naturalKey))
+        .orderBy(Facts.tieHash(keyed, Seq(naturalKey)))
+      keyed.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    }
+    // lazy checkpoint: routed feeds THREE consumers (changedKeys' anti
+    // and semi probes, and newRows' numbering) and the executed plan
+    // reuses none of them (ReusedExchange=0 measured) — without the
+    // pin, the dedup window + routing join re-run per consumer
+    val routed = routeChanges(current, incomingDeduped, naturalKey, trackedCols)
+      .localCheckpoint(false)
 
     val history = current.filter(!col(CurrentCol))
     val curNow = current.filter(col(CurrentCol))
