@@ -135,6 +135,19 @@ class PipelineSpec extends AnyFunSuite {
   private lazy val staging2 = Pipeline.rawToStaging(raw2Fixture, "2026-08-14 10:30:00")
   private lazy val dwh2 = materialized(Pipeline.incrementalBatch(dwh, staging2, AsOf2))
 
+  test("incremental executed plan stays exchange-lean (shared subtrees pinned)") {
+    // applyScd2/mergeFactsAssigning pin their multiply-consumed frames
+    // (routing join, merge output) with lazy localCheckpoints; without
+    // the pins Catalyst inlines each subtree per consumer and the
+    // executed fact plan carries ~28 exchanges (measured) instead of a
+    // handful. Guard the shape, with slack for join-strategy drift.
+    val fact = Pipeline.incrementalBatch(dwh, staging2, AsOf2).fact
+    fact.write.format("noop").mode("overwrite").save()
+    val p = fact.queryExecution.executedPlan.toString
+    val n = "(?i)exchange".r.findAllIn(p).size
+    assert(n <= 12, s"expected a pinned exchange-lean plan, got $n exchanges:\n$p")
+  }
+
   test("incremental batch: SCD2 routing, fact-identity preservation, measure update") {
     // dims: J1 closed+new version, J7 inserted, J3 untouched
     assert(dwh2.dimJob.count() == 8)

@@ -37,4 +37,32 @@ class FactsSpec extends AnyFunSuite {
     assert(!r.isNullAt(r.fieldIndex("n_updated")) && r.getAs[Long]("n_updated") == 0L)
     assert(r.getAs[Long]("n_processed") == 0L)
   }
+
+  test("mergeFacts collapses duplicate incoming keys to one row per key") {
+    val existing = Seq((100L, 1L, "d1", "2026-01", 50.0))
+      .toDF("fact_id", "job_sk", "date_id", "load_month", "salary")
+    // duplicate (1, d1) incoming rows: without the within-batch dedup
+    // the full-outer join fans out and two rows share fact_id 100
+    val incoming = Seq(
+      (999L, 1L, "d1", "2026-08", 60.0),
+      (998L, 1L, "d1", "2026-08", 70.0),
+      (997L, 2L, "d1", "2026-08", 80.0))
+      .toDF("fact_id", "job_sk", "date_id", "load_month", "salary")
+    val out = Facts.mergeFacts(existing, incoming, Seq("salary"))
+    assert(out.count() == 2)
+    val matched = out.filter($"job_sk" === 1L).collect()
+    assert(matched.length == 1)
+    assert(matched.head.getAs[Long]("fact_id") == 100L) // existing id preserved
+    // deterministic: the survivor is the same on a second run
+    val again = Facts.mergeFacts(existing, incoming, Seq("salary"))
+    assert(out.except(again).isEmpty && again.except(out).isEmpty)
+  }
+
+  test("explodeDailyGrain rejects a malformed as-of date instead of emitting nothing") {
+    val resolved = Seq((1L, "JOB001")).toDF("job_sk", "job_id")
+    intercept[java.time.format.DateTimeParseException] {
+      Facts.explodeDailyGrain(resolved, "2026-13-99")
+    }
+    assert(Facts.explodeDailyGrain(resolved, "2026-08-01").count() == 5)
+  }
 }

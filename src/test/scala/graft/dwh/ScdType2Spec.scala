@@ -50,6 +50,26 @@ class ScdType2Spec extends AnyFunSuite {
     assert(snap2.except(snap1).isEmpty && snap1.except(snap2).isEmpty)
   }
 
+  test("NULL-key rows are rejected and duplicate batch keys collapse to one version") {
+    // a NULL key can never match the routing join, so without the
+    // guard it would insert a fresh "current" row on EVERY batch;
+    // duplicate keys would double-insert current versions
+    val incoming = Seq(
+      (null.asInstanceOf[String], "Ghost Role"),
+      ("JOB003", "Data Engineer"),
+      ("JOB003", "Analytics Engineer"))
+      .toDF("job_id", "title_clean")
+    val snap = ScdType2.applyBatch(currentDim, incoming, "job_id", Seq("title_clean"),
+      "job_sk", "2026-08-13")
+    assert(snap.filter($"job_id".isNull).isEmpty)
+    val job3 = snap.filter($"job_id" === "JOB003").collect()
+    assert(job3.length == 1 && job3.head.getAs[Boolean]("is_current"))
+    // deterministic survivor + idempotent under re-apply
+    val snap2 = ScdType2.applyBatch(snap, incoming, "job_id", Seq("title_clean"),
+      "job_sk", "2026-08-14")
+    assert(snap.except(snap2).isEmpty && snap2.except(snap).isEmpty)
+  }
+
   test("routing tags insert/update/unchanged") {
     val incoming = Seq(
       ("JOB001", "Senior Python Developer"), // update
