@@ -1,0 +1,143 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-assembly operators a training-data pipeline needs after
+  * cleaning/dedup: deterministic train/validation/test splits,
+  * token-budget shard packing, PII redaction, and benchmark
+  * decontamination. All four are pure dataflow over the documents
+  * table — no reference counterpart (the reference stops at the
+  * warehouse); they extend the engine the way the LLM dedup family
+  * does, with DuckDB-replayable determinism (md5-derived hashes, no
+  * RNG) so every query is value-checked end to end.
+  */
+object Corpus {
+
+  /** Uniform [0,1) fraction from the first 32 md5 bits of the id —
+    * the standard stable-split trick: assignment is a pure function of
+    * the document id, so re-running the pipeline (or adding documents)
+    * never moves an existing doc across splits. md5 (not xxhash64)
+    * so the DuckDB oracle replays it bit-for-bit.
+    */
+  def hashFraction(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long") /
+      lit(4294967296.0) // 2^32
+
+  /** Deterministic split assignment. `bounds` are (name, upper-bound)
+    * pairs with strictly increasing bounds in (0,1); ids whose hash
+    * fraction falls below the first bound take the first name, below
+    * the second the second, and so on; `lastName` catches the rest.
+    * Callers pass explicit bounds (0.9, 0.95, ...) rather than weights
+    * so the literals compared in Spark and in any SQL replay are the
+    * SAME doubles — deriving bounds by summing weights would make the
+    * two engines disagree on documents within one ulp of a boundary.
+    *
+    * Scale shape: stateless per-row map — no shuffle, no state, safe
+    * at any corpus size and trivially codegen'd.
+    */
+  def assignSplit(
+      docs: DataFrame, idCol: String,
+      bounds: Seq[(String, Double)], lastName: String): DataFrame = {
+    require(bounds.nonEmpty, "assignSplit: need at least one bound")
+    require(bounds.map(_._2) == bounds.map(_._2).sorted &&
+      bounds.forall(b => b._2 > 0.0 && b._2 < 1.0),
+      s"assignSplit: bounds must be increasing within (0,1), got $bounds")
+    val frac = hashFraction(col(idCol))
+    val expr = bounds.reverse.foldLeft(lit(lastName): Column) {
+      case (acc, (name, ub)) => when(frac < lit(ub), lit(name)).otherwise(acc)
+    }
+    docs.withColumn("split", expr)
+  }
+
+  /** Pack documents into training shards of ~`tokensPerShard`
+    * whitespace tokens: documents are laid out in a deterministic
+    * pseudo-random global order (md5 of the id — co-locating a
+    * source's docs in one shard would bias training batches), and
+    * shard_id = floor(exclusive-prefix-sum(tokens) / budget). Every
+    * shard except the last then holds ≥ budget tokens' worth of docs
+    * (a doc straddling a boundary lands in the shard its first token
+    * falls in), and the assignment is a pure function of the corpus —
+    * independent of cluster layout, reproducible across runs, the
+    * property that makes training resumable.
+    *
+    * Scale shape: the global prefix sum is the StableId pattern — one
+    * range shuffle into contiguous hash-order partitions (pinned by a
+    * lazy localCheckpoint so the boundaries cannot re-sample), a
+    * per-partition token-total aggregate whose cumulative window runs
+    * over ≤ #partitions rows, and one partition-preserving hash
+    * exchange for the within-partition running sum. Nothing windows
+    * over the full data in one task. (A zero-extra-shuffle variant —
+    * greedy per-partition packing with pid-prefixed shard ids — is the
+    * production choice when global determinism doesn't matter; this
+    * one is deterministic AND replayable by the SQL oracle.)
+    */
+  def packShards(
+      docs: DataFrame, idCol: String, textCol: String,
+      tokensPerShard: Long): DataFrame = {
+    require(tokensPerShard > 0, s"packShards: budget must be positive, got $tokensPerShard")
+    val withTok = docs
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)).cast("long"))
+      .withColumn("__ord", md5(col(idCol).cast("string")))
+    val arranged = withTok
+      .repartitionByRange(col("__ord"), col(idCol))
+      .sortWithinPartitions(col("__ord"), col(idCol))
+      .localCheckpoint(false)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__mid", monotonically_increasing_id())
+    val offsets = arranged.groupBy(col("__pid"))
+      .agg(sum(col("n_tokens")).as("__ptok"))
+      .withColumn("__off",
+        coalesce(sum(col("__ptok")).over(Window.orderBy(col("__pid"))) - col("__ptok"), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    val w = Window.partitionBy(col("__pid")).orderBy(col("__mid"))
+    arranged.join(broadcast(offsets), Seq("__pid"))
+      .withColumn("__run", coalesce(sum(col("n_tokens")).over(w) - col("n_tokens"), lit(0L)))
+      .withColumn("shard_id",
+        floor((col("__off") + col("__run")) / lit(tokensPerShard.toDouble)))
+      .drop("__pid", "__mid", "__off", "__run", "__ord")
+  }
+
+  // Patterns shared with the SQL oracle: RE2-safe (no backrefs, no
+  // lookarounds) so Java regex and DuckDB's RE2 agree on every match.
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\+?[0-9][0-9 ().-]{6,}[0-9]"
+
+  /** Mask emails then phone-shaped digit runs. Email first: an email's
+    * local part can contain digits and would otherwise be half-eaten
+    * by the phone pattern. Pure per-row expression — scales like any
+    * map; for real pipelines the pattern set grows (SSNs, IBANs, ...)
+    * but the shape stays a replace chain.
+    */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(c, EmailPattern, "<EMAIL>"),
+      PhonePattern, "<PHONE>")
+
+  /** True when `c` contains any maskable span. */
+  def hasPii(c: Column): Column = redactPii(c) =!= c
+
+  /** Benchmark decontamination: ids of corpus documents sharing at
+    * least one word n-gram with any benchmark/eval document — the
+    * standard guard against test-set leakage into training data
+    * (n-gram collision flagging, as popularized by GPT-3/C4 dataset
+    * reports). Exact, not sketched: the benchmark side is an eval
+    * suite (thousands of docs), so its distinct-shingle set is tiny
+    * next to the corpus and AQE broadcasts it — the corpus streams
+    * through one semi-join with no shuffle of the corpus itself, then
+    * the surviving (id) rows dedup. At 100 TB the corpus side stays a
+    * single scan; only flagged ids (bounded by corpus row count,
+    * realistically a small fraction) reach the dedup exchange.
+    */
+  def contaminatedIds(
+      corpus: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int): DataFrame = {
+    val corpusSh = corpus.select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("__s"))
+    val benchSh = benchmark
+      .select(explode(Dedup.shingles(col(benchTextCol), n)).as("__s"))
+      .distinct()
+    corpusSh.join(benchSh, Seq("__s"), "left_semi")
+      .select(col(idCol)).distinct()
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Corpus, Dedup, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -611,6 +611,118 @@ object LlmQueries {
             sum(col("sampled")).cast("long").as("sampled_frames"),
             countDistinct(col("ff")).as("first_frame_checksums"))
           .orderBy("source")
+      }),
+
+    // ---------------------------------------------------------------- deterministic split assignment
+    QueryDef(
+      "q_l16_split_assign", "LLM-corpus-split",
+      // id_sum makes the check sensitive to every single assignment,
+      // not just the split sizes. Bounds are literal 0.9/0.95 on both
+      // sides (never weight sums — see Corpus.assignSplit).
+      Some("""WITH f AS (SELECT doc_id,
+             |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+             |    / 4294967296.0 AS frac
+             |  FROM documents)
+             |SELECT CASE WHEN frac < 0.9 THEN 'train'
+             |            WHEN frac < 0.95 THEN 'validation'
+             |            ELSE 'test' END AS split,
+             |count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM f GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) =>
+        Corpus.assignSplit(Tables.documents(s, dir), "doc_id",
+            Seq("train" -> 0.9, "validation" -> 0.95), "test")
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("doc_id")).cast("long").as("id_sum"))
+          .orderBy("split")),
+
+    // ---------------------------------------------------------------- token-budget shard packing
+    QueryDef(
+      "q_l17_pack_shards", "LLM-corpus-shards",
+      // replays the global md5-order exclusive prefix sum: shard_id =
+      // floor(tokens-before-this-doc / 2048); per-shard doc count,
+      // token total, and id_sum pin the exact assignment.
+      Some("""WITH t AS (SELECT doc_id,
+             |  CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+             |       ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+             |  md5(CAST(doc_id AS VARCHAR)) AS ord
+             |  FROM documents),
+             |c AS (SELECT doc_id, n_tokens,
+             |  CAST(floor(coalesce(sum(n_tokens) OVER (ORDER BY ord, doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048.0) AS BIGINT)
+             |    AS shard_id
+             |  FROM t)
+             |SELECT shard_id, count(*) AS n_docs,
+             |CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+             |CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM c GROUP BY shard_id ORDER BY shard_id""".stripMargin),
+      (s, dir) =>
+        Corpus.packShards(Tables.documents(s, dir), "doc_id", "text", 2048L)
+          .groupBy("shard_id")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).cast("long").as("shard_tokens"),
+            sum(col("doc_id")).cast("long").as("id_sum"))
+          .orderBy("shard_id")),
+
+    // ---------------------------------------------------------------- PII redaction
+    QueryDef(
+      "q_l18_pii_redact", "LLM-corpus-pii",
+      // every doc gets a synthetic doc_id-derived email + phone
+      // appended (the corpus itself is synthetic and PII-free), then
+      // both engines mask with the same RE2-safe patterns; the
+      // distinct-md5 count and total length pin the masked strings
+      // byte-for-byte.
+      Some("""WITH aug AS (SELECT source,
+             |  text || ' Contact: user' || CAST(doc_id AS VARCHAR)
+             |       || '@mail.example.com or +84 (09' || CAST(doc_id % 10 AS VARCHAR)
+             |       || ') 123-4567.' AS a
+             |  FROM documents),
+             |r AS (SELECT source, a,
+             |  regexp_replace(
+             |    regexp_replace(a, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '\+?[0-9][0-9 ().-]{6,}[0-9]', '<PHONE>', 'g') AS red
+             |  FROM aug)
+             |SELECT source, count(*) AS n_docs,
+             |CAST(sum(CASE WHEN red <> a THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+             |count(DISTINCT md5(red)) AS n_distinct_redacted,
+             |CAST(sum(length(red)) AS BIGINT) AS total_len
+             |FROM r GROUP BY source ORDER BY source""".stripMargin),
+      (s, dir) => {
+        val aug = concat(col("text"),
+          lit(" Contact: user"), col("doc_id").cast("string"),
+          lit("@mail.example.com or +84 (09"), (col("doc_id") % 10).cast("string"),
+          lit(") 123-4567."))
+        Tables.documents(s, dir)
+          .select(col("source"), aug.as("a"), Corpus.redactPii(aug).as("red"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("red") =!= col("a"), 1L).otherwise(0L)).as("n_masked"),
+            countDistinct(md5(col("red"))).as("n_distinct_redacted"),
+            sum(length(col("red")).cast("long")).as("total_len"))
+          .orderBy("source")
+      }),
+
+    // ---------------------------------------------------------------- benchmark decontamination
+    QueryDef(
+      "q_l19_decontaminate", "LLM-corpus-decontaminate",
+      // benchmark = every 97th doc (a stand-in eval suite); corpus
+      // docs sharing any word 5-gram with it are flagged. Exact n-gram
+      // collision flagging, the C4/GPT-3-style leakage guard.
+      Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+             |              FROM documents),
+             |sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+4], ' ')
+             |                                            for i in generate_series(1, len(w)-4)])) AS s
+             |       FROM toks WHERE len(w) >= 5),
+             |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0)
+             |SELECT DISTINCT doc_id FROM sh
+             |WHERE doc_id % 97 <> 0 AND s IN (SELECT s FROM bench)
+             |ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Corpus.contaminatedIds(
+            docs.filter(col("doc_id") % 97 =!= 0), "doc_id", "text",
+            docs.filter(col("doc_id") % 97 === 0), "text", 5)
+          .orderBy("doc_id")
       })
   )
 }

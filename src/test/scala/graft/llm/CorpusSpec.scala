@@ -1,0 +1,73 @@
+package graft.llm
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Corpus-assembly operators: deterministic splits, token-budget shard
+  * packing, PII redaction, decontamination.
+  */
+class CorpusSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("assignSplit is a stable pure function of the id with validated bounds") {
+    val docs = (1L to 1000L).toDF("doc_id")
+    val out = Corpus.assignSplit(docs, "doc_id", Seq("train" -> 0.9, "validation" -> 0.95), "test")
+    val byName = out.groupBy("split").count().as[(String, Long)].collect().toMap
+    // md5 is uniform: 1000 docs land ~900/50/50 (loose bounds)
+    assert(byName("train") > 850 && byName("train") < 950, byName)
+    assert(byName.values.sum == 1000)
+    // adding docs never moves an existing assignment
+    val wider = Corpus.assignSplit((1L to 2000L).toDF("doc_id"), "doc_id",
+      Seq("train" -> 0.9, "validation" -> 0.95), "test")
+      .filter($"doc_id" <= 1000)
+    assert(out.except(wider).isEmpty && wider.except(out).isEmpty)
+    intercept[IllegalArgumentException] {
+      Corpus.assignSplit(docs, "doc_id", Seq("a" -> 0.9, "b" -> 0.5), "c")
+    }
+  }
+
+  test("packShards packs the md5-global-order exclusive prefix sum") {
+    // six 100-token docs, budget 250 → in md5(id) order the exclusive
+    // sums are 0,100,200,300,400,500 → shards 0,0,0,1,1,2
+    val text = ("tok " * 100).trim
+    val docs = (1L to 6L).map(i => (i, text)).toDF("doc_id", "text")
+    val out = Corpus.packShards(docs, "doc_id", "text", 250L)
+      .select("doc_id", "shard_id").as[(Long, Long)].collect().toMap
+    val md5Order = (1L to 6L).sortBy { i =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    val expected = md5Order.zipWithIndex.map { case (id, pos) => id -> (pos * 100L / 250L) }.toMap
+    assert(out == expected, s"got $out expected $expected")
+    // layout-independent: a differently-partitioned input packs identically
+    val out2 = Corpus.packShards(docs.repartition(5), "doc_id", "text", 250L)
+      .select("doc_id", "shard_id").as[(Long, Long)].collect().toMap
+    assert(out2 == expected)
+  }
+
+  test("redactPii masks emails and phone runs, leaves clean text alone") {
+    val rows = Seq(
+      "mail john.doe+x@corp.example.org or call +84 (090) 123-4567 now",
+      "no pii here, just 42 words").toDF("t")
+      .select(col("t"), Corpus.redactPii(col("t")).as("r"), Corpus.hasPii(col("t")).as("p"))
+      .as[(String, String, Boolean)].collect()
+    assert(rows(0)._2 == "mail <EMAIL> or call <PHONE> now")
+    assert(rows(0)._3)
+    assert(rows(1)._2 == rows(1)._1 && !rows(1)._3)
+  }
+
+  test("contaminatedIds flags exactly the corpus docs sharing an n-gram") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "intro text then the quick brown fox jumps right here"), // shares a 5-gram
+      (2L, "completely different content with no overlap at all"),
+      (3L, "quick brown fox jumps over")) // shares "quick brown fox jumps over"
+      .toDF("doc_id", "text")
+    val ids = Corpus.contaminatedIds(corpus, "doc_id", "text", bench, "text", 5)
+      .as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 3L))
+  }
+}
