@@ -7,7 +7,11 @@ import java.nio.file.{Files, Paths}
   */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    require(args.length >= 2, "usage: Verify <sfDir> <outDir> [queryName...]")
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional name filter: dump only these queries (selfcheck-style
+    // subset iteration); no filter = the full registry
+    val only = args.drop(2).toSet
     val spark = SparkUtil.local()
     val sc = spark.sparkContext
     new java.io.File(outDir).mkdirs()
@@ -18,7 +22,9 @@ object Verify {
     // accumulate block-manager state.
     graft.queries.DwhQueries.warmShared(spark, sfDir)
     val protectedIds = sc.getPersistentRDDs.keySet
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

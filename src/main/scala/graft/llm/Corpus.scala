@@ -118,6 +118,39 @@ object Corpus {
   /** True when `c` contains any maskable span. */
   def hasPii(c: Column): Column = redactPii(c) =!= c
 
+  /** Deterministic stratified resampling — the source/language MIXING
+    * step of corpus assembly (C4/MassiveText-style): each stratum
+    * (source, language, quality bucket, ...) gets a sampling rate;
+    * rate < 1 downsamples (keep the doc iff its hash fraction clears
+    * the rate), rate > 1 upsamples (floor(rate) whole copies plus one
+    * more for the fractional remainder, again by hash fraction). The
+    * decision is a pure function of the id, so the mixed corpus is
+    * reproducible and stable under corpus growth — no RNG, no
+    * sampling-by-partition skew. Output repeats each kept doc once per
+    * copy with a 1-based `copy_id`, ready for shard packing.
+    *
+    * Scale shape: per-row expression + generator explode — no shuffle,
+    * no state; upsampling multiplies rows exactly like the fact-table
+    * ×5-day explode (a generator inside codegen, never a materialized
+    * loop). Strata missing from `rates` default to 1.0 (pass-through).
+    */
+  def resampleStrata(
+      docs: DataFrame, idCol: String, strataCol: String,
+      rates: Map[String, Double]): DataFrame = {
+    require(rates.values.forall(r => r >= 0.0 && r.isFinite),
+      s"resampleStrata: rates must be finite and >= 0, got $rates")
+    val rate = rates.foldLeft(lit(1.0)) { case (acc, (stratum, r)) =>
+      when(col(strataCol) === lit(stratum), lit(r)).otherwise(acc)
+    }
+    val nCopies = (floor(rate) +
+      when(hashFraction(col(idCol)) < (rate - floor(rate)), 1L).otherwise(0L))
+      .cast("long")
+    docs.withColumn("__n", nCopies)
+      .filter(col("__n") > 0)
+      .withColumn("copy_id", explode(sequence(lit(1L), col("__n"))))
+      .drop("__n")
+  }
+
   /** Benchmark decontamination: ids of corpus documents sharing at
     * least one word n-gram with any benchmark/eval document — the
     * standard guard against test-set leakage into training data

@@ -702,6 +702,37 @@ object LlmQueries {
           .orderBy("source")
       }),
 
+    // ---------------------------------------------------------------- stratified resampling (source mixing)
+    QueryDef(
+      "q_l20_resample_mix", "LLM-corpus-mixing",
+      // language-mixing rates: en halved, zh upsampled 2.5x, fr 1.25x,
+      // es 0.75x, de untouched — whole copies plus an md5-fraction
+      // decision for the remainder, replayed exactly. n_rows counts
+      // emitted copies, id_sum pins which docs made the cut.
+      Some("""WITH f AS (SELECT lang, doc_id,
+             |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+             |    / 4294967296.0 AS frac,
+             |  CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 2.5
+             |            WHEN 'fr' THEN 1.25 WHEN 'es' THEN 0.75 ELSE 1.0 END AS rate
+             |  FROM documents),
+             |c AS (SELECT lang, doc_id,
+             |  CAST(floor(rate) + CASE WHEN frac < rate - floor(rate) THEN 1 ELSE 0 END
+             |       AS BIGINT) AS n
+             |  FROM f),
+             |e AS (SELECT lang, doc_id, unnest(generate_series(1, n)) AS copy_id
+             |      FROM c WHERE n > 0)
+             |SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_rows,
+             |CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM e GROUP BY lang ORDER BY lang""".stripMargin),
+      (s, dir) =>
+        Corpus.resampleStrata(Tables.documents(s, dir), "doc_id", "lang",
+            Map("en" -> 0.5, "zh" -> 2.5, "fr" -> 1.25, "es" -> 0.75))
+          .groupBy("lang")
+          .agg(countDistinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_rows"),
+            sum(col("doc_id")).cast("long").as("id_sum"))
+          .orderBy("lang")),
+
     // ---------------------------------------------------------------- benchmark decontamination
     QueryDef(
       "q_l19_decontaminate", "LLM-corpus-decontaminate",

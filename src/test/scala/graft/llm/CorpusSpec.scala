@@ -59,6 +59,25 @@ class CorpusSpec extends AnyFunSuite {
     assert(rows(1)._2 == rows(1)._1 && !rows(1)._3)
   }
 
+  test("resampleStrata emits whole copies plus a deterministic fractional remainder") {
+    val docs = (1L to 400L).map(i => (i, if (i <= 200) "big" else "rare")).toDF("doc_id", "src")
+    val out = Corpus.resampleStrata(docs, "doc_id", "src", Map("big" -> 0.5, "rare" -> 2.25))
+    val rows = out.groupBy("src").count().as[(String, Long)].collect().toMap
+    // big: ~half survive with one copy; rare: 2 copies each + ~a quarter get a third
+    assert(rows("big") > 60 && rows("big") < 140, rows)
+    assert(rows("rare") >= 400 && rows("rare") < 500, rows)
+    val rareCopies = out.filter($"src" === "rare").groupBy("doc_id").count()
+      .agg(min("count"), max("count")).as[(Long, Long)].collect().head
+    assert(rareCopies._1 >= 2 && rareCopies._2 <= 3)
+    // deterministic: same input, same mixed corpus
+    val again = Corpus.resampleStrata(docs, "doc_id", "src", Map("big" -> 0.5, "rare" -> 2.25))
+    assert(out.except(again).isEmpty && again.except(out).isEmpty)
+    // a rate of 0 drops the stratum entirely; unknown strata pass through
+    val zeroed = Corpus.resampleStrata(docs, "doc_id", "src", Map("big" -> 0.0))
+    assert(zeroed.filter($"src" === "big").isEmpty)
+    assert(zeroed.filter($"src" === "rare").count() == 200)
+  }
+
   test("contaminatedIds flags exactly the corpus docs sharing an n-gram") {
     val bench = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
     val corpus = Seq(
