@@ -73,16 +73,24 @@ object Corpus {
     * production choice when global determinism doesn't matter; this
     * one is deterministic AND replayable by the SQL oracle.)
     */
+  /** The pre-checkpoint arranged stage of `packShards` — split out so
+    * PlanSpec can assert the one-range-exchange shape (the lazy
+    * checkpoint hides it from the downstream executed plan, same as
+    * the fused dim prep's assertion).
+    */
+  private[graft] def packArranged(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)).cast("long"))
+      .withColumn("__ord", md5(col(idCol).cast("string")))
+      .repartitionByRange(col("__ord"), col(idCol))
+      .sortWithinPartitions(col("__ord"), col(idCol))
+
   def packShards(
       docs: DataFrame, idCol: String, textCol: String,
       tokensPerShard: Long): DataFrame = {
     require(tokensPerShard > 0, s"packShards: budget must be positive, got $tokensPerShard")
-    val withTok = docs
-      .withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)).cast("long"))
-      .withColumn("__ord", md5(col(idCol).cast("string")))
-    val arranged = withTok
-      .repartitionByRange(col("__ord"), col(idCol))
-      .sortWithinPartitions(col("__ord"), col(idCol))
+    val arranged = packArranged(docs, idCol, textCol)
       .localCheckpoint(false)
       .withColumn("__pid", spark_partition_id())
       .withColumn("__mid", monotonically_increasing_id())

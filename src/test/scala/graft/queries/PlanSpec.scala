@@ -138,6 +138,37 @@ class PlanSpec extends AnyFunSuite {
     assert(nSplits == 1, s"expected exactly one split( in the plan, got $nSplits:\n$p")
   }
 
+  test("corpus-assembly maps stay shuffle-free; packShards plans one range exchange") {
+    // assignSplit / resampleStrata / redactPii are pure per-row
+    // dataflow — any Exchange appearing here means a 100 TB corpus
+    // pays a pointless full shuffle
+    val docs = Tables.documents(spark, sf)
+    for ((name, df) <- Seq(
+        "assignSplit" -> graft.llm.Corpus.assignSplit(
+          docs, "doc_id", Seq("train" -> 0.9), "test"),
+        "resampleStrata" -> graft.llm.Corpus.resampleStrata(
+          docs, "doc_id", "lang", Map("en" -> 0.5, "zh" -> 2.5)),
+        "redactPii" -> docs.select(graft.llm.Corpus.redactPii(col("text"))))) {
+      val p = plan(df)
+      assert(!p.toLowerCase.contains("exchange"), s"$name shuffles:\n$p")
+    }
+    // the shard packer's data path is the StableId shape: the arranged
+    // stage (pre-checkpoint — the lazy checkpoint hides it downstream)
+    // shuffles the corpus exactly once, by range
+    val pa = plan(graft.llm.Corpus.packArranged(docs, "doc_id", "text"))
+    val nEx = "(?i)exchange".r.findAllIn(pa).size
+    assert(nEx == 1 && pa.toLowerCase.contains("rangepartitioning"),
+      s"expected one range exchange, got $nEx:\n$pa")
+    // and downstream of the checkpoint every window is partitioned by
+    // __pid — a global (empty-partition) window over the data would be
+    // the single-task scale killer
+    val pk = plan(graft.llm.Corpus.packShards(docs, "doc_id", "text", 2048L))
+    val total = "windowspecdefinition\\(".r.findAllIn(pk).size
+    val byPid = "windowspecdefinition\\(__pid".r.findAllIn(pk).size
+    assert(total > 0 && byPid == total,
+      s"expected every window keyed by __pid ($byPid/$total):\n$pk")
+  }
+
   test("no accidental cartesian products in the relational/dwh families") {
     val intentionallyTiny = Set( // 1-row aggregate cross joins by design
       "q_d8_dimdate_fill", "q_d7_location_append", "q_d12_cleanup_dups",
