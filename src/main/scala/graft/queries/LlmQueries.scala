@@ -733,6 +733,82 @@ object LlmQueries {
             sum(col("doc_id")).cast("long").as("id_sum"))
           .orderBy("lang")),
 
+    // ---------------------------------------------------------------- corpus-assembly end-to-end
+    QueryDef(
+      "q_l21_corpus_e2e", "LLM-corpus-e2e",
+      // the full assembly chain composed from the library ops — exact
+      // dedup → decontaminate vs the eval suite (every 97th doc) →
+      // language mixing → split → train shard packing — replayed CTE
+      // by CTE. Per-shard n_items/n_docs/token/id sums pin every
+      // stage's survivors and copy counts at once.
+      Some("""WITH fp AS (SELECT doc_id, lang, text,
+             |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f FROM documents),
+             |ded AS (SELECT doc_id, lang, text FROM fp
+             |        QUALIFY doc_id = min(doc_id) OVER (PARTITION BY f)),
+             |toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+             |sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+4], ' ')
+             |                                            for i in generate_series(1, len(w)-4)])) AS s
+             |       FROM toks WHERE len(w) >= 5),
+             |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+             |bad AS (SELECT DISTINCT doc_id FROM sh
+             |        WHERE doc_id % 97 <> 0 AND s IN (SELECT s FROM bench)),
+             |clean AS (SELECT * FROM ded WHERE doc_id % 97 <> 0
+             |          AND doc_id NOT IN (SELECT doc_id FROM bad)),
+             |m AS (SELECT doc_id, text,
+             |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+             |    / 4294967296.0 AS frac,
+             |  CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 2.5
+             |            WHEN 'fr' THEN 1.25 WHEN 'es' THEN 0.75 ELSE 1.0 END AS rate
+             |  FROM clean),
+             |cnt AS (SELECT doc_id, text, frac,
+             |  CAST(floor(rate) + CASE WHEN frac < rate - floor(rate) THEN 1 ELSE 0 END
+             |       AS BIGINT) AS n
+             |  FROM m),
+             |e AS (SELECT doc_id, text, frac, unnest(generate_series(1, n)) AS copy_id
+             |      FROM cnt WHERE n > 0),
+             |tr AS (SELECT doc_id, copy_id, text FROM e WHERE frac < 0.9),
+             |p AS (SELECT doc_id, copy_id,
+             |  CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+             |       ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+             |  md5(CAST(doc_id AS VARCHAR) || '#' || CAST(copy_id AS VARCHAR)) AS ord,
+             |  CAST(doc_id AS VARCHAR) || '#' || CAST(copy_id AS VARCHAR) AS item
+             |  FROM tr),
+             |c2 AS (SELECT doc_id, copy_id, n_tokens,
+             |  CAST(floor(coalesce(sum(n_tokens) OVER (ORDER BY ord, item
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048.0) AS BIGINT)
+             |    AS shard_id
+             |  FROM p)
+             |SELECT shard_id, count(*) AS n_items, count(DISTINCT doc_id) AS n_docs,
+             |CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+             |CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM c2 GROUP BY shard_id ORDER BY shard_id""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val fp = docs.withColumn("__f", Dedup.exactFingerprint(col("text")))
+        val ded = fp.join(
+            fp.groupBy(col("__f")).agg(min(col("doc_id")).as("doc_id")),
+            Seq("__f", "doc_id"), "left_semi")
+          .drop("__f")
+        val corpus = ded.filter(col("doc_id") % 97 =!= 0)
+        val bad = Corpus.contaminatedIds(corpus, "doc_id", "text",
+          docs.filter(col("doc_id") % 97 === 0), "text", 5)
+        val clean = corpus.join(bad, Seq("doc_id"), "left_anti")
+        val mixed = Corpus.resampleStrata(clean, "doc_id", "lang",
+          Map("en" -> 0.5, "zh" -> 2.5, "fr" -> 1.25, "es" -> 0.75))
+        val train = Corpus.assignSplit(mixed, "doc_id",
+            Seq("train" -> 0.9, "validation" -> 0.95), "test")
+          .filter(col("split") === "train")
+          .withColumn("item_id",
+            concat(col("doc_id").cast("string"), lit("#"), col("copy_id").cast("string")))
+        Corpus.packShards(train, "item_id", "text", 2048L)
+          .groupBy("shard_id")
+          .agg(count(lit(1)).as("n_items"),
+            countDistinct(col("doc_id")).as("n_docs"),
+            sum(col("n_tokens")).cast("long").as("shard_tokens"),
+            sum(col("doc_id")).cast("long").as("id_sum"))
+          .orderBy("shard_id")
+      }),
+
     // ---------------------------------------------------------------- benchmark decontamination
     QueryDef(
       "q_l19_decontaminate", "LLM-corpus-decontaminate",
