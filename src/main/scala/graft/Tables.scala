@@ -25,20 +25,36 @@ object Tables {
       case n        => spark.read.parquet(s"$dir/$n.parquet")
     }
 
-  /** events.parquet stores `ts` as INT64 TIMESTAMP(NANOS) which Spark's
-    * vectorized reader rejects. Sessions are built (SparkUtil) with
-    * spark.sql.legacy.parquet.nanosAsLong=true so the column arrives as
-    * a nanos long; floor-divide to microseconds (matching DuckDB's
-    * ns→µs coercion even for pre-1970 values — Spark `div` truncates
-    * toward zero, so compensate when the remainder is negative).
+  /** The generator has produced events.parquet with two `ts` physical
+    * encodings across rounds: INT64 TIMESTAMP(NANOS) — which the
+    * vectorized reader only accepts as a raw long via
+    * spark.sql.legacy.parquet.nanosAsLong (set in SparkUtil) — and
+    * INT64 TIMESTAMP(MICROS, isAdjustedToUTC=false), which arrives as
+    * TIMESTAMP_NTZ. Normalize both to a session-TZ (UTC) timestamp so
+    * every consumer sees one shape:
+    *  - nanos long → floor-divide to microseconds (matching DuckDB's
+    *    ns→µs coercion even for pre-1970 values — Spark `div` truncates
+    *    toward zero, so compensate when the remainder is negative);
+    *  - NTZ micros → reinterpret the wall-clock in the UTC session TZ
+    *    (identical instants to DuckDB's naive read).
     */
+  private[graft] def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts",
+          expr("timestamp_micros(ts div 1000 - (case when ts % 1000 < 0 then 1 else 0 end))"))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _: org.apache.spark.sql.types.TimestampType => df
+      case other =>
+        throw new IllegalStateException(s"unsupported events.ts type: $other")
+    }
+
   def events(spark: SparkSession, dir: String): DataFrame = {
     require(
       spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
       "build the session via graft.SparkUtil (sets spark.sql.legacy.parquet.nanosAsLong)")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts",
-        expr("timestamp_micros(ts div 1000 - (case when ts % 1000 < 0 then 1 else 0 end))"))
+    normalizeTs(spark.read.parquet(s"$dir/events.parquet"))
   }
 
   def region(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "region")

@@ -25,16 +25,15 @@ final case class SessionState(
   */
 object CdcStream {
 
-  /** events.parquet's physical schema (ts as INT64 nanos — sessions run
-    * with nanosAsLong, see SparkUtil).
+  /** events.parquet's physical schema, probed from the files actually
+    * present: the generator has shipped `ts` both as INT64 nanos
+    * (surfaced as long via nanosAsLong, see SparkUtil) and as
+    * TIMESTAMP(MICROS) NTZ across rounds. A file-source stream needs an
+    * explicit schema, and forcing the wrong one silently reinterprets
+    * the integers — so probe the batch reader's view of the same path.
     */
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  def eventsSchema(spark: SparkSession, path: String): StructType =
+    spark.read.parquet(path).schema
 
   /** One-time idempotent staging of the events table into a watch
     * directory (the file source watches a directory — that's the
@@ -56,7 +55,7 @@ object CdcStream {
     // invalidates the staged copy instead of being silently ignored
     val srcFs = src.getFileSystem(conf)
     val st = srcFs.getFileStatus(src)
-    val stamp = s"${st.getModificationTime}:${st.getLen}"
+    val stamp = s"v2:${st.getModificationTime}:${st.getLen}"
     val current =
       if (!fs.exists(marker)) None
       else {
@@ -94,7 +93,7 @@ object CdcStream {
     val marker = new org.apache.hadoop.fs.Path(dstDir, "_STAGED")
     val srcFs = src.getFileSystem(conf)
     val st = srcFs.getFileStatus(src)
-    val stamp = s"${st.getModificationTime}:${st.getLen}"
+    val stamp = s"v2:${st.getModificationTime}:${st.getLen}"
     val current =
       if (!fs.exists(marker)) None
       else {
@@ -108,11 +107,18 @@ object CdcStream {
       org.apache.hadoop.fs.FileUtil.copy(
         srcFs, src, fs,
         new org.apache.hadoop.fs.Path(dstDir, "events.parquet"), false, conf)
-      val base = spark.read.schema(eventsSchema).parquet(s"$dir/events.parquet")
-      val maxTs = base.agg(max(col("ts"))).first().getLong(0)
-      spark.range(1).select(
+      // Sentinel ts must be written in the SAME physical type as the
+      // staged file — a long row next to micros rows (or vice versa)
+      // would corrupt the stream's forced schema read.
+      val base = spark.read.parquet(s"$dir/events.parquet")
+      val tsType = base.schema("ts").dataType
+      val sentinelTs = tsType match {
+        case LongType => col("m") + lit(864000L * 1000000000L) // +10 days in nanos
+        case t        => (col("m") + expr("INTERVAL 10 DAYS")).cast(t)
+      }
+      base.agg(max(col("ts")).as("m")).select(
         lit(-1L).as("event_id"),
-        lit(maxTs + 864000L * 1000000000L).as("ts"), // +10 days in nanos
+        sentinelTs.as("ts"),
         lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
         lit(0.0).as("value"), lit(null).cast("string").as("props"))
         .write.mode("append").parquet(watchDir)
@@ -122,11 +128,13 @@ object CdcStream {
     watchDir
   }
 
-  /** Unbounded read of a staged watch directory (see `ensureStaged`). */
+  /** Unbounded read of a staged watch directory (see `ensureStaged`):
+    * schema probed from the staged files, ts normalized to a UTC
+    * timestamp whichever encoding the generator used.
+    */
   def readEvents(spark: SparkSession, watchDir: String): DataFrame =
-    spark.readStream.schema(eventsSchema).parquet(watchDir)
-      .withColumn("ts",
-        expr("timestamp_micros(ts div 1000 - (case when ts % 1000 < 0 then 1 else 0 end))"))
+    graft.Tables.normalizeTs(
+      spark.readStream.schema(eventsSchema(spark, watchDir)).parquet(watchDir))
 
   /** Event-time daily windowed aggregation with a watermark. */
   def dailyTypeCounts(events: DataFrame): DataFrame =
