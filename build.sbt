@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver machine-parses Bench's single JSON stdout line. sbt's
+// default LoggedOutput strategy prefixes every forked-process line with
+// "[info] " (and stderr with "[error] "), which breaks a verbatim
+// json-parse of the line — pass forked output through untouched, and
+// drop the trailing "[success] Total time ..." banner so the JSON line
+// is the last thing a run prints (exit code still signals success).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

