@@ -10,10 +10,13 @@ import graft.queries.Registry
   * Catalyst prune projection work and flatter the numbers). A failed
   * query reports -1.0 so breakage cannot masquerade as speed.
   *
-  * Every query runs TWICE and the reported number is the min of the
-  * two passes: a single contended pass (GC storm, another process on
-  * the box) can no longer poison a round's signal. Both raw passes
-  * are printed to stderr for auditability.
+  * Every query runs THREE times and the reported number is the min of
+  * the successful passes: a single contended pass (GC storm, another
+  * process on the box) cannot poison a round's signal, and measured
+  * per-query warmup (whole-stage-codegen compilation of that query's
+  * stages) only fully amortizes by the third execution — min-of-2
+  * still charged queries for Janino compile time. All raw passes are
+  * printed to stderr for auditability.
   *
   * Run-to-run hygiene — a full-registry run must not degrade
   * monotonically (the round-6 driver bench did):
@@ -33,7 +36,7 @@ import graft.queries.Registry
   *    interpreted ~5× slower — the dominant round-6 contamination.
   */
 object Bench {
-  private val Passes = 2
+  private val Passes = 3
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -258,6 +258,27 @@ object Scratch {
       stages.asScala.toSeq.sortBy(-_._4).take(25).foreach { case (id, name, n, run, cpu) =>
         println(f"[stages] $run%8.1f runSec $cpu%8.1f cpuSec  $n%4d tasks  stage $id%4d  $name")
       }
+    } else if (args.headOption.contains("profile-aqe")) {
+      // wall + job count for a named query, repeated, with AQE on then
+      // off — separates per-job scheduling/planning overhead (scales
+      // with AQE's sequential stage-jobs) from task work
+      val dir = args(1)
+      val qname = args(2)
+      val sc = spark.sparkContext
+      val nJobs = new java.util.concurrent.atomic.AtomicLong
+      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          nJobs.incrementAndGet()
+      })
+      Tables.lineitem(spark, dir).write.format("noop").mode("overwrite").save()
+      for (aqe <- Seq("true", "false"); i <- 1 to 3) {
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        val j0 = nJobs.get
+        val t0 = System.nanoTime()
+        SparkEntry.queries(qname)(spark, dir).write.format("noop").mode("overwrite").save()
+        println(f"[aqe=$aqe] $qname run$i wall=${(System.nanoTime() - t0) / 1e9}%.2f s jobs=${nJobs.get - j0}")
+      }
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
     } else if (args.headOption.contains("profile-incremental")) {
       // phase timing for q_e2e_incremental's bench body: day-1 build,
       // incremental apply, final aggregate

@@ -830,6 +830,42 @@ object LlmQueries {
             docs.filter(col("doc_id") % 97 =!= 0), "doc_id", "text",
             docs.filter(col("doc_id") % 97 === 0), "text", 5)
           .orderBy("doc_id")
+      }),
+
+    // ---------------------------------------------------------------- incremental dedup vs existing corpus
+    QueryDef(
+      "q_l22_incremental_dedup", "LLM-dedup-incremental",
+      // batch = every 5th doc arriving against the corpus of the rest;
+      // each rejected batch doc reports its best corpus match. The
+      // oracle is the exact closed form (all cross-pairs at J ≥ 0.8,
+      // keep max jaccard / min corpus_id per new doc) — the LSH
+      // candidate stage at 128/32 has full recall at this threshold,
+      // same argument as q_l2.
+      Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+             |sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+             |                                            for i in generate_series(1, len(w)-2)])) AS s
+             |       FROM toks WHERE len(w) >= 3),
+             |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+             |inter AS (SELECT b.doc_id AS new_id, c.doc_id AS corpus_id, count(*) AS inter
+             |          FROM sh b JOIN sh c ON b.s = c.s
+             |          WHERE b.doc_id % 5 = 0 AND c.doc_id % 5 <> 0
+             |          GROUP BY 1, 2),
+             |j AS (SELECT new_id, corpus_id,
+             |        CAST(inter AS DOUBLE) / (sb.n + sc.n - inter) AS jac
+             |      FROM inter JOIN sizes sb ON sb.doc_id = new_id
+             |                 JOIN sizes sc ON sc.doc_id = corpus_id
+             |      WHERE CAST(inter AS DOUBLE) / (sb.n + sc.n - inter) >= 0.8)
+             |SELECT new_id, corpus_id, round(jac, 6) AS jaccard FROM j
+             |QUALIFY row_number() OVER (PARTITION BY new_id ORDER BY jac DESC, corpus_id) = 1
+             |ORDER BY new_id""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Dedup.dedupAgainstCorpus(
+            docs.filter(col("doc_id") % 5 === 0),
+            docs.filter(col("doc_id") % 5 =!= 0),
+            "doc_id", "text", shingleN = 3, perms = 128, bands = 32, threshold = 0.8)
+          .select(col("new_id"), col("corpus_id"), round(col("jaccard"), 6).as("jaccard"))
+          .orderBy("new_id")
       })
   )
 }

@@ -147,4 +147,35 @@ class DedupSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 4L, 5L, 6L, 7L, 8L, 10L), kept.toString)
   }
+
+  test("incremental dedup rejects batch docs matching the corpus, best match wins") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the riverbank today"
+    val corpus = Seq(
+      (1L, base),                              // exact twin of new doc 100
+      (2L, base + " okay"),                    // weaker match for 100
+      (3L, "completely unrelated corpus text about catalyst optimizer rules and shuffles"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, base),                            // dup: best match id 1 at J=1.0
+      (101L, "fresh unique content that matches nothing in the corpus at all today"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupAgainstCorpus(batch, corpus, "doc_id", "text",
+        shingleN = 3, perms = 128, bands = 32, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((100L, 1L, 1.0)), out.mkString(", "))
+  }
+
+  test("incremental dedup equals the cross-split slice of all-pairs near-dups") {
+    val docs = Tables.documents(spark, sf)
+    val inc = Dedup.dedupAgainstCorpus(
+        docs.filter(col("doc_id") % 5 === 0), docs.filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", 3, 128, 32, 0.8)
+      .select("new_id").collect().map(_.getLong(0)).toSet
+    val all = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("id_a", "id_b").collect()
+      .flatMap(r => Seq(r.getLong(0) -> r.getLong(1), r.getLong(1) -> r.getLong(0)))
+      .filter { case (n, c) => n % 5 == 0 && c % 5 != 0 }.map(_._1).toSet
+    assert(inc == all, s"incremental $inc vs all-pairs slice $all")
+  }
 }
