@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (nearest-earlier) join — the temporal operator relational
+  * engines bolt on (DuckDB ASOF JOIN, kdb aj, Flink temporal join) and
+  * Spark's DataFrame API lacks.
+  *
+  * For each left row, attach the right row with the greatest
+  * `rightTs <= leftTs` within the same key group (backward as-of, the
+  * common "state as of this event" lookup). Implemented Spark-first as
+  * union + running `last(ignoreNulls)` window rather than a range
+  * join:
+  *
+  *  - ONE shuffle, on the key columns — both sides hash-partition
+  *    together, no per-row range probe and no near-cartesian band
+  *    blow-up (a range join on `r.ts <= l.ts` without an equality
+  *    band is quadratic per key);
+  *  - the window is a running aggregate (rows unbounded preceding →
+  *    current), so each partition streams in sort order with O(1)
+  *    state — no full-group materialization;
+  *  - ties (right.ts == left.ts) admit the right row: within a
+  *    timestamp the right side sorts first (`__asof` 0 before 1).
+  *
+  * Scale: cost is sort-within-partition of (|L|+|R|) rows keyed by
+  * `keys` — the same bound as any windowed dedup here. A single
+  * pathologically hot key serializes its own group (document the skew;
+  * salt upstream if one user owns a data center's worth of events).
+  *
+  * Right payload columns are returned nullable (no match → null),
+  * prefixed `prefix` to avoid collisions.
+  */
+object AsOfJoin {
+
+  def joinAsOfBackward(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, payloadCols: Seq[String],
+      prefix: String = "asof_"): DataFrame = {
+    val leftCols = left.columns
+    // one struct carries the right payload through the union; the
+    // running last() then needs a single ignoreNulls aggregate
+    val rTagged = right.select(
+      (keys.map(col) :+ col(rightTs).as("__ts") :+ lit(0).as("__asof") :+
+        struct((rightTs +: payloadCols).distinct.map(col): _*).as("__p")): _*)
+    val lTagged = left.select(
+      (keys.map(col) ++ leftCols.filterNot(keys.contains).map(col) :+
+        col(leftTs).as("__ts") :+ lit(1).as("__asof") :+
+        lit(null).cast(rTagged.schema("__p").dataType).as("__p")): _*)
+    val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__asof").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = unioned
+      .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__asof") === 1)
+    val out = keys.map(col) ++
+      leftCols.filterNot(keys.contains).map(col) ++
+      (rightTs +: payloadCols).distinct.map(c =>
+        col("__m").getField(c).as(s"$prefix$c"))
+    matched.select(out: _*)
+  }
+
+  /** Convenience column: seconds from the matched right timestamp to
+    * the left timestamp (null when unmatched).
+    */
+  def gapSeconds(leftTs: Column, matchedTs: Column): Column =
+    unix_timestamp(leftTs) - unix_timestamp(matchedTs)
+}

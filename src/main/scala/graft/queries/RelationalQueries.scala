@@ -423,6 +423,34 @@ object RelationalQueries {
           .orderBy("event_type")
       }),
 
+    // ---------------------------------------------------------------- W4 (as-of / nearest-earlier temporal join)
+    QueryDef(
+      "q_w4_asof_join", "W4 as-of join",
+      // each purchase looks up the user's most recent view at-or-before
+      // it (backward as-of); DuckDB's native ASOF JOIN is the oracle.
+      // Gaps compare in exact microseconds; avg is an exact-int sum
+      // over a count, identical across engines.
+      Some("""WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+             |v AS (SELECT user_id, ts FROM events WHERE event_type = 'view')
+             |SELECT strftime(date_trunc('day', p.ts), '%Y-%m-%d') AS day,
+             |count(*) AS n_purchases, count(v.ts) AS n_matched,
+             |round(avg(epoch_us(p.ts) - epoch_us(v.ts)) / 1e6, 6) AS avg_gap_sec
+             |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+             |GROUP BY 1 ORDER BY day""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val p = ev.filter(col("event_type") === "purchase").select("user_id", "ts")
+        val v = ev.filter(col("event_type") === "view").select("user_id", "ts")
+        graft.operators.AsOfJoin.joinAsOfBackward(
+            p, v, Seq("user_id"), "ts", "ts", Seq("ts"))
+          .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+          .agg(count(lit(1)).as("n_purchases"),
+            count(col("asof_ts")).as("n_matched"),
+            round(avg(unix_micros(col("ts")) - unix_micros(col("asof_ts"))) / 1e6, 6)
+              .as("avg_gap_sec"))
+          .orderBy("day")
+      }),
+
     // ---------------------------------------------------------------- O4/S6 (unionByName + anti-append)
     QueryDef(
       "q_o4_anti_append", "O4 S6 S8",

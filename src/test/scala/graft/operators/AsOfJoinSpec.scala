@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class AsOfJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("backward as-of picks the greatest right ts at-or-before each left row") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, t("2024-01-01 10:00:00"), "p1"), // matches view at 09:58
+      (1L, t("2024-01-01 10:30:00"), "p2"), // matches view at 10:30 (inclusive tie)
+      (2L, t("2024-01-01 08:00:00"), "p3"), // no earlier view → null
+      (3L, t("2024-01-01 12:00:00"), "p4")) // key absent on right → null
+      .toDF("user_id", "ts", "tag")
+    val right = Seq(
+      (1L, t("2024-01-01 09:58:00")),
+      (1L, t("2024-01-01 10:30:00")),
+      (1L, t("2024-01-01 11:00:00")), // after every left row; never matched
+      (2L, t("2024-01-01 09:00:00")))
+      .toDF("user_id", "ts")
+    val out = AsOfJoin.joinAsOfBackward(left, right, Seq("user_id"), "ts", "ts", Seq("ts"))
+      .select("tag", "asof_ts").collect()
+      .map(r => r.getString(0) -> Option(r.getTimestamp(1)).map(_.toString).orNull)
+      .toMap
+    assert(out == Map(
+      "p1" -> "2024-01-01 09:58:00.0",
+      "p2" -> "2024-01-01 10:30:00.0",
+      "p3" -> null,
+      "p4" -> null), out.toString)
+  }
+
+  test("as-of plan shuffles once on the key and keeps a running window") {
+    import spark.implicits._
+    val left = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1.0))
+      .toDF("user_id", "ts", "value")
+    val right = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 09:00:00")))
+      .toDF("user_id", "ts")
+    val plan = AsOfJoin.joinAsOfBackward(left, right, Seq("user_id"), "ts", "ts", Seq("ts"))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected one key shuffle, plan:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "as-of must not fall back to a product join")
+  }
+}
