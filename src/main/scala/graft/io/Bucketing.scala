@@ -1,0 +1,58 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Bucketed (pre-shuffled) table materialization — the co-located-join
+  * lever at 100 TB: two tables bucketed on their join key with the
+  * same bucket count sort-merge-join WITHOUT an exchange. The one-time
+  * bucket write pays the shuffle once; every subsequent join of the
+  * pair (daily fact loads against a bucketed dimension history, repeat
+  * analytical joins) rides the stored layout.
+  *
+  * Spark's parquet bucketing needs the catalog (bucket metadata lives
+  * in the table definition, not the files), so the pair lands as
+  * catalog tables in the session warehouse. Idempotent per (source
+  * dir): a stamp file keyed by the sources' (mtime, length) skips the
+  * rewrite when nothing changed — staging is SETUP, as with the
+  * streaming watch dirs.
+  */
+object Bucketing {
+
+  /** Materialize orders + lineitem bucketed on their join key; returns
+    * the two catalog table names.
+    */
+  def ensureOrdersLineitemBucketed(
+      spark: SparkSession, dir: String, buckets: Int = 8): (String, String) = {
+    val key = dir.replaceAll("[^A-Za-z0-9]+", "_")
+    val (tOrders, tLineitem) = (s"graft_bkt_orders_$key", s"graft_bkt_lineitem_$key")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val warehouse = new Path(spark.sessionState.conf.warehousePath)
+    val fs = warehouse.getFileSystem(conf)
+    val marker = new Path(warehouse, s"_graft_bkt_stamp_$key")
+    val stamp = Seq("orders", "lineitem").map { t =>
+      val st = fs.getFileStatus(new Path(s"$dir/$t.parquet"))
+      s"${st.getModificationTime}:${st.getLen}"
+    }.mkString(s"v1:$buckets:", ",", "")
+    val current =
+      if (!fs.exists(marker)) None
+      else {
+        val in = fs.open(marker)
+        try Some(new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8"))
+        finally in.close()
+      }
+    val haveTables =
+      spark.catalog.tableExists(tOrders) && spark.catalog.tableExists(tLineitem)
+    if (!current.contains(stamp) || !haveTables) {
+      spark.sql(s"DROP TABLE IF EXISTS $tOrders")
+      spark.sql(s"DROP TABLE IF EXISTS $tLineitem")
+      // sortBy matches the join key (inside writeBucketed) so the
+      // co-located SMJ can also skip its per-bucket sort
+      Snapshots.writeBucketed(graft.Tables.orders(spark, dir), tOrders, "o_orderkey", buckets)
+      Snapshots.writeBucketed(graft.Tables.lineitem(spark, dir), tLineitem, "l_orderkey", buckets)
+      val out = fs.create(marker, true)
+      try out.write(stamp.getBytes("UTF-8")) finally out.close()
+    }
+    (tOrders, tLineitem)
+  }
+}

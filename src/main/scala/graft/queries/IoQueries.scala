@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFns
-import graft.io.{Exports, Snapshots}
+import graft.io.{Bucketing, Exports, Snapshots}
 import graft.streaming.CdcStream
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
@@ -245,6 +245,27 @@ object IoQueries {
         merged.groupBy(col("processed_to_dwh").as("processed"))
           .agg(count(lit(1)).as("n"), dsum(col("tp")).as("sum_price"))
           .orderBy("processed")
+      }),
+
+    // ---------------------------------------------------------------- S17 bucketed co-located join
+    QueryDef(
+      "q_s17_bucketed_join", "S17 bucketed co-located join",
+      // the bucket layout changes the PLAN (exchange-free SMJ — see
+      // PlanSpec), never the ANSWER: the oracle is the plain join
+      Some("""SELECT o_orderpriority, count(*) AS n_lines,
+             |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      (s, dir) => {
+        val (tOrders, tLineitem) = Bucketing.ensureOrdersLineitemBucketed(s, dir)
+        val o = s.table(tOrders).select("o_orderkey", "o_orderpriority")
+        val l = s.table(tLineitem).select("l_orderkey", "l_quantity")
+        // merge hint: the point is the stored-layout SMJ; without it a
+        // small-SF broadcast would hide the co-location being tested
+        o.hint("merge").join(l, col("o_orderkey") === col("l_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_lines"), dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy("o_orderpriority")
       }),
 
     // ---------------------------------------------------------------- S1/S2 full 15-field crawl contract

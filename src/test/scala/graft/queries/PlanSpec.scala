@@ -83,6 +83,18 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("q_s17 joins the bucketed pair without shuffling either side") {
+    // the registered query must actually ride the stored bucket
+    // layout: the ONLY exchange in its plan is the final aggregation's
+    // — a join-key exchange means the bucketed scan degraded to a
+    // plain shuffle join and the 100 TB co-location premise is gone
+    val p = queryPlan("q_s17_bucketed_join")
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning(o_orderkey") &&
+      !p.contains("Exchange hashpartitioning(l_orderkey"),
+      s"bucketed join re-shuffled its key:\n$p")
+  }
+
   test("fused fact dedup + id assignment uses exactly one data exchange") {
     // Facts.dedupAssigningIds relies on the keep-latest window reusing
     // the range exchange (RangePartitioning on the window keys
