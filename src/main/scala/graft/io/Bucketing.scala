@@ -44,8 +44,14 @@ object Bucketing {
     val haveTables =
       spark.catalog.tableExists(tOrders) && spark.catalog.tableExists(tLineitem)
     if (!current.contains(stamp) || !haveTables) {
-      spark.sql(s"DROP TABLE IF EXISTS $tOrders")
-      spark.sql(s"DROP TABLE IF EXISTS $tLineitem")
+      Seq(tOrders, tLineitem).foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        // a fresh in-memory catalog can't overwrite a previous JVM's
+        // orphaned managed-table location (LOCATION_ALREADY_EXISTS) —
+        // remove the directory the drop didn't know about
+        val loc = new Path(warehouse, t)
+        if (fs.exists(loc)) fs.delete(loc, true)
+      }
       // sortBy matches the join key (inside writeBucketed) so the
       // co-located SMJ can also skip its per-bucket sort
       Snapshots.writeBucketed(graft.Tables.orders(spark, dir), tOrders, "o_orderkey", buckets)

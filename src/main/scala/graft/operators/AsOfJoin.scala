@@ -67,4 +67,38 @@ object AsOfJoin {
     */
   def gapSeconds(leftTs: Column, matchedTs: Column): Column =
     unix_timestamp(leftTs) - unix_timestamp(matchedTs)
+
+  /** Point-in-time (validity-interval) join: attach the right-side
+    * version whose [validFrom, validTo) interval covers each left
+    * row's timestamp — the SCD2 "which dimension version was current
+    * when this fact happened" lookup, and the degenerate-free form of
+    * a range join (intervals per key are disjoint, so each left row
+    * matches at most one version).
+    *
+    * Rides `joinAsOfBackward` on validFrom — same single key shuffle,
+    * same running-window cost — then voids matches whose validTo had
+    * already passed (a version history with gaps, e.g. a bounded
+    * validity horizon). A NULL validTo means open-ended (the SCD2
+    * current row).
+    */
+  def joinPointInTime(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, validFrom: String, validTo: String,
+      payloadCols: Seq[String], prefix: String = "pit_"): DataFrame = {
+    val joined = joinAsOfBackward(
+      left, right, keys, leftTs, validFrom,
+      (payloadCols :+ validTo).distinct, prefix)
+    // materialize the flag BEFORE voiding: the first voided column is
+    // validTo itself, and re-deriving the predicate from the already-
+    // nulled column would spare every later column
+    val flagged = joined.withColumn("__expired",
+      col(s"$prefix$validTo").isNotNull && col(s"$prefix$validTo") <= col(leftTs))
+    ((validFrom +: validTo +: payloadCols).distinct)
+      .foldLeft(flagged) { (df, c) =>
+        df.withColumn(s"$prefix$c",
+          when(col("__expired"), lit(null).cast(df.schema(s"$prefix$c").dataType))
+            .otherwise(col(s"$prefix$c")))
+      }
+      .drop("__expired")
+  }
 }

@@ -451,6 +451,47 @@ object RelationalQueries {
           .orderBy("day")
       }),
 
+    // ---------------------------------------------------------------- J12 (point-in-time / validity-interval join)
+    QueryDef(
+      "q_j12_point_in_time", "J12 point-in-time lookup",
+      // each purchase opens a 'tier' version valid until the next
+      // purchase or 7 days, whichever first; every view looks up the
+      // tier current at view time (SCD2 point-in-time semantics —
+      // expired versions yield 'none', like a view before any
+      // purchase). Intervals per user are disjoint by construction, so
+      // the LEFT interval join in the oracle keeps one row per view.
+      Some("""WITH p AS (SELECT user_id, ts AS valid_from,
+             |  CAST(floor(value / 100) AS BIGINT) AS tier,
+             |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS nxt
+             |  FROM events WHERE event_type = 'purchase'),
+             |h AS (SELECT user_id, valid_from, tier,
+             |        least(coalesce(nxt, valid_from + INTERVAL 7 DAY),
+             |              valid_from + INTERVAL 7 DAY) AS valid_to FROM p),
+             |v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+             |j AS (SELECT v.user_id, h.tier FROM v LEFT JOIN h
+             |      ON v.user_id = h.user_id AND v.ts >= h.valid_from AND v.ts < h.valid_to)
+             |SELECT coalesce(CAST(tier AS VARCHAR), 'none') AS tier,
+             |count(*) AS n_views, count(DISTINCT user_id) AS n_users
+             |FROM j GROUP BY 1 ORDER BY tier""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val wNext = Window.partitionBy("user_id").orderBy("valid_from")
+        val hist = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("valid_from"),
+            floor(col("value") / 100).cast("long").as("tier"))
+          .withColumn("valid_to",
+            least(
+              coalesce(lead(col("valid_from"), 1).over(wNext),
+                col("valid_from") + expr("INTERVAL 7 DAYS")),
+              col("valid_from") + expr("INTERVAL 7 DAYS")))
+        val views = ev.filter(col("event_type") === "view").select("user_id", "ts")
+        graft.operators.AsOfJoin.joinPointInTime(
+            views, hist, Seq("user_id"), "ts", "valid_from", "valid_to", Seq("tier"))
+          .groupBy(coalesce(col("pit_tier").cast("string"), lit("none")).as("tier"))
+          .agg(count(lit(1)).as("n_views"), countDistinct(col("user_id")).as("n_users"))
+          .orderBy("tier")
+      }),
+
     // ---------------------------------------------------------------- O4/S6 (unionByName + anti-append)
     QueryDef(
       "q_o4_anti_append", "O4 S6 S8",

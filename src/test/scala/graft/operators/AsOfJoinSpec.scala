@@ -33,6 +33,31 @@ class AsOfJoinSpec extends AnyFunSuite {
       "p4" -> null), out.toString)
   }
 
+  test("point-in-time join honors validity intervals, expiry gaps, and open ends") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val right = Seq(
+      // v1 valid [09:00, 10:00); v2 valid [10:00, 11:00); gap; v3 open-ended from 12:00
+      (1L, t("2024-01-01 09:00:00"), Some(t("2024-01-01 10:00:00")), "v1"),
+      (1L, t("2024-01-01 10:00:00"), Some(t("2024-01-01 11:00:00")), "v2"),
+      (1L, t("2024-01-01 12:00:00"), None: Option[java.sql.Timestamp], "v3"))
+      .toDF("user_id", "valid_from", "valid_to", "ver")
+    val left = Seq(
+      (1L, t("2024-01-01 09:30:00"), "in-v1"),
+      (1L, t("2024-01-01 10:00:00"), "v2-start-inclusive"),
+      (1L, t("2024-01-01 11:30:00"), "in-gap"),       // v2 expired, v3 not yet
+      (1L, t("2024-01-01 23:00:00"), "in-open-v3"),
+      (1L, t("2024-01-01 08:00:00"), "before-all"))
+      .toDF("user_id", "ts", "tag")
+    val out = AsOfJoin.joinPointInTime(
+        left, right, Seq("user_id"), "ts", "valid_from", "valid_to", Seq("ver"))
+      .select("tag", "pit_ver").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out == Map(
+      "in-v1" -> "v1", "v2-start-inclusive" -> "v2", "in-gap" -> null,
+      "in-open-v3" -> "v3", "before-all" -> null), out.toString)
+  }
+
   test("as-of plan shuffles once on the key and keeps a running window") {
     import spark.implicits._
     val left = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1.0))
