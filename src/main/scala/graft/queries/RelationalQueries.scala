@@ -451,6 +451,31 @@ object RelationalQueries {
           .orderBy("day")
       }),
 
+    // ---------------------------------------------------------------- W5 (grouped top-k)
+    QueryDef(
+      "q_w5_grouped_topk", "W5 grouped top-k",
+      // top 3 spenders per event type by summed value; rank carried in
+      // the output, ties broken on user_id so survivors are stable
+      Some("""WITH t AS (SELECT event_type, user_id,
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |  FROM events GROUP BY 1, 2)
+             |SELECT event_type, user_id, total,
+             |       CAST(row_number() OVER (PARTITION BY event_type
+             |         ORDER BY total DESC, user_id) AS BIGINT) AS rank
+             |FROM t
+             |QUALIFY rank <= 3
+             |ORDER BY event_type, rank""".stripMargin),
+      (s, dir) => {
+        val totals = Tables.events(s, dir)
+          .groupBy("event_type", "user_id")
+          .agg(dsum(col("value")).as("total"))
+        graft.operators.TopK.groupedTopK(
+            totals, Seq("event_type"), Seq(col("total").desc, col("user_id")), 3)
+          .withColumn("rank", col("rank").cast("long"))
+          .select("event_type", "user_id", "total", "rank")
+          .orderBy("event_type", "rank")
+      }),
+
     // ---------------------------------------------------------------- J12 (point-in-time / validity-interval join)
     QueryDef(
       "q_j12_point_in_time", "J12 point-in-time lookup",
