@@ -279,6 +279,36 @@ object Scratch {
         println(f"[aqe=$aqe] $qname run$i wall=${(System.nanoTime() - t0) / 1e9}%.2f s jobs=${nJobs.get - j0}")
       }
       spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } else if (args.headOption.contains("profile-scaling")) {
+      // empirical scale curve: the same queries at sf0.01 and sf0.1
+      // (10x rows) in one JVM, third-run-of-three per (query, sf) so
+      // codegen warmup is out of the numbers. ratio ~<= 10 means the
+      // plan scales at worst linearly in data with the fixed per-stage
+      // floor amortizing; >> 10 flags a super-linear stage (the thing
+      // that kills the 100 TB story). Data-heavy picks only — floor-
+      // dominated sub-second queries would just measure noise.
+      val names = Seq(
+        "q_l1_exact_dedup", "q_l2_minhash_neardup", "q_l3_ngram_jaccard",
+        "q_l13_winnow_neardup", "q_l14_dedup_clusters", "q_l22_incremental_dedup",
+        "q_l7_cosine_neardup", "q_w4_asof_join", "q_a1_monthly_agg",
+        "q_s1_html_ingest")
+      val sfs = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+      Tables.lineitem(spark, sfs.last).write.format("noop").mode("overwrite").save()
+      val results = names.map { name =>
+        name -> sfs.map { sf =>
+          val t = (1 to 3).map { _ =>
+            val t0 = System.nanoTime()
+            SparkEntry.queries(name)(spark, sf).write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }.min
+          sf -> t
+        }
+      }
+      println(f"${"query"}%-26s ${"sf0.01"}%8s ${"sf0.1"}%8s ${"ratio"}%6s")
+      results.foreach { case (name, rs) =>
+        val s = rs.map(_._2)
+        println(f"$name%-26s ${s(0)}%8.2f ${s(1)}%8.2f ${s(1) / s(0)}%6.1f")
+      }
     } else if (args.headOption.contains("profile-incremental")) {
       // phase timing for q_e2e_incremental's bench body: day-1 build,
       // incremental apply, final aggregate
