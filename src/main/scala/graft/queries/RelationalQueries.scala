@@ -451,6 +451,41 @@ object RelationalQueries {
           .orderBy("day")
       }),
 
+    // ---------------------------------------------------------------- A10 (exact grouped quantiles)
+    QueryDef(
+      "q_a10_group_quantiles", "A10 exact grouped quantiles",
+      // exact p50/p90 per group by POSITION arithmetic (rank
+      // ceil(q*n) in a totally-ordered window) — engines disagree on
+      // built-in quantile definitions (disc/cont, nearest-rank
+      // variants), so both sides compute the same explicit order
+      // statistic instead. One hash shuffle + per-partition sort;
+      // nothing approximate, nothing driver-side.
+      Some("""WITH t AS (SELECT o_orderpriority AS p, o_totalprice AS v,
+             |  row_number() OVER (PARTITION BY o_orderpriority
+             |    ORDER BY o_totalprice, o_orderkey) AS rn,
+             |  count(*) OVER (PARTITION BY o_orderpriority) AS n
+             |  FROM orders)
+             |SELECT p AS o_orderpriority,
+             |max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN v END) AS p50,
+             |max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN v END) AS p90
+             |FROM t GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        val wn = Window.partitionBy("o_orderpriority")
+        Tables.orders(s, dir)
+          .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(wn))
+          .groupBy("o_orderpriority")
+          .agg(
+            max(when(col("rn") === ceil(lit(0.5) * col("n")).cast("long"),
+              col("o_totalprice"))).as("p50"),
+            max(when(col("rn") === ceil(lit(0.9) * col("n")).cast("long"),
+              col("o_totalprice"))).as("p90"))
+          .orderBy("o_orderpriority")
+      }),
+
     // ---------------------------------------------------------------- W5 (grouped top-k)
     QueryDef(
       "q_w5_grouped_topk", "W5 grouped top-k",
