@@ -832,6 +832,53 @@ object LlmQueries {
           .orderBy("doc_id")
       }),
 
+    // ---------------------------------------------------------------- incremental ANN vs existing corpus (vector q_l22)
+    QueryDef(
+      "q_l23_incremental_ann", "LLM-ann-incremental",
+      // the vector-space twin of q_l22: arriving embeddings (every 5th
+      // vec) probe the standing corpus's hyperplane buckets; each new
+      // vector attaches its best corpus neighbor (top-1 cosine within
+      // its bucket — nearest-cluster assignment for routing/labeling;
+      // a dedup threshold would simply filter this output). The corpus
+      // is bucketed once (the persisted index shape), never
+      // cross-joined; vectors whose bucket holds no corpus entry
+      // surface nothing and would fall to multi-probe at scale.
+      Some("""WITH planes AS (
+             |  SELECT i, j, CAST(('0x' || substr(md5(i || ':' || j), 1, 16)) AS UBIGINT)
+             |               / 9223372036854775808.0 - 1.0 AS w
+             |  FROM generate_series(0, 3) a(i) CROSS JOIN generate_series(0, 63) b(j)),
+             |pl AS (SELECT i, list(w ORDER BY j) AS pw FROM planes GROUP BY i),
+             |dots AS (SELECT e.vec_id, pl.i,
+             |           list_inner_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+             |                              pl.pw) AS d
+             |         FROM embeddings e CROSS JOIN pl),
+             |vb AS (SELECT vec_id,
+             |         bit_or(CASE WHEN d > 0 THEN (1::UBIGINT << i) ELSE 0::UBIGINT END) AS bucket
+             |       FROM dots GROUP BY vec_id),
+             |v AS (SELECT e.vec_id, list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS e,
+             |             vb.bucket
+             |      FROM embeddings e JOIN vb ON vb.vec_id = e.vec_id),
+             |scored AS (
+             |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |         round(list_inner_product(q.e, c.e) /
+             |               (sqrt(list_inner_product(q.e, q.e)) * sqrt(list_inner_product(c.e, c.e))),
+             |               3) AS score
+             |  FROM v q JOIN v c ON q.bucket = c.bucket
+             |  WHERE q.vec_id % 5 = 0 AND c.vec_id % 5 <> 0)
+             |SELECT query_id, neighbor_id, score FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY query_id
+             |                               ORDER BY score DESC, neighbor_id) AS rank
+             |  FROM scored) t
+             |WHERE rank = 1 ORDER BY query_id""".stripMargin),
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.lshTopK(
+            emb.filter(col("vec_id") % 5 === 0), emb.filter(col("vec_id") % 5 =!= 0),
+            "vec_id", "embedding", k = 1, nPlanes = 4)
+          .select("query_id", "neighbor_id", "score")
+          .orderBy("query_id")
+      }),
+
     // ---------------------------------------------------------------- incremental dedup vs existing corpus
     QueryDef(
       "q_l22_incremental_dedup", "LLM-dedup-incremental",
