@@ -451,6 +451,26 @@ object RelationalQueries {
           .orderBy("day")
       }),
 
+    // ---------------------------------------------------------------- J13 (salted skew join)
+    QueryDef(
+      "q_j13_salted_join", "J13 salted skew join",
+      // the salt changes the SHUFFLE LAYOUT (hot keys fan out over 8
+      // buckets, build side replicated per bucket), never the answer:
+      // the oracle is the plain join
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir).select("l_orderkey", "l_quantity")
+        val o = Tables.orders(s, dir).select(
+          col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+        graft.dwh.Skew.saltedJoin(li, o, Seq("l_orderkey"), saltBuckets = 8)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy("o_orderstatus")
+      }),
+
     // ---------------------------------------------------------------- A10 (exact grouped quantiles)
     QueryDef(
       "q_a10_group_quantiles", "A10 exact grouped quantiles",
