@@ -451,6 +451,38 @@ object RelationalQueries {
           .orderBy("day")
       }),
 
+    // ---------------------------------------------------------------- A11 (time-range window / moving average)
+    QueryDef(
+      "q_a11_moving_avg", "A11 range-frame moving aggregate",
+      // 7-day moving average of daily revenue per event type — a RANGE
+      // frame over day numbers (not ROWS: calendar gaps must widen the
+      // frame's reach, not slide it). The window partitions by the
+      // series key, the scale-correct shape. Numerator stays DECIMAL
+      // until the final divide so both engines divide identical exact
+      // operands.
+      Some("""WITH d AS (SELECT event_type, date_trunc('day', ts) AS day,
+             |  sum(CAST(value AS DECIMAL(18,2))) AS rev FROM events GROUP BY 1, 2)
+             |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+             |CAST(rev AS DOUBLE) AS rev,
+             |round(CAST(sum(rev) OVER w AS DOUBLE) / count(*) OVER w, 6) AS ma7
+             |FROM d
+             |WINDOW w AS (PARTITION BY event_type
+             |  ORDER BY date_diff('day', DATE '1970-01-01', day)
+             |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+             |ORDER BY event_type, day""".stripMargin),
+      (s, dir) => {
+        val d = Tables.events(s, dir)
+          .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+          .agg(sum(col("value").cast(DecimalType(18, 2))).as("rev"))
+          .withColumn("day_num", datediff(col("day"), lit("1970-01-01")).cast("long"))
+        val w = Window.partitionBy("event_type").orderBy("day_num").rangeBetween(-6, 0)
+        d.withColumn("ma7",
+            round((sum(col("rev")).over(w)).cast("double") / count(lit(1)).over(w), 6))
+          .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("rev").cast("double").as("rev"), col("ma7"))
+          .orderBy("event_type", "day")
+      }),
+
     // ---------------------------------------------------------------- J13 (salted skew join)
     QueryDef(
       "q_j13_salted_join", "J13 salted skew join",
