@@ -39,6 +39,9 @@ object Bench {
   private val Passes = 3
 
   def main(args: Array[String]): Unit = {
+    // f-interpolators delegate to String.format under the DEFAULT
+    // locale; pin ROOT so no host locale can corrupt numeric output.
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkUtil.local()
     val sc = spark.sparkContext
@@ -132,19 +135,54 @@ object Bench {
         f"[bench] $name passes=${passes.map(p => f"$p%.3f").mkString(",")} min=$sec%.3f work=$work $telemetry")
       name -> sec
     }
-    // ms precision is plenty for the grader and keeps the one-line JSON
-    // compact enough to survive bounded log-tail captures
-    def n3(v: Double): String = if (v < 0) "-1.0" else f"$v%.3f"
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + n3(v) }
-      .mkString("{", ",", "}")
+    // The driver captures only the LAST 2000 chars of stdout. A single
+    // line with ~90 full query names is ~2.4 KB and can never fit, so:
+    //  - per-query detail goes on preceding stdout lines, sorted
+    //    ASCENDING by time so the slowest (most informative) entries
+    //    sit nearest the capture window;
+    //  - the FINAL line is a compact summary, hard-capped well under
+    //    the window, carrying the slowest entries that fit plus an
+    //    explicit truncation marker;
+    //  - the full-precision map is also written to a cwd-relative
+    //    audit file (best-effort: a failed audit write must never
+    //    suppress the stdout result).
+    // All numeric formatting pins Locale.ROOT: a comma-decimal default
+    // locale would otherwise emit invalid JSON.
+    def fmt(v: Double, dp: Int): String =
+      if (v < 0) "-1.0" else String.format(java.util.Locale.ROOT, s"%.${dp}f", v)
+    def entry(k: String, v: Double, dp: Int): String = "\"" + k + "\":" + fmt(v, dp)
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":${n3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // durable copy for post-hoc auditing, independent of log capture
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/target/bench_last.json"), json + "\n")
+    val failed = results.count(_._2 < 0)
+    val fullJson = {
+      val qs = results.map { case (k, v) => entry(k, v, 3) }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    try {
+      val p = java.nio.file.Paths.get("target", "bench_last.json")
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p, fullJson + "\n")
+    } catch { case e: Throwable => System.err.println(s"[bench] audit write failed: $e") }
+    val ascending = results.sortBy { case (_, v) => if (v < 0) Double.MaxValue else v }
+    val detailLines = ascending.map { case (k, v) => entry(k, v, 2) }
+      .grouped(15).zipWithIndex.map { case (chunk, i) =>
+        s"""{"benchDetail":${i + 1},"q":{${chunk.mkString(",")}}}"""
+      }.toSeq
+    // Slowest-first entries into the summary until the byte budget is
+    // hit; 1500 leaves headroom for preceding detail in the window.
+    val budget = 1500
+    val head = s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","nQueries":${results.size},"failed":$failed,"sf":"$sfDir","queriesTruncated":"""
+    val slow = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = head.length + 90 // marker + queries key + braces slack
+    ascending.reverse.foreach { case (k, v) =>
+      val e = entry(k, v, 2)
+      if (used + e.length + 1 <= budget) { slow += e; used += e.length + 1 }
+    }
+    val truncated = slow.size < results.size
+    val summary = head + truncated + ",\"queries\":{" + slow.mkString(",") + "}}"
     // stop Spark BEFORE printing: its stop-time log lines (and any
     // shutdown-hook chatter) must not land after the driver-parsed line
     spark.stop()
-    println(json)
+    detailLines.foreach(println)
+    println(summary)
   }
 }
