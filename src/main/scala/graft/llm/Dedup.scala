@@ -118,14 +118,27 @@ object Dedup {
     * quadratic in frequency. With the cap, per-bucket pair work is
     * ≤ maxDocFreq²/2 however templated the corpus.
     *
-    * Key frequencies come from `groupBy(key).count()` joined back —
-    * partial aggregation absorbs hot keys map-side, so no task ever
-    * holds a whole key group. (A `Window.partitionBy(key)` count would
-    * sort the hottest key's entire bucket in ONE task — the exact skew
-    * the cap exists to defuse; at 100 TB a boilerplate key in 1% of
-    * docs is billions of rows in that task.) AQE broadcasts the
-    * frequency side when the vocabulary is small; at real scale it
-    * degrades to a shuffle join, never a single-task sort.
+    * ONE aggregation does everything: `groupBy(key)` computes the
+    * exact doc-frequency (`count`, partial-aggregated map-side) AND
+    * the key's doc ids via `CollectUpTo(maxDocFreq + 1)` — a custom
+    * TypedImperativeAggregate whose buffer is hard-capped, so the
+    * hottest template key buffers at most cap+1 longs per task and
+    * ships at most cap+1 longs per map task across the shuffle.
+    * Groups are then filtered to `count <= cap` and their id arrays
+    * exploded back to (key, id, df) rows. For every SURVIVING key the
+    * array is provably complete (truncation starts only past cap+1
+    * elements, and such keys are dropped by the very filter), so the
+    * bound costs nothing in exactness. (A `Window.partitionBy(key)`
+    * count would instead sort the hottest key's entire bucket in ONE
+    * task — the exact skew the cap exists to defuse; at 100 TB a
+    * boilerplate key in 1% of docs is billions of rows in that task.
+    * The previous shape — count-aggregate joined back to the exploded
+    * frame — was skew-safe too, but shuffled the full (id, key) frame
+    * a second time for the join and needed the exploded frame
+    * checkpointed for reuse; the fused aggregate halves the
+    * full-frame shuffles and drops the fat checkpoint entirely, so
+    * the shingle/winnow explode is computed exactly once and only
+    * vocabulary-sized state persists.)
     *
     * KNOWN BLIND SPOT: a near-duplicate CLUSTER with more members than
     * the cap (one page byte-duplicated thousands of times — the
@@ -140,19 +153,29 @@ object Dedup {
     * similarity signal), while 500 is result-identical to no cap at
     * every SF (DedupSpec cap-invariance).
     *
-    * Input must be one row per (doc, key) with columns (__id: long,
-    * `keyCol`). Output carries (__id, keyCol, __df) and is lazily
+    * Input must be one row per DISTINCT (doc, key) with columns
+    * (__id: long, `keyCol`) — shingling/winnowing emit per-doc sets,
+    * so `count` is the doc-frequency. Output carries (keyCol, __id,
+    * __df); only the vocabulary-sized per-key aggregate is lazily
     * localCheckpoint'd (materialize-on-first-use, blocks GC-dropped
-    * with the frame) so the explode UDF and the cap join run once for
-    * all downstream consumers; the input is checkpointed too so the
-    * frequency aggregation and the join probe share one explosion.
+    * with the frame), and downstream consumers re-explode it — a
+    * per-row `explode` over bounded arrays, far cheaper than
+    * re-shingling or re-shuffling.
     */
   private[llm] def cappedKeyed(
       keyed: DataFrame, keyCol: String, maxDocFreq: Int): DataFrame = {
-    val keyedCk = keyed.localCheckpoint(false)
-    val freq = keyedCk.groupBy(keyCol).agg(count(lit(1)).as("__df"))
+    val byKey = keyed
+      .groupBy(keyCol)
+      .agg(
+        count(lit(1)).as("__df"),
+        // saturating +1: an effectively-uncapped call (Int.MaxValue)
+        // must not overflow the buffer limit negative
+        graft.functions.CollectUpTo(
+          col("__id"),
+          if (maxDocFreq >= Int.MaxValue - 1) Int.MaxValue else maxDocFreq + 1).as("__ids"))
       .filter(col("__df") <= maxDocFreq)
-    keyedCk.join(freq, Seq(keyCol)).localCheckpoint(false)
+      .localCheckpoint(false)
+    byKey.select(col(keyCol), explode(col("__ids")).as("__id"), col("__df"))
   }
 
   /** Exact Jaccard pairs from a (doc, key) exploded frame via
