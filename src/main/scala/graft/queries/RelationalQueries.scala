@@ -510,8 +510,13 @@ object RelationalQueries {
       // ceil(q*n) in a totally-ordered window) — engines disagree on
       // built-in quantile definitions (disc/cont, nearest-rank
       // variants), so both sides compute the same explicit order
-      // statistic instead. One hash shuffle + per-partition sort;
-      // nothing approximate, nothing driver-side.
+      // statistic instead. Nothing approximate, nothing driver-side —
+      // but note the SCALE CAVEAT: the window partitions by
+      // o_orderpriority (5 distinct values), so parallelism collapses
+      // to the group count and one task sorts |orders|/5 rows however
+      // big the cluster. Exact-small-groups only; q_a10b is the
+      // scale-safe twin (two-level distributed histogram selection,
+      // operators/GroupedQuantiles) with identical semantics.
       Some("""WITH t AS (SELECT o_orderpriority AS p, o_totalprice AS v,
              |  row_number() OVER (PARTITION BY o_orderpriority
              |    ORDER BY o_totalprice, o_orderkey) AS rn,
@@ -537,6 +542,31 @@ object RelationalQueries {
               col("o_totalprice"))).as("p90"))
           .orderBy("o_orderpriority")
       }),
+
+    // ---------------------------------------------------------------- A10b (scale-safe exact grouped quantiles)
+    QueryDef(
+      "q_a10b_quantiles_scalable", "A10 exact grouped quantiles (scale-safe)",
+      // same explicit nearest-rank order statistic as q_a10, computed
+      // by two-level distributed histogram selection instead of a
+      // per-group sort window: no task ever holds more than a bounded
+      // slice (histogram buckets, then ~n/B² residual rows), so
+      // parallelism does NOT collapse to the 5-value group
+      // cardinality. The oracle is deliberately the sort-based
+      // formulation — different algorithm, identical answers.
+      Some("""WITH t AS (SELECT o_orderpriority AS p, o_totalprice AS v,
+             |  row_number() OVER (PARTITION BY o_orderpriority
+             |    ORDER BY o_totalprice, o_orderkey) AS rn,
+             |  count(*) OVER (PARTITION BY o_orderpriority) AS n
+             |  FROM orders)
+             |SELECT p AS o_orderpriority,
+             |max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN v END) AS p50,
+             |max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN v END) AS p90
+             |FROM t GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) =>
+        graft.operators.GroupedQuantiles.exactQuantiles(
+            Tables.orders(s, dir), "o_orderpriority", "o_totalprice",
+            Seq("p50" -> 0.5, "p90" -> 0.9))
+          .orderBy("o_orderpriority")),
 
     // ---------------------------------------------------------------- W5 (grouped top-k)
     QueryDef(
