@@ -7,17 +7,24 @@ import org.apache.spark.sql.functions._
   * typed metadata, plus decode / feature-extract / frame-sample
   * operators.
   *
-  * The DECODE STEP IS A STUB: real image/audio decoding needs native
-  * libraries this container doesn't ship, so `decodeImageStub` derives
-  * deterministic fake features from the bytes. Everything around it —
-  * binary schema, metadata struct, batch shapes, partition behavior,
-  * frame arithmetic — is real and oracle-tested; swapping the stub for
-  * a JNI/Pandas-UDF decoder changes one function.
+  * Decode coverage: PNG/GIF HEADER decode is native expressions
+  * (`decodeImage`), and full PIXEL decode is real for 8-bit
+  * non-interlaced PNG (`decodePngPixels` — chunk walk with CRC32
+  * verification, zlib inflate via `java.util.zip.Inflater`, all five
+  * PNG scanline filters de-filtered per spec, gray/RGB/RGBA). Only
+  * OTHER codecs (JPEG/video/audio), which need native libraries this
+  * container doesn't ship, fall back to `decodeImageStub`'s
+  * deterministic fake features; swapping the stub for a JNI /
+  * vectorized decoder changes one function.
   *
   * Scale notes: payloads stay opaque binary end-to-end (no base64
   * round-trips); metadata extraction is native expressions over the
-  * bytes; frame sampling is arithmetic on offsets, so a 100 TB video
-  * table only materializes the sampled frames.
+  * bytes; the pixel decoder is a per-row procedural kernel (a UDF by
+  * necessity — bit-exact inflate+de-filter is not expressible in
+  * relational algebra) that streams one image at a time, so it
+  * partitions like any map work; frame sampling is arithmetic on
+  * offsets, so a 100 TB video table only materializes the sampled
+  * frames.
   */
 object Multimodal {
 
@@ -98,6 +105,184 @@ object Multimodal {
       .when(isGif, struct(le(7).as("width"), le(9).as("height"), lit("gif").as("format")))
       .otherwise(decodeImageStub(payload))
   }
+
+  // ------------------------------------------------- full pixel codec
+  // Real 8-bit PNG: encoder emits spec-complete files (signature,
+  // CRC32-stamped IHDR/IDAT/IEND, zlib-deflated scanlines with ALL
+  // FIVE filter types exercised round-robin per row); decoder walks
+  // chunks verifying each CRC, inflates, and de-filters per the spec's
+  // reconstruction functions. Exercising every filter in the fixtures
+  // means a decoder that shortcuts de-filtering cannot reproduce the
+  // oracle's pixel sums.
+
+  private def crc32(tpe: Array[Byte], data: Array[Byte]): Int = {
+    val c = new java.util.zip.CRC32
+    c.update(tpe); c.update(data)
+    c.getValue.toInt
+  }
+
+  private def chunk(tpe: String, data: Array[Byte]): Array[Byte] = {
+    val t = tpe.getBytes("US-ASCII")
+    val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+    bb.putInt(data.length).put(t).put(data).putInt(crc32(t, data))
+    bb.array()
+  }
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** A COMPLETE grayscale 8-bit PNG whose row `y` is the constant
+    * byte `(seed + y) % 256`, with row filter type `y % 5` applied per
+    * spec before deflate — valid input for any PNG decoder.
+    */
+  private[llm] def pngGrayImpl(seed: Long, w: Int, h: Int): Array[Byte] = {
+    require(w > 0 && h > 0, "png dims must be positive")
+    val raw = new Array[Byte](h * (w + 1))
+    var prevV = 0 // rows are constant-valued; row -1 is all zeros per spec
+    var y = 0
+    while (y < h) {
+      val v = ((((seed + y) % 256) + 256) % 256).toInt
+      val ft = y % 5
+      val off = y * (w + 1)
+      raw(off) = ft.toByte
+      var x = 0
+      while (x < w) {
+        // reconstructed neighbors: left pixel of a constant row is v,
+        // up/up-left come from the previous (constant) row — the
+        // previous row must NOT be mutated mid-row
+        val left = if (x > 0) v else 0
+        val up = prevV
+        val ul = if (x > 0) prevV else 0
+        val f = ft match {
+          case 0 => v
+          case 1 => v - left
+          case 2 => v - up
+          case 3 => v - (left + up) / 2
+          case 4 => v - paeth(left, up, ul)
+        }
+        raw(off + 1 + x) = (f & 0xFF).toByte
+        x += 1
+      }
+      prevV = v
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater
+    deflater.setInput(raw); deflater.finish()
+    val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(0.toByte) // gray, depth 8
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    PngMagic ++ chunk("IHDR", ihdr) ++ chunk("IDAT", out.toByteArray) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+  private val pngGrayUdf = udf(pngGrayImpl _)
+
+  /** Column builder for the complete-PNG fixture stream. */
+  def pngPixelPayload(seed: Column, width: Column, height: Column): Column =
+    pngGrayUdf(seed, width, height)
+
+  /** REAL pixel decode of an 8-bit non-interlaced PNG (gray / RGB /
+    * RGBA): verifies the signature and every chunk CRC, inflates the
+    * IDAT stream, reconstructs each scanline through the spec's five
+    * filter functions, and returns
+    * (width, height, n_pixel_bytes, pixel_sum) where pixel_sum is the
+    * sum of all reconstructed channel bytes — a content check the
+    * header fields cannot satisfy. Returns null for anything that is
+    * not such a PNG (foreign codec, corrupt CRC, truncated stream):
+    * decode failures must be visible, not zero-filled.
+    */
+  private[llm] def decodePngPixelsImpl(bytes: Array[Byte])
+      : Option[(Int, Int, Long, Long)] = {
+    if (bytes == null || bytes.length < 8 + 25) return None
+    var i = 0
+    while (i < 8) { if (bytes(i) != PngMagic(i)) return None; i += 1 }
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    var pos = 8
+    var w = 0; var h = 0; var bpp = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    var sawEnd = false
+    while (!sawEnd && pos + 12 <= bytes.length) {
+      val len = bb.getInt(pos)
+      if (len < 0 || pos + 12 + len > bytes.length) return None
+      val tpe = new String(bytes, pos + 4, 4, "US-ASCII")
+      val data = java.util.Arrays.copyOfRange(bytes, pos + 8, pos + 8 + len)
+      if (bb.getInt(pos + 8 + len) != crc32(
+          java.util.Arrays.copyOfRange(bytes, pos + 4, pos + 8), data)) return None
+      tpe match {
+        case "IHDR" =>
+          if (len != 13) return None
+          w = bb.getInt(pos + 8); h = bb.getInt(pos + 12)
+          val depth = bytes(pos + 16); val color = bytes(pos + 17)
+          val interlace = bytes(pos + 20)
+          if (depth != 8 || interlace != 0) return None
+          bpp = color match { case 0 => 1; case 2 => 3; case 6 => 4; case _ => -1 }
+          if (bpp < 0 || w <= 0 || h <= 0) return None
+        case "IDAT" => idat.write(data)
+        case "IEND" => sawEnd = true
+        case _ => // ancillary chunk: skip
+      }
+      pos += 12 + len
+    }
+    if (!sawEnd || bpp < 0) return None
+    val stride = w * bpp
+    val raw = new Array[Byte](h * (stride + 1))
+    val inflater = new java.util.zip.Inflater
+    inflater.setInput(idat.toByteArray)
+    try {
+      var got = 0
+      while (got < raw.length && !inflater.finished()) {
+        val n = inflater.inflate(raw, got, raw.length - got)
+        if (n == 0 && inflater.needsInput()) return None // truncated
+        got += n
+      }
+      if (got != raw.length) return None
+    } catch { case _: java.util.zip.DataFormatException => return None
+    } finally inflater.end()
+    // reconstruct scanlines (spec §9 filter functions), summing bytes
+    val prev = new Array[Int](stride)
+    val cur = new Array[Int](stride)
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      val off = y * (stride + 1)
+      val ft = raw(off) & 0xFF
+      if (ft > 4) return None
+      var x = 0
+      while (x < stride) {
+        val f = raw(off + 1 + x) & 0xFF
+        val left = if (x >= bpp) cur(x - bpp) else 0
+        val up = prev(x)
+        val ul = if (x >= bpp) prev(x - bpp) else 0
+        val v = ft match {
+          case 0 => f
+          case 1 => f + left
+          case 2 => f + up
+          case 3 => f + (left + up) / 2
+          case 4 => f + paeth(left, up, ul)
+        }
+        cur(x) = v & 0xFF
+        sum += (v & 0xFF)
+        x += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, stride)
+      y += 1
+    }
+    Some((w, h, h.toLong * stride, sum))
+  }
+  private val decodePngPixelsUdf = udf(decodePngPixelsImpl _)
+
+  /** Pixel-decode column: struct(width, height, n_pixel_bytes,
+    * pixel_sum) or null for non-decodable payloads.
+    */
+  def decodePngPixels(payload: Column): Column =
+    decodePngPixelsUdf(payload).cast(
+      "struct<width:int,height:int,n_pixel_bytes:bigint,pixel_sum:bigint>")
 
   /** Fixed-size frame count of a payload (frameSize bytes per frame). */
   def frameCount(payload: Column, frameSize: Int): Column =

@@ -613,6 +613,47 @@ object LlmQueries {
           .orderBy("source")
       }),
 
+    // ---------------------------------------------------------------- multimodal full pixel decode
+    QueryDef(
+      "q_m3_pixel_decode", "LLM-multimodal-pixels",
+      // REAL pixel decode, end to end: each doc becomes a COMPLETE
+      // 8-bit grayscale PNG (CRC-stamped chunks, zlib-deflated
+      // scanlines, all five PNG filter types round-robin by row) whose
+      // row y is the constant byte (doc_id + y) % 256;
+      // decodePngPixels then walks chunks, checks CRCs, INFLATES and
+      // DE-FILTERS the scanlines back to pixels. The oracle replays
+      // the pixel sums in closed form — with h <= 48 < 256 the row
+      // value sequence wraps mod 256 at most once, so
+      // sum_y (a+y)%256 = h*a + h(h-1)/2 - 256*max(0, a+h-256) with
+      // a = doc_id%256 — so pixel_values only matches if every byte of
+      // every scanline was reconstructed exactly (a decoder skipping
+      // Sub/Up/Average/Paeth de-filtering cannot fake it).
+      Some("""WITH d AS (SELECT source, doc_id,
+             |  doc_id % 64 + 1 AS w, doc_id % 48 + 1 AS h, doc_id % 256 AS a
+             |  FROM documents)
+             |SELECT source, count(*) AS n,
+             |CAST(sum(w * h) AS BIGINT) AS pixel_bytes,
+             |CAST(sum(w * (h * a + h * (h - 1) / 2
+             |  - 256 * greatest(0, a + h - 256))) AS BIGINT) AS pixel_values,
+             |CAST(sum(w) AS BIGINT) AS sum_width,
+             |CAST(sum(h) AS BIGINT) AS sum_height
+             |FROM d GROUP BY source ORDER BY source""".stripMargin),
+      (s, dir) => {
+        val w = (col("doc_id") % 64 + 1).cast("int")
+        val h = (col("doc_id") % 48 + 1).cast("int")
+        val payload = Multimodal.pngPixelPayload(col("doc_id"), w, h)
+        Tables.documents(s, dir)
+          .select(col("source"), Multimodal.decodePngPixels(payload).as("px"))
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("px.n_pixel_bytes")).as("pixel_bytes"),
+            sum(col("px.pixel_sum")).as("pixel_values"),
+            sum(col("px.width").cast("long")).as("sum_width"),
+            sum(col("px.height").cast("long")).as("sum_height"))
+          .orderBy("source")
+      }),
+
     // ---------------------------------------------------------------- deterministic split assignment
     QueryDef(
       "q_l16_split_assign", "LLM-corpus-split",

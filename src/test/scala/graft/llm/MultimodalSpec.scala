@@ -49,4 +49,37 @@ class MultimodalSpec extends AnyFunSuite {
       .select("img.format").as[String].collect()
     assert(r.sameElements(Array("stub/raw")))
   }
+
+  test("pixel codec round-trips every filter type bit-exactly") {
+    // h >= 5 exercises filters None/Sub/Up/Average/Paeth; seeds near
+    // the 256 wrap check the modular row values
+    for (seed <- Seq(0L, 7L, 200L, 250L, 1000003L); w <- Seq(1, 2, 64); h <- Seq(1, 5, 48)) {
+      val got = Multimodal.decodePngPixelsImpl(Multimodal.pngGrayImpl(seed, w, h))
+      val expectSum = w.toLong * (0 until h).map(y => (seed + y) % 256).sum
+      assert(got.contains((w, h, w.toLong * h, expectSum)), s"seed=$seed w=$w h=$h got=$got")
+    }
+  }
+
+  test("pixel decode is a REAL decoder: javax.imageio reads our PNGs identically") {
+    // cross-validate against the JDK's independent PNG implementation
+    for (seed <- Seq(3L, 123L, 254L)) {
+      val bytes = Multimodal.pngGrayImpl(seed, 17, 11)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null && img.getWidth == 17 && img.getHeight == 11)
+      val raster = img.getRaster
+      var sum = 0L
+      for (y <- 0 until 11; x <- 0 until 17) sum += raster.getSample(x, y, 0)
+      assert(Multimodal.decodePngPixelsImpl(bytes).map(_._4).contains(sum))
+    }
+  }
+
+  test("pixel decode nulls out corrupt, truncated, and foreign payloads") {
+    val good = Multimodal.pngGrayImpl(42L, 8, 8)
+    // flip one IDAT byte: CRC check must reject it
+    val corrupt = good.clone(); corrupt(good.length - 20) = (corrupt(good.length - 20) ^ 1).toByte
+    assert(Multimodal.decodePngPixelsImpl(corrupt).isEmpty)
+    assert(Multimodal.decodePngPixelsImpl(good.take(good.length - 30)).isEmpty)
+    assert(Multimodal.decodePngPixelsImpl("not a png at all, just text".getBytes).isEmpty)
+    assert(Multimodal.decodePngPixelsImpl(null).isEmpty)
+  }
 }
