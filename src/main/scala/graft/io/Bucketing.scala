@@ -43,7 +43,19 @@ object Bucketing {
       }
     val haveTables =
       spark.catalog.tableExists(tOrders) && spark.catalog.tableExists(tLineitem)
-    if (!current.contains(stamp) || !haveTables) {
+    val (locOrders, locLineitem) = (new Path(warehouse, tOrders), new Path(warehouse, tLineitem))
+    if (current.contains(stamp) && !haveTables &&
+        fs.exists(locOrders) && fs.exists(locLineitem)) {
+      // a fresh JVM's in-memory catalog lost the table entries but the
+      // stamp proves the bucket files on disk are current: re-register
+      // them as external bucketed tables instead of rewriting — this
+      // is what makes "idempotent per source dir" hold ACROSS
+      // processes, not just within one session's catalog lifetime
+      registerExisting(spark, tOrders,
+        graft.Tables.orders(spark, dir).schema, "o_orderkey", buckets, locOrders)
+      registerExisting(spark, tLineitem,
+        graft.Tables.lineitem(spark, dir).schema, "l_orderkey", buckets, locLineitem)
+    } else if (!current.contains(stamp) || !haveTables) {
       Seq(tOrders, tLineitem).foreach { t =>
         spark.sql(s"DROP TABLE IF EXISTS $t")
         // a fresh in-memory catalog can't overwrite a previous JVM's
@@ -61,4 +73,18 @@ object Bucketing {
     }
     (tOrders, tLineitem)
   }
+
+  /** Register an already-written bucketed parquet directory in THIS
+    * JVM's catalog (external table, bucket spec matching the writer's)
+    * — the files were produced by Spark's bucketed writer, so the
+    * bucket-id file naming the scan relies on is already correct.
+    */
+  private def registerExisting(
+      spark: SparkSession, table: String,
+      schema: org.apache.spark.sql.types.StructType,
+      key: String, buckets: Int, loc: Path): Unit =
+    spark.sql(
+      s"""CREATE TABLE $table (${schema.toDDL}) USING parquet
+         |CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS
+         |LOCATION '$loc'""".stripMargin)
 }

@@ -49,8 +49,15 @@ object AsOfJoin {
         col(leftTs).as("__ts") :+ lit(1).as("__asof") :+
         lit(null).cast(rTagged.schema("__p").dataType).as("__p")): _*)
     val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
+    // __p is the FINAL tiebreaker: right rows sharing (keys, ts) would
+    // otherwise resolve to a partition-sort-dependent payload; with the
+    // payload struct in the ordering, the running last() always picks
+    // the field-wise greatest payload — deterministic on every layout.
+    // (Left rows carry a null __p and sort first within their tie
+    // group, which is irrelevant: last(ignoreNulls) skips them.)
+    // Caveat: payload columns must be orderable types (no maps).
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts").asc, col("__asof").asc)
+      .orderBy(col("__ts").asc, col("__asof").asc, col("__p").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = unioned
       .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))

@@ -17,10 +17,19 @@ import org.apache.spark.sql.functions._
   */
 object TopK {
 
-  def groupedTopK(df: DataFrame, keys: Seq[String], ordering: Seq[Column], k: Int): DataFrame = {
+  /** @param rankCol output column carrying the 1-based rank; the input
+    *   must not already have a column of that name (an unconditional
+    *   rename would emit duplicate columns and poison downstream
+    *   resolution) — pick another name via the parameter instead.
+    */
+  def groupedTopK(
+      df: DataFrame, keys: Seq[String], ordering: Seq[Column], k: Int,
+      rankCol: String = "rank"): DataFrame = {
+    require(!df.columns.contains(rankCol),
+      s"input already has a '$rankCol' column; pass rankCol= a free name")
     val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)
     df.withColumn("__rank", row_number().over(w))
       .filter(col("__rank") <= k)
-      .withColumnRenamed("__rank", "rank")
+      .withColumnRenamed("__rank", rankCol)
   }
 }

@@ -58,6 +58,25 @@ class AsOfJoinSpec extends AnyFunSuite {
       "in-open-v3" -> "v3", "before-all" -> null), out.toString)
   }
 
+  test("duplicate right (key, ts) rows resolve to one deterministic payload") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 09:00:00")
+    val left = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+      .toDF("user_id", "ts")
+    // same (key, ts) three times with different payloads; vary the
+    // physical layout — the match must be the field-wise greatest
+    // payload struct on every layout, never partition-sort luck
+    val dupes = Seq((1L, ts, "a", 10), (1L, ts, "c", 30), (1L, ts, "b", 20))
+    for (parts <- Seq(1, 3, 7); shift <- 0 until 3) {
+      val right = (dupes.drop(shift) ++ dupes.take(shift))
+        .toDF("user_id", "ts", "tag", "amount").repartition(parts)
+      val got = AsOfJoin.joinAsOfBackward(
+          left, right, Seq("user_id"), "ts", "ts", Seq("tag", "amount"))
+        .select("asof_tag", "asof_amount").as[(String, Int)].collect().toSeq
+      assert(got == Seq(("c", 30)), s"parts=$parts shift=$shift got=$got")
+    }
+  }
+
   test("as-of plan shuffles once on the key and keeps a running window") {
     import spark.implicits._
     val left = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1.0))
