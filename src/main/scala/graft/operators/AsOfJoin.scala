@@ -75,6 +75,39 @@ object AsOfJoin {
   def gapSeconds(leftTs: Column, matchedTs: Column): Column =
     unix_timestamp(leftTs) - unix_timestamp(matchedTs)
 
+  /** Hot-key-safe backward as-of: the running window serializes each
+    * key's rows into one task, and AQE's skew handling splits JOINS,
+    * not window partitions — so a key owning a data center's worth of
+    * left rows is a straggler by construction in `joinAsOfBackward`.
+    * The salted form restores parallelism exactly the way
+    * `Skew.saltedJoin` does for joins: left rows scatter over
+    * `saltBuckets` deterministic sub-keys (hash of the whole row, so
+    * identical duplicate rows still agree), right rows REPLICATE to
+    * every sub-key, and the as-of runs per (keys, salt). Every left
+    * row still sees its key's full right history, so the result is
+    * row-for-row identical to the unsalted operator — only the
+    * physical layout changes; the hot key's left rows now spread over
+    * `saltBuckets` tasks.
+    *
+    * Cost: the right side shuffles ×saltBuckets — the right trade when
+    * the left side dominates (events vs. a bounded dimension/state
+    * history). Keep `saltBuckets` modest (8-32) and salt only when a
+    * key-frequency probe says the top key breaches task-size comfort.
+    */
+  def joinAsOfBackwardSalted(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, payloadCols: Seq[String],
+      prefix: String = "asof_", saltBuckets: Int = 16): DataFrame = {
+    require(saltBuckets > 1, "saltBuckets must be > 1 (use joinAsOfBackward instead)")
+    val saltedLeft = left.withColumn("__salt",
+      pmod(xxhash64(left.columns.map(col): _*), lit(saltBuckets)).cast("int"))
+    val saltedRight = right.withColumn("__salt",
+      explode(array((0 until saltBuckets).map(lit): _*)))
+    joinAsOfBackward(
+      saltedLeft, saltedRight, keys :+ "__salt", leftTs, rightTs, payloadCols, prefix)
+      .drop("__salt")
+  }
+
   /** Point-in-time (validity-interval) join: attach the right-side
     * version whose [validFrom, validTo) interval covers each left
     * row's timestamp — the SCD2 "which dimension version was current

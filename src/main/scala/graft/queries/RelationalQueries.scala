@@ -451,6 +451,36 @@ object RelationalQueries {
           .orderBy("day")
       }),
 
+    // ---------------------------------------------------------------- W4b (salted as-of join, hot-key-safe)
+    QueryDef(
+      "q_w4b_asof_salted", "W4 as-of join (salted skew form)",
+      // same ASOF semantics and the same DuckDB oracle as q_w4 — the
+      // salt only changes the SHUFFLE LAYOUT (left rows scatter over
+      // 8 sub-keys, right history replicated per sub-key), never the
+      // answer. This is the shape that survives one user owning a
+      // data center's worth of events: the hot key's window work
+      // spreads over saltBuckets tasks instead of serializing in one.
+      Some("""WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+             |v AS (SELECT user_id, ts FROM events WHERE event_type = 'view')
+             |SELECT strftime(date_trunc('day', p.ts), '%Y-%m-%d') AS day,
+             |count(*) AS n_purchases, count(v.ts) AS n_matched,
+             |round(avg(epoch_us(p.ts) - epoch_us(v.ts)) / 1e6, 6) AS avg_gap_sec
+             |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+             |GROUP BY 1 ORDER BY day""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val p = ev.filter(col("event_type") === "purchase").select("user_id", "ts")
+        val v = ev.filter(col("event_type") === "view").select("user_id", "ts")
+        graft.operators.AsOfJoin.joinAsOfBackwardSalted(
+            p, v, Seq("user_id"), "ts", "ts", Seq("ts"), saltBuckets = 8)
+          .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+          .agg(count(lit(1)).as("n_purchases"),
+            count(col("asof_ts")).as("n_matched"),
+            round(avg(unix_micros(col("ts")) - unix_micros(col("asof_ts"))) / 1e6, 6)
+              .as("avg_gap_sec"))
+          .orderBy("day")
+      }),
+
     // ---------------------------------------------------------------- A11 (time-range window / moving average)
     QueryDef(
       "q_a11_moving_avg", "A11 range-frame moving aggregate",

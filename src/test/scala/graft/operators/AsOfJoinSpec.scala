@@ -77,6 +77,34 @@ class AsOfJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("salted as-of matches unsalted on a planted hot key and spreads its tasks") {
+    import spark.implicits._
+    // one user owns 90% of the left rows — the unsalted window would
+    // put all of them in a single task
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ts(m: Int) = new java.sql.Timestamp(base + m * 60000L)
+    val left = ((1 to 900).map(i => (7L, ts(i))) ++ (1 to 100).map(i => (i.toLong + 100, ts(i))))
+      .toDF("user_id", "ts")
+    val right = ((1 to 50).map(i => (7L, ts(i * 18), s"s$i")) ++
+      (1 to 100).map(i => (i.toLong + 100, ts(1), "z"))).toDF("user_id", "ts", "tag")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("user_id", "ts", "asof_tag").as[(Long, java.sql.Timestamp, String)]
+        .collect().sortBy(r => (r._1, r._2.getTime, r._3)).toSeq
+    val plain = AsOfJoin.joinAsOfBackward(left, right, Seq("user_id"), "ts", "ts", Seq("tag"))
+    val salted = AsOfJoin.joinAsOfBackwardSalted(
+      left, right, Seq("user_id"), "ts", "ts", Seq("tag"), saltBuckets = 8)
+    assert(canon(salted) == canon(plain))
+    // the layout is genuinely salted: the window shuffle partitions by
+    // (user_id, __salt), so the hot key no longer maps to one task
+    val p = salted.queryExecution.executedPlan.toString
+    assert(p.contains("__salt"), s"salt column missing from plan:\n$p")
+    val hotSalts = left.filter(col("user_id") === 7L)
+      .withColumn("__salt",
+        pmod(xxhash64(col("user_id"), col("ts")), lit(8)).cast("int"))
+      .select(countDistinct(col("__salt"))).as[Long].head()
+    assert(hotSalts >= 6, s"hot key only landed on $hotSalts of 8 salts")
+  }
+
   test("as-of plan shuffles once on the key and keeps a running window") {
     import spark.implicits._
     val left = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1.0))
