@@ -53,6 +53,7 @@ object Bench {
     // q_st1/q_st3 time the stream, not a file copy.
     graft.streaming.CdcStream.ensureStaged(spark, sfDir)
     graft.streaming.CdcStream.ensureStagedWithSentinel(spark, sfDir)
+    graft.streaming.CdcStream.ensureStagedLateActs(spark, sfDir)
     // Shared star + day-1 warehouse (setup: BI views query an
     // already-loaded star; the incremental query measures the apply).
     graft.queries.DwhQueries.warmShared(spark, sfDir)

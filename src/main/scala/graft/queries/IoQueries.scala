@@ -457,6 +457,33 @@ object IoQueries {
             sum(round(col("total_value"), 6).cast(DecimalType(18, 6))).cast("double")
               .as("sum_value"))
           .orderBy("n_events")
+      }),
+
+    // ---------------------------------------------------------------- ST: late data vs the watermark
+    QueryDef(
+      "q_st4_stream_late_data", "ST late-data watermark contract",
+      // three micro-batches, boundaries forced by processAllAvailable:
+      // (1) the even-event_id half arrives on time; (2) a sentinel 10
+      // days past the end drags the watermark beyond every real
+      // window; (3) the odd half arrives — every row now beyond the
+      // watermark, so the append-mode windowed aggregation MUST drop
+      // all of them. The oracle aggregates ONLY the even half: if
+      // late rows leaked in (no watermark, complete-mode rescan, or a
+      // state store that resurrects closed windows) every odd row
+      // would land in some day/type group and the hash could not
+      // match.
+      Some("""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+             |count(*) AS n,
+             |CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM events WHERE event_id % 2 = 0
+             |GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin),
+      (s, dir) => {
+        val acts = CdcStream.ensureStagedLateActs(s, dir)
+        CdcStream.runActs(s, acts, CdcStream.dailyTypeCounts, "q_st4_mem")
+          .filter(col("event_type") =!= "sentinel")
+          .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+            col("event_type"), col("n"), col("sum_value"))
+          .orderBy("day", "event_type")
       })
   )
 }

@@ -107,25 +107,103 @@ object CdcStream {
       org.apache.hadoop.fs.FileUtil.copy(
         srcFs, src, fs,
         new org.apache.hadoop.fs.Path(dstDir, "events.parquet"), false, conf)
-      // Sentinel ts must be written in the SAME physical type as the
-      // staged file — a long row next to micros rows (or vice versa)
-      // would corrupt the stream's forced schema read.
-      val base = spark.read.parquet(s"$dir/events.parquet")
-      val tsType = base.schema("ts").dataType
-      val sentinelTs = tsType match {
-        case LongType => col("m") + lit(864000L * 1000000000L) // +10 days in nanos
-        case t        => (col("m") + expr("INTERVAL 10 DAYS")).cast(t)
-      }
-      base.agg(max(col("ts")).as("m")).select(
-        lit(-1L).as("event_id"),
-        sentinelTs.as("ts"),
-        lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
-        lit(0.0).as("value"), lit(null).cast("string").as("props"))
-        .write.mode("append").parquet(watchDir)
+      sentinelDf(spark, dir).write.mode("append").parquet(watchDir)
       val out = fs.create(marker, true)
       try out.write(stamp.getBytes("UTF-8")) finally out.close()
     }
     watchDir
+  }
+
+  /** The three-act late-data fixture, staged once (marker-guarded) per
+    * source dir: act 1 = the even-event_id half of events (delivered
+    * on time), act 2 = one sentinel event 10 days past the end (its
+    * only job is to drag the watermark beyond every real window), act
+    * 3 = the odd half — which, delivered after the sentinel's batch,
+    * is entirely beyond-watermark late and must be DROPPED by an
+    * append-mode windowed aggregation. Each act is its own directory;
+    * `runActs` feeds them to a running query one micro-batch at a
+    * time.
+    */
+  def ensureStagedLateActs(spark: SparkSession, dir: String): Seq[String] = {
+    val key = dir.replaceAll("[^A-Za-z0-9]+", "_")
+    val baseDir = s"/root/repo/target/tmp/stream_late_acts/$key"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val base = new org.apache.hadoop.fs.Path(baseDir)
+    val fs = base.getFileSystem(conf)
+    val marker = new org.apache.hadoop.fs.Path(base, "_STAGED")
+    val srcFs = src.getFileSystem(conf)
+    val st = srcFs.getFileStatus(src)
+    val stamp = s"v1:${st.getModificationTime}:${st.getLen}"
+    val current =
+      if (!fs.exists(marker)) None
+      else {
+        val in = fs.open(marker)
+        try Some(new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8"))
+        finally in.close()
+      }
+    val acts = Seq(s"$baseDir/act1", s"$baseDir/act2", s"$baseDir/act3")
+    if (!current.contains(stamp)) {
+      if (fs.exists(base)) fs.delete(base, true)
+      val events = spark.read.parquet(s"$dir/events.parquet")
+      events.filter(col("event_id") % 2 === 0).write.parquet(acts(0))
+      sentinelDf(spark, dir).write.parquet(acts(1))
+      events.filter(col("event_id") % 2 =!= 0).write.parquet(acts(2))
+      val out = fs.create(marker, true)
+      try out.write(stamp.getBytes("UTF-8")) finally out.close()
+    }
+    acts
+  }
+
+  /** Drive a streaming aggregation over the acts IN ORDER, one
+    * micro-batch boundary between acts (copy files in, then
+    * processAllAvailable — the watermark advances at each batch end,
+    * which is exactly the contract under test). The per-run watch dir
+    * is deleted afterwards.
+    */
+  def runActs(spark: SparkSession, acts: Seq[String],
+      makeAgg: DataFrame => DataFrame, name: String): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val watchDir = s"/root/repo/target/tmp/stream_late_run/${java.util.UUID.randomUUID()}"
+    val watch = new org.apache.hadoop.fs.Path(watchDir)
+    val fs = watch.getFileSystem(conf)
+    fs.mkdirs(watch)
+    try {
+      val stream = graft.Tables.normalizeTs(
+        spark.readStream.schema(eventsSchema(spark, acts.head)).parquet(watchDir))
+      val q = makeAgg(stream).writeStream
+        .outputMode("append").format("memory").queryName(name).start()
+      try {
+        acts.zipWithIndex.foreach { case (act, i) =>
+          val actPath = new org.apache.hadoop.fs.Path(act)
+          fs.listStatus(actPath).filter(_.getPath.getName.endsWith(".parquet")).foreach { f =>
+            org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath, fs,
+              new org.apache.hadoop.fs.Path(watch, s"act${i}_${f.getPath.getName}"),
+              false, conf)
+          }
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      spark.table(name)
+    } finally fs.delete(watch, true)
+  }
+
+  /** One far-future row (user/event −1, ts = max + 10 days) in the
+    * SAME physical ts type as the source files — a long row next to
+    * micros rows (or vice versa) would corrupt a forced schema read.
+    */
+  private def sentinelDf(spark: SparkSession, dir: String): DataFrame = {
+    val base = spark.read.parquet(s"$dir/events.parquet")
+    val tsType = base.schema("ts").dataType
+    val sentinelTs = tsType match {
+      case LongType => col("m") + lit(864000L * 1000000000L) // +10 days in nanos
+      case t        => (col("m") + expr("INTERVAL 10 DAYS")).cast(t)
+    }
+    base.agg(max(col("ts")).as("m")).select(
+      lit(-1L).as("event_id"),
+      sentinelTs.as("ts"),
+      lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+      lit(0.0).as("value"), lit(null).cast("string").as("props"))
   }
 
   /** Unbounded read of a staged watch directory (see `ensureStaged`):
