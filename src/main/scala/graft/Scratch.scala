@@ -34,6 +34,68 @@ object Scratch {
       val json = SparkEntry.oracleSql.filter(kv => names.contains(kv._1))
         .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
       Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    } else if (args.headOption.contains("profile-recall")) {
+      // Measured recall of the approximate family vs exact ground
+      // truth, at the given SF (the driver ships sf0.1 as its largest).
+      //  - ANN (q_l6 LSH / q_l12 IVF): recall@5 against the exact
+      //    brute-force top-5 (q_l5's operator) over the full corpus
+      //    and the registered query set.
+      //  - near-dup pairs (q_l2 MinHash / q_l13 winnow sketch): the
+      //    operator runs on the FULL corpus (so its corpus-dependent
+      //    doc-frequency cap and rare-key sketch behave exactly as
+      //    registered); ground truth is uncapped complete-blocking
+      //    exact Jaccard on a deterministic ~5% sample, and recall is
+      //    counted over truth pairs with BOTH ends in the sample.
+      import org.apache.spark.sql.functions._
+      import graft.llm.{Dedup, Similarity}
+      val dir = args(1)
+      val emb = Tables.embeddings(spark, dir)
+      val annQueries = emb.filter(col("vec_id") < 20)
+      val exact = Similarity
+        .bruteForceTopK(annQueries, emb, "vec_id", "embedding", k = 5)
+        .select("query_id", "neighbor_id").localCheckpoint(false)
+      val exactN = exact.count()
+      def annRecall(name: String, ann: org.apache.spark.sql.DataFrame): Unit = {
+        val hit = exact.join(ann.select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id")).count()
+        println(f"[recall] $name%-24s hits=$hit/$exactN recall@5=${hit.toDouble / exactN}%.3f")
+      }
+      annRecall("q_l6_ann_lsh",
+        Similarity.lshTopK(annQueries, emb, "vec_id", "embedding", k = 5, nPlanes = 4))
+      annRecall("q_l6b_ann_lsh_multiprobe",
+        Similarity.lshTopKMultiProbe(annQueries, emb, "vec_id", "embedding", k = 5, nPlanes = 4))
+      annRecall("q_l12_ann_ivf",
+        Similarity.ivfTopK(annQueries, emb, "vec_id", "embedding", k = 5, nCells = 8, nProbe = 2))
+
+      val docs = Tables.documents(spark, dir)
+      // arg(2) = sample modulus (1 = full-corpus ground truth)
+      val mod = if (args.length > 2) args(2).toInt else 1
+      val sample = docs.filter(pmod(xxhash64(col("doc_id")), lit(mod)) === 0)
+        .localCheckpoint(false)
+      println(s"[recall] sample docs = ${sample.count()} of ${docs.count()}")
+      val ids = sample.select(col("doc_id"))
+      def pairRecall(name: String, truth: org.apache.spark.sql.DataFrame,
+          found: org.apache.spark.sql.DataFrame): Unit = {
+        val t = truth.select("id_a", "id_b").localCheckpoint(false)
+        val f = found.select("id_a", "id_b")
+          .join(ids.withColumnRenamed("doc_id", "id_a"), Seq("id_a"), "left_semi")
+          .join(ids.withColumnRenamed("doc_id", "id_b"), Seq("id_b"), "left_semi")
+        val nT = t.count(); val hit = t.join(f, Seq("id_a", "id_b")).count()
+        println(f"[recall] $name%-24s hits=$hit/$nT recall=${
+          if (nT == 0) Double.NaN else hit.toDouble / nT}%.3f")
+      }
+      pairRecall("q_l2_minhash",
+        Dedup.exactPairsUncapped(
+          sample.select(col("doc_id").as("__id"),
+            explode(Dedup.shingles(col("text"), 3)).as("s")), "s", 0.8),
+        Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+          shingleN = 3, perms = 128, bands = 32, threshold = 0.8))
+      pairRecall("q_l13_winnow",
+        Dedup.exactPairsUncapped(
+          Dedup.winnowExplodedForProfile(sample, "doc_id", "text", 7, 4, Int.MaxValue)
+            .select(col("fp"), col("__id")), "fp", 0.5),
+        Dedup.winnowNearDupPairs(docs, "doc_id", "text",
+          k = 7, w = 4, threshold = 0.5, maxDocFreq = 500))
     } else if (args.headOption.contains("profile-winnow")) {
       import org.apache.spark.sql.functions._
       val dir = args(1)

@@ -306,6 +306,17 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Ground-truth hook for recall measurement (Scratch profile-recall):
+    * COMPLETE blocking with no doc-frequency cap — every pair with any
+    * shared key meets the equi-join, and Jaccard is over the full
+    * uncapped key sets, so the result is the exact pair set the
+    * sketch/banded operators approximate. Quadratic in per-key
+    * frequency: sample-sized inputs only.
+    */
+  private[graft] def exactPairsUncapped(
+      keyed: DataFrame, keyCol: String, threshold: Double): DataFrame =
+    jaccardPairsViaBlocking(keyed, keyCol, threshold, Int.MaxValue)
+
   /** Profiling hook: the winnow → cap → checkpoint stage on its own —
     * the same `cappedKeyed` call the production pair generators make,
     * so profile numbers cannot drift from the measured path.

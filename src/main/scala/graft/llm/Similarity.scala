@@ -116,6 +116,42 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "score")
   }
 
+  /** Multi-probe LSH ANN: each query scans its own sign-bit bucket AND
+    * every bucket at Hamming distance 1 (nPlanes+1 probes) — the
+    * standard recall lever when the bucket count is small relative to
+    * the corpus. Measured at sf0.1 vs exact brute force (Scratch
+    * profile-recall, full corpus): single-probe recall@5 at nPlanes=4
+    * is 0.09; Hamming<=1 probing lifts it to 0.51 (IVF nProbe=2/8 sits
+    * at 0.82) at (nPlanes+1)x the bucket-join fan-out — still
+    * key-partitioned equi-join work, never all-pairs, because a probe
+    * is just one more (bucket, query) row. At production scale the
+    * same lever composes with more planes: recall is tuned by
+    * (nPlanes, probe radius) with cost ~ corpus/2^nPlanes per probe. Buckets are
+    * disjoint, so a neighbor is met at most once and no dedup pass is
+    * needed. Exact-cosine rescoring inside the probed buckets, same as
+    * `lshTopK`.
+    */
+  def lshTopKMultiProbe(
+      queries: DataFrame, corpus: DataFrame, idCol: String, embCol: String,
+      k: Int, nPlanes: Int = 8, dim: Int = 64, scale: Int = 3): DataFrame = {
+    val planes = hyperplanes(dim, nPlanes)
+    val bucketUdf = udf((e: Seq[Float]) => bucketOf(e, planes))
+    val probes = (c: Column) => array(c +: (0 until nPlanes).map(i =>
+      c.bitwiseXOR(lit(1 << i))): _*)
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(embCol)).as("__qe"),
+      explode(probes(bucketUdf(col(embCol)))).as("__bucket"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(embCol)).as("__ce"),
+      bucketUdf(col(embCol)).as("__bucket"))
+    val scored = q.join(c, Seq("__bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", round(cosine(col("__qe"), col("__ce")), scale))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "score")
+  }
+
   /** Deterministic SQL-replayable IVF centroids (namespaced separately
     * from the LSH planes).
     */

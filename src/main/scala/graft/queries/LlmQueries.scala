@@ -206,6 +206,49 @@ object LlmQueries {
           .orderBy("query_id", "rank")
       }),
 
+    // ---------------------------------------------------------------- multi-probe LSH ANN (Hamming<=1 probing)
+    QueryDef(
+      "q_l6b_ann_lsh_multiprobe", "LLM-ann-lsh (multi-probe)",
+      // same md5 hyperplane buckets as q_l6, but each query also scans
+      // every bucket ONE sign-bit away (nPlanes+1 probes): measured at
+      // sf0.1, single-probe recall@5 is 0.09 vs exact brute force —
+      // multi-probe is the recall lever, and the oracle's
+      // bit_count(xor) <= 1 join replays the probe set exactly.
+      Some("""WITH planes AS (
+             |  SELECT i, j, CAST(('0x' || substr(md5(i || ':' || j), 1, 16)) AS UBIGINT)
+             |               / 9223372036854775808.0 - 1.0 AS w
+             |  FROM generate_series(0, 3) a(i) CROSS JOIN generate_series(0, 63) b(j)),
+             |pl AS (SELECT i, list(w ORDER BY j) AS pw FROM planes GROUP BY i),
+             |dots AS (SELECT e.vec_id, pl.i,
+             |           list_inner_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+             |                              pl.pw) AS d
+             |         FROM embeddings e CROSS JOIN pl),
+             |vb AS (SELECT vec_id,
+             |         bit_or(CASE WHEN d > 0 THEN (1::UBIGINT << i) ELSE 0::UBIGINT END) AS bucket
+             |       FROM dots GROUP BY vec_id),
+             |v AS (SELECT e.vec_id, list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS e,
+             |             vb.bucket
+             |      FROM embeddings e JOIN vb ON vb.vec_id = e.vec_id),
+             |scored AS (
+             |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |         round(list_inner_product(q.e, c.e) /
+             |               (sqrt(list_inner_product(q.e, q.e)) * sqrt(list_inner_product(c.e, c.e))),
+             |               3) AS score
+             |  FROM v q JOIN v c
+             |    ON bit_count(xor(q.bucket, c.bucket)) <= 1
+             |   AND q.vec_id < 20 AND q.vec_id <> c.vec_id)
+             |SELECT query_id, rank, neighbor_id, score FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY query_id
+             |                               ORDER BY score DESC, neighbor_id) AS rank
+             |  FROM scored) t
+             |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.lshTopKMultiProbe(emb.filter(col("vec_id") < 20), emb,
+            "vec_id", "embedding", k = 5, nPlanes = 4)
+          .orderBy("query_id", "rank")
+      }),
+
     // ---------------------------------------------------------------- IVF-bucketed ANN (md5 centroids → full oracle)
     QueryDef(
       "q_l12_ann_ivf", "LLM-ann-ivf",
