@@ -36,6 +36,14 @@ object SparkUtil {
       // (q_st2/q_st3). Durable production checkpoints on object stores
       // can re-enable it per query.
       .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+      // TypedImperativeAggregate aggregations (CollectUpTo in the
+      // dedup cap) run on ObjectHashAggregateExec, whose default
+      // fallback-to-sort threshold is 128 DISTINCT GROUPS — a
+      // vocabulary-sized groupBy would sort every exploded partition.
+      // The cap bounds each group's buffer, so a large in-memory group
+      // count is safe; 1M groups × small buffers ≈ tens of MB per
+      // task, and the sort fallback still engages past that.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", (1 << 20).toString)
 
   /** Fixed default core count so Bench/Verify numbers are comparable
     * across machines (ADVICE r2); override via SPARK_GRAFT_CPUS.
