@@ -50,6 +50,41 @@ object TextAnalysis {
     when(c.isNull || length(c) === 0, 0.0)
       .otherwise(length(regexp_replace(c, "[a-zA-Z0-9\\s]", "")) / length(c))
 
+  // ------------------------------------------- repetition signals
+  // The Gopher/C4 family of repetition filters: heavily templated or
+  // looping documents (the classic web-crawl failure mode) show up as
+  // duplicated lines and duplicated/high-frequency word n-grams.
+  // All-native expressions except the per-doc top-gram count, which
+  // needs one (doc, gram) aggregation — key-partitioned, scales.
+
+  /** All word 2-grams WITH multiplicity (unlike `Dedup.shingles`,
+    * which distincts) — repetition measurement needs the duplicates.
+    */
+  def wordBigrams(c: Column): Column = {
+    val t = tokens(c)
+    val n = greatest(size(t) - 1, lit(0))
+    zip_with(slice(t, lit(1), n), slice(t, lit(2), n),
+      (a, b) => concat(a, lit(" "), b))
+  }
+
+  /** Fraction of non-blank lines that are duplicates of an earlier
+    * line (0 for line-less docs).
+    */
+  def dupLineFraction(c: Column): Column = {
+    val ls = filter(split(coalesce(c, lit("")), "\n"), l => trim(l) =!= "")
+    when(size(ls) === 0, lit(0.0))
+      .otherwise(lit(1.0) - size(array_distinct(ls)).cast("double") / size(ls))
+  }
+
+  /** Fraction of word 2-grams that are repeats (0 when fewer than two
+    * tokens).
+    */
+  def dupBigramFraction(c: Column): Column = {
+    val g = wordBigrams(c)
+    when(size(g) === 0, lit(0.0))
+      .otherwise(lit(1.0) - size(array_distinct(g)).cast("double") / size(g))
+  }
+
   /** Composite quality score in [0,1]: length saturation, low stopword
     * share, healthy token length (heuristics in the C4/Gopher-rules
     * spirit; weights are policy, the plumbing is the point).

@@ -997,6 +997,82 @@ object LlmQueries {
             "doc_id", "text", shingleN = 3, perms = 128, bands = 32, threshold = 0.8)
           .select(col("new_id"), col("corpus_id"), round(col("jaccard"), 6).as("jaccard"))
           .orderBy("new_id")
+      }),
+
+    // ---------------------------------------------------------------- repetition filters (Gopher/C4 family)
+    QueryDef(
+      "q_l24_repetition_filter", "LLM-quality-repetition",
+      // duplicate-line fraction, duplicate-2gram fraction, and
+      // top-2gram mass per doc — the classic looping/templated-crawl
+      // filters. Per-source: doc counts, flag counts (dup_line > 0.3
+      // or top_2gram > 0.2, the Gopher-style thresholds), and exact
+      // decimal sums of the per-doc fractions (rounded per-doc before
+      // the sum so float-add order cannot leak in). Oracle rebuilds
+      // the same 2-grams positionally (unnest + generate_subscripts).
+      Some("""WITH d AS (SELECT doc_id, source,
+             |            trim(coalesce(text, '')) AS tt, coalesce(text, '') AS raw
+             |          FROM documents),
+             |tok AS (SELECT doc_id, source, string_split_regex(tt, '\s+') AS t FROM d),
+             |g AS (SELECT doc_id, tk || ' ' || t[i + 1] AS gram
+             |      FROM (SELECT doc_id, t, unnest(t) AS tk,
+             |              generate_subscripts(t, 1) AS i FROM tok)
+             |      WHERE i < len(t)),
+             |gc AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+             |gs AS (SELECT doc_id, sum(c) AS n2, count(*) AS d2, max(c) AS top2
+             |       FROM gc GROUP BY 1),
+             |ln AS (SELECT doc_id,
+             |         list_filter(string_split(raw, chr(10)), x -> trim(x) <> '') AS ls
+             |       FROM d),
+             |per AS (SELECT d.doc_id, d.source,
+             |  CASE WHEN len(ln.ls) = 0 THEN 0.0
+             |       ELSE 1.0 - CAST(len(list_distinct(ln.ls)) AS DOUBLE) / len(ln.ls)
+             |  END AS dupl,
+             |  CASE WHEN coalesce(gs.n2, 0) = 0 THEN 0.0
+             |       ELSE 1.0 - CAST(gs.d2 AS DOUBLE) / gs.n2 END AS dup2,
+             |  CASE WHEN coalesce(gs.n2, 0) = 0 THEN 0.0
+             |       ELSE CAST(gs.top2 AS DOUBLE) / gs.n2 END AS top2f
+             |  FROM d
+             |  LEFT JOIN gs ON gs.doc_id = d.doc_id
+             |  JOIN ln ON ln.doc_id = d.doc_id)
+             |SELECT source, count(*) AS n_docs,
+             |CAST(sum(CASE WHEN dupl > 0.3 OR top2f > 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+             |  AS n_flagged,
+             |CAST(sum(CAST(round(dupl, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_dup_line,
+             |CAST(sum(CAST(round(dup2, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_dup_2gram,
+             |CAST(sum(CAST(round(top2f, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_top_2gram
+             |FROM per GROUP BY source ORDER BY source""".stripMargin),
+      (s, dir) => {
+        val base = Tables.documents(s, dir).select(
+          col("doc_id"), col("source"), col("text"),
+          trim(coalesce(col("text"), lit(""))).as("__tt"))
+        // only the per-doc TOP gram needs an aggregation; the distinct
+        // and total counts stay native on the array
+        val gs = base
+          .select(col("doc_id"),
+            explode(TextAnalysis.wordBigrams(col("__tt"))).as("gram"))
+          .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(sum("c").as("n2"), count(lit(1)).as("d2"), max("c").as("top2"))
+        base
+          .join(gs, Seq("doc_id"), "left")
+          .select(col("source"),
+            TextAnalysis.dupLineFraction(col("text")).as("dupl"),
+            when(coalesce(col("n2"), lit(0L)) === 0, lit(0.0))
+              .otherwise(lit(1.0) - col("d2").cast("double") / col("n2")).as("dup2"),
+            when(coalesce(col("n2"), lit(0L)) === 0, lit(0.0))
+              .otherwise(col("top2").cast("double") / col("n2")).as("top2f"))
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("dupl") > 0.3 || col("top2f") > 0.2, 1L).otherwise(0L))
+              .as("n_flagged"),
+            sum(round(col("dupl"), 6).cast(DecimalType(18, 6))).cast("double")
+              .as("sum_dup_line"),
+            sum(round(col("dup2"), 6).cast(DecimalType(18, 6))).cast("double")
+              .as("sum_dup_2gram"),
+            sum(round(col("top2f"), 6).cast(DecimalType(18, 6))).cast("double")
+              .as("sum_top_2gram"))
+          .orderBy("source")
       })
   )
 }
