@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.llm.{Corpus, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Corpus, Dedup, Multimodal, Similarity, Sketches, TextAnalysis}
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -1073,6 +1073,38 @@ object LlmQueries {
             sum(round(col("top2f"), 6).cast(DecimalType(18, 6))).cast("double")
               .as("sum_top_2gram"))
           .orderBy("source")
+      }),
+
+    // ---------------------------------------------------------------- Count-Min token frequency sketch
+    QueryDef(
+      "q_l25_countmin_tokens", "LLM-sketch-countmin",
+      // deterministic Count-Min (4 × 1024, md5-derived buckets) built
+      // over every token occurrence in the corpus, probed with the
+      // exact top-20 tokens: the oracle rebuilds the identical sketch,
+      // so estimates compare value-exact — and the CM overcount
+      // invariant (cm_est >= exact_n, always) is hash-checked too.
+      Some("""WITH tok AS (
+             |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
+             |cells AS (
+             |  SELECT r, CAST(('0x' || substr(md5(r || ':' || tok), 1, 8)) AS UBIGINT)
+             |           % 1024 AS b, count(*) AS c
+             |  FROM tok CROSS JOIN generate_series(0, 3) g(r) GROUP BY 1, 2),
+             |ex AS (SELECT tok, count(*) AS exact_n FROM tok GROUP BY 1
+             |       ORDER BY exact_n DESC, tok LIMIT 20)
+             |SELECT ex.tok, ex.exact_n, CAST(min(c.c) AS BIGINT) AS cm_est
+             |FROM ex CROSS JOIN generate_series(0, 3) g(r)
+             |JOIN cells c ON c.r = g.r
+             | AND c.b = CAST(('0x' || substr(md5(g.r || ':' || ex.tok), 1, 8)) AS UBIGINT) % 1024
+             |GROUP BY 1, 2 ORDER BY exact_n DESC, tok""".stripMargin),
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(explode(TextAnalysis.tokens(trim(col("text")))).as("tok"))
+        val cells = Sketches.buildTokenSketch(toks, "tok")
+        val top = toks.groupBy("tok").agg(count(lit(1)).as("exact_n"))
+          .orderBy(col("exact_n").desc, col("tok")).limit(20)
+        Sketches.estimate(top, "tok", cells)
+          .select(col("tok"), col("exact_n"), col("cm_est"))
+          .orderBy(col("exact_n").desc, col("tok"))
       })
   )
 }
