@@ -484,6 +484,38 @@ object IoQueries {
           .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
             col("event_type"), col("n"), col("sum_value"))
           .orderBy("day", "event_type")
+      }),
+
+    // ---------------------------------------------------------------- ST: stream-stream interval join
+    QueryDef(
+      "q_st5_stream_stream_join", "ST stream-stream interval join",
+      // purchases join the same user's views within the preceding
+      // hour, BOTH sides unbounded streams with watermarks bounding
+      // the join state. Inner-join matches emit exactly once in
+      // append mode, so the complete output over the bounded source
+      // equals the batch interval join — the oracle — regardless of
+      // micro-batch boundaries.
+      Some("""SELECT strftime(date_trunc('day', p.ts), '%Y-%m-%d') AS day,
+             |count(*) AS n_pairs,
+             |count(DISTINCT p.event_id) AS n_purchases_matched,
+             |count(DISTINCT p.user_id) AS n_users
+             |FROM events p JOIN events v
+             |  ON v.user_id = p.user_id AND v.event_type = 'view'
+             | AND p.event_type = 'purchase'
+             | AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 60 MINUTE
+             |GROUP BY 1 ORDER BY day""".stripMargin),
+      (s, dir) => {
+        val name = "q_st5_mem"
+        val watch = CdcStream.ensureStaged(s, dir)
+        val joined = CdcStream.runToMemory(
+          s, CdcStream.purchaseViewJoin(CdcStream.readEvents(s, watch), 60),
+          name, mode = "append")
+        joined
+          .groupBy(date_format(col("p_ts"), "yyyy-MM-dd").as("day"))
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct(col("p_id")).as("n_purchases_matched"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy("day")
       })
   )
 }

@@ -297,6 +297,29 @@ object CdcStream {
       .toDF()
   }
 
+  /** Stream-stream interval join: each purchase pairs with the same
+    * user's views in the preceding `windowMinutes` — the canonical
+    * "attribute conversions to recent impressions" shape. Both sides
+    * carry watermarks so the join STATE is bounded (a view older than
+    * watermark + window can never match again and is evicted); the
+    * match emission itself is exactly-once in append mode, so the
+    * complete output over a bounded source equals the batch interval
+    * join — which is what the q_st5 oracle checks.
+    */
+  def purchaseViewJoin(events: DataFrame, windowMinutes: Int): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .withWatermark("ts", "1 day")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+    val v = events.filter(col("event_type") === "view")
+      .withWatermark("ts", "1 day")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+    p.join(v,
+      col("user_id") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr(s"INTERVAL $windowMinutes MINUTES"),
+      "inner")
+  }
+
   /** Run a streaming aggregation to completion over the (bounded) file
     * source via a memory sink and return the result table — lets batch
     * oracles check streaming semantics.
