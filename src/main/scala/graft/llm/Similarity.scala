@@ -209,6 +209,75 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "score")
   }
 
+  /** Nearest-centroid index over a DOUBLE vector, identical
+    * accumulation order to `nearestCells` (and thus to the oracle's
+    * list_inner_product over the elementwise difference).
+    */
+  private def nearestIdx(e: Seq[Double], cents: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val cw = cents(c)
+      var s = 0.0; var j = 0
+      while (j < cw.length) { val d = e(j) - cw(j); s += d * d; j += 1 }
+      if (s < bestD) { bestD = s; best = c } // strict <: ties keep lower c
+      c += 1
+    }
+    best
+  }
+
+  /** Distributed k-means (Lloyd's) cluster assignment — semantic
+    * clustering for dedup buckets / source mixing. Deterministic and
+    * SQL-replayable end to end:
+    *  - init: the md5-derived centroids (same derivation the IVF index
+    *    uses), so iteration 0 needs no RNG;
+    *  - assign: nearest centroid by squared L2, sequential per-dim
+    *    accumulation (bit-identical to the oracle's
+    *    list_inner_product), ties to the lower cluster id;
+    *  - recompute: per-(cluster, dim) means via EXACT DECIMAL sums of
+    *    the double components. Decimal sums are order-independent, and
+    *    a double can never sit exactly on a decimal rounding boundary
+    *    (doubles are dyadic rationals; a .5 tie at scale s would need
+    *    a 5^s denominator), so both engines round identically and
+    *    derive bit-identical next centroids;
+    *  - empty clusters keep their previous centroid.
+    *
+    * Scale shape: per iteration one broadcast-closure map (the k×dim
+    * centroid array rides the UDF) and one partial-aggregated groupBy
+    * onto k·dim cells; the k·dim driver collect between iterations is
+    * bounded control flow, the standard k-means driver loop. Returns
+    * (idCol, cluster) for every vector after `iters` assignments.
+    */
+  def kmeansAssign(
+      vectors: DataFrame, idCol: String, embCol: String,
+      k: Int, iters: Int, dim: Int = 64): DataFrame = {
+    require(iters >= 1)
+    val v = vectors.select(col(idCol), asDouble(col(embCol)).as("__e"))
+      .localCheckpoint(false) // scanned once per iteration
+    var cents = centroids(dim, k)
+    var assigned: DataFrame = null
+    for (it <- 1 to iters) {
+      val cs = cents
+      val cellUdf = udf((e: Seq[Double]) => nearestIdx(e, cs))
+      assigned = v.withColumn("__c", cellUdf(col("__e")))
+      if (it < iters) {
+        val sums = assigned
+          .select(col("__c"), posexplode(col("__e")).as(Seq("__j", "__x")))
+          .groupBy("__c", "__j")
+          .agg(sum(col("__x").cast(org.apache.spark.sql.types.DecimalType(25, 10))).as("__s"),
+            count(lit(1)).as("__n"))
+          .collect() // ≤ k·dim rows — bounded driver state
+        val next = cents.map(_.clone())
+        sums.foreach { r =>
+          next(r.getInt(0))(r.getInt(1)) =
+            r.getDecimal(2).doubleValue() / r.getLong(3)
+        }
+        cents = next
+      }
+    }
+    assigned.select(col(idCol), col("__c").as("cluster"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (dedup by vector closeness):
     * bucket with LSH, verify cosine ≥ threshold within buckets.
     */

@@ -1105,6 +1105,54 @@ object LlmQueries {
         Sketches.estimate(top, "tok", cells)
           .select(col("tok"), col("exact_n"), col("cm_est"))
           .orderBy(col("exact_n").desc, col("tok"))
-      })
+      }),
+
+    // ---------------------------------------------------------------- distributed k-means (2 Lloyd iterations)
+    QueryDef(
+      "q_l26_kmeans_clusters", "LLM-kmeans",
+      // two full Lloyd iterations, replayed exactly: md5 centroids →
+      // assign → EXACT-DECIMAL per-dim means (order-independent sums;
+      // a double can never tie at a decimal rounding boundary, so both
+      // engines derive bit-identical next centroids) → re-assign. The
+      // output id_sum pins every single assignment; empty clusters
+      // keep their previous centroid (grid LEFT JOIN coalesce).
+      Some("""WITH cents0 AS (
+             |  SELECT c, j, CAST(('0x' || substr(md5('c:' || c || ':' || j), 1, 16)) AS UBIGINT)
+             |               / 9223372036854775808.0 - 1.0 AS w
+             |  FROM generate_series(0, 7) a(c) CROSS JOIN generate_series(0, 63) b(j)),
+             |cl0 AS (SELECT c, list(w ORDER BY j) AS cw FROM cents0 GROUP BY c),
+             |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+             |      FROM embeddings),
+             |d1 AS (SELECT vec_id, c, list_inner_product(d, d) AS dist
+             |       FROM (SELECT v.vec_id, cl0.c,
+             |               list_transform(list_zip(v.e, cl0.cw), s -> s[1] - s[2]) AS d
+             |             FROM v CROSS JOIN cl0) t),
+             |a1 AS (SELECT vec_id, c FROM (
+             |         SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id
+             |                  ORDER BY dist, c) AS r FROM d1) WHERE r = 1),
+             |x1 AS (SELECT a1.c, generate_subscripts(v.e, 1) AS j, unnest(v.e) AS x
+             |       FROM a1 JOIN v ON v.vec_id = a1.vec_id),
+             |m1 AS (SELECT c, j,
+             |         CAST(sum(CAST(x AS DECIMAL(25,10))) AS DOUBLE) / count(*) AS w
+             |       FROM x1 GROUP BY c, j),
+             |cl1 AS (SELECT g.c, list(coalesce(m1.w, g.w) ORDER BY g.j) AS cw
+             |        FROM cents0 g LEFT JOIN m1 ON m1.c = g.c AND m1.j = g.j + 1
+             |        GROUP BY g.c),
+             |d2 AS (SELECT vec_id, c, list_inner_product(d, d) AS dist
+             |       FROM (SELECT v.vec_id, cl1.c,
+             |               list_transform(list_zip(v.e, cl1.cw), s -> s[1] - s[2]) AS d
+             |             FROM v CROSS JOIN cl1) t),
+             |a2 AS (SELECT vec_id, c FROM (
+             |         SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id
+             |                  ORDER BY dist, c) AS r FROM d2) WHERE r = 1)
+             |SELECT c AS cluster, count(*) AS n_members,
+             |CAST(sum(vec_id) AS BIGINT) AS id_sum
+             |FROM a2 GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) =>
+        Similarity.kmeansAssign(Tables.embeddings(s, dir), "vec_id", "embedding",
+            k = 8, iters = 2)
+          .groupBy(col("cluster"))
+          .agg(count(lit(1)).as("n_members"), sum(col("vec_id")).as("id_sum"))
+          .orderBy("cluster"))
   )
 }

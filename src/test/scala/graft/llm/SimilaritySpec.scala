@@ -61,6 +61,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivf.nonEmpty)
   }
 
+  test("kmeans assignment is layout-independent and converges sanely") {
+    val emb = Tables.embeddings(spark, sf)
+    def assign(parts: Int): Map[Long, Int] =
+      Similarity.kmeansAssign(emb.repartition(parts), "vec_id", "embedding", k = 4, iters = 3)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // exact decimal mean sums are order-independent, so the physical
+    // layout must not change a single assignment
+    val a = assign(2)
+    assert(a == assign(7))
+    // every vector assigned, clusters non-trivial
+    assert(a.size == emb.count())
+    assert(a.values.toSet.size >= 2)
+  }
+
   test("mismatched embedding dimensionality fails loudly, never truncates") {
     import spark.implicits._
     val bad = Seq((1L, Seq(0.1f, 0.2f, 0.3f)), (2L, Seq(0.4f, 0.5f, 0.6f)))
