@@ -481,6 +481,52 @@ object RelationalQueries {
           .orderBy("day")
       }),
 
+    // ---------------------------------------------------------------- A12 (ROLLUP subtotals)
+    QueryDef(
+      "q_a12_rollup", "A12 ROLLUP grouping sets",
+      // OLAP subtotal lattice: per (priority, status), per priority,
+      // and grand total in ONE pass — Spark plans rollup as a single
+      // Expand + aggregation, not three scans. Subtotal rows are
+      // labeled 'ALL' on both sides (coalesce), which also sidesteps
+      // the engines' differing NULL sort positions.
+      Some("""SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+             |coalesce(o_orderstatus, 'ALL') AS status,
+             |count(*) AS n,
+             |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+             |ORDER BY priority, status""".stripMargin),
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .rollup(col("o_orderpriority"), col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+          .select(
+            coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+            coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+            col("n"), col("sum_price"))
+          .orderBy("priority", "status")),
+
+    // ---------------------------------------------------------------- F20 (JSON property extraction)
+    QueryDef(
+      "q_f20_json_props", "F17 JSON extraction (semi-structured column)",
+      // events.props is a JSON string column; extract $.k natively
+      // (get_json_object stays in codegen) and aggregate — the
+      // semi-structured-column shape every event pipeline has.
+      Some("""SELECT event_type, count(*) AS n,
+             |CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+             |count(DISTINCT CAST(props->>'$.k' AS BIGINT)) AS n_k,
+             |CAST(sum(CASE WHEN props->>'$.k' IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |  AS n_missing
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        val k = get_json_object(col("props"), "$.k").cast("long")
+        Tables.events(s, dir)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(k).as("sum_k"),
+            countDistinct(k).as("n_k"),
+            sum(when(k.isNull, 1L).otherwise(0L)).as("n_missing"))
+          .orderBy("event_type")
+      }),
+
     // ---------------------------------------------------------------- A11 (time-range window / moving average)
     QueryDef(
       "q_a11_moving_avg", "A11 range-frame moving aggregate",
