@@ -41,6 +41,30 @@ object Sketches {
       .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
       .agg(count(lit(1)).as("c"))
 
+  val LinearCountBits = 4096
+
+  /** Linear-counting cardinality sketch state per group: the number of
+    * set bits in an `LinearCountBits`-wide bitmap where each value
+    * sets bit md5(value)[0:8] mod m. The state is two integers per
+    * group (bits set, and the classic estimate is m·ln(m/(m−b)) —
+    * left to the consumer so the operator's outputs stay integer-exact
+    * and engine-portable). Build is one partial-aggregated
+    * groupBy(group, bit): ≤ m rows per group survive the map side, so
+    * the shuffle is bounded by groups × m however big the corpus —
+    * the same distributive shape a 100 TB daily cardinality profile
+    * needs. (Spark's native approx_count_distinct/HLL++ covers the
+    * generic case; this variant exists where the sketch itself must
+    * be deterministic and replayable across engines.)
+    */
+  def linearCountBits(df: DataFrame, groupCol: String, valCol: String): DataFrame =
+    df.select(col(groupCol),
+        pmod(conv(substring(md5(col(valCol)), 1, 8), 16, 10).cast("long"),
+          lit(LinearCountBits)).as("__bit"))
+      .groupBy(groupCol, "__bit")
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("bits_set"))
+
   /** Count-Min estimate for each probe token: min over rows of its
     * bucket's count. `cells` is `buildTokenSketch`'s output
     * (depth·width rows — broadcastable by construction).

@@ -1107,6 +1107,32 @@ object LlmQueries {
           .orderBy(col("exact_n").desc, col("tok"))
       }),
 
+    // ---------------------------------------------------------------- linear-counting cardinality sketch
+    QueryDef(
+      "q_l27_linear_count", "LLM-sketch-cardinality",
+      // per-source distinct-token cardinality: the exact count next to
+      // the deterministic linear-counting bitmap state (bits set in a
+      // 4096-wide md5 bitmap). Integer-exact outputs on both engines;
+      // the m*ln(m/(m-b)) estimate is consumer-side arithmetic, kept
+      // out of the hash so no libm rounding can flake the gate.
+      Some("""WITH tok AS (
+             |  SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS tok
+             |  FROM documents),
+             |bits AS (SELECT source,
+             |           CAST(('0x' || substr(md5(tok), 1, 8)) AS UBIGINT) % 4096 AS b
+             |         FROM tok GROUP BY source, b)
+             |SELECT t.source, count(DISTINCT t.tok) AS n_distinct,
+             |  (SELECT count(*) FROM bits WHERE bits.source = t.source) AS bits_set
+             |FROM tok t GROUP BY t.source ORDER BY t.source""".stripMargin),
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(col("source"), explode(TextAnalysis.tokens(trim(col("text")))).as("tok"))
+        val exact = toks.groupBy("source").agg(countDistinct(col("tok")).as("n_distinct"))
+        exact.join(Sketches.linearCountBits(toks, "source", "tok"), Seq("source"))
+          .select(col("source"), col("n_distinct"), col("bits_set"))
+          .orderBy("source")
+      }),
+
     // ---------------------------------------------------------------- distributed k-means (2 Lloyd iterations)
     QueryDef(
       "q_l26_kmeans_clusters", "LLM-kmeans",

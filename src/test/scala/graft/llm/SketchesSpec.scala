@@ -24,4 +24,23 @@ class SketchesSpec extends AnyFunSuite {
     val meanOver = est.agg(avg(col("cm_est") - col("exact_n"))).head().getDouble(0)
     assert(meanOver <= 2.0 * n / Sketches.Width, s"mean overcount $meanOver vs bound")
   }
+
+  test("linear counting bitmap bounds and tracks distinct counts") {
+    import spark.implicits._
+    val df = (1 to 5000).map(i => ("g" + i % 3, "v" + i % (200 * (i % 3 + 1))))
+      .toDF("g", "v")
+    val exact = df.groupBy("g").agg(countDistinct(col("v")).as("n")).as[(String, Long)]
+      .collect().toMap
+    val bits = Sketches.linearCountBits(df, "g", "v").as[(String, Long)].collect().toMap
+    exact.foreach { case (g, n) =>
+      val b = bits(g)
+      // bits can only collide downward, never exceed distinct values
+      assert(b <= n && b <= Sketches.LinearCountBits)
+      // and the linear-counting estimate recovers the cardinality well
+      // at this load factor (n/m < 0.15 → error ~ 1-2%)
+      val m = Sketches.LinearCountBits.toDouble
+      val est = m * math.log(m / (m - b))
+      assert(math.abs(est - n) / n < 0.1, s"g=$g est=$est n=$n")
+    }
+  }
 }
