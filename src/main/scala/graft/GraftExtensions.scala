@@ -35,7 +35,19 @@ object GraftExtensions {
     * expressions.
     */
   val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] =
-    Seq(oneArg("normalize_salary")(NormalizeSalaryExpr(_)))
+    Seq(
+      oneArg("normalize_salary")(NormalizeSalaryExpr(_)),
+      ("collect_up_to",
+        new ExpressionInfo(classOf[graft.functions.CollectUpTo].getName, "collect_up_to"),
+        (children: Seq[Expression]) => {
+          require(children.length == 2, "collect_up_to(expr, limit) expects two arguments")
+          val limit = children(1) match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+            case other => throw new IllegalArgumentException(
+              s"collect_up_to limit must be an integer literal, got $other")
+          }
+          graft.functions.CollectUpTo(children.head, limit).toAggregateExpression()
+        }))
 
   /** Register on an already-running session (tests / REPLs that didn't
     * set spark.sql.extensions at build time).

@@ -26,6 +26,15 @@ class CollectUpToSpec extends AnyFunSuite {
     assert(n == 7)
   }
 
+  test("registers as a SQL function through the extension point") {
+    graft.GraftExtensions.register(spark)
+    Seq((1L, 5L), (1L, 6L), (1L, 7L)).toDF("k", "v").createOrReplaceTempView("cut_in")
+    val got = spark.sql(
+      "SELECT k, size(collect_up_to(v, 2)) AS n FROM cut_in GROUP BY k")
+      .as[(Long, Int)].head()
+    assert(got == ((1L, 2)))
+  }
+
   test("count-filter contract: surviving groups have provably complete arrays") {
     // the cappedKeyed pattern: collect with limit cap+1, filter count<=cap
     val cap = 5

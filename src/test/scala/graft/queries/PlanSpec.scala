@@ -181,6 +181,23 @@ class PlanSpec extends AnyFunSuite {
       s"expected every window keyed by __pid ($byPid/$total):\n$pk")
   }
 
+  test("rollup plans one Expand pass, not one scan per grouping set") {
+    val p = queryPlan("q_a12_rollup")
+    assert("Expand".r.findAllIn(p).size == 1, s"expected exactly one Expand:\n$p")
+    assert("Scan parquet".r.findAllIn(p).size <= 1, s"rollup re-scanned the source:\n$p")
+  }
+
+  test("JSON extraction stays native — no Scala UDF in the q_f20 plan") {
+    val p = queryPlan("q_f20_json_props")
+    assert(p.contains("get_json_object") || p.contains("GetJsonObject"), p)
+    assert(!p.contains("ScalaUDF"), s"JSON path fell back to a UDF:\n$p")
+  }
+
+  test("count-min estimate broadcasts the finished cells, never shuffles probes") {
+    val p = queryPlan("q_l25_countmin_tokens")
+    assert(p.contains("BroadcastHashJoin"), s"sketch estimate join did not broadcast:\n$p")
+  }
+
   test("no accidental cartesian products in the relational/dwh families") {
     val intentionallyTiny = Set( // 1-row aggregate cross joins by design
       "q_d8_dimdate_fill", "q_d7_location_append", "q_d12_cleanup_dups",
