@@ -18,6 +18,35 @@ object Validator {
   def check(name: String, df: DataFrame, valueCol: Column): DataFrame =
     df.agg(valueCol.cast("long").as("value")).select(lit(name).as("check_name"), col("value"))
 
+  /** One-pass column profile: for every column, its null count, exact
+    * distinct count, and min/max rendered as strings — the
+    * data-profiling sweep a warehouse runs after each load. ONE
+    * aggregation over the table computes every column's stats
+    * simultaneously (3·|cols|+1 aggregate expressions, partial-
+    * aggregated map-side); the unpivot to a row per column happens on
+    * the 1-row result, so a 100 TB table is scanned exactly once.
+    * Min/max compare in the column's native type, then render via
+    * cast — so numeric columns profile numerically, not
+    * lexicographically.
+    */
+  def profile(df: DataFrame): DataFrame = {
+    val cols = df.columns.toSeq
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
+        countDistinct(col(c)).as(s"__dist_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    } :+ count(lit(1)).as("__n")
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val perCol = cols.map { c =>
+      struct(lit(c).as("column"), col("__n").as("n_rows"),
+        col(s"__null_$c").as("n_null"), col(s"__dist_$c").as("n_distinct"),
+        col(s"__min_$c").as("min_value"), col(s"__max_$c").as("max_value"))
+    }
+    wide.select(explode(array(perCol: _*)).as("p")).select("p.*")
+  }
+
   /** Count of natural keys with more than one current row (A5). */
   def duplicateCurrentKeys(dim: DataFrame, naturalKey: String): DataFrame =
     check("duplicate_current_keys",

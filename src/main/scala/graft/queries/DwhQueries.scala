@@ -789,6 +789,41 @@ object DwhQueries {
           broadcast(Tables.customer(s, dir).filter(col("c_custkey") % 10 =!= 3)),
           col("o_custkey") === col("c_custkey"))
         Validator.integrityRatio(o, processed)
-      })
+      }),
+
+    // ---------------------------------------------------------------- D15 (one-pass column profile)
+    QueryDef(
+      "q_d15_column_profile", "A5 D14 (post-load profiling)",
+      // per-column null/distinct/min/max over customer, computed in
+      // ONE aggregation pass (the unpivot happens on the 1-row
+      // result): a 100 TB table is scanned exactly once however many
+      // columns it has. min/max compare in native types, rendered as
+      // strings only at the end.
+      Some("""WITH s AS (SELECT * FROM customer)
+             |SELECT * FROM (
+             |  SELECT 'c_custkey' AS "column", count(*) AS n_rows,
+             |    CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+             |    count(DISTINCT c_custkey) AS n_distinct,
+             |    CAST(min(c_custkey) AS VARCHAR) AS min_value,
+             |    CAST(max(c_custkey) AS VARCHAR) AS max_value FROM s
+             |  UNION ALL
+             |  SELECT 'c_name', count(*),
+             |    CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |    count(DISTINCT c_name), min(c_name), max(c_name) FROM s
+             |  UNION ALL
+             |  SELECT 'c_nationkey', count(*),
+             |    CAST(sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |    count(DISTINCT c_nationkey),
+             |    CAST(min(c_nationkey) AS VARCHAR), CAST(max(c_nationkey) AS VARCHAR) FROM s
+             |  UNION ALL
+             |  SELECT 'c_mktsegment', count(*),
+             |    CAST(sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |    count(DISTINCT c_mktsegment), min(c_mktsegment), max(c_mktsegment) FROM s
+             |) ORDER BY "column"""".stripMargin),
+      (s, dir) =>
+        Validator.profile(
+            Tables.customer(s, dir)
+              .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment"))
+          .orderBy("column"))
   )
 }
