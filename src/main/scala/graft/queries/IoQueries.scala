@@ -268,6 +268,39 @@ object IoQueries {
           .orderBy("o_orderpriority")
       }),
 
+    // ---------------------------------------------------------------- S18 snapshot diff (what changed between loads)
+    QueryDef(
+      "q_s18_snapshot_diff", "S15 S13 (version diff feed)",
+      // diff two snapshot versions into an added/removed/changed/
+      // unchanged action per key (one full-outer key join over
+      // null-safe row hashes — no window, no driver state). The
+      // 'after' version is derived deterministically from customer
+      // (drop %97 keys, change %13 segments, add %50 keys shifted
+      // +10M), so the oracle classifies in closed form — by
+      // construction, not by replaying the hash.
+      Some("""WITH b AS (SELECT c_custkey AS k FROM customer),
+             |acts AS (
+             |  SELECT k, CASE WHEN k % 97 = 0 THEN 'removed'
+             |                 WHEN k % 13 = 0 THEN 'changed'
+             |                 ELSE 'unchanged' END AS action FROM b
+             |  UNION ALL
+             |  SELECT k + 10000000, 'added' FROM b WHERE k % 50 = 0)
+             |SELECT action, count(*) AS n, CAST(sum(k) AS BIGINT) AS key_sum
+             |FROM acts GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) => {
+        val before = Tables.customer(s, dir)
+        val k = col("c_custkey")
+        val after = before.filter(k % 97 =!= 0)
+          .withColumn("c_mktsegment",
+            when(k % 13 === 0, lit("CHANGED")).otherwise(col("c_mktsegment")))
+          .unionByName(before.filter(k % 50 === 0)
+            .withColumn("c_custkey", k + 10000000L))
+        Snapshots.snapshotDiff(before, after, Seq("c_custkey"))
+          .groupBy("action")
+          .agg(count(lit(1)).as("n"), sum(col("c_custkey")).as("key_sum"))
+          .orderBy("action")
+      }),
+
     // ---------------------------------------------------------------- S1/S2 full 15-field crawl contract
     QueryDef(
       "q_s1_html_ingest", "S1 S2 S4 F11 F12",
