@@ -481,6 +481,56 @@ object RelationalQueries {
           .orderBy("day")
       }),
 
+    // ---------------------------------------------------------------- P9 (unpivot / melt)
+    QueryDef(
+      "q_p9_unpivot", "P1 (wide→long reshape)",
+      // melt the orders measure columns into (key, metric, value) rows
+      // — Dataset.unpivot plans a single Expand, same shape as rollup,
+      // not one scan per metric. Aggregated per metric for a compact
+      // oracle.
+      Some("""SELECT metric, count(*) AS n,
+             |CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM (SELECT o_orderkey,
+             |        CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+             |        CAST(o_custkey AS DOUBLE) AS o_custkey_d
+             |      FROM orders)
+             |UNPIVOT (value FOR metric IN (o_totalprice, o_custkey_d))
+             |GROUP BY metric ORDER BY metric""".stripMargin),
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"),
+            col("o_totalprice").cast("double").as("o_totalprice"),
+            col("o_custkey").cast("double").as("o_custkey_d"))
+          .unpivot(Array(col("o_orderkey")),
+            Array(col("o_totalprice"), col("o_custkey_d")), "metric", "value")
+          .groupBy("metric")
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+          .orderBy("metric")),
+
+    // ---------------------------------------------------------------- W6 (ntile quartiles)
+    QueryDef(
+      "q_w6_ntile", "W2 A10 (quantile bucketing)",
+      // quartile assignment of orders by totalprice within priority —
+      // ntile's deterministic definition (floor arithmetic on a total
+      // order) is identical across engines, so bucket populations and
+      // sums hash-match exactly. Total order via the orderkey tiebreak.
+      Some("""WITH t AS (SELECT o_orderpriority, o_totalprice,
+             |  ntile(4) OVER (PARTITION BY o_orderpriority
+             |                 ORDER BY o_totalprice, o_orderkey) AS quartile
+             |  FROM orders)
+             |SELECT o_orderpriority, quartile, count(*) AS n,
+             |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        Tables.orders(s, dir)
+          .withColumn("quartile", ntile(4).over(w))
+          .groupBy("o_orderpriority", "quartile")
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+          .orderBy("o_orderpriority", "quartile")
+      }),
+
     // ---------------------------------------------------------------- A12 (ROLLUP subtotals)
     QueryDef(
       "q_a12_rollup", "A12 ROLLUP grouping sets",
