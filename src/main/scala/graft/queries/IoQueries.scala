@@ -549,6 +549,42 @@ object IoQueries {
             countDistinct(col("p_id")).as("n_purchases_matched"),
             countDistinct(col("user_id")).as("n_users"))
           .orderBy("day")
+      }),
+
+    // ---------------------------------------------------------------- ST: stream-static enrichment join
+    QueryDef(
+      "q_st6_stream_enrich", "ST stream-static dimension lookup",
+      // every event enriched against a STATIC dimension (each user's
+      // first-seen day, computed batch-side) while flowing through the
+      // stream — the per-event dimension-lookup shape of a continuous
+      // ingest. Stream-static joins need no watermark and no state:
+      // the static side broadcasts per micro-batch, so the complete
+      // output over the bounded source equals the batch join.
+      Some("""WITH first_seen AS (
+             |  SELECT user_id, date_trunc('day', min(ts)) AS first_day
+             |  FROM events GROUP BY user_id)
+             |SELECT event_type,
+             |CAST(sum(CASE WHEN date_trunc('day', e.ts) = f.first_day
+             |              THEN 1 ELSE 0 END) AS BIGINT) AS first_day_events,
+             |count(*) AS n,
+             |count(DISTINCT e.user_id) AS n_users
+             |FROM events e JOIN first_seen f ON f.user_id = e.user_id
+             |GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        val name = "q_st6_mem"
+        val watch = CdcStream.ensureStaged(s, dir)
+        val firstSeen = Tables.events(s, dir)
+          .groupBy("user_id").agg(date_trunc("day", min(col("ts"))).as("first_day"))
+        val enriched = CdcStream.readEvents(s, watch)
+          .join(firstSeen, Seq("user_id"))
+          .withColumn("is_first_day",
+            date_trunc("day", col("ts")) === col("first_day"))
+        CdcStream.runToMemory(s, enriched, name, mode = "append")
+          .groupBy("event_type")
+          .agg(sum(when(col("is_first_day"), 1L).otherwise(0L)).as("first_day_events"),
+            count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy("event_type")
       })
   )
 }
