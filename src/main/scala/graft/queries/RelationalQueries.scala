@@ -816,6 +816,276 @@ object RelationalQueries {
         Tables.orders(s, dir)
           .select(date_format(col("o_orderdate"), "yyyy-MM").as("load_month"))
           .distinct()
-          .orderBy("load_month"))
+          .orderBy("load_month")),
+
+    // ---------------------------------------------------------------- A13 (pivot long→wide)
+    QueryDef(
+      "q_a13_pivot", "A1 P1 (pivot / wide reshape)",
+      // daily revenue matrix: one row per day, one column per event
+      // type. The pivot values are DECLARED (not discovered): omitting
+      // them costs an extra distinct pass over the fact — at 100 TB
+      // that is a full scan spent learning five strings. Declared
+      // values also fix the output schema, which a pipeline needs
+      // anyway. Plans as a single hash aggregate over (day), wide.
+      Some("""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             |CAST(sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS click,
+             |CAST(sum(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS error,
+             |CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase,
+             |CAST(sum(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS signup,
+             |CAST(sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS "view"
+             |FROM events GROUP BY 1 ORDER BY day""".stripMargin),
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+          .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+          .agg(dsum(col("value")))
+          .orderBy("day")),
+
+    // ---------------------------------------------------------------- A14 (CUBE lattice)
+    QueryDef(
+      "q_a14_cube", "A12 CUBE grouping sets",
+      // the full 2^2 grouping-set lattice (rollup's q_a12 is the
+      // hierarchical 3-set subset): per (priority, status), per
+      // priority, per status, grand total — ONE Expand + aggregation,
+      // not four scans. 'ALL' labeling as in q_a12.
+      Some("""SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+             |coalesce(o_orderstatus, 'ALL') AS status,
+             |count(*) AS n,
+             |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+             |ORDER BY priority, status""".stripMargin),
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .cube(col("o_orderpriority"), col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+          .select(
+            coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+            coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+            col("n"), col("sum_price"))
+          .orderBy("priority", "status")),
+
+    // ---------------------------------------------------------------- A15 (batch sessionization)
+    QueryDef(
+      "q_a15_sessionize", "A15 batch sessionization (gaps-and-islands)",
+      // 30-minute-gap sessions per user over the event stream, batch
+      // form (streaming twin: q_st3's session_window). One shuffle on
+      // user_id; lag + running sum share one Sort (see operators/
+      // Sessionize). Gap compares date_diff('second') on both sides —
+      // exact integer second-boundary counts, no double epochs.
+      Some("""WITH g AS (SELECT user_id, ts,
+             |  CASE WHEN date_diff('second',
+             |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800
+             |    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             |  THEN 1 ELSE 0 END AS new_s,
+             |  event_id
+             |  FROM events),
+             |s AS (SELECT user_id, ts,
+             |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+             |  FROM g),
+             |per AS (SELECT user_id, session_seq, count(*) AS n_events,
+             |  date_diff('second', min(ts), max(ts)) AS dur_sec
+             |  FROM s GROUP BY 1, 2)
+             |SELECT user_id, count(*) AS n_sessions,
+             |CAST(max(n_events) AS BIGINT) AS max_session_events,
+             |round(CAST(sum(dur_sec) AS DOUBLE) / count(*), 6) AS avg_session_sec
+             |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin),
+      (s, dir) => {
+        val sess = graft.operators.Sessionize.sessionize(
+          Tables.events(s, dir).select("user_id", "ts", "event_id"),
+          Seq("user_id"), "ts", gapSec = 1800, tiebreak = Seq(col("event_id")))
+        sess
+          .groupBy("user_id", "session_seq")
+          .agg(count(lit(1)).as("n_events"),
+            (max(col("ts").cast("long")) - min(col("ts").cast("long"))).as("dur_sec"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_sessions"),
+            max(col("n_events")).as("max_session_events"),
+            round(sum(col("dur_sec")).cast("double") / count(lit(1)), 6)
+              .as("avg_session_sec"))
+          .orderBy("user_id")
+      }),
+
+    // ---------------------------------------------------------------- A16 (funnel analysis)
+    QueryDef(
+      "q_a16_funnel", "A16 ordered funnel conversion",
+      // strict-sequence funnel signup → view → purchase: each stage
+      // only counts events strictly after the user's previous-stage
+      // time. Three key-partitioned aggregations (stage k needs stage
+      // k-1's per-user time — a genuine barrier), each one shuffle on
+      // user_id; no window over raw events, no per-user arrays.
+      Some("""WITH s1 AS (SELECT user_id,
+             |    min(CASE WHEN event_type = 'signup' THEN ts END) AS t1
+             |  FROM events GROUP BY 1),
+             |s2 AS (SELECT e.user_id, max(s1.t1) AS t1,
+             |    min(CASE WHEN e.event_type = 'view' AND e.ts > s1.t1 THEN e.ts END) AS t2
+             |  FROM events e JOIN s1 ON e.user_id = s1.user_id GROUP BY e.user_id),
+             |s3 AS (SELECT e.user_id, max(s2.t1) AS t1, max(s2.t2) AS t2,
+             |    min(CASE WHEN e.event_type = 'purchase' AND e.ts > s2.t2 THEN e.ts END) AS t3
+             |  FROM events e JOIN s2 ON e.user_id = s2.user_id GROUP BY e.user_id)
+             |SELECT count(*) AS n_users, count(t1) AS n_signup,
+             |count(t2) AS n_view_after, count(t3) AS n_purchase_after,
+             |round(CAST(count(t2) AS DOUBLE) / count(t1), 6) AS view_rate,
+             |round(CAST(count(t3) AS DOUBLE) / count(t2), 6) AS purchase_rate
+             |FROM s3""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select("user_id", "event_type", "ts")
+        val s1 = ev.groupBy("user_id")
+          .agg(min(when(col("event_type") === "signup", col("ts"))).as("t1"))
+        val s2 = ev.join(s1, "user_id").groupBy("user_id")
+          .agg(max(col("t1")).as("t1"),
+            min(when(col("event_type") === "view" && col("ts") > col("t1"), col("ts")))
+              .as("t2"))
+        val s3 = ev.join(s2, "user_id").groupBy("user_id")
+          .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"),
+            min(when(col("event_type") === "purchase" && col("ts") > col("t2"), col("ts")))
+              .as("t3"))
+        s3.agg(
+          count(lit(1)).as("n_users"), count(col("t1")).as("n_signup"),
+          count(col("t2")).as("n_view_after"), count(col("t3")).as("n_purchase_after"),
+          round(count(col("t2")).cast("double") / count(col("t1")), 6).as("view_rate"),
+          round(count(col("t3")).cast("double") / count(col("t2")), 6).as("purchase_rate"))
+      }),
+
+    // ---------------------------------------------------------------- A17 (cohort retention)
+    QueryDef(
+      "q_a17_retention", "A17 cohort retention matrix",
+      // customers cohorted by first-order month; how many are still
+      // ordering k months later. Month offsets are integer arithmetic
+      // on (year*12+month) — engines disagree on fractional
+      // months_between, integers they agree on. Two shuffles: first-
+      // order agg, then the (cohort, offset) count-distinct.
+      Some("""WITH f AS (SELECT o_custkey, min(o_orderdate) AS first_ts
+             |  FROM orders GROUP BY 1),
+             |a AS (SELECT o.o_custkey,
+             |    strftime(f.first_ts, '%Y-%m') AS cohort,
+             |    (year(o.o_orderdate) * 12 + month(o.o_orderdate))
+             |      - (year(f.first_ts) * 12 + month(f.first_ts)) AS month_offset
+             |  FROM orders o JOIN f ON o.o_custkey = f.o_custkey)
+             |SELECT cohort, CAST(month_offset AS BIGINT) AS month_offset,
+             |count(DISTINCT o_custkey) AS n_customers
+             |FROM a GROUP BY 1, 2 ORDER BY cohort, month_offset""".stripMargin),
+      (s, dir) => {
+        val o = Tables.orders(s, dir).select("o_custkey", "o_orderdate")
+        val f = o.groupBy("o_custkey").agg(min(col("o_orderdate")).as("first_ts"))
+        o.join(f, "o_custkey")
+          .select(col("o_custkey"),
+            date_format(col("first_ts"), "yyyy-MM").as("cohort"),
+            ((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+              - (year(col("first_ts")) * 12 + month(col("first_ts")))).cast("long")
+              .as("month_offset"))
+          .groupBy("cohort", "month_offset")
+          .agg(countDistinct(col("o_custkey")).as("n_customers"))
+          .orderBy("cohort", "month_offset")
+      }),
+
+    // ---------------------------------------------------------------- A18 (z-score anomaly flags)
+    QueryDef(
+      "q_a18_zscore", "A18 z-score anomaly detection",
+      // flag days whose revenue is ≥2σ from the event type's mean.
+      // All moments come from EXACT integer cents (bigint sums of a
+      // DECIMAL(18,2) day revenue); only the final mean/var/z are
+      // double, computed with the IDENTICAL expression tree on both
+      // sides so IEEE arithmetic agrees bit-for-bit, then rounded.
+      // Sample variance via (ss/n − mean²)·n/(n−1) keeps every
+      // intermediate inside double range (a raw s² of cents would not).
+      Some("""WITH d AS (SELECT event_type, date_trunc('day', ts) AS day,
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+             |  FROM events GROUP BY 1, 2),
+             |m AS (SELECT event_type,
+             |  CAST(count(*) AS DOUBLE) AS n,
+             |  CAST(sum(cents) AS DOUBLE) / count(*) AS mean,
+             |  sum(CAST(cents AS DOUBLE) * CAST(cents AS DOUBLE)) / count(*) AS ss_n
+             |  FROM d GROUP BY 1)
+             |SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day,
+             |CAST(CAST(d.cents AS DECIMAL(18,0)) / 100 AS DOUBLE) AS rev,
+             |round((CAST(d.cents AS DOUBLE) - m.mean)
+             |      / sqrt((m.ss_n - m.mean * m.mean) * m.n / (m.n - 1)), 4) AS z
+             |FROM d JOIN m ON d.event_type = m.event_type
+             |WHERE abs((CAST(d.cents AS DOUBLE) - m.mean)
+             |      / sqrt((m.ss_n - m.mean * m.mean) * m.n / (m.n - 1))) >= 2
+             |ORDER BY d.event_type, day""".stripMargin),
+      (s, dir) => {
+        val d = Tables.events(s, dir)
+          .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+          .agg((sum(col("value").cast(DecimalType(18, 2))) * 100).cast("long").as("cents"))
+        val m = d.groupBy("event_type")
+          .agg(count(lit(1)).cast("double").as("n"),
+            (sum(col("cents")).cast("double") / count(lit(1))).as("mean"),
+            (sum(col("cents").cast("double") * col("cents").cast("double"))
+              / count(lit(1))).as("ss_n"))
+        val z = (col("cents").cast("double") - col("mean")) /
+          sqrt((col("ss_n") - col("mean") * col("mean")) * col("n") / (col("n") - 1))
+        d.join(m, "event_type")
+          .filter(abs(z) >= 2)
+          .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+            (col("cents").cast(DecimalType(18, 0)) / 100).cast("double").as("rev"),
+            round(z, 4).as("z"))
+          .orderBy("event_type", "day")
+      }),
+
+    // ---------------------------------------------------------------- A19 (calendar gap-fill + forward fill)
+    QueryDef(
+      "q_a19_gapfill", "A19 time-series resample / forward fill",
+      // resample a SPARSE per-type daily series (every 97th event, so
+      // most calendar days are gaps) onto the full min..max day spine
+      // and forward-fill. The spine is sequence()+explode per type —
+      // generated, never shuffled; the fill is last(ignoreNulls) over
+      // one key-partitioned sort. At 100 TB the spine side is ~types ×
+      // days rows — trivial next to the fact, and the single window
+      // runs per key, not globally.
+      Some("""WITH d AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS rev
+             |  FROM events WHERE event_id % 97 = 0 GROUP BY 1, 2),
+             |spine AS (SELECT event_type,
+             |  unnest(generate_series(min(day), max(day), INTERVAL 1 DAY)) AS day
+             |  FROM d GROUP BY event_type),
+             |j AS (SELECT s.event_type, CAST(s.day AS DATE) AS day, d.rev FROM spine s
+             |      LEFT JOIN d ON s.event_type = d.event_type AND CAST(s.day AS DATE) = d.day)
+             |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+             |CASE WHEN rev IS NULL THEN 1 ELSE 0 END AS filled,
+             |last_value(rev IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY day
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rev_ffill
+             |FROM j ORDER BY event_type, day""".stripMargin),
+      (s, dir) => {
+        val d = Tables.events(s, dir)
+          .filter(col("event_id") % 97 === 0)
+          .groupBy(col("event_type"), date_trunc("day", col("ts")).cast("date").as("day"))
+          .agg(dsum(col("value")).as("rev"))
+        val spine = d.groupBy("event_type")
+          .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+          .select(col("event_type"),
+            explode(sequence(col("mn"), col("mx"), expr("interval 1 day"))).as("day"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        spine.join(d, Seq("event_type", "day"), "left")
+          .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+            when(col("rev").isNull, 1).otherwise(0).as("filled"),
+            last(col("rev"), ignoreNulls = true).over(w).as("rev_ffill"))
+          .orderBy("event_type", "day")
+      }),
+
+    // ---------------------------------------------------------------- J14 (Bloom-filter pre-filtered semi-join)
+    QueryDef(
+      "q_j14_bloom_join", "J14 Bloom-filter semi-join",
+      // orders of BUILDING-segment customers via an executor-built
+      // Bloom bitmap (operators/BloomJoin) + exact semi-join cleanup.
+      // No false negatives ⇒ the answer IS the plain semi-join, which
+      // is what the oracle runs.
+      Some("""SELECT o_orderpriority AS priority, count(*) AS n,
+             |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             |FROM orders WHERE o_custkey IN
+             |  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+             |GROUP BY 1 ORDER BY priority""".stripMargin),
+      (s, dir) => {
+        val dim = Tables.customer(s, dir)
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select("c_custkey")
+        graft.operators.BloomJoin.semiJoin(
+            Tables.orders(s, dir), "o_custkey", dim, "c_custkey")
+          .groupBy(col("o_orderpriority").as("priority"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+          .orderBy("priority")
+      })
   )
 }
