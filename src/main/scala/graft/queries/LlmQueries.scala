@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.llm.{Corpus, Dedup, Multimodal, Similarity, Sketches, TextAnalysis}
+import graft.llm.{Corpus, Dedup, Multimodal, Retrieval, Similarity, Sketches, TextAnalysis}
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -1179,6 +1179,121 @@ object LlmQueries {
             k = 8, iters = 2)
           .groupBy(col("cluster"))
           .agg(count(lit(1)).as("n_members"), sum(col("vec_id")).as("id_sum"))
-          .orderBy("cluster"))
+          .orderBy("cluster")),
+
+    // ---------------------------------------------------------------- TF-IDF keyword extraction
+    QueryDef(
+      "q_l28_tfidf", "LLM-tfidf",
+      // top-3 distinguishing terms per document, smoothed idf over the
+      // FULL corpus; output restricted to doc_id < 60 (the statistics
+      // are corpus-wide either way). Scores are tf·ln((1+N)/(1+df))
+      // from exact integer counts — identical doubles both engines —
+      // ranked raw, rounded only for display.
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+             |  FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+             |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |n AS (SELECT count(*) AS n_docs FROM documents),
+             |scored AS (SELECT tf.doc_id, tf.term, tf.tf,
+             |    tf.tf * ln((1.0 + n.n_docs) / (1.0 + df.df)) AS score_raw
+             |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+             |ranked AS (SELECT doc_id, term, tf, score_raw,
+             |    CAST(row_number() OVER (PARTITION BY doc_id
+             |      ORDER BY score_raw DESC, term) AS BIGINT) AS rank
+             |  FROM scored)
+             |SELECT doc_id, rank, term, tf, round(score_raw, 6) AS score
+             |FROM ranked WHERE rank <= 3 AND doc_id < 60
+             |ORDER BY doc_id, rank""".stripMargin),
+      (s, dir) =>
+        Retrieval.tfidfTopK(Tables.documents(s, dir), "doc_id", "text", k = 3)
+          .filter(col("doc_id") < 60)
+          .orderBy("doc_id", "rank")),
+
+    // ---------------------------------------------------------------- BM25 ranked retrieval
+    QueryDef(
+      "q_l29_bm25", "LLM-bm25",
+      // top-10 documents for the bag {spark, merge, sort}, k1=1.2
+      // b=0.75. Per-term contributions come from exact (tf, df, dl,
+      // N) integers; the doc score sums the three terms in DECLARED
+      // order on both sides (float addition is not associative, so an
+      // aggregate's reduction order is not portable — a fixed
+      // coalesce chain is).
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+             |  FROM documents),
+             |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+             |stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_len FROM dl),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+             |  WHERE term IN ('spark', 'merge', 'sort') GROUP BY 1, 2),
+             |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |c AS (SELECT tf.doc_id, tf.term,
+             |    ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+             |      * (tf.tf * 2.2)
+             |      / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl
+             |           / (CAST(stats.total_len AS DOUBLE) / stats.n_docs))) AS c
+             |  FROM tf JOIN df ON tf.term = df.term
+             |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats),
+             |agg AS (SELECT doc_id,
+             |    coalesce(sum(CASE WHEN term = 'spark' THEN c END), 0.0)
+             |    + coalesce(sum(CASE WHEN term = 'merge' THEN c END), 0.0)
+             |    + coalesce(sum(CASE WHEN term = 'sort' THEN c END), 0.0) AS score_raw
+             |  FROM c GROUP BY 1)
+             |SELECT doc_id, round(score_raw, 6) AS score FROM agg
+             |ORDER BY score_raw DESC, doc_id LIMIT 10""".stripMargin),
+      (s, dir) =>
+        Retrieval.bm25(Tables.documents(s, dir), "doc_id", "text",
+          terms = Seq("spark", "merge", "sort"), k1 = 1.2, b = 0.75, topN = 10)),
+
+    // ---------------------------------------------------------------- inverted index build
+    QueryDef(
+      "q_l30_inverted_index", "LLM-inverted-index",
+      // posting lists: every term with its document frequency and the
+      // first 20 doc ids ascending (cap bounds task memory; production
+      // shards full postings by (term, id) range instead — see
+      // Retrieval.invertedIndex).
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+             |  FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2)
+             |SELECT term, count(*) AS df,
+             |array_to_string(list_sort(list(doc_id))[1:20], ',') AS postings
+             |FROM tf GROUP BY term ORDER BY term""".stripMargin),
+      (s, dir) =>
+        Retrieval.invertedIndex(Tables.documents(s, dir), "doc_id", "text",
+            maxPostings = 20)
+          .orderBy("term")),
+
+    // ---------------------------------------------------------------- blocked edit-distance fuzzy join
+    QueryDef(
+      "q_l31_fuzzy_join", "LLM-fuzzy-join",
+      // near-identical part names by Levenshtein ≤ 4 — the
+      // edit-distance flavor of near-dup (the Jaccard/SimHash family
+      // covers token overlap; this catches character-level variants).
+      // Scale shape: collapse to DISTINCT names + counts FIRST (the
+      // dedupe-before-pairwise rule: 20k parts → 64 names), then block
+      // on the trailing word so candidate pairs are within-block only.
+      Some("""WITH names AS (SELECT p_name, count(*) AS n_parts,
+             |    string_split(p_name, ' ')[-1] AS noun
+             |  FROM part GROUP BY p_name),
+             |pairs AS (SELECT a.p_name AS name_a, b.p_name AS name_b,
+             |    CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+             |    a.n_parts AS n_a, b.n_parts AS n_b
+             |  FROM names a JOIN names b
+             |    ON a.noun = b.noun AND a.p_name < b.p_name)
+             |SELECT name_a, name_b, dist, n_a, n_b FROM pairs
+             |WHERE dist <= 4 ORDER BY name_a, name_b""".stripMargin),
+      (s, dir) => {
+        val names = Tables.part(s, dir)
+          .groupBy("p_name").agg(count(lit(1)).as("n_parts"))
+          .withColumn("noun", element_at(split(col("p_name"), " "), -1))
+        val a = names.select(col("p_name").as("name_a"), col("n_parts").as("n_a"),
+          col("noun"))
+        val b = names.select(col("p_name").as("name_b"), col("n_parts").as("n_b"),
+          col("noun"))
+        a.join(b, Seq("noun"))
+          .filter(col("name_a") < col("name_b"))
+          .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+          .filter(col("dist") <= 4)
+          .select("name_a", "name_b", "dist", "n_a", "n_b")
+          .orderBy("name_a", "name_b")
+      })
   )
 }
