@@ -1065,6 +1065,136 @@ object RelationalQueries {
           .orderBy("event_type", "day")
       }),
 
+    // ---------------------------------------------------------------- A20 (event-sequence transition matrix)
+    QueryDef(
+      "q_a20_transitions", "A20 sequence transition matrix (Markov bigrams)",
+      // what follows what: per-user consecutive event-type pairs
+      // (lead over one key-partitioned sort — the sessionize shape),
+      // then the global from→to counts and the per-from-state
+      // probability. The fact sorts once per user; the matrix is
+      // |types|² rows.
+      Some("""WITH nxt AS (SELECT event_type AS from_type,
+             |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             |      AS to_type
+             |  FROM events),
+             |m AS (SELECT from_type, to_type, count(*) AS n FROM nxt
+             |  WHERE to_type IS NOT NULL GROUP BY 1, 2)
+             |SELECT from_type, to_type, n,
+             |round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type), 6) AS p
+             |FROM m ORDER BY from_type, to_type""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val wSum = Window.partitionBy("from_type")
+        Tables.events(s, dir)
+          .select(col("event_type").as("from_type"),
+            lead(col("event_type"), 1).over(w).as("to_type"))
+          .filter(col("to_type").isNotNull)
+          .groupBy("from_type", "to_type")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("p", round(col("n").cast("double") / sum(col("n")).over(wSum), 6))
+          .orderBy("from_type", "to_type")
+      }),
+
+    // ---------------------------------------------------------------- O5 (INTERSECT / EXCEPT)
+    QueryDef(
+      "q_o5_intersect_except", "O5 set intersection / difference",
+      // the two set operators q_o4's union/anti family doesn't cover.
+      // Both plan as key-shuffled semi/anti joins over distinct rows —
+      // no materialized intermediate sets.
+      Some("""SELECT 'except' AS op, count(*) AS n FROM (
+             |  SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 0
+             |  EXCEPT SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0)
+             |UNION ALL
+             |SELECT 'intersect' AS op, count(*) AS n FROM (
+             |  SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 0
+             |  INTERSECT SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0)
+             |ORDER BY op""".stripMargin),
+      (s, dir) => {
+        val o = Tables.orders(s, dir).select("o_orderkey")
+        val evens = o.filter(col("o_orderkey") % 2 === 0)
+        val thirds = o.filter(col("o_orderkey") % 3 === 0)
+        evens.except(thirds).agg(count(lit(1)).as("n"))
+          .select(lit("except").as("op"), col("n"))
+          .unionByName(
+            evens.intersect(thirds).agg(count(lit(1)).as("n"))
+              .select(lit("intersect").as("op"), col("n")))
+          .orderBy("op")
+      }),
+
+    // ---------------------------------------------------------------- A21 (exact Pearson correlation)
+    QueryDef(
+      "q_a21_corr", "A21 correlation (exact-moment Pearson)",
+      // does order value correlate with line count? All five moments
+      // are EXACT int64 sums (price in cents; products bounded well
+      // inside int64 at any SF that fits a bigint row count); r is
+      // then one double expression evaluated identically on both
+      // engines. The built-in corr() is the one-pass double version —
+      // fine in production, not replayable bit-for-bit across engines.
+      Some("""WITH per AS (SELECT o_orderkey,
+             |    CAST(any_value(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS x,
+             |    count(l_orderkey) AS y
+             |  FROM orders LEFT JOIN lineitem ON l_orderkey = o_orderkey
+             |  GROUP BY o_orderkey),
+             |m AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             |    sum(x * y) AS sxy,
+             |    CAST(sum(CAST(x AS DECIMAL(18,0)) * CAST(x AS DECIMAL(18,0))) AS DOUBLE)
+             |      AS sxx,
+             |    sum(y * y) AS syy
+             |  FROM per)
+             |SELECT n,
+             |round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             |  / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+             |         * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6) AS r
+             |FROM m""".stripMargin),
+      (s, dir) => {
+        val per = Tables.orders(s, dir)
+          .join(Tables.lineitem(s, dir).select(col("l_orderkey")),
+            col("l_orderkey") === col("o_orderkey"), "left")
+          .groupBy("o_orderkey")
+          .agg(
+            first((col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long"))
+              .as("x"),
+            count(col("l_orderkey")).as("y"))
+        // x² would overflow int64 summed at scale; an exact DECIMAL sum
+        // is order-independent where a double sum is partition-order luck
+        val m = per.agg(
+          count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x").cast(DecimalType(18, 0)) * col("x").cast(DecimalType(18, 0)))
+            .cast("double").as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        m.select(col("n"),
+          round((col("n").cast("double") * col("sxy") - col("sx").cast("double") * col("sy"))
+            / sqrt((col("n").cast("double") * col("sxx") - col("sx").cast("double") * col("sx"))
+              * (col("n").cast("double") * col("syy") - col("sy").cast("double") * col("sy"))),
+            6).as("r"))
+      }),
+
+    // ---------------------------------------------------------------- A22 (fixed-width histogram)
+    QueryDef(
+      "q_a22_histogram", "A22 histogram binning",
+      // 25k-wide value bins of order totals with share-of-total — one
+      // hash aggregate on the bin id (floor arithmetic, codegen'd);
+      // the global count rides a 1-row broadcast, not a second scan.
+      Some("""WITH b AS (SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bin,
+             |    count(*) AS n
+             |  FROM orders GROUP BY 1),
+             |t AS (SELECT sum(n) AS total FROM b)
+             |SELECT bin * 25000 AS bin_lo, (bin + 1) * 25000 AS bin_hi, n,
+             |round(CAST(n AS DOUBLE) / total, 6) AS share
+             |FROM b CROSS JOIN t ORDER BY bin_lo""".stripMargin),
+      (s, dir) => {
+        val b = Tables.orders(s, dir)
+          .groupBy(floor(col("o_totalprice") / 25000).cast("long").as("bin"))
+          .agg(count(lit(1)).as("n"))
+        val t = b.agg(sum(col("n")).as("total"))
+        b.crossJoin(broadcast(t))
+          .select((col("bin") * 25000).as("bin_lo"),
+            ((col("bin") + 1) * 25000).as("bin_hi"), col("n"),
+            round(col("n").cast("double") / col("total"), 6).as("share"))
+          .orderBy("bin_lo")
+      }),
+
     // ---------------------------------------------------------------- J14 (Bloom-filter pre-filtered semi-join)
     QueryDef(
       "q_j14_bloom_join", "J14 Bloom-filter semi-join",
