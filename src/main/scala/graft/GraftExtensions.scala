@@ -34,9 +34,20 @@ object GraftExtensions {
   /** (name, info, builder) triples — one place to add future native
     * expressions.
     */
+  private def twoArg(name: String)(f: (Expression, Expression) => Expression)
+      : (String, ExpressionInfo, Seq[Expression] => Expression) =
+    (name,
+      new ExpressionInfo(graft.functions.VectorExprs.getClass.getName, name),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, s"$name expects exactly two arguments")
+        f(children.head, children(1))
+      })
+
   val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(
       oneArg("normalize_salary")(NormalizeSalaryExpr(_)),
+      twoArg("vec_dot")(graft.functions.DotProductExpr(_, _)),
+      twoArg("vec_cosine")(graft.functions.CosineSimilarityExpr(_, _)),
       ("collect_up_to",
         new ExpressionInfo(classOf[graft.functions.CollectUpTo].getName, "collect_up_to"),
         (children: Seq[Expression]) => {

@@ -36,12 +36,17 @@ object Similarity {
   /** Cast float embedding to double once, up front. */
   def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Native codegen'd kernels (functions/VectorExprs): identical
+    * left-to-right accumulation to the `aggregate(zip_with(...))`
+    * higher-order form they replaced — bit-identical scores, ~none of
+    * the per-pair zipped-array allocation and lambda dispatch, which
+    * dominated the |Q|·|C| brute-force path.
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorExprs.dotCol(a, b)
 
-  def l2norm(a: Column): Column = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+  def cosine(a: Column, b: Column): Column = graft.functions.VectorExprs.cosineCol(a, b)
 
   /** Exact cosine top-k: for each row of `queries`, the k nearest
     * corpus rows (self-pairs excluded). Scores are rounded to
