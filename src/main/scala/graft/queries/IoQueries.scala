@@ -585,6 +585,53 @@ object IoQueries {
             count(lit(1)).as("n"),
             countDistinct(col("user_id")).as("n_users"))
           .orderBy("event_type")
+      }),
+
+    // ---------------------------------------------------------------- ST: bounded-state streaming dedup
+    QueryDef(
+      "q_st7_stream_dedup_bounded", "ST dedup (bounded state, watermark-evicted)",
+      // q_st2's dedup keeps per-key state forever — correct, unbounded.
+      // This is the production variant: dropDuplicatesWithinWatermark
+      // evicts a key once the watermark passes it, so state is bounded
+      // by the delay horizon. The doubled delivery here arrives well
+      // inside the horizon, so the closed form is the same exactly-once
+      // batch aggregate.
+      Some("""SELECT event_type, count(*) AS n, count(DISTINCT event_id) AS n_ids,
+             |CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        val name = "q_st7_mem"
+        val watch = CdcStream.ensureStaged(s, dir)
+        val doubled = CdcStream.readEvents(s, watch)
+          .unionByName(CdcStream.readEvents(s, watch))
+        val deduped = CdcStream.runToMemory(
+          s, CdcStream.dedupStreamBounded(doubled), name, mode = "append")
+        deduped.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), countDistinct(col("event_id")).as("n_ids"),
+            dsum(col("value")).as("sum_value"))
+          .orderBy("event_type")
+      }),
+
+    // ---------------------------------------------------------------- ST: exactly-once foreachBatch file sink
+    QueryDef(
+      "q_st8_foreachbatch_sink", "ST foreachBatch idempotent writeback",
+      // stream → per-batch overwrite-own-partition parquet sink (the
+      // idempotent-retry pattern for non-transactional stores), then
+      // the landed table is read back and aggregated: landing must be
+      // complete and exactly-once, so the closed form is the plain
+      // batch aggregate over events.
+      Some("""SELECT event_type, count(*) AS n,
+             |CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        val watch = CdcStream.ensureStaged(s, dir)
+        val sink = CdcStream.runForeachBatchToDir(
+          s, CdcStream.readEvents(s, watch),
+          s"/root/repo/target/tmp/st8_sink/${dir.replaceAll("[^A-Za-z0-9]+", "_")}")
+        s.read.parquet(sink)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .orderBy("event_type")
       })
   )
 }

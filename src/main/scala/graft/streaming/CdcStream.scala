@@ -228,6 +228,41 @@ object CdcStream {
   def dedupStream(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 day").dropDuplicates("event_id")
 
+  /** Bounded-state streaming dedup: `dropDuplicatesWithinWatermark`
+    * EVICTS a key's dedup state once the watermark passes its event
+    * time + delay — the 100 TB shape (plain dropDuplicates keeps every
+    * key forever; over an unbounded CDC feed that state only grows).
+    * The contract weakens accordingly: only redeliveries arriving
+    * within the watermark delay collapse, which is exactly the
+    * at-least-once-source guarantee it exists to absorb.
+    */
+  def dedupStreamBounded(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 days").dropDuplicatesWithinWatermark("event_id")
+
+  /** Exactly-once file sink via foreachBatch: each micro-batch lands as
+    * its own `batch_id=<n>` subdirectory with mode("overwrite"), so a
+    * RETRIED batch (failure between write and commit) overwrites its
+    * own partition instead of duplicating rows — the standard
+    * idempotent-writeback pattern for sinks without transactions.
+    * Returns the sink path; the finished table is the union of the
+    * batch partitions.
+    */
+  def runForeachBatchToDir(spark: SparkSession, events: DataFrame, outDir: String): String = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val out = new org.apache.hadoop.fs.Path(outDir)
+    val fs = out.getFileSystem(conf)
+    if (fs.exists(out)) fs.delete(out, true) // fresh run, stale batches poison the union
+    val q = events.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    outDir
+  }
+
 
   /** Distributed sessionization via the built-in `session_window`
     * aggregation — the PRODUCTION-SCALE path: no per-user in-memory
