@@ -37,7 +37,30 @@ object AsOfJoin {
   def joinAsOfBackward(
       left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, payloadCols: Seq[String],
-      prefix: String = "asof_"): DataFrame = {
+      prefix: String = "asof_"): DataFrame =
+    joinAsOfImpl(left, right, keys, leftTs, rightTs, payloadCols, prefix,
+      forward = false)
+
+  /** Forward (nearest-later) as-of: for each left row, the right row
+    * with the SMALLEST `rightTs >= leftTs` in its key group — "next
+    * state change after this event" (next purchase after a view, next
+    * deploy after a commit). Identical machinery and cost to the
+    * backward form; only the running window's time direction flips
+    * (descending ts, so the running last() always holds the smallest
+    * later right timestamp). Ties (rightTs == leftTs) admit the right
+    * row, mirroring backward.
+    */
+  def joinAsOfForward(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, payloadCols: Seq[String],
+      prefix: String = "asof_"): DataFrame =
+    joinAsOfImpl(left, right, keys, leftTs, rightTs, payloadCols, prefix,
+      forward = true)
+
+  private def joinAsOfImpl(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, payloadCols: Seq[String],
+      prefix: String, forward: Boolean): DataFrame = {
     val leftCols = left.columns
     // one struct carries the right payload through the union; the
     // running last() then needs a single ignoreNulls aggregate
@@ -56,8 +79,9 @@ object AsOfJoin {
     // (Left rows carry a null __p and sort first within their tie
     // group, which is irrelevant: last(ignoreNulls) skips them.)
     // Caveat: payload columns must be orderable types (no maps).
+    val tsOrd = if (forward) col("__ts").desc else col("__ts").asc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts").asc, col("__asof").asc, col("__p").asc_nulls_first)
+      .orderBy(tsOrd, col("__asof").asc, col("__p").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = unioned
       .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))

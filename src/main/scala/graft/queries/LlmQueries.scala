@@ -1294,6 +1294,62 @@ object LlmQueries {
           .filter(col("dist") <= 4)
           .select("name_a", "name_b", "dist", "n_a", "n_b")
           .orderBy("name_a", "name_b")
+      }),
+
+    // ---------------------------------------------------------------- unigram LM log-prob (perplexity-style) scoring
+    QueryDef(
+      "q_l32_lm_score", "LLM-lm-score",
+      // perplexity-style filtering with a self-trained add-one
+      // unigram LM: per-doc mean token log-prob, then per-source
+      // averages and a low-scorer count. Per-(doc, term)
+      // contributions tf·ln((c+1)/(T+V)) come from exact integer
+      // counts, are rounded to 9dp and summed as DECIMAL — the
+      // per-doc sum is order-independent, so both engines agree
+      // exactly (a raw double sum over tokens would be reduction-
+      // order luck). At scale: two term-keyed aggregates + one
+      // broadcast join; the LM itself is |vocab| rows.
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+             |  FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+             |c AS (SELECT term, sum(tf) AS c FROM tf GROUP BY 1),
+             |tot AS (SELECT sum(c) AS t, count(*) AS v FROM c),
+             |per AS (SELECT tf.doc_id,
+             |    CAST(sum(CAST(round(tf.tf * ln((c.c + 1.0) / (tot.t + tot.v)), 9)
+             |                  AS DECIMAL(28,9))) AS DOUBLE) AS logp_sum,
+             |    sum(tf.tf) AS n_tokens
+             |  FROM tf JOIN c ON tf.term = c.term CROSS JOIN tot
+             |  GROUP BY tf.doc_id),
+             |scored AS (SELECT d.source,
+             |    round(p.logp_sum / p.n_tokens, 6) AS score
+             |  FROM per p JOIN documents d ON d.doc_id = p.doc_id)
+             |SELECT source, count(*) AS n_docs,
+             |round(CAST(sum(CAST(score AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+             |  AS avg_logprob,
+             |CAST(sum(CASE WHEN score < -3.45 THEN 1 ELSE 0 END) AS BIGINT) AS n_low
+             |FROM scored GROUP BY source ORDER BY source""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val tf = Retrieval.termFreqs(docs, "doc_id", "text")
+        val c = tf.groupBy("term").agg(sum(col("tf")).as("c"))
+        val tot = c.agg(sum(col("c")).as("t"), count(lit(1)).as("v"))
+        val contrib = col("tf") *
+          log((col("c") + lit(1.0)) / (col("t") + col("v")))
+        val per = tf
+          .join(broadcast(c), "term")
+          .crossJoin(broadcast(tot))
+          .groupBy("doc_id")
+          .agg(sum(round(contrib, 9).cast(DecimalType(28, 9))).cast("double")
+            .as("logp_sum"),
+            sum(col("tf")).as("n_tokens"))
+        per
+          .withColumn("score", round(col("logp_sum") / col("n_tokens"), 6))
+          .join(docs.select("doc_id", "source"), "doc_id")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            round(sum(col("score").cast(DecimalType(18, 6))).cast("double")
+              / count(lit(1)), 6).as("avg_logprob"),
+            sum(when(col("score") < -3.45, 1L).otherwise(0L)).as("n_low"))
+          .orderBy("source")
       })
   )
 }

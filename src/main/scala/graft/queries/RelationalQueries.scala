@@ -481,6 +481,35 @@ object RelationalQueries {
           .orderBy("day")
       }),
 
+    // ---------------------------------------------------------------- W4c (forward as-of join)
+    QueryDef(
+      "q_w4c_asof_forward", "W4 as-of join (forward / nearest-later)",
+      // time-reversed twin of q_w4: each view looks up the user's NEXT
+      // purchase at-or-after it ("did this impression convert, and how
+      // fast") — the attribution direction. Same one-shuffle running
+      // window, descending in time; DuckDB's ASOF with the inequality
+      // flipped is the oracle.
+      Some("""WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+             |v AS (SELECT user_id, ts FROM events WHERE event_type = 'view')
+             |SELECT strftime(date_trunc('day', v.ts), '%Y-%m-%d') AS day,
+             |count(*) AS n_views, count(p.ts) AS n_converted,
+             |round(avg(epoch_us(p.ts) - epoch_us(v.ts)) / 1e6, 6) AS avg_gap_sec
+             |FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND p.ts >= v.ts
+             |GROUP BY 1 ORDER BY day""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val p = ev.filter(col("event_type") === "purchase").select("user_id", "ts")
+        val v = ev.filter(col("event_type") === "view").select("user_id", "ts")
+        graft.operators.AsOfJoin.joinAsOfForward(
+            v, p, Seq("user_id"), "ts", "ts", Seq("ts"))
+          .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+          .agg(count(lit(1)).as("n_views"),
+            count(col("asof_ts")).as("n_converted"),
+            round(avg(unix_micros(col("asof_ts")) - unix_micros(col("ts"))) / 1e6, 6)
+              .as("avg_gap_sec"))
+          .orderBy("day")
+      }),
+
     // ---------------------------------------------------------------- P9 (unpivot / melt)
     QueryDef(
       "q_p9_unpivot", "P1 (wide→long reshape)",

@@ -33,6 +33,31 @@ class AsOfJoinSpec extends AnyFunSuite {
       "p4" -> null), out.toString)
   }
 
+  test("forward as-of picks the smallest right ts at-or-after each left row") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, t("2024-01-01 10:00:00"), "v1"), // next purchase 10:30
+      (1L, t("2024-01-01 10:30:00"), "v2"), // tie at 10:30 (inclusive)
+      (1L, t("2024-01-01 11:30:00"), "v3"), // nothing later → null
+      (2L, t("2024-01-01 08:00:00"), "v4")) // key absent on right → null
+      .toDF("user_id", "ts", "tag")
+    val right = Seq(
+      (1L, t("2024-01-01 09:00:00")), // before every left row; never matched
+      (1L, t("2024-01-01 10:30:00")),
+      (1L, t("2024-01-01 11:00:00")))
+      .toDF("user_id", "ts")
+    val out = AsOfJoin.joinAsOfForward(left, right, Seq("user_id"), "ts", "ts", Seq("ts"))
+      .select("tag", "asof_ts").collect()
+      .map(r => r.getString(0) -> Option(r.getTimestamp(1)).map(_.toString).orNull)
+      .toMap
+    assert(out == Map(
+      "v1" -> "2024-01-01 10:30:00.0",
+      "v2" -> "2024-01-01 10:30:00.0",
+      "v3" -> null,
+      "v4" -> null), out.toString)
+  }
+
   test("point-in-time join honors validity intervals, expiry gaps, and open ends") {
     import spark.implicits._
     def t(s: String) = java.sql.Timestamp.valueOf(s)
