@@ -1350,6 +1350,50 @@ object LlmQueries {
               / count(lit(1)), 6).as("avg_logprob"),
             sum(when(col("score") < -3.45, 1L).otherwise(0L)).as("n_low"))
           .orderBy("source")
-      })
+      }),
+
+    // ---------------------------------------------------------------- int8 vector quantization
+    QueryDef(
+      "q_l33_vec_quantize", "LLM-vec-quantize",
+      // symmetric int8 quantization (per-vector scale = max|x|/127) —
+      // the storage-compression step every large ANN index runs before
+      // the data ever reaches a search structure. q_sum pins every
+      // quantized component exactly; mse pins the reconstruction
+      // (in-order dot of the residual, identical accumulation on both
+      // engines). round() is half-away-from-zero in both. Output
+      // limited to 100 vectors; the math is per-row and shuffle-free.
+      Some("""WITH v AS (SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+             |  FROM embeddings WHERE vec_id < 100),
+             |s AS (SELECT vec_id, e,
+             |    list_aggregate(list_transform(e, x -> abs(x)), 'max') / 127.0 AS scale
+             |  FROM v),
+             |q AS (SELECT vec_id, e, scale,
+             |    list_transform(e, x -> CAST(round(x / scale) AS BIGINT)) AS qv
+             |  FROM s),
+             |d AS (SELECT vec_id, scale, qv,
+             |    list_transform(list_zip(e, list_transform(qv, y -> y * scale)),
+             |                   p -> p[1] - p[2]) AS diff
+             |  FROM q)
+             |SELECT vec_id, round(scale, 6) AS scale,
+             |CAST(list_sum(qv) AS BIGINT) AS q_sum,
+             |round(list_inner_product(diff, diff) / 64, 9) AS mse
+             |FROM d ORDER BY vec_id""".stripMargin),
+      (s, dir) =>
+        Tables.embeddings(s, dir)
+          .filter(col("vec_id") < 100)
+          .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("e"))
+          .withColumn("scale",
+            aggregate(col("e"), lit(0.0), (acc, x) => greatest(acc, abs(x))) / 127.0)
+          .withColumn("qv",
+            transform(col("e"), x => round(x / col("scale")).cast("long")))
+          .withColumn("diff",
+            zip_with(col("e"), transform(col("qv"), y => y * col("scale")),
+              (a, b) => a - b))
+          .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+            aggregate(col("qv"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+            round(graft.functions.VectorExprs.dotCol(col("diff"), col("diff")) / 64, 9)
+              .as("mse"))
+          .orderBy("vec_id"))
   )
 }

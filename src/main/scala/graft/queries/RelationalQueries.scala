@@ -1224,6 +1224,104 @@ object RelationalQueries {
           .orderBy("bin_lo")
       }),
 
+    // ---------------------------------------------------------------- A23 (explicit GROUPING SETS + grouping_id)
+    QueryDef(
+      "q_a23_grouping_sets", "A12 explicit GROUPING SETS",
+      // the non-hierarchical lattice rollup/cube can't express: per
+      // priority OR per status, but NOT the cross — still one Expand.
+      // grouping() disambiguates a real NULL from a subtotal slot
+      // (here 'ALL'), the canonical companion function.
+      Some("""SELECT CASE WHEN grouping(o_orderpriority) = 1 THEN 'ALL'
+             |       ELSE o_orderpriority END AS priority,
+             |CASE WHEN grouping(o_orderstatus) = 1 THEN 'ALL'
+             |       ELSE o_orderstatus END AS status,
+             |count(*) AS n,
+             |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             |FROM orders GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+             |ORDER BY priority, status""".stripMargin),
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .groupingSets(
+            Seq(Seq(col("o_orderpriority")), Seq(col("o_orderstatus"))),
+            col("o_orderpriority"), col("o_orderstatus"))
+          // grouping() is only resolvable inside the aggregation itself
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"),
+            grouping(col("o_orderpriority")).as("gp"),
+            grouping(col("o_orderstatus")).as("gs"))
+          .select(
+            when(col("gp") === 1, lit("ALL"))
+              .otherwise(col("o_orderpriority")).as("priority"),
+            when(col("gs") === 1, lit("ALL"))
+              .otherwise(col("o_orderstatus")).as("status"),
+            col("n"), col("sum_price"))
+          .orderBy("priority", "status")),
+
+    // ---------------------------------------------------------------- W7 (first_value / nth_value)
+    QueryDef(
+      "q_w7_nth_value", "W2 positional window values",
+      // per priority: the highest and 3rd-highest order totals and the
+      // earliest order's total — first_value/nth_value over an
+      // explicit full-partition frame (the default frame stops at
+      // CURRENT ROW and silently yields running values; both engines
+      // agree only when the frame is spelled out).
+      Some("""WITH w AS (SELECT o_orderpriority, o_totalprice,
+             |  first_value(o_totalprice) OVER (PARTITION BY o_orderpriority
+             |    ORDER BY o_totalprice DESC, o_orderkey
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS top1,
+             |  nth_value(o_totalprice, 3) OVER (PARTITION BY o_orderpriority
+             |    ORDER BY o_totalprice DESC, o_orderkey
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS top3,
+             |  first_value(o_totalprice) OVER (PARTITION BY o_orderpriority
+             |    ORDER BY o_orderdate, o_orderkey
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS earliest
+             |  FROM orders)
+             |SELECT o_orderpriority, max(top1) AS top1, max(top3) AS top3,
+             |max(earliest) AS earliest
+             |FROM w GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) => {
+        val full = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val byDate = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.orders(s, dir)
+          .withColumn("top1", first(col("o_totalprice")).over(full))
+          .withColumn("top3", nth_value(col("o_totalprice"), 3).over(full))
+          .withColumn("earliest", first(col("o_totalprice")).over(byDate))
+          .groupBy("o_orderpriority")
+          .agg(max(col("top1")).as("top1"), max(col("top3")).as("top3"),
+            max(col("earliest")).as("earliest"))
+          .orderBy("o_orderpriority")
+      }),
+
+    // ---------------------------------------------------------------- J15 (banded non-equi broadcast join)
+    QueryDef(
+      "q_j15_band_join", "J15 band (range-condition) join",
+      // classify every lineitem into a quantity band by joining a tiny
+      // band DIMENSION on lo <= qty < hi — the non-equi lookup shape
+      // (rate tables, SLA tiers, bucket boundaries). The band table
+      // broadcasts, so the fact is never shuffled for the join; a
+      // range condition against a non-broadcast side would be the
+      // quadratic trap.
+      Some("""WITH bands(band, lo, hi) AS (VALUES
+             |  ('low', 0, 10), ('mid', 10, 40), ('high', 40, 100))
+             |SELECT band, count(*) AS n,
+             |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             |FROM lineitem JOIN bands ON l_quantity >= lo AND l_quantity < hi
+             |GROUP BY band ORDER BY band""".stripMargin),
+      (s, dir) => {
+        val bands = s.createDataFrame(Seq(
+          ("low", 0, 10), ("mid", 10, 40), ("high", 40, 100)))
+          .toDF("band", "lo", "hi")
+        Tables.lineitem(s, dir).select("l_quantity", "l_extendedprice")
+          .join(broadcast(bands),
+            col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+          .groupBy("band")
+          .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+          .orderBy("band")
+      }),
+
     // ---------------------------------------------------------------- J14 (Bloom-filter pre-filtered semi-join)
     QueryDef(
       "q_j14_bloom_join", "J14 Bloom-filter semi-join",

@@ -198,6 +198,36 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"sketch estimate join did not broadcast:\n$p")
   }
 
+  test("sessionize plans ONE exchange and ONE sort (lag + running sum fused)") {
+    val sess = graft.operators.Sessionize.sessionize(
+      Tables.events(spark, sf).select("user_id", "ts", "event_id"),
+      Seq("user_id"), "ts", gapSec = 1800, tiebreak = Seq(col("event_id")))
+    val p = plan(sess)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected one key exchange:\n$p")
+    assert("\\bSort\\b".r.findAllIn(p).size == 1,
+      s"lag and running sum should share one sort:\n$p")
+  }
+
+  test("bloom semi-join broadcasts both the bitmap and the exact side — fact never shuffles") {
+    val p = queryPlan("q_j14_bloom_join")
+    assert(p.contains("BroadcastHashJoin"), s"exact semi-join did not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"fact side fell into a shuffle join:\n$p")
+  }
+
+  test("band join broadcasts the band dimension (non-equi lookup, no shuffle)") {
+    val p = queryPlan("q_j15_band_join")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"range-condition join must broadcast the tiny band table:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("pivot is one hash aggregate pass — no Expand, one scan (q_a13)") {
+    val p = queryPlan("q_a13_pivot")
+    assert("Scan parquet".r.findAllIn(p).size == 1, s"pivot re-scanned the source:\n$p")
+    assert(!p.contains("Expand"), s"pivot should not expand rows:\n$p")
+  }
+
   test("no accidental cartesian products in the relational/dwh families") {
     val intentionallyTiny = Set( // 1-row aggregate cross joins by design
       "q_d8_dimdate_fill", "q_d7_location_append", "q_d12_cleanup_dups",
