@@ -198,6 +198,17 @@ object Multimodal {
     * decode failures must be visible, not zero-filled.
     */
   private[llm] def decodePngPixelsImpl(bytes: Array[Byte])
+      : Option[(Int, Int, Long, Long)] =
+    walkPng(bytes, (_, _, _, _, _) => ())
+
+  /** Core PNG walk shared by the decode variants: validates, inflates,
+    * de-filters, and hands every reconstructed scanline to `onRow(y, w,
+    * h, bpp, row)` before moving on — row-streaming, so a consumer
+    * never holds more than one scanline.
+    */
+  private def walkPng(
+      bytes: Array[Byte],
+      onRow: (Int, Int, Int, Int, Array[Int]) => Unit)
       : Option[(Int, Int, Long, Long)] = {
     if (bytes == null || bytes.length < 8 + 25) return None
     var i = 0
@@ -270,12 +281,51 @@ object Multimodal {
         sum += (v & 0xFF)
         x += 1
       }
+      onRow(y, w, h, bpp, cur)
       System.arraycopy(cur, 0, prev, 0, stride)
       y += 1
     }
     Some((w, h, h.toLong * stride, sum))
   }
   private val decodePngPixelsUdf = udf(decodePngPixelsImpl _)
+
+  /** Nearest-neighbor thumbnail sum of a GRAYSCALE 8-bit PNG: the
+    * decoded image is resampled onto a tw×th grid (source pixel
+    * (⌊ty·h/th⌋, ⌊tx·w/tw⌋) per cell — repeats when the image is
+    * smaller than the grid, the standard NN behavior) and the sampled
+    * values are summed. Runs inside the same single-scanline walk as
+    * the full decode — resizing never materializes the image. None for
+    * non-gray or undecodable payloads (a thumbnail of something that
+    * didn't decode must be visible, not zero).
+    */
+  private[llm] def decodePngThumbImpl(bytes: Array[Byte], tw: Int, th: Int)
+      : Option[Long] = {
+    var thumb = 0L
+    var gray = true
+    val res = walkPng(bytes, (y, w, h, bpp, cur) => {
+      if (bpp != 1) gray = false
+      else {
+        var ty = 0
+        while (ty < th) {
+          if (ty.toLong * h / th == y) {
+            var tx = 0
+            while (tx < tw) {
+              thumb += cur((tx.toLong * w / tw).toInt)
+              tx += 1
+            }
+          }
+          ty += 1
+        }
+      }
+    })
+    if (res.isEmpty || !gray) None else Some(thumb)
+  }
+  private val decodePngThumbUdf =
+    udf((b: Array[Byte], tw: Int, th: Int) => decodePngThumbImpl(b, tw, th))
+
+  /** Thumbnail-sum column (null = not a decodable grayscale PNG). */
+  def decodePngThumbSum(payload: Column, tw: Int, th: Int): Column =
+    decodePngThumbUdf(payload, lit(tw), lit(th)).cast("bigint")
 
   /** Pixel-decode column: struct(width, height, n_pixel_bytes,
     * pixel_sum) or null for non-decodable payloads.

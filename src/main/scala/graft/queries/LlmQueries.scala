@@ -697,6 +697,37 @@ object LlmQueries {
           .orderBy("source")
       }),
 
+    // ---------------------------------------------------------------- multimodal thumbnail (nearest-neighbor resize)
+    QueryDef(
+      "q_m4_thumbnail", "LLM-multimodal-resize",
+      // 8×8 nearest-neighbor thumbnails of the q_m3 fixture PNGs,
+      // resampled DURING the single-scanline decode walk (the image is
+      // never materialized). Row y of doc a holds constant (a+y)%256,
+      // so the thumbnail's closed form is 8·Σ_ty (a+⌊ty·h/8⌋)%256 —
+      // only matched if decode, de-filter, AND the NN sampling grid
+      // are all exact.
+      Some("""WITH d AS (SELECT source, doc_id,
+             |  doc_id % 64 + 1 AS w, doc_id % 48 + 1 AS h, doc_id % 256 AS a
+             |  FROM documents),
+             |t AS (SELECT source, doc_id,
+             |  (SELECT sum((a + (ty * h) // 8) % 256) * 8
+             |   FROM (SELECT unnest(generate_series(0, 7)) AS ty)) AS thumb
+             |  FROM d)
+             |SELECT source, count(*) AS n,
+             |CAST(sum(thumb) AS BIGINT) AS thumb_sum
+             |FROM t GROUP BY source ORDER BY source""".stripMargin),
+      (s, dir) => {
+        val w = (col("doc_id") % 64 + 1).cast("int")
+        val h = (col("doc_id") % 48 + 1).cast("int")
+        val payload = Multimodal.pngPixelPayload(col("doc_id"), w, h)
+        Tables.documents(s, dir)
+          .select(col("source"),
+            Multimodal.decodePngThumbSum(payload, 8, 8).as("thumb"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n"), sum(col("thumb")).as("thumb_sum"))
+          .orderBy("source")
+      }),
+
     // ---------------------------------------------------------------- deterministic split assignment
     QueryDef(
       "q_l16_split_assign", "LLM-corpus-split",

@@ -73,6 +73,18 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("thumbnail resample matches the closed form and per-pixel NN sampling") {
+    // rows hold (seed+y)%256, so an 8×8 NN thumb sums 8·Σ_ty (seed+⌊ty·h/8⌋)%256;
+    // w/h both below and above the 8-grid exercise repeat and skip sampling
+    for (seed <- Seq(0L, 7L, 250L); w <- Seq(3, 8, 64); h <- Seq(2, 8, 48)) {
+      val got = Multimodal.decodePngThumbImpl(Multimodal.pngGrayImpl(seed, w, h), 8, 8)
+      val expect = 8L * (0 until 8).map(ty => (seed + ty.toLong * h / 8) % 256).sum
+      assert(got.contains(expect), s"seed=$seed w=$w h=$h got=$got expect=$expect")
+    }
+    // undecodable → None, not zero
+    assert(Multimodal.decodePngThumbImpl("junk".getBytes, 8, 8).isEmpty)
+  }
+
   test("pixel decode nulls out corrupt, truncated, and foreign payloads") {
     val good = Multimodal.pngGrayImpl(42L, 8, 8)
     // flip one IDAT byte: CRC check must reject it
