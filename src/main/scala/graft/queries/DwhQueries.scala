@@ -824,6 +824,63 @@ object DwhQueries {
         Validator.profile(
             Tables.customer(s, dir)
               .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment"))
-          .orderBy("column"))
+          .orderBy("column")),
+
+    // ---------------------------------------------------------------- D16 (key-skew profile — the salting decision input)
+    QueryDef(
+      "q_d16_key_skew_profile", "D16 join-key skew profiler",
+      // the one-row diagnostic that decides whether a join key needs
+      // salting (Skew.saltedJoin / joinAsOfBackwardSalted): per-key
+      // counts, then max/avg/share-of-top-key. One shuffle on the key;
+      // the moments ride a single 1-row aggregate.
+      Some("""WITH k AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1)
+             |SELECT count(*) AS n_keys,
+             |CAST(max(n) AS BIGINT) AS max_n,
+             |round(CAST(sum(n) AS DOUBLE) / count(*), 6) AS avg_n,
+             |round(CAST(max(n) AS DOUBLE) / (CAST(sum(n) AS DOUBLE) / count(*)), 6)
+             |  AS skew_ratio,
+             |round(CAST(max(n) AS DOUBLE) / sum(n), 6) AS top_share
+             |FROM k""".stripMargin),
+      (s, dir) => {
+        val k = Tables.orders(s, dir).groupBy("o_custkey").agg(count(lit(1)).as("n"))
+        k.agg(
+          count(lit(1)).as("n_keys"),
+          max(col("n")).as("max_n"),
+          round(sum(col("n")).cast("double") / count(lit(1)), 6).as("avg_n"),
+          round(max(col("n")).cast("double")
+            / (sum(col("n")).cast("double") / count(lit(1))), 6).as("skew_ratio"),
+          round(max(col("n")).cast("double") / sum(col("n")), 6).as("top_share"))
+      }),
+
+    // ---------------------------------------------------------------- D17 (incremental aggregate maintenance)
+    QueryDef(
+      "q_d17_partial_agg_merge", "D17 partial-aggregate merge (incremental view maintenance)",
+      // the never-rescan-history shape for maintained aggregates: the
+      // standing state (months before 1997, in production a stored
+      // table) and the new batch are PARTIAL aggregates — (count, exact
+      // cents sum) per month — and the refresh merges the partials by
+      // key instead of re-aggregating raw history. Correct because
+      // count/sum are commutative monoids; the oracle is the full
+      // recompute the merge must equal.
+      Some("""SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n,
+             |CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS DECIMAL(18,0))
+             |  / 100 AS DOUBLE) AS sum_price
+             |FROM orders GROUP BY 1 ORDER BY month""".stripMargin),
+      (s, dir) => {
+        def partial(df: org.apache.spark.sql.DataFrame) = df
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+          .agg(count(lit(1)).as("n"),
+            (sum(col("o_totalprice").cast(DecimalType(18, 2)) * 100)).cast("long")
+              .as("cents"))
+        val o = Tables.orders(s, dir)
+        val state = partial(o.filter(col("o_orderdate") < lit("1997-01-01")))
+        val batch = partial(o.filter(col("o_orderdate") >= lit("1997-01-01")))
+        state.unionByName(batch)
+          .groupBy("month")
+          .agg(sum(col("n")).as("n"),
+            (sum(col("cents")).cast(DecimalType(18, 0)) / 100).cast("double")
+              .as("sum_price"))
+          .orderBy("month")
+      })
   )
 }

@@ -400,6 +400,66 @@ object IoQueries {
           .orderBy(col("job_id").cast("long"))
       }),
 
+    // ---------------------------------------------------------------- S19 (ORC sink/source roundtrip)
+    QueryDef(
+      "q_s19_orc_roundtrip", "S4 S3 (columnar interchange: ORC)",
+      // the same bulk-load/export contract as the parquet family, over
+      // the other mainstream columnar format: write ORC, read it back,
+      // and the aggregate must equal the original table's (lossless
+      // types, including the timestamp column carried through). Scan
+      // pushdown applies to the re-read just like parquet.
+      Some("""SELECT l_returnflag, count(*) AS n,
+             |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             |FROM lineitem WHERE l_quantity > 25
+             |GROUP BY 1 ORDER BY l_returnflag""".stripMargin),
+      (s, dir) => {
+        val tmp = s"$TmpBase/q_s19_orc"
+        Tables.lineitem(s, dir)
+          .select("l_returnflag", "l_quantity", "l_extendedprice")
+          .write.mode("overwrite").orc(tmp)
+        s.read.orc(tmp)
+          .filter(col("l_quantity") > 25)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+          .orderBy("l_returnflag")
+      }),
+
+    // ---------------------------------------------------------------- S20 (CSV ingest with malformed-row quarantine)
+    QueryDef(
+      "q_s20_csv_malformed", "S1 S2 (delimited ingest, PERMISSIVE quarantine)",
+      // real-world delimited ingestion: every 53rd event's value field
+      // is garbage in the landed CSV. PERMISSIVE mode parses what it
+      // can and routes each broken line into the corrupt-record
+      // column instead of failing the load — the quarantine-don't-
+      // crash contract; the good rows' checksum must be untouched.
+      // Double values round-trip exactly (Java toString → parse).
+      Some("""SELECT count(*) AS n_total,
+             |CAST(sum(CASE WHEN event_id % 53 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |  AS n_quarantined,
+             |CAST(sum(CASE WHEN event_id % 53 <> 0
+             |  THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_good
+             |FROM events""".stripMargin),
+      (s, dir) => {
+        val tmp = s"$TmpBase/q_s20_csv"
+        Tables.events(s, dir)
+          .select(concat_ws(",",
+            col("event_id"), col("user_id"), col("event_type"),
+            when(col("event_id") % 53 === 0, lit("garbage"))
+              .otherwise(col("value").cast("string"))).as("value"))
+          .write.mode("overwrite").text(tmp)
+        val schema = "event_id LONG, user_id LONG, event_type STRING, " +
+          "value DOUBLE, _bad STRING"
+        val parsed = s.read
+          .schema(schema)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_bad")
+          .csv(tmp)
+        parsed.agg(
+          count(lit(1)).as("n_total"),
+          sum(when(col("_bad").isNotNull, 1L).otherwise(0L)).as("n_quarantined"),
+          dsum(when(col("_bad").isNull, col("value"))).as("sum_good"))
+      }),
+
     // ---------------------------------------------------------------- Structured Streaming windowed agg
     QueryDef(
       "q_st1_stream_window_agg", "ST1 P2",
