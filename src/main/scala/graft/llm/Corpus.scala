@@ -102,8 +102,13 @@ object Corpus {
     val w = Window.partitionBy(col("__pid")).orderBy(col("__mid"))
     arranged.join(broadcast(offsets), Seq("__pid"))
       .withColumn("__run", coalesce(sum(col("n_tokens")).over(w) - col("n_tokens"), lit(0L)))
+      // token_start = the doc's global exclusive token offset — kept in
+      // the output because the packing BOUNDARY MAP (where each doc
+      // begins inside its shard/context window) is what a training
+      // loader actually consumes (q_l35)
+      .withColumn("token_start", col("__off") + col("__run"))
       .withColumn("shard_id",
-        floor((col("__off") + col("__run")) / lit(tokensPerShard.toDouble)))
+        floor(col("token_start") / lit(tokensPerShard.toDouble)))
       .drop("__pid", "__mid", "__off", "__run", "__ord")
   }
 

@@ -779,6 +779,41 @@ object LlmQueries {
             sum(col("doc_id")).cast("long").as("id_sum"))
           .orderBy("shard_id")),
 
+    // ---------------------------------------------------------------- context-window boundary map
+    QueryDef(
+      "q_l35_pack_boundaries", "LLM-corpus-boundaries",
+      // the per-document boundary map inside packed context windows:
+      // (shard, doc, start offset within the shard, length) — what a
+      // training loader needs to mask attention across document
+      // boundaries. Same global md5-order prefix sum as q_l17, with
+      // the offsets exposed instead of aggregated away; docs may
+      // overhang their shard's budget (overflow policy belongs to the
+      // consumer). First five shards only, to keep the gate output
+      // small — the offsets are global either way.
+      Some("""WITH t AS (SELECT doc_id,
+             |  CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+             |       ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+             |  md5(CAST(doc_id AS VARCHAR)) AS ord
+             |  FROM documents),
+             |c AS (SELECT doc_id, n_tokens,
+             |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY ord, doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             |    AS token_start
+             |  FROM t)
+             |SELECT CAST(floor(token_start / 2048.0) AS BIGINT) AS shard_id, doc_id,
+             |token_start - CAST(floor(token_start / 2048.0) AS BIGINT) * 2048
+             |  AS start_in_shard,
+             |CAST(n_tokens AS BIGINT) AS n_tokens
+             |FROM c WHERE floor(token_start / 2048.0) < 5
+             |ORDER BY shard_id, start_in_shard, doc_id""".stripMargin),
+      (s, dir) =>
+        Corpus.packShards(Tables.documents(s, dir), "doc_id", "text", 2048L)
+          .filter(col("shard_id") < 5)
+          .select(col("shard_id"), col("doc_id"),
+            (col("token_start") - col("shard_id") * 2048L).as("start_in_shard"),
+            col("n_tokens"))
+          .orderBy("shard_id", "start_in_shard", "doc_id")),
+
     // ---------------------------------------------------------------- PII redaction
     QueryDef(
       "q_l18_pii_redact", "LLM-corpus-pii",

@@ -1322,6 +1322,65 @@ object RelationalQueries {
           .orderBy("band")
       }),
 
+    // ---------------------------------------------------------------- A24 (per-group mode / arg-max)
+    QueryDef(
+      "q_a24_mode", "A24 grouped mode (arg-max)",
+      // dominant order priority per month — the arg-max-by-count
+      // pattern (built-in mode() functions have engine-specific tie
+      // rules, so both sides rank explicitly: count desc, then value).
+      // Two shuffles: the (month, value) count, then the month window.
+      Some("""WITH c AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             |    o_orderpriority AS priority, count(*) AS n
+             |  FROM orders GROUP BY 1, 2),
+             |r AS (SELECT month, priority, n,
+             |    row_number() OVER (PARTITION BY month ORDER BY n DESC, priority) AS rk
+             |  FROM c)
+             |SELECT month, priority AS mode_priority, n
+             |FROM r WHERE rk = 1 ORDER BY month""".stripMargin),
+      (s, dir) => {
+        val c = Tables.orders(s, dir)
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+            col("o_orderpriority").as("priority"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("month").orderBy(col("n").desc, col("priority"))
+        c.withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("month"), col("priority").as("mode_priority"), col("n"))
+          .orderBy("month")
+      }),
+
+    // ---------------------------------------------------------------- A25 (rolling distinct count)
+    QueryDef(
+      "q_a25_rolling_distinct", "A25 rolling distinct (7-day active users)",
+      // trailing-7-day distinct users per day — COUNT(DISTINCT) over a
+      // moving frame, which no window engine supports directly. The
+      // scale shape: collapse to distinct (user, day) FIRST, then
+      // explode each user-day over the ≤7 spine days it covers and
+      // count distinct per day — a bounded ×7 equi-join fan-out
+      // instead of a range join (quadratic per key) or a per-day
+      // re-scan. The oracle is the range-join formulation: different
+      // algorithm, same answer.
+      Some("""WITH ud AS (SELECT DISTINCT user_id,
+             |    CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
+             |days AS (SELECT DISTINCT day FROM ud)
+             |SELECT strftime(d.day, '%Y-%m-%d') AS day,
+             |count(DISTINCT u.user_id) AS n_users
+             |FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+             |GROUP BY d.day ORDER BY day""".stripMargin),
+      (s, dir) => {
+        val ud = Tables.events(s, dir)
+          .select(col("user_id"), date_trunc("day", col("ts")).cast("date").as("day"))
+          .distinct()
+        val days = ud.select(col("day").as("sday")).distinct()
+        ud.select(col("user_id"),
+            explode(sequence(col("day"), date_add(col("day"), 6))).as("sday"))
+          .join(days, Seq("sday")) // only days that exist in the data
+          .groupBy("sday")
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .select(date_format(col("sday"), "yyyy-MM-dd").as("day"), col("n_users"))
+          .orderBy("day")
+      }),
+
     // ---------------------------------------------------------------- J14 (Bloom-filter pre-filtered semi-join)
     QueryDef(
       "q_j14_bloom_join", "J14 Bloom-filter semi-join",
