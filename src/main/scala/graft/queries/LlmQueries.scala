@@ -1418,6 +1418,56 @@ object LlmQueries {
           .orderBy("source")
       }),
 
+    // ---------------------------------------------------------------- temperature-weighted source mixing
+    QueryDef(
+      "q_l34_temperature_mix", "LLM-corpus-mixing (temperature)",
+      // α=0.5 temperature sampling: a source's share of the output
+      // corpus ∝ n^α (flattens the source distribution — the standard
+      // rebalance between head and tail sources), targeting half the
+      // corpus. Per-source acceptance rate = (√n/S)·(N/2)/n; a doc is
+      // kept when its md5 id-fraction falls under its source's rate —
+      // so membership is a pure function of the corpus (growth-stable,
+      // shuffle-free beyond the two tiny source aggregates). √n
+      // contributions are rounded+DECIMAL-summed into S so the
+      // 20-source reduction order cannot leak. id_sum pins every
+      // individual keep decision.
+      Some("""WITH c AS (SELECT source, count(*) AS n_s FROM documents GROUP BY 1),
+             |tot AS (SELECT
+             |    CAST(sum(CAST(round(sqrt(n_s), 9) AS DECIMAL(28,9))) AS DOUBLE) AS s,
+             |    sum(n_s) AS n FROM c),
+             |r AS (SELECT source, n_s,
+             |    least(1.0, (sqrt(n_s) / tot.s) * (0.5 * tot.n) / n_s) AS rate
+             |  FROM c CROSS JOIN tot),
+             |d AS (SELECT doc_id, documents.source, r.rate,
+             |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+             |      / 4294967296.0 AS frac
+             |  FROM documents JOIN r ON documents.source = r.source)
+             |SELECT source, count(*) AS n_docs,
+             |CAST(sum(CASE WHEN frac < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+             |round(max(rate), 6) AS rate,
+             |CAST(sum(CASE WHEN frac < rate THEN doc_id END) AS BIGINT) AS id_sum
+             |FROM d GROUP BY source ORDER BY source""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val c = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
+        val tot = c.agg(
+          sum(round(sqrt(col("n_s")), 9).cast(DecimalType(28, 9))).cast("double").as("s"),
+          sum(col("n_s")).as("n"))
+        val rates = c.crossJoin(broadcast(tot))
+          .withColumn("rate",
+            least(lit(1.0), (sqrt(col("n_s")) / col("s")) * (lit(0.5) * col("n"))
+              / col("n_s")))
+          .select("source", "rate")
+        val keep = Corpus.hashFraction(col("doc_id")) < col("rate")
+        docs.join(broadcast(rates), "source")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(keep, 1L).otherwise(0L)).as("n_sampled"),
+            round(max(col("rate")), 6).as("rate"),
+            sum(when(keep, col("doc_id"))).as("id_sum"))
+          .orderBy("source")
+      }),
+
     // ---------------------------------------------------------------- int8 vector quantization
     QueryDef(
       "q_l33_vec_quantize", "LLM-vec-quantize",

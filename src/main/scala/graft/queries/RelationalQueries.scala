@@ -1381,6 +1381,101 @@ object RelationalQueries {
           .orderBy("day")
       }),
 
+    // ---------------------------------------------------------------- J16 (interval overlap join, grid-blocked)
+    QueryDef(
+      "q_j16_interval_overlap", "J16 interval overlap join",
+      // which purchase windows (2 h after purchase) overlap signup
+      // promo windows (3 h after signup) for the same user — a true
+      // interval×interval OVERLAP join, not the point-in-interval
+      // q_j12 case. Scale shape: explode each interval over the ≤4
+      // hour-grid cells it covers and equi-join on (user, cell) —
+      // candidate pairs are per-cell local, never the per-user
+      // quadratic range join. Cell arithmetic runs in exact
+      // MICROseconds of the exclusive end (a second-truncated grid
+      // can miss a sub-second overlap tail). Multi-cell matches
+      // dedupe on the pair key. The oracle is the direct range join.
+      Some("""WITH a AS (SELECT user_id, event_id AS a_id, ts AS a_start,
+             |    ts + INTERVAL 2 HOUR AS a_end FROM events WHERE event_type = 'purchase'),
+             |b AS (SELECT user_id, event_id AS b_id, ts AS b_start,
+             |    ts + INTERVAL 3 HOUR AS b_end FROM events WHERE event_type = 'signup'),
+             |p AS (SELECT a.a_id, b.b_id, a.a_start
+             |  FROM a JOIN b ON a.user_id = b.user_id
+             |    AND a.a_start < b.b_end AND b.b_start < a.a_end)
+             |SELECT strftime(date_trunc('day', a_start), '%Y-%m-%d') AS day,
+             |count(*) AS n_pairs, count(DISTINCT a_id) AS n_purchases
+             |FROM p GROUP BY 1 ORDER BY day""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val cellUs = 3600000000L // 1 h grid in microseconds
+        // floor-of-double-division is exact here: remainders are ≥1 µs
+        // ≈ 2.8e-10 of a cell, an order above the division's ulp error
+        def cells(start: Column, end: Column) = sequence(
+          floor(unix_micros(start) / cellUs).cast("long"),
+          floor((unix_micros(end) - 1) / cellUs).cast("long"))
+        val a = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("a_id"),
+            col("ts").as("a_start"), (col("ts") + expr("INTERVAL 2 HOURS")).as("a_end"))
+          .withColumn("cell", explode(cells(col("a_start"), col("a_end"))))
+        val b = ev.filter(col("event_type") === "signup")
+          .select(col("user_id"), col("event_id").as("b_id"),
+            col("ts").as("b_start"), (col("ts") + expr("INTERVAL 3 HOURS")).as("b_end"))
+          .withColumn("cell", explode(cells(col("b_start"), col("b_end"))))
+        a.join(b, Seq("user_id", "cell"))
+          .filter(col("a_start") < col("b_end") && col("b_start") < col("a_end"))
+          .select("a_id", "b_id", "a_start").distinct()
+          .groupBy(date_format(col("a_start"), "yyyy-MM-dd").as("day"))
+          .agg(count(lit(1)).as("n_pairs"), countDistinct(col("a_id")).as("n_purchases"))
+          .orderBy("day")
+      }),
+
+    // ---------------------------------------------------------------- W8 (percent_rank / cume_dist)
+    QueryDef(
+      "q_w8_percent_rank", "W8 relative-rank window functions",
+      // percent_rank and cume_dist of order totals within priority —
+      // ordered by the VALUE alone so tied prices exercise both
+      // functions' tie rules ((rank−1)/(n−1) vs rows≤current/n, same
+      // definitions in both engines). The window runs over the full
+      // partition; only the output rows are sampled (%997) to keep
+      // the gate result small.
+      Some("""WITH w AS (SELECT o_orderkey, o_orderpriority, o_totalprice,
+             |  percent_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+             |    AS pr,
+             |  cume_dist() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+             |    AS cd
+             |  FROM orders)
+             |SELECT o_orderkey, o_orderpriority, o_totalprice,
+             |round(pr, 9) AS pr, round(cd, 9) AS cd
+             |FROM w WHERE o_orderkey % 997 = 0
+             |ORDER BY o_orderkey""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+          .withColumn("pr", round(percent_rank().over(w), 9))
+          .withColumn("cd", round(cume_dist().over(w), 9))
+          .filter(col("o_orderkey") % 997 === 0)
+          .orderBy("o_orderkey")
+      }),
+
+    // ---------------------------------------------------------------- A26 (ordered string aggregation)
+    QueryDef(
+      "q_a26_listagg", "A26 ordered string aggregation (listagg)",
+      // the distinct statuses seen each month, sorted and joined into
+      // one string — the listagg/string_agg reshape reports need.
+      // Spark has no ordered string_agg; sort_array over the collected
+      // set makes the ordering explicit instead of engine-default.
+      Some("""SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             |string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+             |count(*) AS n
+             |FROM orders GROUP BY 1 ORDER BY month""".stripMargin),
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+          .agg(
+            array_join(array_sort(collect_set(col("o_orderstatus"))), ",").as("statuses"),
+            count(lit(1)).as("n"))
+          .orderBy("month")),
+
     // ---------------------------------------------------------------- J14 (Bloom-filter pre-filtered semi-join)
     QueryDef(
       "q_j14_bloom_join", "J14 Bloom-filter semi-join",
