@@ -32,4 +32,27 @@ object TopK {
       .filter(col("__rank") <= k)
       .withColumnRenamed("__rank", rankCol)
   }
+
+  /** Map-combine grouped top-k: the 100 TB form of `groupedTopK` for
+    * the common "k best ids per key by a numeric score" case. The
+    * window form above shuffles EVERY row and sorts whole groups; this
+    * one aggregates with a k-capped buffer (functions/TopKByScore), so
+    * at most k rows per key per map partition cross the shuffle and no
+    * sort exceeds k elements — exact (top-k under the total order
+    * (score desc, id asc) is partition-order independent), hot-key
+    * safe, and it keeps AQE in an ordinary aggregate exchange.
+    *
+    * Output: keys, `id`, `score`, 1-based `rank`.
+    */
+  def groupedTopKAgg(
+      df: DataFrame, keys: Seq[String], scoreCol: String, idCol: String,
+      k: Int, rankCol: String = "rank"): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(graft.functions.TopKByScore(
+        col(scoreCol).cast("double"), col(idCol).cast("long"), k).as("__topk"))
+      .select((keys.map(col) :+ posexplode(col("__topk"))): _*)
+      .select((keys.map(col) :+
+        (col("pos") + 1).cast("int").as(rankCol) :+
+        col("col.id").as(idCol) :+
+        col("col.score").as(scoreCol)): _*)
 }

@@ -748,6 +748,36 @@ object RelationalQueries {
           .orderBy("event_type", "rank")
       }),
 
+    // ---------------------------------------------------------------- W5b (grouped top-k, map-combine aggregate form)
+    QueryDef(
+      "q_w5b_grouped_topk_agg", "W5 grouped top-k (k-capped aggregate)",
+      // same answer and oracle as q_w5, different physics: a k-capped
+      // TypedImperativeAggregate (functions/TopKByScore) instead of a
+      // rank window — at most k rows per key per map partition cross
+      // the shuffle and no full-group sort exists, which is the shape
+      // that survives a hot key at 100 TB. Top-k under the total order
+      // (total desc, user_id) is partition-order independent, so the
+      // aggregate form is exactly the window form's answer.
+      Some("""WITH t AS (SELECT event_type, user_id,
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |  FROM events GROUP BY 1, 2)
+             |SELECT event_type, user_id, total,
+             |       CAST(row_number() OVER (PARTITION BY event_type
+             |         ORDER BY total DESC, user_id) AS BIGINT) AS rank
+             |FROM t
+             |QUALIFY rank <= 3
+             |ORDER BY event_type, rank""".stripMargin),
+      (s, dir) => {
+        val totals = Tables.events(s, dir)
+          .groupBy("event_type", "user_id")
+          .agg(dsum(col("value")).as("total"))
+        graft.operators.TopK.groupedTopKAgg(
+            totals, Seq("event_type"), "total", "user_id", 3)
+          .withColumn("rank", col("rank").cast("long"))
+          .select("event_type", "user_id", "total", "rank")
+          .orderBy("event_type", "rank")
+      }),
+
     // ---------------------------------------------------------------- J12 (point-in-time / validity-interval join)
     QueryDef(
       "q_j12_point_in_time", "J12 point-in-time lookup",

@@ -228,6 +228,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Expand"), s"pivot should not expand rows:\n$p")
   }
 
+  test("aggregate top-k plans as an aggregate, not a window sort (q_w5b)") {
+    val p = queryPlan("q_w5b_grouped_topk_agg")
+    assert(!p.contains("Window"), s"aggregate top-k fell back to a window:\n$p")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p)
+  }
+
   test("no accidental cartesian products in the relational/dwh families") {
     val intentionallyTiny = Set( // 1-row aggregate cross joins by design
       "q_d8_dimdate_fill", "q_d7_location_append", "q_d12_cleanup_dups",
