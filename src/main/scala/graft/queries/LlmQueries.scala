@@ -1418,6 +1418,48 @@ object LlmQueries {
           .orderBy("source")
       }),
 
+    // ---------------------------------------------------------------- per-source token-distribution entropy
+    QueryDef(
+      "q_l36_entropy", "LLM-corpus-entropy",
+      // Shannon entropy of each source's token distribution (plus
+      // type/token ratio) — the diversity diagnostics that catch
+      // templated or looping sources before training. −Σ p·ln p runs
+      // over per-(source, term) EXACT counts; each term's contribution
+      // is rounded and DECIMAL-summed so the vocabulary-sized
+      // reduction order cannot leak (same rule as q_l32). One
+      // (source, term) aggregate + one source aggregate.
+      Some("""WITH tok AS (SELECT source,
+             |    unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
+             |tf AS (SELECT source, term, count(*) AS c FROM tok GROUP BY 1, 2),
+             |tot AS (SELECT source, sum(c) AS t, count(*) AS n_terms FROM tf GROUP BY 1),
+             |e AS (SELECT tf.source,
+             |    CAST(sum(CAST(round(-(tf.c / CAST(tot.t AS DOUBLE))
+             |        * ln(tf.c / CAST(tot.t AS DOUBLE)), 9) AS DECIMAL(28,9)))
+             |      AS DOUBLE) AS ent,
+             |    max(tot.n_terms) AS n_terms, max(tot.t) AS t
+             |  FROM tf JOIN tot ON tf.source = tot.source GROUP BY tf.source)
+             |SELECT source, CAST(t AS BIGINT) AS n_tokens, n_terms,
+             |round(ent, 6) AS entropy,
+             |round(CAST(n_terms AS DOUBLE) / t, 6) AS type_token_ratio
+             |FROM e ORDER BY source""".stripMargin),
+      (s, dir) => {
+        val tf = Tables.documents(s, dir)
+          .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+          .groupBy("source", "term").agg(count(lit(1)).as("c"))
+        val tot = tf.groupBy("source")
+          .agg(sum(col("c")).as("t"), count(lit(1)).as("n_terms"))
+        val p = col("c") / col("t").cast("double")
+        tf.join(broadcast(tot), "source")
+          .groupBy("source")
+          .agg(
+            sum(round(-p * log(p), 9).cast(DecimalType(28, 9))).cast("double").as("ent"),
+            max(col("n_terms")).as("n_terms"), max(col("t")).as("t"))
+          .select(col("source"), col("t").cast("long").as("n_tokens"), col("n_terms"),
+            round(col("ent"), 6).as("entropy"),
+            round(col("n_terms").cast("double") / col("t"), 6).as("type_token_ratio"))
+          .orderBy("source")
+      }),
+
     // ---------------------------------------------------------------- temperature-weighted source mixing
     QueryDef(
       "q_l34_temperature_mix", "LLM-corpus-mixing (temperature)",

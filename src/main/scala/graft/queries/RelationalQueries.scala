@@ -1506,6 +1506,118 @@ object RelationalQueries {
             count(lit(1)).as("n"))
           .orderBy("month")),
 
+    // ---------------------------------------------------------------- A27 (Spearman rank correlation, exact)
+    QueryDef(
+      "q_a27_spearman", "A27 Spearman rank correlation",
+      // rank correlation between order value and line count — the
+      // robust (monotonic, outlier-insensitive) twin of q_a21's
+      // Pearson. Tied values take the classical average rank; since
+      // average ranks are exact halves, DOUBLED ranks are exact
+      // integers, so every moment is an exact sum (DECIMAL where x²
+      // could overflow int64) and r is one identical double
+      // expression on both engines. Two rank windows over a total
+      // order + the same moment aggregate as q_a21. SCALE CAVEAT:
+      // global ranking serializes like q_a10's windows — the
+      // scale-safe path computes ranks by the GroupedQuantiles
+      // histogram method (count-below per value) instead.
+      Some("""WITH per AS (SELECT o_orderkey,
+             |    CAST(any_value(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS xv,
+             |    count(l_orderkey) AS yv
+             |  FROM orders LEFT JOIN lineitem ON l_orderkey = o_orderkey
+             |  GROUP BY o_orderkey),
+             |rk AS (SELECT
+             |    CAST(min(rnx) OVER (PARTITION BY xv) + max(rnx) OVER (PARTITION BY xv)
+             |      AS BIGINT) AS x2, -- doubled average rank = min+max of positions
+             |    CAST(min(rny) OVER (PARTITION BY yv) + max(rny) OVER (PARTITION BY yv)
+             |      AS BIGINT) AS y2
+             |  FROM (SELECT xv, yv,
+             |      row_number() OVER (ORDER BY xv, o_orderkey) AS rnx,
+             |      row_number() OVER (ORDER BY yv, o_orderkey) AS rny
+             |    FROM per)),
+             |m AS (SELECT count(*) AS n, sum(x2) AS sx, sum(y2) AS sy,
+             |    CAST(sum(CAST(x2 AS DECIMAL(18,0)) * CAST(y2 AS DECIMAL(18,0)))
+             |      AS DOUBLE) AS sxy,
+             |    CAST(sum(CAST(x2 AS DECIMAL(18,0)) * CAST(x2 AS DECIMAL(18,0)))
+             |      AS DOUBLE) AS sxx,
+             |    CAST(sum(CAST(y2 AS DECIMAL(18,0)) * CAST(y2 AS DECIMAL(18,0)))
+             |      AS DOUBLE) AS syy
+             |  FROM rk)
+             |SELECT n,
+             |round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             |  / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+             |         * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6) AS rho
+             |FROM m""".stripMargin),
+      (s, dir) => {
+        val per = Tables.orders(s, dir)
+          .join(Tables.lineitem(s, dir).select(col("l_orderkey")),
+            col("l_orderkey") === col("o_orderkey"), "left")
+          .groupBy("o_orderkey")
+          .agg(
+            first((col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long"))
+              .as("xv"),
+            count(col("l_orderkey")).as("yv"))
+        val wx = Window.orderBy(col("xv"), col("o_orderkey"))
+        val wy = Window.orderBy(col("yv"), col("o_orderkey"))
+        val rk = per
+          .withColumn("rnx", row_number().over(wx))
+          .withColumn("rny", row_number().over(wy))
+          .select(
+            (min(col("rnx")).over(Window.partitionBy("xv"))
+              + max(col("rnx")).over(Window.partitionBy("xv"))).cast("long").as("x2"),
+            (min(col("rny")).over(Window.partitionBy("yv"))
+              + max(col("rny")).over(Window.partitionBy("yv"))).cast("long").as("y2"))
+        def d18(c: Column) = c.cast(DecimalType(18, 0))
+        val m = rk.agg(
+          count(lit(1)).as("n"), sum(col("x2")).as("sx"), sum(col("y2")).as("sy"),
+          sum(d18(col("x2")) * d18(col("y2"))).cast("double").as("sxy"),
+          sum(d18(col("x2")) * d18(col("x2"))).cast("double").as("sxx"),
+          sum(d18(col("y2")) * d18(col("y2"))).cast("double").as("syy"))
+        m.select(col("n"),
+          round((col("n").cast("double") * col("sxy") - col("sx").cast("double") * col("sy"))
+            / sqrt((col("n").cast("double") * col("sxx") - col("sx").cast("double") * col("sx"))
+              * (col("n").cast("double") * col("syy") - col("sy").cast("double") * col("sy"))),
+            6).as("rho"))
+      }),
+
+    // ---------------------------------------------------------------- A28 (categorical set overlap / Jaccard matrix)
+    QueryDef(
+      "q_a28_set_overlap", "A28 audience overlap (set Jaccard)",
+      // pairwise user-audience overlap between event types:
+      // |A∩B|/|A∪B| from distinct (type, user) pairs self-joined on
+      // user — the audience-overlap matrix. Intersections come from
+      // one equi-join on user; union sizes by inclusion-exclusion, no
+      // set ever materializes.
+      Some("""WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+             |sz AS (SELECT event_type, count(*) AS n FROM tu GROUP BY 1),
+             |ix AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+             |    count(*) AS n_both
+             |  FROM tu a JOIN tu b ON a.user_id = b.user_id
+             |    AND a.event_type < b.event_type
+             |  GROUP BY 1, 2)
+             |SELECT type_a, type_b, n_both,
+             |round(CAST(n_both AS DOUBLE) / (sa.n + sb.n - n_both), 6) AS jaccard
+             |FROM ix JOIN sz sa ON sa.event_type = type_a
+             |        JOIN sz sb ON sb.event_type = type_b
+             |ORDER BY type_a, type_b""".stripMargin),
+      (s, dir) => {
+        val tu = Tables.events(s, dir).select("event_type", "user_id").distinct()
+        val sz = tu.groupBy("event_type").agg(count(lit(1)).as("n"))
+        val a = tu.select(col("event_type").as("type_a"), col("user_id"))
+        val b = tu.select(col("event_type").as("type_b"), col("user_id"))
+        a.join(b, Seq("user_id"))
+          .filter(col("type_a") < col("type_b"))
+          .groupBy("type_a", "type_b")
+          .agg(count(lit(1)).as("n_both"))
+          .join(broadcast(sz.select(col("event_type").as("type_a"), col("n").as("na"))),
+            Seq("type_a"))
+          .join(broadcast(sz.select(col("event_type").as("type_b"), col("n").as("nb"))),
+            Seq("type_b"))
+          .select(col("type_a"), col("type_b"), col("n_both"),
+            round(col("n_both").cast("double") / (col("na") + col("nb") - col("n_both")), 6)
+              .as("jaccard"))
+          .orderBy("type_a", "type_b")
+      }),
+
     // ---------------------------------------------------------------- J14 (Bloom-filter pre-filtered semi-join)
     QueryDef(
       "q_j14_bloom_join", "J14 Bloom-filter semi-join",
