@@ -327,6 +327,32 @@ object Multimodal {
   def decodePngThumbSum(payload: Column, tw: Int, th: Int): Column =
     decodePngThumbUdf(payload, lit(tw), lit(th)).cast("bigint")
 
+  /** Feature extraction for a GRAYSCALE 8-bit PNG: a `bins`-bucket
+    * brightness histogram (bucket = pixel·bins/256) counted during the
+    * same single-scanline walk — the per-image feature vector a
+    * quality/clustering stage consumes. None for non-gray or
+    * undecodable payloads.
+    */
+  private[llm] def decodePngHistImpl(bytes: Array[Byte], bins: Int)
+      : Option[Array[Long]] = {
+    val hist = new Array[Long](bins)
+    var gray = true
+    val res = walkPng(bytes, (_, w, _, bpp, cur) => {
+      if (bpp != 1) gray = false
+      else {
+        var x = 0
+        while (x < w) { hist(cur(x) * bins / 256) += 1; x += 1 }
+      }
+    })
+    if (res.isEmpty || !gray) None else Some(hist)
+  }
+  private val decodePngHistUdf =
+    udf((b: Array[Byte], bins: Int) => decodePngHistImpl(b, bins))
+
+  /** Brightness-histogram column: array<bigint> of `bins` counts. */
+  def decodePngHistogram(payload: Column, bins: Int): Column =
+    decodePngHistUdf(payload, lit(bins))
+
   /** Pixel-decode column: struct(width, height, n_pixel_bytes,
     * pixel_sum) or null for non-decodable payloads.
     */

@@ -728,6 +728,43 @@ object LlmQueries {
           .orderBy("source")
       }),
 
+    // ---------------------------------------------------------------- multimodal feature extraction (brightness histogram)
+    QueryDef(
+      "q_m5_image_features", "LLM-multimodal-features",
+      // per-image 4-bin brightness histograms counted inside the
+      // decode walk — the feature-extraction stage between decode and
+      // any quality/clustering step. Row y of doc a is constant
+      // (a+y)%256 across its w pixels, so the histogram's closed form
+      // is w·|{y < h : ⌊((a+y)%256)/64⌋ = bin}| — matched only if
+      // every reconstructed pixel landed in the right bucket.
+      Some("""WITH d AS (SELECT source, doc_id,
+             |  doc_id % 64 + 1 AS w, doc_id % 48 + 1 AS h, doc_id % 256 AS a
+             |  FROM documents),
+             |r AS (SELECT source, w, ((a + ty) % 256) // 64 AS bin
+             |  FROM d CROSS JOIN (SELECT unnest(generate_series(0, 47)) AS ty)
+             |  WHERE ty < h)
+             |SELECT source,
+             |CAST(sum(CASE WHEN bin = 0 THEN w ELSE 0 END) AS BIGINT) AS h0,
+             |CAST(sum(CASE WHEN bin = 1 THEN w ELSE 0 END) AS BIGINT) AS h1,
+             |CAST(sum(CASE WHEN bin = 2 THEN w ELSE 0 END) AS BIGINT) AS h2,
+             |CAST(sum(CASE WHEN bin = 3 THEN w ELSE 0 END) AS BIGINT) AS h3
+             |FROM r GROUP BY source ORDER BY source""".stripMargin),
+      (s, dir) => {
+        val w = (col("doc_id") % 64 + 1).cast("int")
+        val h = (col("doc_id") % 48 + 1).cast("int")
+        val payload = Multimodal.pngPixelPayload(col("doc_id"), w, h)
+        Tables.documents(s, dir)
+          .select(col("source"),
+            Multimodal.decodePngHistogram(payload, 4).as("hist"))
+          .groupBy("source")
+          .agg(
+            sum(element_at(col("hist"), 1)).as("h0"),
+            sum(element_at(col("hist"), 2)).as("h1"),
+            sum(element_at(col("hist"), 3)).as("h2"),
+            sum(element_at(col("hist"), 4)).as("h3"))
+          .orderBy("source")
+      }),
+
     // ---------------------------------------------------------------- deterministic split assignment
     QueryDef(
       "q_l16_split_assign", "LLM-corpus-split",

@@ -1579,6 +1579,66 @@ object RelationalQueries {
             6).as("rho"))
       }),
 
+    // ---------------------------------------------------------------- A27b (scale-safe Spearman: ranks without row windows)
+    QueryDef(
+      "q_a27b_spearman_scalable", "A27 Spearman (histogram ranks, scale-safe)",
+      // q_a27's answer without its global row-level rank windows: an
+      // AVERAGE rank depends only on (# rows below the value, tie
+      // count), so ranks come from per-value counts + a running sum
+      // over the distinct-VALUE table (operators/Ranks) — no task ever
+      // sorts the frame. The oracle is deliberately q_a27's
+      // row_number formulation: different algorithm, identical rho.
+      Some("""WITH per AS (SELECT o_orderkey,
+             |    CAST(any_value(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS xv,
+             |    count(l_orderkey) AS yv
+             |  FROM orders LEFT JOIN lineitem ON l_orderkey = o_orderkey
+             |  GROUP BY o_orderkey),
+             |rk AS (SELECT
+             |    CAST(min(rnx) OVER (PARTITION BY xv) + max(rnx) OVER (PARTITION BY xv)
+             |      AS BIGINT) AS x2,
+             |    CAST(min(rny) OVER (PARTITION BY yv) + max(rny) OVER (PARTITION BY yv)
+             |      AS BIGINT) AS y2
+             |  FROM (SELECT xv, yv,
+             |      row_number() OVER (ORDER BY xv, o_orderkey) AS rnx,
+             |      row_number() OVER (ORDER BY yv, o_orderkey) AS rny
+             |    FROM per)),
+             |m AS (SELECT count(*) AS n, sum(x2) AS sx, sum(y2) AS sy,
+             |    CAST(sum(CAST(x2 AS DECIMAL(18,0)) * CAST(y2 AS DECIMAL(18,0)))
+             |      AS DOUBLE) AS sxy,
+             |    CAST(sum(CAST(x2 AS DECIMAL(18,0)) * CAST(x2 AS DECIMAL(18,0)))
+             |      AS DOUBLE) AS sxx,
+             |    CAST(sum(CAST(y2 AS DECIMAL(18,0)) * CAST(y2 AS DECIMAL(18,0)))
+             |      AS DOUBLE) AS syy
+             |  FROM rk)
+             |SELECT n,
+             |round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             |  / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+             |         * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6) AS rho
+             |FROM m""".stripMargin),
+      (s, dir) => {
+        val per = Tables.orders(s, dir)
+          .join(Tables.lineitem(s, dir).select(col("l_orderkey")),
+            col("l_orderkey") === col("o_orderkey"), "left")
+          .groupBy("o_orderkey")
+          .agg(
+            first((col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long"))
+              .as("xv"),
+            count(col("l_orderkey")).as("yv"))
+        val rk = graft.operators.Ranks.doubledAvgRank(
+          graft.operators.Ranks.doubledAvgRank(per, "xv", "x2"), "yv", "y2")
+        def d18(c: Column) = c.cast(DecimalType(18, 0))
+        val m = rk.agg(
+          count(lit(1)).as("n"), sum(col("x2")).as("sx"), sum(col("y2")).as("sy"),
+          sum(d18(col("x2")) * d18(col("y2"))).cast("double").as("sxy"),
+          sum(d18(col("x2")) * d18(col("x2"))).cast("double").as("sxx"),
+          sum(d18(col("y2")) * d18(col("y2"))).cast("double").as("syy"))
+        m.select(col("n"),
+          round((col("n").cast("double") * col("sxy") - col("sx").cast("double") * col("sy"))
+            / sqrt((col("n").cast("double") * col("sxx") - col("sx").cast("double") * col("sx"))
+              * (col("n").cast("double") * col("syy") - col("sy").cast("double") * col("sy"))),
+            6).as("rho"))
+      }),
+
     // ---------------------------------------------------------------- A28 (categorical set overlap / Jaccard matrix)
     QueryDef(
       "q_a28_set_overlap", "A28 audience overlap (set Jaccard)",

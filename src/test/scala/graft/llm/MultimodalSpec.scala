@@ -85,6 +85,18 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodePngThumbImpl("junk".getBytes, 8, 8).isEmpty)
   }
 
+  test("brightness histogram counts every pixel into its bucket") {
+    for (seed <- Seq(0L, 100L, 250L); h <- Seq(5, 48)) {
+      val w = 7
+      val got = Multimodal.decodePngHistImpl(Multimodal.pngGrayImpl(seed, w, h), 4)
+      val expect = Array.fill(4)(0L)
+      (0 until h).foreach(y => expect((((seed + y) % 256) / 64).toInt) += w.toLong)
+      assert(got.exists(_.sameElements(expect)),
+        s"seed=$seed h=$h got=${got.map(_.mkString(","))} expect=${expect.mkString(",")}")
+    }
+    assert(Multimodal.decodePngHistImpl("junk".getBytes, 4).isEmpty)
+  }
+
   test("pixel decode nulls out corrupt, truncated, and foreign payloads") {
     val good = Multimodal.pngGrayImpl(42L, 8, 8)
     // flip one IDAT byte: CRC check must reject it
