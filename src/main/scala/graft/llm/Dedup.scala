@@ -445,6 +445,42 @@ object Dedup {
         .select(col(idCol).as("__id"), explode(shingles(col(textCol), shingleN)).as("s")),
       "s", threshold, maxDocFreq, sketchK, minShared)
 
+  /** Asymmetric CONTAINMENT pairs: C(a,b) = |A∩B| / min(|A|,|B|) —
+    * catches "one document is (mostly) inside the other": truncated
+    * rewrites, quotations, boilerplate-wrapped copies. Jaccard misses
+    * these by construction (a 30-token doc inside a 60-token doc caps
+    * Jaccard near 0.5 while containment is 1.0), and symmetric near-dup
+    * passes leave them in the corpus.
+    *
+    * Candidates come from COMPLETE blocking on kept (df ≤ cap)
+    * shingles — for containment the rare-sketch shortcut is unsound:
+    * the small side's rare shingles need not be in the LARGE side's
+    * sketch, so a sketch join can miss true subset pairs. The cap
+    * bounds bucket quadratics exactly as in the Jaccard path (same
+    * mass-duplicate caveat: run exact dedup first).
+    */
+  def containmentPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, threshold: Double, maxDocFreq: Int = 500): DataFrame = {
+    val keyed = spread(docs)
+      .select(col(idCol).as("__id"), explode(shingles(col(textCol), shingleN)).as("s"))
+    val kept = cappedKeyed(keyed, "s", maxDocFreq)
+    val sizes = kept.groupBy("__id").agg(count(lit(1)).as("n"))
+    val inter = kept.select(col("s"), col("__id").as("id_a"))
+      .join(kept.select(col("s"), col("__id").as("id_b")), Seq("s"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .repartition(col("id_a"), col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("__id").as("id_a"), col("n").as("na")), Seq("id_a"))
+      .join(sizes.select(col("__id").as("id_b"), col("n").as("nb")), Seq("id_b"))
+      .withColumn("containment", col("inter") / least(col("na"), col("nb")))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "containment")
+  }
+
   /** Winnowing-fingerprint near-dup pairs: each doc's winnow set
     * (TextAnalysis.winnow over normalized text) plays the shingle role.
     * Character-level, so it catches near-dups that word-shingle methods

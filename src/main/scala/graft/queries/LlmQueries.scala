@@ -1455,6 +1455,51 @@ object LlmQueries {
           .orderBy("source")
       }),
 
+    // ---------------------------------------------------------------- containment (subset/quotation) dedup
+    QueryDef(
+      "q_l37_containment", "LLM-dedup-containment",
+      // planted truncations (first 30 tokens of docs < 40, ids
+      // +20000) must surface as containment ≈ 1.0 pairs even though
+      // their JACCARD vs the parent is only ~0.5 — the asymmetric
+      // near-dup class (quotations, boilerplate-wrapped copies) the
+      // symmetric passes leave behind. Complete blocking on kept
+      // shingles; see Dedup.containmentPairs for why the rare-sketch
+      // shortcut would be unsound here.
+      Some("""WITH base AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 20000,
+             |    array_to_string((string_split_regex(trim(text), '\s+'))[1:30], ' ')
+             |  FROM documents WHERE doc_id < 40),
+             |toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM base),
+             |sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+             |                                            for i in generate_series(1, len(w)-2)])) AS s
+             |       FROM toks WHERE len(w) >= 3),
+             |freq AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+             |kept AS (SELECT h.doc_id, h.s FROM sh h JOIN freq f USING (s)
+             |         WHERE f.df <= 500),
+             |sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+             |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+             |          FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+             |          GROUP BY 1, 2)
+             |SELECT id_a, id_b,
+             |round(CAST(inter AS DOUBLE) / least(sa.n, sb.n), 6) AS containment
+             |FROM inter JOIN sizes sa ON sa.doc_id = id_a
+             |           JOIN sizes sb ON sb.doc_id = id_b
+             |WHERE CAST(inter AS DOUBLE) / least(sa.n, sb.n) >= 0.9
+             |ORDER BY id_a, id_b""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+        val aug = docs.unionByName(
+          docs.filter(col("doc_id") < 40).select(
+            (col("doc_id") + 20000).as("doc_id"),
+            array_join(slice(split(trim(col("text")), "\\s+"), 1, 30), " ").as("text")))
+        Dedup.containmentPairs(aug, "doc_id", "text",
+            shingleN = 3, threshold = 0.9, maxDocFreq = 500)
+          .withColumn("containment", round(col("containment"), 6))
+          .orderBy("id_a", "id_b")
+      }),
+
     // ---------------------------------------------------------------- per-source token-distribution entropy
     QueryDef(
       "q_l36_entropy", "LLM-corpus-entropy",

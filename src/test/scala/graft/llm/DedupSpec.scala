@@ -18,6 +18,21 @@ class DedupSpec extends AnyFunSuite {
     assert(exact.nonEmpty, "testdata should contain planted near-duplicates")
   }
 
+  test("containment finds subset docs that Jaccard misses") {
+    import spark.implicits._
+    val long = (1 to 40).map(i => s"w$i").mkString(" ")
+    val half = (1 to 20).map(i => s"w$i").mkString(" ") // strict prefix
+    val other = (100 to 140).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, long), (2L, half), (3L, other)).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(cont.toSeq == Seq((1L, 2L, 1.0)), cont.mkString(","))
+    // the same pair is INVISIBLE to symmetric Jaccard at 0.8
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .collect()
+    assert(jac.isEmpty, jac.mkString(","))
+  }
+
   test("exact fingerprint collapses case/whitespace variants") {
     import spark.implicits._
     val df = Seq("hello  world", "HELLO WORLD  ", "other doc").toDF("text")
