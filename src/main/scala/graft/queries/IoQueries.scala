@@ -699,6 +699,35 @@ object IoQueries {
           .groupBy("event_type")
           .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
           .orderBy("event_type")
+      }),
+
+    // ---------------------------------------------------------------- ST: streaming upsert into a keyed state table
+    QueryDef(
+      "q_st9_stream_state_merge", "ST foreachBatch last-wins state table",
+      // the reference's daily fact UPSERT, continuous: every
+      // micro-batch merges each user's latest event last-wins into a
+      // parquet state table with an atomic directory swap
+      // (write-new → rename; a retried batch re-merges idempotently).
+      // Last-wins under the total order (ts, event_id) is associative
+      // across any batch split, so the final table equals the batch
+      // closed form regardless of how the source micro-batched.
+      Some("""WITH last AS (SELECT user_id, ts, event_type, event_id,
+             |  row_number() OVER (PARTITION BY user_id
+             |    ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+             |SELECT event_type AS last_type, count(*) AS n_users,
+             |CAST(sum(event_id) AS BIGINT) AS id_sum,
+             |CAST(max(epoch_us(ts)) AS BIGINT) AS max_ts_us
+             |FROM last WHERE rn = 1 GROUP BY 1 ORDER BY last_type""".stripMargin),
+      (s, dir) => {
+        val watch = CdcStream.ensureStaged(s, dir)
+        val state = CdcStream.runMergeToStateTable(
+          s, CdcStream.readEvents(s, watch),
+          s"/root/repo/target/tmp/st9_state/${dir.replaceAll("[^A-Za-z0-9]+", "_")}")
+        s.read.parquet(state)
+          .groupBy(col("last_type"))
+          .agg(count(lit(1)).as("n_users"), sum(col("last_id")).as("id_sum"),
+            max(unix_micros(col("last_ts"))).as("max_ts_us"))
+          .orderBy("last_type")
       })
   )
 }

@@ -355,6 +355,55 @@ object CdcStream {
       "inner")
   }
 
+  /** Streaming UPSERT into a keyed state table via foreachBatch: each
+    * micro-batch's per-key LAST event (by ts, event_id) merges
+    * last-wins into a parquet snapshot — the reference's daily fact
+    * upsert running continuously against a serving store. The merge
+    * reads the current snapshot, outer-merges the batch delta, and
+    * atomically swaps directories (write-new → rename), so a reader
+    * never sees a half-written table and a retried batch just re-merges
+    * idempotently (last-wins on identical input is idempotent). Over a
+    * bounded source the final state equals the batch last-wins query,
+    * which is what the q_st9 oracle asserts. Returns the snapshot dir.
+    */
+  def runMergeToStateTable(spark: SparkSession, events: DataFrame, baseDir: String): String = {
+    import org.apache.spark.sql.expressions.Window
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base = new org.apache.hadoop.fs.Path(baseDir)
+    val fs = base.getFileSystem(conf)
+    if (fs.exists(base)) fs.delete(base, true)
+    fs.mkdirs(base)
+    val cur = new org.apache.hadoop.fs.Path(base, "current")
+    val q = events.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        val delta = batch
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+          .select(col("user_id"), col("ts").as("last_ts"),
+            col("event_type").as("last_type"), col("event_id").as("last_id"))
+        val merged =
+          if (fs.exists(cur)) {
+            val old = spark.read.parquet(cur.toString)
+            val wAll = Window.partitionBy("user_id")
+              .orderBy(col("last_ts").desc, col("last_id").desc)
+            old.unionByName(delta)
+              .withColumn("__rn", row_number().over(wAll))
+              .filter(col("__rn") === 1).drop("__rn")
+          } else delta
+        val next = new org.apache.hadoop.fs.Path(base, s"v$batchId")
+        merged.write.mode("overwrite").parquet(next.toString)
+        if (fs.exists(cur)) fs.delete(cur, true)
+        fs.rename(next, cur)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    cur.toString
+  }
+
   /** Run a streaming aggregation to completion over the (bounded) file
     * source via a memory sink and return the result table — lets batch
     * oracles check streaming semantics.
