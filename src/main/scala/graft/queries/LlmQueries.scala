@@ -1455,6 +1455,42 @@ object LlmQueries {
           .orderBy("source")
       }),
 
+    // ---------------------------------------------------------------- deterministic weighted sampling (A-Res)
+    QueryDef(
+      "q_l38_weighted_sample", "LLM-corpus-weighted-sample",
+      // weighted sampling without replacement, Efraimidis-Spirakis
+      // A-Res: priority = u^(1/w) with u the doc's md5 fraction and
+      // w its token count; the k highest priorities are the sample.
+      // Ranked in the monotone-equivalent log space ln(u)/w (fewer
+      // libm ops, same order). Deterministic: membership is a pure
+      // function of the corpus — re-runs, partitioning, and growth
+      // leave picks stable, which is what makes the sample auditable.
+      // One scan + a global top-k (TakeOrderedAndProject: per-partition
+      // heaps, no sort of the losers). id_sum pins exact membership.
+      Some("""WITH f AS (SELECT doc_id, source,
+             |  CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+             |       ELSE len(string_split_regex(trim(text), '\s+')) END AS w,
+             |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+             |    / 4294967296.0 AS u
+             |  FROM documents),
+             |top AS (SELECT doc_id, source FROM f WHERE w > 0
+             |        ORDER BY ln(u) / w DESC, doc_id LIMIT 100)
+             |SELECT source, count(*) AS n_sampled,
+             |CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM top GROUP BY source ORDER BY source""".stripMargin),
+      (s, dir) => {
+        val f = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            TextAnalysis.tokenCount(col("text")).as("w"),
+            Corpus.hashFraction(col("doc_id")).as("u"))
+          .filter(col("w") > 0)
+        f.orderBy((log(col("u")) / col("w")).desc, col("doc_id"))
+          .limit(100)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_sampled"), sum(col("doc_id")).as("id_sum"))
+          .orderBy("source")
+      }),
+
     // ---------------------------------------------------------------- containment (subset/quotation) dedup
     QueryDef(
       "q_l37_containment", "LLM-dedup-containment",
