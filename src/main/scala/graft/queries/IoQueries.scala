@@ -460,6 +460,74 @@ object IoQueries {
           dsum(when(col("_bad").isNull, col("value"))).as("sum_good"))
       }),
 
+    // ---------------------------------------------------------------- S21 (Z-order / Morton layout for 2-D skipping)
+    QueryDef(
+      "q_s21_zorder_layout", "S10 S11 (multi-dimensional clustering)",
+      // write events range-clustered on the Morton code of
+      // (user_id, day) — every output file covers a compact rectangle
+      // of that key space, so parquet min/max row-group stats prune a
+      // scan filtered on EITHER dimension (single-column sorting only
+      // ever serves one). The layout cannot change answers: the oracle
+      // is the same banded filter straight over events.
+      Some("""WITH e AS (SELECT user_id,
+             |  date_diff('day', DATE '2024-01-01', CAST(date_trunc('day', ts) AS DATE))
+             |    AS daynum, value FROM events)
+             |SELECT count(*) AS n,
+             |CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+             |count(DISTINCT user_id) AS n_users
+             |FROM e WHERE user_id BETWEEN 40 AND 60 AND daynum BETWEEN 10 AND 16""".stripMargin),
+      (s, dir) => {
+        val tmp = s"$TmpBase/q_s21_zorder"
+        val e = Tables.events(s, dir).select(
+          col("user_id"),
+          datediff(date_trunc("day", col("ts")).cast("date"), lit("2024-01-01"))
+            .cast("long").as("daynum"),
+          col("value"))
+        graft.io.Layout.zOrderBy2(e, col("user_id"), col("daynum"))
+          .write.mode("overwrite").parquet(tmp)
+        s.read.parquet(tmp)
+          .filter(col("user_id").between(40, 60) && col("daynum").between(10, 16))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
+            countDistinct(col("user_id")).as("n_users"))
+      }),
+
+    // ---------------------------------------------------------------- S22 (parquet aggregate pushdown)
+    QueryDef(
+      "q_s22_agg_pushdown", "S3 (footer-statistics aggregate pushdown)",
+      // COUNT/MIN/MAX answered from parquet FOOTER metadata instead of
+      // scanning rows (DSv2 aggregate pushdown) — at 100 TB the
+      // difference between touching every page and touching file
+      // footers. The v2-scan confs apply only while THIS plan is
+      // captured (restored in finally; the answer is engine-path
+      // independent, which is exactly what the oracle asserts).
+      Some("""SELECT count(*) AS n,
+             |min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+             |CAST(min(o_orderkey) AS BIGINT) AS min_key,
+             |CAST(max(o_orderkey) AS BIGINT) AS max_key
+             |FROM orders""".stripMargin),
+      (s, dir) => {
+        val conf = s.conf
+        val prevAgg = conf.getOption("spark.sql.parquet.aggregatePushDown")
+        val prevV1 = conf.getOption("spark.sql.sources.useV1SourceList")
+        conf.set("spark.sql.parquet.aggregatePushDown", "true")
+        conf.set("spark.sql.sources.useV1SourceList", "") // parquet via DSv2 here
+        try {
+          val df = s.read.parquet(s"$dir/orders.parquet")
+            .agg(count(lit(1)).as("n"),
+              min(col("o_totalprice")).as("min_price"),
+              max(col("o_totalprice")).as("max_price"),
+              min(col("o_orderkey")).cast("long").as("min_key"),
+              max(col("o_orderkey")).cast("long").as("max_key"))
+          df.queryExecution.executedPlan // memoize the plan under v2 confs
+          df
+        } finally {
+          prevAgg.fold(conf.unset("spark.sql.parquet.aggregatePushDown"))(
+            v => conf.set("spark.sql.parquet.aggregatePushDown", v))
+          prevV1.fold(conf.unset("spark.sql.sources.useV1SourceList"))(
+            v => conf.set("spark.sql.sources.useV1SourceList", v))
+        }
+      }),
+
     // ---------------------------------------------------------------- Structured Streaming windowed agg
     QueryDef(
       "q_st1_stream_window_agg", "ST1 P2",

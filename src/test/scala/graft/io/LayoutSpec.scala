@@ -1,0 +1,53 @@
+package graft.io
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class LayoutSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** Reference Morton interleave (bit loop) to pin the shift ladder. */
+  private def mortonRef(a: Long, b: Long): Long =
+    (0 until 16).foldLeft(0L) { (acc, i) =>
+      acc | (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+    }
+
+  test("zValue matches the bit-loop Morton reference across the 16-bit range") {
+    import spark.implicits._
+    val samples = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (65535L, 65535L),
+      (12345L, 54321L), (40L, 10L), (60L, 16L))
+    val got = samples.toDF("a", "b")
+      .select(Layout.zValue(col("a"), col("b")).as("z")).as[Long].collect()
+    val expect = samples.map { case (a, b) => mortonRef(a, b) }
+    assert(got.toSeq == expect, s"${got.toSeq} vs $expect")
+  }
+
+  test("z-ordered files cover compact rectangles: both dims prune to a file subset") {
+    import spark.implicits._
+    val df = (0L until 64L).flatMap(u => (0L until 64L).map(d => (u, d)))
+      .toDF("u", "d")
+    val tmp = "/root/repo/target/tmp/layoutspec_z"
+    Layout.zOrderBy2(df.repartition(8), col("u"), col("d"), numFiles = Some(8))
+      .write.mode("overwrite").parquet(tmp)
+    def spansOf(path: String) = spark.read.parquet(path)
+      .withColumn("f", input_file_name())
+      .groupBy("f")
+      .agg((max("u") - min("u")).as("su"), (max("d") - min("d")).as("sd"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val zSpans = spansOf(tmp)
+    assert(zSpans.length > 1, "expected multiple output files")
+    // boundary files may straddle a quadrant jump (inherent to the
+    // curve under arbitrary range splits), but MOST files must bound
+    // BOTH dimensions to ~a quadrant...
+    assert(zSpans.count { case (su, sd) => su <= 35 && sd <= 35 } * 8
+      >= zSpans.length * 5, zSpans.mkString(","))
+    // ...whereas a single-column sort leaves the OTHER dimension
+    // spanning the full range in EVERY file — the layout z-order fixes
+    val tmpU = "/root/repo/target/tmp/layoutspec_usort"
+    df.repartitionByRange(8, col("u")).sortWithinPartitions(col("u"))
+      .write.mode("overwrite").parquet(tmpU)
+    val uSpans = spansOf(tmpU)
+    assert(uSpans.forall(_._2 == 63L), uSpans.mkString(","))
+  }
+}

@@ -234,6 +234,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p)
   }
 
+  test("parquet DSv2 aggregate pushdown answers count/min/max from footers (q_s22)") {
+    // the query fn memoizes its plan under the v2-scan confs
+    val p = queryPlan("q_s22_agg_pushdown")
+    assert(p.contains("PushedAggregation"),
+      s"expected footer-statistics aggregate pushdown:\n$p")
+  }
+
   test("no accidental cartesian products in the relational/dwh families") {
     val intentionallyTiny = Set( // 1-row aggregate cross joins by design
       "q_d8_dimdate_fill", "q_d7_location_append", "q_d12_cleanup_dups",
