@@ -491,6 +491,42 @@ object IoQueries {
             countDistinct(col("user_id")).as("n_users"))
       }),
 
+    // ---------------------------------------------------------------- S23 (schema merge on read)
+    QueryDef(
+      "q_s23_merge_schema", "S16 (heterogeneous-batch schema merge)",
+      // two landed batches with different shapes — the old one lacks
+      // the later-added `priority` column — read as ONE table with
+      // mergeSchema: the union schema applies and missing columns are
+      // NULL for old rows (read-side half of the q_s16 evolution
+      // story). Counts split by null-ness pin the per-batch schemas.
+      Some("""WITH old AS (SELECT o_orderkey, o_totalprice FROM orders
+             |            WHERE o_orderkey % 2 = 0),
+             |new AS (SELECT o_orderkey, o_totalprice, o_orderpriority AS priority
+             |        FROM orders WHERE o_orderkey % 2 = 1)
+             |SELECT count(*) AS n,
+             |CAST(sum(CASE WHEN priority IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |  AS n_old_shape,
+             |count(DISTINCT priority) AS n_priorities,
+             |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             |FROM (SELECT o_orderkey, o_totalprice, NULL AS priority FROM old
+             |      UNION ALL SELECT * FROM new)""".stripMargin),
+      (s, dir) => {
+        val tmp = s"$TmpBase/q_s23_schema"
+        val o = Tables.orders(s, dir)
+        o.filter(col("o_orderkey") % 2 === 0)
+          .select("o_orderkey", "o_totalprice")
+          .write.mode("overwrite").parquet(s"$tmp/batch=old")
+        o.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderpriority").as("priority"))
+          .write.mode("overwrite").parquet(s"$tmp/batch=new")
+        s.read.option("mergeSchema", "true").parquet(tmp)
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("priority").isNull, 1L).otherwise(0L)).as("n_old_shape"),
+            countDistinct(col("priority")).as("n_priorities"),
+            dsum(col("o_totalprice")).as("sum_price"))
+      }),
+
     // ---------------------------------------------------------------- S22 (parquet aggregate pushdown)
     QueryDef(
       "q_s22_agg_pushdown", "S3 (footer-statistics aggregate pushdown)",
