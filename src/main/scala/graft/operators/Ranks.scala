@@ -23,9 +23,14 @@ object Ranks {
   /** Adds `outCol` = 2 × (average rank of `valueCol` under ascending
     * order, ties averaged) — doubled so it is an exact INTEGER (avg
     * ranks are exact halves), which keeps downstream moments exact.
+    *
+    * NULL values carry no rank and their rows are EXCLUDED from the
+    * output (explicitly, up front — the standard rank-statistics
+    * convention; a silent inner-join drop would hide it).
     */
   def doubledAvgRank(df: DataFrame, valueCol: String, outCol: String): DataFrame = {
-    val counts = df.groupBy(col(valueCol)).agg(count(lit(1)).as("__cnt"))
+    val nonNull = df.filter(col(valueCol).isNotNull)
+    val counts = nonNull.groupBy(col(valueCol)).agg(count(lit(1)).as("__cnt"))
     val w = Window.orderBy(col(valueCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     val ranked = counts
@@ -33,6 +38,6 @@ object Ranks {
       // doubled average rank: 2·cntBelow + cnt + 1
       .withColumn(outCol, (col("__below") * 2 + col("__cnt") + 1).cast("long"))
       .select(col(valueCol), col(outCol))
-    df.join(ranked, Seq(valueCol))
+    nonNull.join(ranked, Seq(valueCol))
   }
 }

@@ -42,6 +42,14 @@ object TopK {
     * (score desc, id asc) is partition-order independent), hot-key
     * safe, and it keeps AQE in an ordinary aggregate exchange.
     *
+    * Semantics deltas vs the window form, stated plainly: rows with a
+    * NULL score or id are not ranked (the window form ranks NULL
+    * scores last), so a key whose rows are ALL null-scored is absent
+    * from this output while the window form emits it; and score/id are
+    * coerced to double/long — callers with non-numeric ids should use
+    * `groupedTopK`. On null-free numeric frames the two are
+    * row-identical (spec-pinned across partition layouts).
+    *
     * Output: keys, `id`, `score`, 1-based `rank`.
     */
   def groupedTopKAgg(

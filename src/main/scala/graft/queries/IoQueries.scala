@@ -441,11 +441,15 @@ object IoQueries {
              |FROM events""".stripMargin),
       (s, dir) => {
         val tmp = s"$TmpBase/q_s20_csv"
+        // concat_ws SKIPS null columns (a short line would shift every
+        // later field), so each field is explicitly null-coalesced —
+        // an empty CSV token parses back as NULL, preserving shape
+        def f(c: org.apache.spark.sql.Column) = coalesce(c.cast("string"), lit(""))
         Tables.events(s, dir)
           .select(concat_ws(",",
-            col("event_id"), col("user_id"), col("event_type"),
+            f(col("event_id")), f(col("user_id")), f(col("event_type")),
             when(col("event_id") % 53 === 0, lit("garbage"))
-              .otherwise(col("value").cast("string"))).as("value"))
+              .otherwise(f(col("value")))).as("value"))
           .write.mode("overwrite").text(tmp)
         val schema = "event_id LONG, user_id LONG, event_type STRING, " +
           "value DOUBLE, _bad STRING"
@@ -483,7 +487,9 @@ object IoQueries {
           datediff(date_trunc("day", col("ts")).cast("date"), lit("2024-01-01"))
             .cast("long").as("daynum"),
           col("value"))
-        graft.io.Layout.zOrderBy2(e, col("user_id"), col("daynum"))
+        // pin the file count: AQE would coalesce this small frame to
+        // ONE file, which leaves no per-file rectangles to skip on
+        graft.io.Layout.zOrderBy2(e, col("user_id"), col("daynum"), numFiles = Some(8))
           .write.mode("overwrite").parquet(tmp)
         s.read.parquet(tmp)
           .filter(col("user_id").between(40, 60) && col("daynum").between(10, 16))
@@ -798,7 +804,7 @@ object IoQueries {
         val watch = CdcStream.ensureStaged(s, dir)
         val sink = CdcStream.runForeachBatchToDir(
           s, CdcStream.readEvents(s, watch),
-          s"/root/repo/target/tmp/st8_sink/${dir.replaceAll("[^A-Za-z0-9]+", "_")}")
+          s"$TmpBase/st8_sink/${dir.replaceAll("[^A-Za-z0-9]+", "_")}")
         s.read.parquet(sink)
           .groupBy("event_type")
           .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
@@ -826,7 +832,7 @@ object IoQueries {
         val watch = CdcStream.ensureStaged(s, dir)
         val state = CdcStream.runMergeToStateTable(
           s, CdcStream.readEvents(s, watch),
-          s"/root/repo/target/tmp/st9_state/${dir.replaceAll("[^A-Za-z0-9]+", "_")}")
+          s"$TmpBase/st9_state/${dir.replaceAll("[^A-Za-z0-9]+", "_")}")
         s.read.parquet(state)
           .groupBy(col("last_type"))
           .agg(count(lit(1)).as("n_users"), sum(col("last_id")).as("id_sum"),

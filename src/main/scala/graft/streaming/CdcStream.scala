@@ -358,13 +358,21 @@ object CdcStream {
   /** Streaming UPSERT into a keyed state table via foreachBatch: each
     * micro-batch's per-key LAST event (by ts, event_id) merges
     * last-wins into a parquet snapshot — the reference's daily fact
-    * upsert running continuously against a serving store. The merge
-    * reads the current snapshot, outer-merges the batch delta, and
-    * atomically swaps directories (write-new → rename), so a reader
-    * never sees a half-written table and a retried batch just re-merges
-    * idempotently (last-wins on identical input is idempotent). Over a
-    * bounded source the final state equals the batch last-wins query,
-    * which is what the q_st9 oracle asserts. Returns the snapshot dir.
+    * upsert running continuously against a serving store.
+    *
+    * Crash-safety is VERSIONED, not delete-then-rename (which has a
+    * window where a crash loses every prior batch): each merge writes
+    * an immutable `v<batchId>` directory, then commits by renaming a
+    * freshly-written pointer file over `_LATEST`. Versions are never
+    * mutated, so a crash at ANY point leaves either the old pointer
+    * (state = previous version, the uncommitted merge re-runs
+    * idempotently — last-wins over identical input is a no-op) or the
+    * new pointer (batch already durable). A missing/half-written
+    * pointer recovers by listing the highest version. Readers always
+    * resolve through the pointer, so they never observe a
+    * half-written table. Over a bounded source the final state equals
+    * the batch last-wins query — the q_st9 oracle. Returns the
+    * committed snapshot dir.
     */
   def runMergeToStateTable(spark: SparkSession, events: DataFrame, baseDir: String): String = {
     import org.apache.spark.sql.expressions.Window
@@ -373,7 +381,20 @@ object CdcStream {
     val fs = base.getFileSystem(conf)
     if (fs.exists(base)) fs.delete(base, true)
     fs.mkdirs(base)
-    val cur = new org.apache.hadoop.fs.Path(base, "current")
+    val pointer = new org.apache.hadoop.fs.Path(base, "_LATEST")
+    def committedVersion(): Option[String] = {
+      if (fs.exists(pointer)) {
+        val in = fs.open(pointer)
+        try {
+          val v = scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          if (v.nonEmpty) return Some(v)
+        } finally in.close()
+      }
+      // pointer lost mid-commit: recover from the immutable version list
+      if (!fs.exists(base)) None
+      else fs.listStatus(base).map(_.getPath.getName)
+        .filter(_.startsWith("v")).sortBy(n => n.drop(1).toLong).lastOption
+    }
     val q = events.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val w = Window.partitionBy("user_id")
@@ -383,25 +404,32 @@ object CdcStream {
           .filter(col("__rn") === 1).drop("__rn")
           .select(col("user_id"), col("ts").as("last_ts"),
             col("event_type").as("last_type"), col("event_id").as("last_id"))
-        val merged =
-          if (fs.exists(cur)) {
-            val old = spark.read.parquet(cur.toString)
+        val merged = committedVersion() match {
+          case Some(v) =>
+            val old = spark.read.parquet(new org.apache.hadoop.fs.Path(base, v).toString)
             val wAll = Window.partitionBy("user_id")
               .orderBy(col("last_ts").desc, col("last_id").desc)
             old.unionByName(delta)
               .withColumn("__rn", row_number().over(wAll))
               .filter(col("__rn") === 1).drop("__rn")
-          } else delta
-        val next = new org.apache.hadoop.fs.Path(base, s"v$batchId")
-        merged.write.mode("overwrite").parquet(next.toString)
-        if (fs.exists(cur)) fs.delete(cur, true)
-        fs.rename(next, cur)
+          case None => delta
+        }
+        merged.write.mode("overwrite").parquet(
+          new org.apache.hadoop.fs.Path(base, s"v$batchId").toString)
+        // commit: tmp pointer + rename (atomic on HDFS-like stores)
+        val tmp = new org.apache.hadoop.fs.Path(base, s"_LATEST.v$batchId.tmp")
+        val out = fs.create(tmp, true)
+        try out.write(s"v$batchId".getBytes("UTF-8")) finally out.close()
+        if (fs.exists(pointer)) fs.delete(pointer, false)
+        fs.rename(tmp, pointer)
         ()
       }
       .start()
     q.processAllAvailable()
     q.stop()
-    cur.toString
+    val v = committedVersion().getOrElse(
+      throw new IllegalStateException(s"no committed state version under $baseDir"))
+    new org.apache.hadoop.fs.Path(base, v).toString
   }
 
   /** Run a streaming aggregation to completion over the (bounded) file

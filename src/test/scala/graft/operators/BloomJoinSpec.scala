@@ -16,6 +16,25 @@ class BloomJoinSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(3L, 500L, 999L), out.mkString(","))
   }
 
+  test("mixed INT dim / BIGINT fact key types still produce zero false negatives") {
+    import spark.implicits._
+    val fact = (1L to 200L).toDF("k") // BIGINT
+    val dim = Seq(3, 50, 199).toDF("d") // INT — hashes as BIGINT via the coercion
+    val out = BloomJoin.semiJoin(fact, "k", dim, "d", mBits = 256, k = 3)
+      .as[Long].collect().sorted
+    assert(out.toSeq == Seq(3L, 50L, 199L), out.mkString(","))
+  }
+
+  test("non-integral keys are rejected loudly, not silently mishashed") {
+    import spark.implicits._
+    val fact = Seq("a", "b").toDF("k")
+    val dim = Seq("a").toDF("d")
+    val e = intercept[IllegalArgumentException] {
+      BloomJoin.semiJoin(fact, "k", dim, "d")
+    }
+    assert(e.getMessage.contains("integral"), e.getMessage)
+  }
+
   test("bitmap is one row of m/64 or fewer words and the filter prunes most rows") {
     import spark.implicits._
     val dim = (1L to 10L).toDF("d")
