@@ -1639,6 +1639,61 @@ object RelationalQueries {
             6).as("rho"))
       }),
 
+    // ---------------------------------------------------------------- A29 (link analysis: PageRank, unrolled)
+    QueryDef(
+      "q_a29_pagerank", "A29 link analysis (PageRank)",
+      // two Lloyd-style UNROLLED PageRank iterations (d=0.85) over the
+      // co-purchase graph: users are linked when their purchases share
+      // a props.k value. Each iteration's neighbor sum is the
+      // rounded-DECIMAL contribution pattern (q_l32/q_l36 rule) so the
+      // reduction order cannot leak, and each iteration's pr is
+      // re-rounded to 12dp so both engines iterate on identical
+      // operands — the kmeans replay discipline (q_l26) applied to
+      // graph propagation. Symmetric edges ⇒ no dangling nodes. The
+      // iteration is two key-partitioned join+agg rounds — the
+      // Pregel-free shape that scales as ordinary shuffles.
+      Some("""WITH p AS (SELECT DISTINCT user_id AS u,
+             |    CAST(props->>'$.k' AS BIGINT) AS k
+             |  FROM events WHERE event_type = 'purchase'),
+             |e AS (SELECT DISTINCT a.u AS src, b.u AS dst
+             |      FROM p a JOIN p b ON a.k = b.k AND a.u <> b.u),
+             |d AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+             |pr1 AS (SELECT e.dst AS u,
+             |    round(0.15 + 0.85 * CAST(sum(CAST(round(1.0 / d.deg, 12)
+             |        AS DECIMAL(28,12))) AS DOUBLE), 12) AS pr
+             |  FROM e JOIN d ON e.src = d.src GROUP BY e.dst),
+             |pr2 AS (SELECT e.dst AS u,
+             |    round(0.15 + 0.85 * CAST(sum(CAST(round(pr1.pr / d.deg, 12)
+             |        AS DECIMAL(28,12))) AS DOUBLE), 12) AS pr
+             |  FROM e JOIN d ON e.src = d.src JOIN pr1 ON pr1.u = e.src
+             |  GROUP BY e.dst)
+             |SELECT u AS user_id, round(pr, 6) AS pagerank FROM pr2
+             |ORDER BY pagerank DESC, user_id LIMIT 20""".stripMargin),
+      (s, dir) => {
+        val p = Tables.events(s, dir)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id").as("u"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .distinct()
+        val e = p.select(col("u").as("src"), col("k"))
+          .join(p.select(col("u").as("dst"), col("k")), Seq("k"))
+          .filter(col("src") =!= col("dst"))
+          .select("src", "dst").distinct()
+        val d = e.groupBy("src").agg(count(lit(1)).as("deg"))
+        def iterate(pr: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+          e.join(d, "src")
+            .join(pr.select(col("u").as("src"), col("pr")), Seq("src"))
+            .groupBy(col("dst").as("u"))
+            .agg(round(lit(0.15) + lit(0.85) *
+              sum(round(col("pr") / col("deg"), 12).cast(DecimalType(28, 12)))
+                .cast("double"), 12).as("pr"))
+        val pr0 = d.select(col("src").as("u"), lit(1.0).as("pr"))
+        val pr2 = iterate(iterate(pr0))
+        pr2.select(col("u").as("user_id"), round(col("pr"), 6).as("pagerank"))
+          .orderBy(col("pagerank").desc, col("user_id"))
+          .limit(20)
+      }),
+
     // ---------------------------------------------------------------- A28 (categorical set overlap / Jaccard matrix)
     QueryDef(
       "q_a28_set_overlap", "A28 audience overlap (set Jaccard)",
