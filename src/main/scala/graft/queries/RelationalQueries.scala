@@ -1694,6 +1694,57 @@ object RelationalQueries {
           .limit(20)
       }),
 
+    // ---------------------------------------------------------------- A30 (triangle count / clustering coefficient)
+    QueryDef(
+      "q_a30_triangles", "A30 triangle counting",
+      // triangles and the global clustering coefficient of the same
+      // co-purchase graph as q_a29: orient every edge small→large id
+      // so each triangle is counted ONCE as (a<b<c) — two equi-joins,
+      // no per-node adjacency materialization. All counts are exact
+      // integers; the coefficient is one double division. At scale the
+      // standard refinement orients by DEGREE (low→high) so hub nodes
+      // never anchor the wedge join — noted, not needed at this
+      // density.
+      Some("""WITH p AS (SELECT DISTINCT user_id AS u,
+             |    CAST(props->>'$.k' AS BIGINT) AS k
+             |  FROM events WHERE event_type = 'purchase'),
+             |und AS (SELECT DISTINCT a.u AS src, b.u AS dst
+             |        FROM p a JOIN p b ON a.k = b.k AND a.u <> b.u),
+             |deg AS (SELECT src AS u, count(*) AS d FROM und GROUP BY 1),
+             |o AS (SELECT src, dst FROM und WHERE src < dst),
+             |tri AS (SELECT count(*) AS t
+             |  FROM o e1 JOIN o e2 ON e2.src = e1.dst
+             |            JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+             |w AS (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) AS wedges FROM deg)
+             |SELECT (SELECT count(*) FROM o) AS n_edges, tri.t AS n_triangles,
+             |w.wedges,
+             |round(3.0 * tri.t / w.wedges, 6) AS clustering_coeff
+             |FROM tri CROSS JOIN w""".stripMargin),
+      (s, dir) => {
+        val p = Tables.events(s, dir)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id").as("u"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .distinct()
+        val und = p.select(col("u").as("src"), col("k"))
+          .join(p.select(col("u").as("dst"), col("k")), Seq("k"))
+          .filter(col("src") =!= col("dst"))
+          .select("src", "dst").distinct()
+        val deg = und.groupBy(col("src").as("u")).agg(count(lit(1)).as("d"))
+        val o = und.filter(col("src") < col("dst"))
+        val tri = o.as("e1")
+          .join(o.as("e2"), col("e2.src") === col("e1.dst"))
+          .join(o.as("e3"),
+            col("e3.src") === col("e1.src") && col("e3.dst") === col("e2.dst"))
+          .agg(count(lit(1)).as("t"))
+        val wedges = deg.agg(sum(floor(col("d") * (col("d") - 1) / 2)).cast("long")
+          .as("wedges"))
+        val nEdges = o.agg(count(lit(1)).as("n_edges"))
+        nEdges.crossJoin(broadcast(tri)).crossJoin(broadcast(wedges))
+          .select(col("n_edges"), col("t").as("n_triangles"), col("wedges"),
+            round(lit(3.0) * col("t") / col("wedges"), 6).as("clustering_coeff"))
+      }),
+
     // ---------------------------------------------------------------- A28 (categorical set overlap / Jaccard matrix)
     QueryDef(
       "q_a28_set_overlap", "A28 audience overlap (set Jaccard)",
