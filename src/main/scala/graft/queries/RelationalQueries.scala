@@ -1643,20 +1643,24 @@ object RelationalQueries {
     QueryDef(
       "q_a29_pagerank", "A29 link analysis (PageRank)",
       // two Lloyd-style UNROLLED PageRank iterations (d=0.85) over the
-      // co-purchase graph: users are linked when their purchases share
-      // a props.k value. Each iteration's neighbor sum is the
-      // rounded-DECIMAL contribution pattern (q_l32/q_l36 rule) so the
-      // reduction order cannot leak, and each iteration's pr is
-      // re-rounded to 12dp so both engines iterate on identical
-      // operands — the kmeans replay discipline (q_l26) applied to
-      // graph propagation. Symmetric edges ⇒ no dangling nodes. The
-      // iteration is two key-partitioned join+agg rounds — the
-      // Pregel-free shape that scales as ordinary shuffles.
+      // strong-tie co-purchase graph (≥3 shared props.k — the same
+      // density lever as q_a30: uniform purchase data makes the
+      // share-anything graph near-complete, and a near-complete
+      // graph's edge list is Σ n_k² pairs; at real scale you also cap
+      // per-key fanout before pairing). Each iteration's neighbor sum
+      // is the rounded-DECIMAL contribution pattern (q_l32/q_l36
+      // rule) so the reduction order cannot leak, and each
+      // iteration's pr is re-rounded to 12dp so both engines iterate
+      // on identical operands — the kmeans replay discipline (q_l26)
+      // applied to graph propagation. Symmetric edges ⇒ no dangling
+      // nodes. The iteration is two key-partitioned join+agg rounds —
+      // the Pregel-free shape that scales as ordinary shuffles.
       Some("""WITH p AS (SELECT DISTINCT user_id AS u,
              |    CAST(props->>'$.k' AS BIGINT) AS k
              |  FROM events WHERE event_type = 'purchase'),
-             |e AS (SELECT DISTINCT a.u AS src, b.u AS dst
-             |      FROM p a JOIN p b ON a.k = b.k AND a.u <> b.u),
+             |e AS (SELECT a.u AS src, b.u AS dst
+             |      FROM p a JOIN p b ON a.k = b.k AND a.u <> b.u
+             |      GROUP BY 1, 2 HAVING count(*) >= 3),
              |d AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
              |pr1 AS (SELECT e.dst AS u,
              |    round(0.15 + 0.85 * CAST(sum(CAST(round(1.0 / d.deg, 12)
@@ -1678,7 +1682,9 @@ object RelationalQueries {
         val e = p.select(col("u").as("src"), col("k"))
           .join(p.select(col("u").as("dst"), col("k")), Seq("k"))
           .filter(col("src") =!= col("dst"))
-          .select("src", "dst").distinct()
+          .groupBy("src", "dst").agg(count(lit(1)).as("__shared"))
+          .filter(col("__shared") >= 3)
+          .select("src", "dst")
         val d = e.groupBy("src").agg(count(lit(1)).as("deg"))
         def iterate(pr: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
           e.join(d, "src")
@@ -1697,19 +1703,22 @@ object RelationalQueries {
     // ---------------------------------------------------------------- A30 (triangle count / clustering coefficient)
     QueryDef(
       "q_a30_triangles", "A30 triangle counting",
-      // triangles and the global clustering coefficient of the same
-      // co-purchase graph as q_a29: orient every edge small→large id
-      // so each triangle is counted ONCE as (a<b<c) — two equi-joins,
-      // no per-node adjacency materialization. All counts are exact
-      // integers; the coefficient is one double division. At scale the
-      // standard refinement orients by DEGREE (low→high) so hub nodes
-      // never anchor the wedge join — noted, not needed at this
-      // density.
+      // triangles and the global clustering coefficient of the
+      // STRONG-TIE co-purchase graph: an edge needs ≥5 shared props.k
+      // values. The threshold is the scale lever — a share-anything
+      // graph over uniform purchase data is near-complete, and a
+      // triangle count's wedge join is Σ deg² (measured: 22 s at sf0.1
+      // on the dense graph vs sub-second sparsified; density, not row
+      // count, is the cost). Each triangle counts ONCE as (a<b<c) —
+      // two equi-joins, no per-node adjacency materialization. At
+      // scale the further refinement orients by DEGREE (low→high) so
+      // hub nodes never anchor the wedge join.
       Some("""WITH p AS (SELECT DISTINCT user_id AS u,
              |    CAST(props->>'$.k' AS BIGINT) AS k
              |  FROM events WHERE event_type = 'purchase'),
-             |und AS (SELECT DISTINCT a.u AS src, b.u AS dst
-             |        FROM p a JOIN p b ON a.k = b.k AND a.u <> b.u),
+             |und AS (SELECT a.u AS src, b.u AS dst
+             |        FROM p a JOIN p b ON a.k = b.k AND a.u <> b.u
+             |        GROUP BY 1, 2 HAVING count(*) >= 5),
              |deg AS (SELECT src AS u, count(*) AS d FROM und GROUP BY 1),
              |o AS (SELECT src, dst FROM und WHERE src < dst),
              |tri AS (SELECT count(*) AS t
@@ -1729,7 +1738,9 @@ object RelationalQueries {
         val und = p.select(col("u").as("src"), col("k"))
           .join(p.select(col("u").as("dst"), col("k")), Seq("k"))
           .filter(col("src") =!= col("dst"))
-          .select("src", "dst").distinct()
+          .groupBy("src", "dst").agg(count(lit(1)).as("__shared"))
+          .filter(col("__shared") >= 5)
+          .select("src", "dst")
         val deg = und.groupBy(col("src").as("u")).agg(count(lit(1)).as("d"))
         val o = und.filter(col("src") < col("dst"))
         val tri = o.as("e1")
