@@ -12,13 +12,15 @@ object Registry {
       FunctionQueries.defs ++
       DwhQueries.defs ++
       LlmQueries.defs ++
-      IoQueries.defs
+      IoQueries.defs ++
+      StatQueries.defs
 
   /** Names benched by graft.Bench at sf0.1 — the data-proportional
     * queries (literal-input function goldens are excluded: they do no
     * table IO and would bench JVM noise, not the engine).
     */
   lazy val benchNames: Seq[String] =
-    (RelationalQueries.defs ++ DwhQueries.defs ++ LlmQueries.defs ++ IoQueries.defs)
+    (RelationalQueries.defs ++ DwhQueries.defs ++ LlmQueries.defs ++ IoQueries.defs ++
+      StatQueries.defs)
       .map(_.name)
 }

@@ -1,0 +1,89 @@
+package graft.queries
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics checks for the stats/mining family on hand-computed
+  * micro-cases (the value-exact DuckDB oracle runs at sf0.01 via
+  * Verify; these pin the algebra on inputs small enough to verify by
+  * hand).
+  */
+class StatQueriesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def q(name: String) = Registry.all.find(_.name == name).get
+
+  test("decayed score: weight halves per elapsed week") {
+    // three events, 0/1/2 weeks before the max ts, value 8 each:
+    // 8/1 + 8/2 + 8/4 = 14
+    val ev = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-15 00:00:00"), 1L, "view", 8.0, "{}"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-08 00:00:00"), 1L, "view", 8.0, "{}"),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "view", 8.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("stat_ev").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = q("q_a31_decayed_score").fn(spark, dir).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("n_events") == 3L)
+    assert(math.abs(out.head.getAs[Double]("decayed_score") - 14.0) < 1e-9)
+  }
+
+  test("MAD outliers: a planted far point is flagged, the bulk is not") {
+    // values 10,11,12,13,14 + outlier 1000: med=12 (rank ceil(3)=3rd),
+    // adev={2,1,0,1,2,988}, mad = 3rd smallest = 1; threshold 4.4478
+    val rows = Seq(10.0, 11.0, 12.0, 13.0, 14.0, 1000.0).zipWithIndex.map {
+      case (v, i) =>
+        (i.toLong, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "t", v, "{}")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("stat_mad").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = q("q_a32_mad_outliers").fn(spark, dir).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Double]("med") == 12.0 && r.getAs[Double]("mad") == 1.0)
+    assert(r.getAs[Long]("n_outliers") == 1L)
+  }
+
+  test("chi-square: independent 2x2 table scores ~0, dof 1") {
+    // counts proportional across segments => expected == observed
+    val cust = Seq((1L, "n", 0, 0.0, "A"), (2L, "n", 0, 0.0, "B"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val orders = (Seq.fill(10)((1L, "P")) ++ Seq.fill(30)((1L, "Q")) ++
+      Seq.fill(20)((2L, "P")) ++ Seq.fill(60)((2L, "Q"))).zipWithIndex.map {
+      case ((ck, pri), i) =>
+        (i.toLong, ck, "O", 1.0, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), pri)
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    val dir = java.nio.file.Files.createTempDirectory("stat_chi").toString
+    cust.write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    orders.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = q("q_a33_chisq").fn(spark, dir).collect().head
+    assert(math.abs(r.getAs[Double]("chi2")) < 1e-9)
+    assert(r.getAs[Long]("dof") == 1L && r.getAs[Long]("n_cells") == 4L)
+  }
+
+  test("frequent pairs: support counts baskets, lift uses item frequencies") {
+    // baskets: {1,2} x3, {1,3} x2, {2,3} x1 over 6 orders
+    // => pair (1,2) support 3, f1=5, f2=4, lift=3*6/20=0.9
+    val baskets = Seq(
+      (1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (3L, 1L), (3L, 2L),
+      (4L, 1L), (4L, 3L), (5L, 1L), (5L, 3L), (6L, 2L), (6L, 3L))
+    val li = baskets.zipWithIndex.map { case ((o, p), i) =>
+      (o, p, 1L, i, 1.0, 1.0, 0.0, 0.0, "N", "O",
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+    }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+      "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+      "l_shipdate")
+    val dir = java.nio.file.Files.createTempDirectory("stat_fp").toString
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = q("q_a34_frequent_pairs").fn(spark, dir).collect()
+    val top = out.head
+    assert(top.getAs[Long]("item_a") == 1L && top.getAs[Long]("item_b") == 2L)
+    assert(top.getAs[Long]("support") == 3L)
+    assert(math.abs(top.getAs[Double]("lift") - 0.9) < 1e-9)
+  }
+}
