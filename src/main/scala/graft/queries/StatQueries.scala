@@ -191,6 +191,199 @@ object StatQueries {
             round((col("support") * col("n")) / (col("fa") * col("fb")), 6).as("lift"))
           .orderBy(col("support").desc, col("lift").desc, col("item_a"), col("item_b"))
           .limit(20)
+      }),
+
+    // ---------------------------------------------------------------- A35 (BFS reachability / hop histogram)
+    QueryDef(
+      "q_a35_bfs_hops", "A35 BFS frontier expansion",
+      // multi-source BFS over the strong-tie co-purchase graph (≥6
+      // shared props.k — sparse on purpose: the threshold is the
+      // graph family's density lever, see q_a30). Three unrolled
+      // frontier rounds from the u%7=0 seed set; each round is one
+      // key-partitioned edge join + one anti-join against the visited
+      // set — the BSP shape that runs as ordinary shuffles at any
+      // scale (unrolled here so the oracle replays it; production
+      // loops with the frontier checkpointed per round, exactly like
+      // the connected-components operator q_l14). Output: hop
+      // histogram with -1 = not reached within 3 hops.
+      Some("""WITH p AS (SELECT DISTINCT user_id AS u,
+             |    CAST(props->>'$.k' AS BIGINT) AS k
+             |  FROM events WHERE event_type = 'purchase'),
+             |e AS (SELECT a.u AS src, b.u AS dst FROM p a JOIN p b
+             |      ON a.k = b.k AND a.u <> b.u GROUP BY 1, 2 HAVING count(*) >= 6),
+             |nodes AS (SELECT DISTINCT src AS u FROM e),
+             |f0 AS (SELECT u FROM nodes WHERE u % 7 = 0),
+             |f1 AS (SELECT DISTINCT e.dst AS u FROM e JOIN f0 ON e.src = f0.u
+             |       EXCEPT SELECT u FROM f0),
+             |f2 AS (SELECT DISTINCT e.dst AS u FROM e JOIN f1 ON e.src = f1.u
+             |       EXCEPT (SELECT u FROM f0 UNION SELECT u FROM f1)),
+             |f3 AS (SELECT DISTINCT e.dst AS u FROM e JOIN f2 ON e.src = f2.u
+             |       EXCEPT (SELECT u FROM f0 UNION SELECT u FROM f1 UNION SELECT u FROM f2)),
+             |lab AS (SELECT u, 0 AS hop FROM f0 UNION ALL SELECT u, 1 FROM f1
+             |        UNION ALL SELECT u, 2 FROM f2 UNION ALL SELECT u, 3 FROM f3),
+             |allhop AS (SELECT nodes.u, coalesce(lab.hop, -1) AS hop
+             |           FROM nodes LEFT JOIN lab ON nodes.u = lab.u)
+             |SELECT hop, count(*) AS n_users, min(u) AS min_user, max(u) AS max_user
+             |FROM allhop GROUP BY 1 ORDER BY hop""".stripMargin),
+      (s, dir) => {
+        val p = Tables.events(s, dir)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id").as("u"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .distinct()
+        val e = p.select(col("u").as("src"), col("k"))
+          .join(p.select(col("u").as("dst"), col("k")), Seq("k"))
+          .filter(col("src") =!= col("dst"))
+          .groupBy("src", "dst").agg(count(lit(1)).as("__shared"))
+          .filter(col("__shared") >= 6)
+          .select("src", "dst")
+          .localCheckpoint(false) // consumed by 3 expansion rounds
+        val nodes = e.select(col("src").as("u")).distinct()
+          .localCheckpoint(false)
+        def expand(frontier: DataFrame, seen: DataFrame): DataFrame =
+          e.join(frontier.withColumnRenamed("u", "src"), "src")
+            .select(col("dst").as("u")).distinct()
+            .join(seen, Seq("u"), "left_anti")
+            .localCheckpoint(false) // frontiers are tiny; each feeds 2+ consumers
+        val f0 = nodes.filter(col("u") % 7 === 0).localCheckpoint(false)
+        val f1 = expand(f0, f0)
+        val s1 = f0.union(f1)
+        val f2 = expand(f1, s1)
+        val s2 = s1.union(f2)
+        val f3 = expand(f2, s2)
+        val lab = f0.select(col("u"), lit(0).as("hop"))
+          .union(f1.select(col("u"), lit(1).as("hop")))
+          .union(f2.select(col("u"), lit(2).as("hop")))
+          .union(f3.select(col("u"), lit(3).as("hop")))
+        nodes.join(lab, Seq("u"), "left")
+          .select(col("u"), coalesce(col("hop"), lit(-1)).as("hop"))
+          .groupBy("hop")
+          .agg(count(lit(1)).as("n_users"), min("u").as("min_user"),
+            max("u").as("max_user"))
+          .orderBy("hop")
+      }),
+
+    // ---------------------------------------------------------------- A36 (2-D skyline / Pareto frontier)
+    QueryDef(
+      "q_a36_skyline", "A36 skyline (Pareto frontier)",
+      // parts not dominated on (price low, size high). The oracle is
+      // the NOT EXISTS definition; the engine computes the same set
+      // WITHOUT an all-pairs join or a global running-max window:
+      // equal prices collapse to their max size (anything else at
+      // that price is dominated), prices bucket into 64 ranges, the
+      // cross-bucket prefix max runs over ≤64 rows (a bounded
+      // constant, not a data-sized single partition), and the
+      // within-bucket running max is a window PARTITIONED by bucket —
+      // every stage is either O(bucket-count) or fully parallel. A
+      // point survives iff its size strictly exceeds the max size of
+      // every strictly-cheaper point.
+      Some("""WITH pts AS (SELECT DISTINCT p_retailprice AS price, p_size AS size FROM part),
+             |m AS (SELECT price, max(size) AS size FROM pts GROUP BY 1)
+             |SELECT price, size FROM m r
+             |WHERE NOT EXISTS (SELECT 1 FROM m s
+             |                  WHERE s.price < r.price AND s.size >= r.size)
+             |ORDER BY price""".stripMargin),
+      (s, dir) => {
+        val nB = 64
+        val m = Tables.part(s, dir)
+          .select(col("p_retailprice").as("price"), col("p_size").as("size"))
+          .distinct()
+          .groupBy("price").agg(max("size").as("size"))
+        val st = m.agg(min("price").as("lo"), max("price").as("hi"))
+        val bucketed = m.crossJoin(broadcast(st))
+          .withColumn("b",
+            when(col("hi") === col("lo"), lit(0)).otherwise(
+              least(lit(nB - 1), greatest(lit(0),
+                floor((col("price") - col("lo")) / (col("hi") - col("lo")) * nB)
+                  .cast("int")))))
+          .select("price", "size", "b")
+        val bmax = bucketed.groupBy("b").agg(max("size").as("bm"))
+        val prefW = Window.orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, -1) // ≤64 rows: bounded
+        val bpref = bmax.withColumn("pref", max("bm").over(prefW)).select("b", "pref")
+        val locW = Window.partitionBy("b").orderBy("price")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        bucketed.join(broadcast(bpref), "b")
+          .withColumn("dom",
+            greatest(coalesce(col("pref"), lit(Int.MinValue)),
+              coalesce(max("size").over(locW), lit(Int.MinValue))))
+          .filter(col("size") > col("dom"))
+          .select("price", "size")
+          .orderBy("price")
+      }),
+
+    // ---------------------------------------------------------------- A37 (HyperLogLog distinct-count sketch)
+    QueryDef(
+      "q_a37_hll_distinct", "A37 HLL distinct sketch",
+      // per-type distinct users via a 64-register HyperLogLog over the
+      // 32-bit md5 hash (top 6 bits → register, rho = leading-zero
+      // rank of the low 26 bits, derived via bin()-string length —
+      // pure integer/string ops, identical in both engines). The
+      // register state is a per-(group, register) MAX — partial
+      // aggregation + trivially mergeable across partitions, days,
+      // and tables: THE streaming-friendly distinct counter at
+      // 100 TB. The harmonic sum adds 64 dyadic rationals 2^-m
+      // (m ≤ 27), whose double sum is EXACT and order-independent, so
+      // no decimal discipline is needed; the small-range correction
+      // branch compares deterministic doubles. Output pairs the
+      // estimate with the exact count and relative error.
+      Some("""WITH h AS (SELECT event_type,
+             |    CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+             |         AS UBIGINT) AS BIGINT) AS h
+             |  FROM events),
+             |b AS (SELECT event_type, CAST(h >> 26 AS INT) AS idx, h & 67108863 AS rem
+             |      FROM h),
+             |r AS (SELECT event_type, idx,
+             |    max(CASE WHEN rem = 0 THEN 27 ELSE 27 - length(bin(rem)) END) AS m
+             |  FROM b GROUP BY 1, 2),
+             |g AS (SELECT et.event_type, gs.i
+             |      FROM (SELECT DISTINCT event_type FROM events) et
+             |      CROSS JOIN generate_series(0, 63) gs(i)),
+             |reg AS (SELECT g.event_type, coalesce(r.m, 0) AS m
+             |        FROM g LEFT JOIN r ON r.event_type = g.event_type AND r.idx = g.i),
+             |z AS (SELECT event_type,
+             |    sum(1.0 / CAST(CAST(1 AS BIGINT) << m AS DOUBLE)) AS z,
+             |    count(*) FILTER (WHERE m = 0) AS v FROM reg GROUP BY 1),
+             |est AS (SELECT event_type, v,
+             |    (0.7213 / (1 + 1.079 / 64)) * 4096 / z AS e_raw FROM z),
+             |fin AS (SELECT event_type,
+             |    CASE WHEN e_raw <= 160.0 AND v > 0 THEN 64 * ln(64.0 / v)
+             |         ELSE e_raw END AS e FROM est),
+             |x AS (SELECT event_type, count(DISTINCT user_id) AS n_exact FROM events
+             |      GROUP BY 1)
+             |SELECT fin.event_type, x.n_exact, round(fin.e, 4) AS est,
+             |round(abs(round(fin.e, 4) - x.n_exact) / x.n_exact, 4) AS rel_err
+             |FROM fin JOIN x USING (event_type) ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val r = ev.select(col("event_type"),
+            conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+              .cast("long").as("h"))
+          .select(col("event_type"), shiftright(col("h"), 26).cast("int").as("idx"),
+            col("h").bitwiseAND(lit(67108863L)).as("rem"))
+          .withColumn("rho",
+            when(col("rem") === 0, lit(27)).otherwise(lit(27) - length(bin(col("rem")))))
+          .groupBy("event_type", "idx").agg(max("rho").as("m"))
+        val grid = ev.select("event_type").distinct()
+          .select(col("event_type"), explode(sequence(lit(0), lit(63))).as("i"))
+        val z = grid.join(r.withColumnRenamed("idx", "i"), Seq("event_type", "i"), "left")
+          .select(col("event_type"), coalesce(col("m"), lit(0)).as("m"))
+          .groupBy("event_type")
+          .agg(sum(lit(1.0) / expr("CAST(shiftleft(CAST(1 AS BIGINT), m) AS DOUBLE)"))
+            .as("z"),
+            sum(when(col("m") === 0, 1L).otherwise(0L)).as("v"))
+        val eRaw = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(64.0)) * lit(4096.0) /
+          col("z")
+        val fin = z.withColumn("e_raw", eRaw)
+          .withColumn("e",
+            when(col("e_raw") <= 160.0 && col("v") > 0,
+              lit(64.0) * log(lit(64.0) / col("v"))).otherwise(col("e_raw")))
+        val x = ev.groupBy("event_type").agg(countDistinct("user_id").as("n_exact"))
+        fin.join(broadcast(x), "event_type")
+          .select(col("event_type"), col("n_exact"), round(col("e"), 4).as("est"),
+            round(abs(round(col("e"), 4) - col("n_exact")) / col("n_exact"), 4)
+              .as("rel_err"))
+          .orderBy("event_type")
       })
   )
 }

@@ -86,4 +86,46 @@ class StatQueriesSpec extends AnyFunSuite {
     assert(top.getAs[Long]("support") == 3L)
     assert(math.abs(top.getAs[Double]("lift") - 0.9) < 1e-9)
   }
+
+  private def purchases(pairs: Seq[(Long, Long)]): Seq[(Long, java.sql.Timestamp, Long, String, Double, String)] =
+    pairs.zipWithIndex.map { case ((u, k), i) =>
+      (i.toLong, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), u, "purchase",
+        1.0, s"""{"k":$k}""")
+    }
+
+  test("BFS hops: chain 7->1->2->3 labels by distance, isolated pair is -1") {
+    // edges need >=6 shared props.k; 7%7==0 seeds the BFS
+    def share(a: Long, b: Long, k0: Long) =
+      (0L until 6L).flatMap(d => Seq((a, k0 + d), (b, k0 + d)))
+    val ev = purchases(
+      share(7, 1, 100) ++ share(1, 2, 200) ++ share(2, 3, 300) ++ share(4, 5, 400))
+    val dir = java.nio.file.Files.createTempDirectory("stat_bfs").toString
+    ev.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = q("q_a35_bfs_hops").fn(spark, dir).collect()
+      .map(r => r.getAs[Int]("hop") -> r.getAs[Long]("n_users")).toMap
+    assert(out == Map(-1 -> 2L, 0 -> 1L, 1 -> 1L, 2 -> 1L, 3 -> 1L))
+  }
+
+  test("skyline keeps exactly the non-dominated (price, size) points") {
+    val parts = Seq((1L, 1.0, 5), (2L, 2.0, 10), (3L, 3.0, 3), (4L, 1.5, 5))
+      .map { case (k, pr, sz) => (k, s"p$k", "B", "T", sz, pr) }
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+    val dir = java.nio.file.Files.createTempDirectory("stat_sky").toString
+    parts.write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val out = q("q_a36_skyline").fn(spark, dir).collect()
+      .map(r => (r.getAs[Double]("price"), r.getAs[Int]("size"))).toSeq
+    assert(out == Seq((1.0, 5), (2.0, 10)))
+  }
+
+  test("HLL sketch estimates 200 distinct users within 30%") {
+    val ev = (1L to 200L).map(u =>
+      (u, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), u, "view", 1.0, "{}"))
+    val dir = java.nio.file.Files.createTempDirectory("stat_hll").toString
+    ev.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = q("q_a37_hll_distinct").fn(spark, dir).collect().head
+    assert(r.getAs[Long]("n_exact") == 200L)
+    assert(math.abs(r.getAs[Double]("est") - 200.0) / 200.0 < 0.3)
+  }
 }
