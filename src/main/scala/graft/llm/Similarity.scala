@@ -283,6 +283,94 @@ object Similarity {
     assigned.select(col(idCol), col("__c").as("cluster"))
   }
 
+  /** md5-derived deterministic weight in [-1, 1) for an arbitrary
+    * namespaced key — the same derivation the hyperplanes/centroids
+    * use, so every codebook is SQL-replayable.
+    */
+  private def md5Weight(key: String): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(key.getBytes("UTF-8"))
+    new java.math.BigInteger(1, java.util.Arrays.copyOf(d, 8)).doubleValue() / TwoPow63 - 1.0
+  }
+
+  /** PQ codebooks: m subspaces × k codes × subDim weights, namespaced
+    * "pq:s:c:j".
+    */
+  private[llm] def pqCodebooks(
+      m: Int, k: Int, subDim: Int): Array[Array[Array[Double]]] =
+    Array.tabulate(m, k, subDim)((s, c, j) => md5Weight(s"pq:$s:$c:$j"))
+
+  /** Squared L2 between a subvector of `e` and codeword (s, c) —
+    * sequential per-dim accumulation, bit-identical to the oracle's
+    * list_inner_product over the elementwise difference.
+    */
+  private def pqDist(
+      e: Seq[Float], cb: Array[Array[Array[Double]]], s: Int, c: Int): Double = {
+    val cw = cb(s)(c)
+    val off = s * cw.length
+    var acc = 0.0
+    var j = 0
+    while (j < cw.length) { val d = e(off + j) - cw(j); acc += d * d; j += 1 }
+    acc
+  }
+
+  /** Product-quantization ANN (ADC scan) — the memory story at 100 TB:
+    * the corpus keeps only m code bytes per vector (64 floats → 4
+    * codes here, a 64× compression), queries carry an m×k distance
+    * lookup table, and the scan is a broadcast join of the corpus
+    * codes against that table plus a per-(query, neighbor) sum — no
+    * corpus float vector is ever touched after encode. Determinism:
+    * codebooks are md5-derived (SQL-replayable); code assignment is
+    * argmin with strict-< lower-code ties, identical to the oracle's
+    * `row_number() ORDER BY dist, c`; each table entry rounds to 12dp
+    * and the m-term ADC sum runs as DECIMAL(28,12), so the reduction
+    * order cannot leak. Swapping in trained codebooks changes only
+    * `pqCodebooks`. At scale you compose this with the IVF router
+    * (`ivfTopK`'s cell assignment) for IVF-PQ; the ADC core is
+    * unchanged.
+    */
+  def pqTopK(
+      queries: DataFrame, corpus: DataFrame, idCol: String, embCol: String,
+      k: Int, m: Int = 4, nCodes: Int = 16, dim: Int = 64): DataFrame = {
+    val subDim = dim / m
+    val cb = pqCodebooks(m, nCodes, subDim)
+    val codesUdf = udf { (e: Seq[Float]) =>
+      require(e != null && e.length == dim, s"embedding dim != $dim")
+      (0 until m).map { s =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < nCodes) {
+          val d = pqDist(e, cb, s, c)
+          if (d < bestD) { bestD = d; best = c } // strict <: ties keep lower c
+          c += 1
+        }
+        best
+      }
+    }
+    val dtUdf = udf { (e: Seq[Float]) =>
+      require(e != null && e.length == dim, s"embedding dim != $dim")
+      (0 until m).flatMap(s => (0 until nCodes).map(c => pqDist(e, cb, s, c)))
+    }
+    val codes = corpus
+      .select(col(idCol).as("neighbor_id"), posexplode(codesUdf(col(embCol))))
+      .select(col("neighbor_id"), col("pos").as("__s"), col("col").as("__c"))
+    val dt = queries
+      .select(col(idCol).as("query_id"), posexplode(dtUdf(col(embCol))))
+      .select(col("query_id"), (col("pos") / nCodes).cast("int").as("__s"),
+        pmod(col("pos"), lit(nCodes)).cast("int").as("__c"),
+        round(col("col"), 12).as("__dt"))
+    codes.join(broadcast(dt), Seq("__s", "__c"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(col("__dt").cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+        .cast("double").as("adist"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("adist"), 6).as("adist"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (dedup by vector closeness):
     * bucket with LSH, verify cosine ≥ threshold within buckets.
     */

@@ -1670,6 +1670,52 @@ object LlmQueries {
             aggregate(col("qv"), lit(0L), (acc, x) => acc + x).as("q_sum"),
             round(graft.functions.VectorExprs.dotCol(col("diff"), col("diff")) / 64, 9)
               .as("mse"))
-          .orderBy("vec_id"))
+          .orderBy("vec_id")),
+
+    // ---------------------------------------------------------------- product-quantization ANN (ADC scan)
+    QueryDef(
+      "q_l39_ann_pq", "LLM-ann-pq",
+      // PQ with 4 subspaces × 16 md5-derived codewords: the corpus
+      // side keeps only 4 code bytes per 64-float vector, queries
+      // carry a 4×16 asymmetric-distance lookup table, and the scan
+      // is codes ⋈ broadcast(table) + a DECIMAL-summed 4-term ADC
+      // total (Similarity.pqTopK). Entries round to 12dp before the
+      // sum so the reduction order cannot leak.
+      Some("""WITH cb AS (
+             |  SELECT s, c, j,
+             |    CAST(('0x' || substr(md5('pq:' || s || ':' || c || ':' || j), 1, 16))
+             |         AS UBIGINT) / 9223372036854775808.0 - 1.0 AS w
+             |  FROM generate_series(0, 3) a(s) CROSS JOIN generate_series(0, 15) b(c)
+             |       CROSS JOIN generate_series(0, 15) d(j)),
+             |cbl AS (SELECT s, c, list(w ORDER BY j) AS cw FROM cb GROUP BY s, c),
+             |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+             |      FROM embeddings),
+             |sub AS (SELECT vec_id, gs.s, v.e[gs.s*16+1 : gs.s*16+16] AS se
+             |        FROM v CROSS JOIN generate_series(0, 3) gs(s)),
+             |dists AS (SELECT t.vec_id, t.s, t.c, list_inner_product(t.d, t.d) AS dist
+             |          FROM (SELECT sub.vec_id, sub.s, cbl.c,
+             |                  list_transform(list_zip(sub.se, cbl.cw), z -> z[1] - z[2]) AS d
+             |                FROM sub JOIN cbl ON cbl.s = sub.s) t),
+             |codes AS (SELECT vec_id, s, c FROM (
+             |    SELECT vec_id, s, c,
+             |      row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, c) AS r
+             |    FROM dists) WHERE r = 1),
+             |qdt AS (SELECT vec_id AS query_id, s, c, round(dist, 12) AS dt
+             |        FROM dists WHERE vec_id < 20),
+             |scored AS (SELECT qdt.query_id, codes.vec_id AS neighbor_id,
+             |    CAST(sum(CAST(qdt.dt AS DECIMAL(28,12))) AS DOUBLE) AS adist
+             |  FROM codes JOIN qdt ON qdt.s = codes.s AND qdt.c = codes.c
+             |  WHERE codes.vec_id <> qdt.query_id GROUP BY 1, 2)
+             |SELECT query_id, rank, neighbor_id, round(adist, 6) AS adist FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY query_id
+             |                               ORDER BY adist, neighbor_id) AS rank
+             |  FROM scored) t
+             |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.pqTopK(emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding",
+            k = 5)
+          .orderBy("query_id", "rank")
+      })
   )
 }

@@ -98,4 +98,37 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.length == 5)
     assert(pairs.forall { case (a, b, s) => b == a + 10000 && s == 1.0 })
   }
+  test("PQ ADC: an identical corpus vector attains the minimum ADC distance") {
+    val emb = Tables.embeddings(spark, sf)
+    // clone vec 0..4 under shifted ids: the clone's codes equal the
+    // query's own argmin codes, so ADC(query, clone) = Σ_s min_c
+    // dt(q,s,c) — the smallest value ADC can take for that query. The
+    // clone must therefore sit in the minimal-adist tie group (ties =
+    // coarse code collisions, broken by id).
+    val twins = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 9000).as("vec_id"), col("embedding"), col("label"))
+    val corpus = emb.unionByName(twins)
+    val rows = Similarity.pqTopK(twins, corpus, "vec_id", "embedding", k = 10)
+      .collect()
+    (0 until 5).foreach { i =>
+      val q = rows.filter(_.getAs[Long]("query_id") == 9000L + i)
+      val minD = q.map(_.getAs[Double]("adist")).min
+      val orig = q.find(_.getAs[Long]("neighbor_id") == i.toLong)
+      assert(orig.isDefined, s"original $i missing from its twin's top-10")
+      assert(orig.get.getAs[Double]("adist") == minD)
+    }
+  }
+
+  test("PQ ranks are contiguous and ADC distances non-decreasing per query") {
+    val emb = Tables.embeddings(spark, sf)
+    val rows = Similarity.pqTopK(emb.filter(col("vec_id") < 8), emb,
+        "vec_id", "embedding", k = 5)
+      .orderBy("query_id", "rank").collect()
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      val ranks = rs.map(_.getAs[Int]("rank")).toSeq
+      assert(ranks == (1 to ranks.size))
+      val ds = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("adist")).toSeq
+      assert(ds == ds.sorted)
+    }
+  }
 }
