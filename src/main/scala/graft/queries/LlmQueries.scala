@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.llm.{Corpus, Dedup, Multimodal, Retrieval, Similarity, Sketches, TextAnalysis}
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -1671,6 +1672,53 @@ object LlmQueries {
             round(graft.functions.VectorExprs.dotCol(col("diff"), col("diff")) / 64, 9)
               .as("mse"))
           .orderBy("vec_id")),
+
+    // ---------------------------------------------------------------- bigram collocations (PMI)
+    QueryDef(
+      "q_l40_bigram_pmi", "LLM-collocations",
+      // strongest adjacent-word collocations by pointwise mutual
+      // information. Bigrams come from a lead() window PARTITIONED BY
+      // doc (parallelism = document count; no positional self-join
+      // shuffle), counts are exact ints, and the RANKING key is the
+      // raw probability ratio c12·N/(c1·c2) — exact-int products over
+      // one IEEE division, deterministic in both engines — with
+      // ln() applied only to the displayed, rounded PMI.
+      Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+             |             FROM documents),
+             |t AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS pos
+             |      FROM toks),
+             |uni AS (SELECT w, count(*) AS c FROM t GROUP BY 1),
+             |bg AS (SELECT a.w AS w1, b.w AS w2, count(*) AS c12
+             |       FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+             |       GROUP BY 1, 2),
+             |nn AS (SELECT CAST(sum(c12) AS BIGINT) AS n FROM bg),
+             |sc AS (SELECT bg.w1, bg.w2, bg.c12,
+             |       (CAST(bg.c12 AS DOUBLE) * nn.n) / (u1.c * u2.c) AS ratio
+             |       FROM bg JOIN uni u1 ON u1.w = bg.w1 JOIN uni u2 ON u2.w = bg.w2
+             |       CROSS JOIN nn WHERE bg.c12 >= 5)
+             |SELECT w1, w2, c12, round(ln(ratio), 6) AS pmi
+             |FROM sc ORDER BY ratio DESC, w1, w2 LIMIT 20""".stripMargin),
+      (s, dir) => {
+        val t = Tables.documents(s, dir)
+          .select(col("doc_id"), posexplode(split(trim(col("text")), "\\s+")))
+          .select(col("doc_id"), col("pos"), col("col").as("w"))
+        val wp = Window.partitionBy("doc_id").orderBy("pos")
+        val bg = t.withColumn("w2", lead("w", 1).over(wp))
+          .filter(col("w2").isNotNull)
+          .groupBy(col("w").as("w1"), col("w2"))
+          .agg(count(lit(1)).as("c12"))
+        val uni = t.groupBy(col("w")).agg(count(lit(1)).as("c"))
+        val nn = bg.agg(sum("c12").as("n"))
+        bg.filter(col("c12") >= 5)
+          .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c1"))), "w1")
+          .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c2"))), "w2")
+          .crossJoin(broadcast(nn))
+          .withColumn("ratio",
+            (col("c12").cast("double") * col("n")) / (col("c1") * col("c2")))
+          .orderBy(col("ratio").desc, col("w1"), col("w2"))
+          .limit(20)
+          .select(col("w1"), col("w2"), col("c12"), round(log(col("ratio")), 6).as("pmi"))
+      }),
 
     // ---------------------------------------------------------------- product-quantization ANN (ADC scan)
     QueryDef(

@@ -312,6 +312,237 @@ object StatQueries {
           .orderBy("price")
       }),
 
+    // ---------------------------------------------------------------- A38 (grouped OLS trend)
+    QueryDef(
+      "q_a38_ols_trend", "A38 grouped least-squares trend",
+      // per-type linear trend of value over days-since-first-event:
+      // slope, intercept, r². x is a SMALL exact int (day index), so
+      // sx/sxx are exact int64 sums; the y-moments round each term to
+      // 12dp and sum as DECIMAL — order-independent — and the closed
+      // forms are then single-op double chains identical across
+      // engines (same discipline as q_a21/q_a27). One broadcast
+      // scalar + one partial-aggregated groupBy at any scale.
+      Some("""WITH m0 AS (SELECT min(CAST(date_trunc('day', ts) AS DATE)) AS d0 FROM events),
+             |pt AS (SELECT event_type,
+             |    date_diff('day', m0.d0, CAST(date_trunc('day', ts) AS DATE)) AS x,
+             |    value AS y FROM events CROSS JOIN m0),
+             |m AS (SELECT event_type, count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx,
+             |    CAST(sum(CAST(round(y, 12) AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+             |    CAST(sum(CAST(round(x * y, 12) AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
+             |    CAST(sum(CAST(round(y * y, 12) AS DECIMAL(28,12))) AS DOUBLE) AS syy
+             |  FROM pt GROUP BY 1)
+             |SELECT event_type, n,
+             |round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             |  / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6) AS slope,
+             |round((sy - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             |  / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * sx) / n, 6)
+             |  AS intercept,
+             |round(((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             |  * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy))
+             |  / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+             |  * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6) AS r2
+             |FROM m ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val d0 = ev.agg(min(to_date(date_trunc("day", col("ts")))).as("d0"))
+        val pt = ev.crossJoin(broadcast(d0))
+          .select(col("event_type"),
+            datediff(to_date(date_trunc("day", col("ts"))), col("d0")).as("x"),
+            col("value").as("y"))
+        val m = pt.groupBy("event_type").agg(
+          count(lit(1)).as("n"), sum("x").as("sx"), sum(col("x") * col("x")).as("sxx"),
+          sum(d28(round(col("y"), 12))).cast("double").as("sy"),
+          sum(d28(round(col("x") * col("y"), 12))).cast("double").as("sxy"),
+          sum(d28(round(col("y") * col("y"), 12))).cast("double").as("syy"))
+        val nD = col("n").cast("double")
+        val sxD = col("sx").cast("double")
+        val num = nD * col("sxy") - sxD * col("sy")
+        val den = nD * col("sxx") - sxD * col("sx")
+        m.select(col("event_type"), col("n"),
+            round(num / den, 6).as("slope"),
+            round((col("sy") - num / den * col("sx")) / col("n"), 6).as("intercept"),
+            round(num * num / (den * (nD * col("syy") - col("sy") * col("sy"))), 6)
+              .as("r2"))
+          .orderBy("event_type")
+      }),
+
+    // ---------------------------------------------------------------- A39 (degree assortativity of the strong-tie graph)
+    QueryDef(
+      "q_a39_assortativity", "A39 degree assortativity",
+      // Pearson correlation of endpoint degrees over directed edges of
+      // the strong-tie graph (q_a29's ≥3-shared-keys form): do
+      // well-connected users co-purchase with other well-connected
+      // users? Degrees are exact ints, so ALL five moments are exact
+      // int64 sums — no rounding discipline needed anywhere; r is one
+      // double chain. Edge degrees attach via two key-partitioned
+      // joins against the (node, degree) table.
+      Some("""WITH p AS (SELECT DISTINCT user_id AS u,
+             |    CAST(props->>'$.k' AS BIGINT) AS k
+             |  FROM events WHERE event_type = 'purchase'),
+             |e AS (SELECT a.u AS src, b.u AS dst FROM p a JOIN p b
+             |      ON a.k = b.k AND a.u <> b.u GROUP BY 1, 2 HAVING count(*) >= 3),
+             |d AS (SELECT src AS u, count(*) AS deg FROM e GROUP BY 1),
+             |xy AS (SELECT ds.deg AS x, dd.deg AS y FROM e
+             |       JOIN d ds ON ds.u = e.src JOIN d dd ON dd.u = e.dst),
+             |m AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+             |      sum(x * x) AS sxx, sum(y * y) AS syy FROM xy)
+             |SELECT n,
+             |round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             |  / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+             |         * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+             |  AS assortativity FROM m""".stripMargin),
+      (s, dir) => {
+        val p = Tables.events(s, dir)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id").as("u"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .distinct()
+        val e = p.select(col("u").as("src"), col("k"))
+          .join(p.select(col("u").as("dst"), col("k")), Seq("k"))
+          .filter(col("src") =!= col("dst"))
+          .groupBy("src", "dst").agg(count(lit(1)).as("__shared"))
+          .filter(col("__shared") >= 3)
+          .select("src", "dst")
+        val d = e.groupBy("src").agg(count(lit(1)).as("deg"))
+        val xy = e
+          .join(d.select(col("src"), col("deg").as("x")), "src")
+          .join(d.select(col("src").as("dst"), col("deg").as("y")), "dst")
+        val m = xy.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        val nD = col("n").cast("double")
+        m.select(col("n"),
+          round((nD * col("sxy") - col("sx").cast("double") * col("sy"))
+            / sqrt((nD * col("sxx") - col("sx").cast("double") * col("sx"))
+              * (nD * col("syy") - col("sy").cast("double") * col("sy"))), 6)
+            .as("assortativity"))
+      }),
+
+    // ---------------------------------------------------------------- A40 (equi-depth range-partition planner)
+    QueryDef(
+      "q_a40_range_planner", "A40 range-partition planning (equi-depth boundaries)",
+      // plan an 8-way balanced range partitioning of lineitem by
+      // price: boundaries are the exact i/8 order statistics from the
+      // scale-safe histogram selector (GroupedQuantiles — this is
+      // precisely how a distributed sort/bucketing layout picks its
+      // splits, except with exact statistics instead of a sample),
+      // then every row's partition id is its count of exceeded
+      // boundaries (a broadcast 7-element array + one aggregate
+      // expression — no join, no shuffle beyond the final histogram).
+      // The per-partition row counts SHOW the balance the plan
+      // achieves.
+      Some("""WITH nn AS (SELECT count(*) AS n FROM lineitem),
+             |r AS (SELECT l_extendedprice AS v,
+             |      row_number() OVER (ORDER BY l_extendedprice) AS rn FROM lineitem),
+             |bounds AS (SELECT g.i AS i, r.v AS b
+             |           FROM generate_series(1, 7) g(i) CROSS JOIN nn
+             |           JOIN r ON r.rn = CAST(ceil(i * 0.125 * nn.n) AS BIGINT)),
+             |a AS (SELECT l.v,
+             |      (SELECT count(*) FROM bounds WHERE l.v > bounds.b) AS pid
+             |      FROM (SELECT l_extendedprice AS v FROM lineitem) l)
+             |SELECT CAST(pid AS INT) AS pid, count(*) AS n_rows,
+             |min(v) AS min_v, max(v) AS max_v
+             |FROM a GROUP BY 1 ORDER BY pid""".stripMargin),
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_extendedprice").as("v"), lit(1).as("g"))
+        val qs = (1 to 7).map(i => (s"b$i", i / 8.0))
+        val bounds = graft.operators.GroupedQuantiles
+          .exactQuantiles(li, "g", "v", qs)
+          .select(array((1 to 7).map(i => col(s"b$i")): _*).as("bs"))
+        li.crossJoin(broadcast(bounds))
+          .withColumn("pid",
+            aggregate(col("bs"), lit(0),
+              (acc, b) => acc + when(col("v") > b, 1).otherwise(0)))
+          .groupBy("pid")
+          .agg(count(lit(1)).as("n_rows"), min("v").as("min_v"), max("v").as("max_v"))
+          .orderBy("pid")
+      }),
+
+    // ---------------------------------------------------------------- A41 (cumulative distinct users via HLL register merge)
+    QueryDef(
+      "q_a41_hll_cumulative", "A41 mergeable-sketch rollup (cumulative HLL)",
+      // running distinct-user estimate per day by MERGING daily HLL
+      // registers (register-wise max over the preceding days) — the
+      // reason sketches matter at 100 TB: daily register sets are 64
+      // ints, so any rollup (cumulative, sliding, per-source) is a
+      // max-merge of tiny state instead of a re-scan of raw events.
+      // The windows here run over (register × day) and (day) rows —
+      // time-dimension-sized, never data-sized. The exact comparison
+      // column needs no distinct-per-window either: a user counts on
+      // their FIRST day, so cumulative exact = prefix sum of
+      // first-appearance counts (itself the scalable exact form).
+      Some("""WITH wd AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+             |           FROM events),
+             |h AS (SELECT day, CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+             |          AS UBIGINT) AS BIGINT) AS h FROM wd),
+             |b AS (SELECT day, CAST(h >> 26 AS INT) AS idx, h & 67108863 AS rem FROM h),
+             |r AS (SELECT day, idx,
+             |      max(CASE WHEN rem = 0 THEN 27 ELSE 27 - length(bin(rem)) END) AS m
+             |      FROM b GROUP BY 1, 2),
+             |days AS (SELECT DISTINCT day FROM wd),
+             |g AS (SELECT days.day, gs.i FROM days CROSS JOIN generate_series(0, 63) gs(i)),
+             |reg AS (SELECT g.day, g.i, coalesce(r.m, 0) AS m
+             |        FROM g LEFT JOIN r ON r.day = g.day AND r.idx = g.i),
+             |regc AS (SELECT day, max(m) OVER (PARTITION BY i ORDER BY day
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mc FROM reg),
+             |z AS (SELECT day, sum(1.0 / CAST(CAST(1 AS BIGINT) << mc AS DOUBLE)) AS z,
+             |      count(*) FILTER (WHERE mc = 0) AS v FROM regc GROUP BY 1),
+             |fin AS (SELECT day, CASE WHEN e_raw <= 160.0 AND v > 0
+             |          THEN 64 * ln(64.0 / v) ELSE e_raw END AS e
+             |        FROM (SELECT day, v, (0.7213 / (1 + 1.079 / 64)) * 4096 / z AS e_raw
+             |              FROM z) t),
+             |fu AS (SELECT user_id, min(day) AS fd FROM wd GROUP BY 1),
+             |pd AS (SELECT fd, count(*) AS nd FROM fu GROUP BY 1),
+             |ex AS (SELECT days.day, CAST(sum(coalesce(pd.nd, 0)) OVER (ORDER BY days.day
+             |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |         AS n_exact_cum
+             |       FROM days LEFT JOIN pd ON pd.fd = days.day)
+             |SELECT strftime(fin.day, '%Y-%m-%d') AS day, ex.n_exact_cum,
+             |round(fin.e, 4) AS est
+             |FROM fin JOIN ex ON ex.day = fin.day ORDER BY day""".stripMargin),
+      (s, dir) => {
+        val wd = Tables.events(s, dir)
+          .select(to_date(date_trunc("day", col("ts"))).as("day"), col("user_id"))
+        val r = wd
+          .select(col("day"),
+            conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+              .cast("long").as("h"))
+          .select(col("day"), shiftright(col("h"), 26).cast("int").as("idx"),
+            col("h").bitwiseAND(lit(67108863L)).as("rem"))
+          .withColumn("rho",
+            when(col("rem") === 0, lit(27)).otherwise(lit(27) - length(bin(col("rem")))))
+          .groupBy("day", "idx").agg(max("rho").as("m"))
+        val days = wd.select("day").distinct().localCheckpoint(false)
+        val grid = days.select(col("day"), explode(sequence(lit(0), lit(63))).as("i"))
+        val reg = grid.join(r.withColumnRenamed("idx", "i"), Seq("day", "i"), "left")
+          .select(col("day"), col("i"), coalesce(col("m"), lit(0)).as("m"))
+        val wcum = Window.partitionBy("i").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val z = reg.withColumn("mc", max("m").over(wcum))
+          .groupBy("day")
+          .agg(sum(lit(1.0) / expr("CAST(shiftleft(CAST(1 AS BIGINT), mc) AS DOUBLE)"))
+            .as("z"),
+            sum(when(col("mc") === 0, 1L).otherwise(0L)).as("v"))
+        val fin = z
+          .withColumn("e_raw",
+            lit(0.7213) / (lit(1.0) + lit(1.079) / lit(64.0)) * lit(4096.0) / col("z"))
+          .withColumn("e",
+            when(col("e_raw") <= 160.0 && col("v") > 0,
+              lit(64.0) * log(lit(64.0) / col("v"))).otherwise(col("e_raw")))
+        val pd = wd.groupBy("user_id").agg(min("day").as("fd"))
+          .groupBy("fd").agg(count(lit(1)).as("nd"))
+        val wday = Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow) // D rows: bounded
+        val ex = days.join(pd.withColumnRenamed("fd", "day"), Seq("day"), "left")
+          .select(col("day"), coalesce(col("nd"), lit(0L)).as("nd"))
+          .withColumn("n_exact_cum", sum("nd").over(wday))
+        fin.join(ex, "day")
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("n_exact_cum"), round(col("e"), 4).as("est"))
+          .orderBy("day")
+      }),
+
     // ---------------------------------------------------------------- A37 (HyperLogLog distinct-count sketch)
     QueryDef(
       "q_a37_hll_distinct", "A37 HLL distinct sketch",

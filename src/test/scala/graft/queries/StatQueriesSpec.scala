@@ -118,6 +118,51 @@ class StatQueriesSpec extends AnyFunSuite {
     assert(out == Seq((1.0, 5), (2.0, 10)))
   }
 
+  test("OLS trend recovers an exact linear signal: slope 2, intercept 5, r2 1") {
+    val ev = (0 until 10).map { d =>
+      (d.toLong, java.sql.Timestamp.valueOf(f"2024-01-${d + 1}%02d 00:00:00"), 1L,
+        "t", 2.0 * d + 5.0, "{}")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("stat_ols").toString
+    ev.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = q("q_a38_ols_trend").fn(spark, dir).collect().head
+    assert(math.abs(r.getAs[Double]("slope") - 2.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("intercept") - 5.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("r2") - 1.0) < 1e-9)
+  }
+
+  test("range planner splits a uniform column into 8 near-equal partitions") {
+    val li = (1 to 800).map { i =>
+      (i.toLong, 1L, 1L, i, 1.0, i.toDouble, 0.0, 0.0, "N", "O",
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+    }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+      "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+      "l_shipdate")
+    val dir = java.nio.file.Files.createTempDirectory("stat_rp").toString
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = q("q_a40_range_planner").fn(spark, dir).collect()
+    assert(out.length == 8)
+    assert(out.map(_.getAs[Long]("n_rows")).forall(_ == 100L))
+    assert(out.map(_.getAs[Int]("pid")).toSeq == (0 to 7))
+  }
+
+  test("cumulative HLL estimate is monotone and tracks exact cumulative counts") {
+    val ev = (1L to 300L).map { u =>
+      // 3 days: users 1-100 on day 1, 101-200 on day 2, 201-300 on day 3
+      val day = ((u - 1) / 100 + 1).toInt
+      (u, java.sql.Timestamp.valueOf(f"2024-02-0$day%d 00:00:00"), u, "view", 1.0, "{}")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("stat_hllc").toString
+    ev.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = q("q_a41_hll_cumulative").fn(spark, dir).collect()
+    assert(out.map(_.getAs[Long]("n_exact_cum")).toSeq == Seq(100L, 200L, 300L))
+    val ests = out.map(_.getAs[Double]("est")).toSeq
+    assert(ests == ests.sorted, "merged-register estimate must be monotone")
+    assert(math.abs(ests.last - 300.0) / 300.0 < 0.35)
+  }
+
   test("HLL sketch estimates 200 distinct users within 30%") {
     val ev = (1L to 200L).map(u =>
       (u, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), u, "view", 1.0, "{}"))
