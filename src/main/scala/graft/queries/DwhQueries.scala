@@ -881,6 +881,45 @@ object DwhQueries {
             (sum(col("cents")).cast(DecimalType(18, 0)) / 100).cast("double")
               .as("sum_price"))
           .orderBy("month")
+      }),
+
+    // ---------------------------------------------------------------- D18 (join-size profiler: cardinality before joining)
+    QueryDef(
+      "q_d18_join_size_profile", "D18 join output-size estimation",
+      // what |orders ⋈ lineitem| WILL be, without running the join:
+      // Σ_k n_orders(k)·n_lineitem(k) over per-key counts — two
+      // partial-aggregated groupBys plus a key-count-sized join, the
+      // cheap pre-flight a planner runs before committing to a join
+      // strategy (broadcast vs shuffle vs salted). Also surfaces the
+      // single largest contributing key and its share: the salting
+      // decision input (q_d16 profiles one side; this profiles the
+      // PRODUCT, which is what actually explodes). All counts and
+      // products are exact ints.
+      Some("""WITH a AS (SELECT o_orderkey AS k, count(*) AS na FROM orders GROUP BY 1),
+             |b AS (SELECT l_orderkey AS k, count(*) AS nb FROM lineitem GROUP BY 1),
+             |p AS (SELECT a.k, a.na * b.nb AS contrib FROM a JOIN b USING (k)),
+             |top AS (SELECT k, contrib FROM p ORDER BY contrib DESC, k LIMIT 1),
+             |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_keys_both,
+             |        CAST(sum(contrib) AS BIGINT) AS est_rows FROM p)
+             |SELECT agg.n_keys_both, agg.est_rows, top.k AS top_key,
+             |CAST(top.contrib AS BIGINT) AS top_contrib,
+             |round(CAST(top.contrib AS DOUBLE) / agg.est_rows, 6) AS top_share
+             |FROM agg CROSS JOIN top""".stripMargin),
+      (s, dir) => {
+        val a = Tables.orders(s, dir).groupBy(col("o_orderkey").as("k"))
+          .agg(count(lit(1)).as("na"))
+        val b = Tables.lineitem(s, dir).groupBy(col("l_orderkey").as("k"))
+          .agg(count(lit(1)).as("nb"))
+        val p = a.join(b, "k").select(col("k"), (col("na") * col("nb")).as("contrib"))
+          .localCheckpoint(false) // consumed by the top-1 probe and the totals
+        val top = p.orderBy(col("contrib").desc, col("k")).limit(1)
+          .select(col("k").as("top_key"), col("contrib").as("top_contrib"))
+        val agg = p.agg(count(lit(1)).as("n_keys_both"), sum("contrib").as("est_rows"))
+        agg.crossJoin(broadcast(top))
+          .select(col("n_keys_both"), col("est_rows"), col("top_key"),
+            col("top_contrib"),
+            round(col("top_contrib").cast("double") / col("est_rows"), 6)
+              .as("top_share"))
       })
   )
 }

@@ -543,6 +543,51 @@ object StatQueries {
           .orderBy("day")
       }),
 
+    // ---------------------------------------------------------------- A42 (day-of-week seasonality decomposition)
+    QueryDef(
+      "q_a42_seasonality", "A42 seasonal profile (day-of-week decomposition)",
+      // per-type day-of-week value profile and its deviation from the
+      // type's overall mean — the seasonal-naive decomposition a
+      // monitoring pipeline runs before alerting on a daily drop. The
+      // day-of-week is PURE ARITHMETIC (days-since-epoch mod 7,
+      // 0 = Thursday) rather than an engine dow() function, because
+      // dow numbering conventions differ across engines while integer
+      // date math does not. Means are DECIMAL-summed/rounded; the
+      // deviation subtracts the two ROUNDED means so both engines
+      // subtract identical operands.
+      Some("""WITH pt AS (SELECT event_type,
+             |    CAST(date_diff('day', DATE '1970-01-01',
+             |         CAST(date_trunc('day', ts) AS DATE)) % 7 AS INT) AS dow,
+             |    value FROM events),
+             |d AS (SELECT event_type, dow, count(*) AS n,
+             |    round(CAST(sum(CAST(round(value, 12) AS DECIMAL(28,12))) AS DOUBLE)
+             |          / count(*), 6) AS dow_avg
+             |  FROM pt GROUP BY 1, 2),
+             |o AS (SELECT event_type,
+             |    round(CAST(sum(CAST(round(value, 12) AS DECIMAL(28,12))) AS DOUBLE)
+             |          / count(*), 6) AS overall_avg
+             |  FROM pt GROUP BY 1)
+             |SELECT d.event_type, d.dow, d.n, d.dow_avg,
+             |round(d.dow_avg - o.overall_avg, 6) AS dev
+             |FROM d JOIN o USING (event_type)
+             |ORDER BY event_type, dow""".stripMargin),
+      (s, dir) => {
+        val pt = Tables.events(s, dir)
+          .select(col("event_type"),
+            pmod(datediff(to_date(date_trunc("day", col("ts"))), lit("1970-01-01")),
+              lit(7)).as("dow"),
+            col("value"))
+        def avg6(c: Column): Column =
+          round(sum(d28(round(c, 12))).cast("double") / count(lit(1)), 6)
+        val d = pt.groupBy("event_type", "dow")
+          .agg(count(lit(1)).as("n"), avg6(col("value")).as("dow_avg"))
+        val o = pt.groupBy("event_type").agg(avg6(col("value")).as("overall_avg"))
+        d.join(broadcast(o), "event_type")
+          .select(col("event_type"), col("dow"), col("n"), col("dow_avg"),
+            round(col("dow_avg") - col("overall_avg"), 6).as("dev"))
+          .orderBy("event_type", "dow")
+      }),
+
     // ---------------------------------------------------------------- A37 (HyperLogLog distinct-count sketch)
     QueryDef(
       "q_a37_hll_distinct", "A37 HLL distinct sketch",

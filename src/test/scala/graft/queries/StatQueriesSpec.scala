@@ -163,6 +163,30 @@ class StatQueriesSpec extends AnyFunSuite {
     assert(math.abs(ests.last - 300.0) / 300.0 < 0.35)
   }
 
+  test("join-size profiler predicts exact join cardinality and top key") {
+    // orders {1, 2, 2} x lineitem {1x2, 2x3}: est = 1*2 + 2*3 = 8,
+    // top key 2 contributes 6 (share 0.75)
+    val ord = Seq((1L, 1L), (2L, 2L), (3L, 2L)).map { case (ok, _) =>
+      (ok, 1L, "O", 1.0, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "P")
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+      .withColumn("o_orderkey", when(col("o_orderkey") === 3L, 2L)
+        .otherwise(col("o_orderkey")))
+    val li = (Seq.fill(2)(1L) ++ Seq.fill(3)(2L)).zipWithIndex.map { case (ok, i) =>
+      (ok, 1L, 1L, i, 1.0, 1.0, 0.0, 0.0, "N", "O",
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+    }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+      "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+      "l_shipdate")
+    val dir = java.nio.file.Files.createTempDirectory("stat_js").toString
+    ord.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = q("q_d18_join_size_profile").fn(spark, dir).collect().head
+    assert(r.getAs[Long]("est_rows") == 8L)
+    assert(r.getAs[Long]("top_key") == 2L && r.getAs[Long]("top_contrib") == 6L)
+    assert(math.abs(r.getAs[Double]("top_share") - 0.75) < 1e-9)
+  }
+
   test("HLL sketch estimates 200 distinct users within 30%") {
     val ev = (1L to 200L).map(u =>
       (u, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), u, "view", 1.0, "{}"))
