@@ -329,12 +329,9 @@ object Similarity {
     * (`ivfTopK`'s cell assignment) for IVF-PQ; the ADC core is
     * unchanged.
     */
-  def pqTopK(
-      queries: DataFrame, corpus: DataFrame, idCol: String, embCol: String,
-      k: Int, m: Int = 4, nCodes: Int = 16, dim: Int = 64): DataFrame = {
-    val subDim = dim / m
-    val cb = pqCodebooks(m, nCodes, subDim)
-    val codesUdf = udf { (e: Seq[Float]) =>
+  private def pqCodesUdf(
+      cb: Array[Array[Array[Double]]], m: Int, nCodes: Int, dim: Int) =
+    udf { (e: Seq[Float]) =>
       require(e != null && e.length == dim, s"embedding dim != $dim")
       (0 until m).map { s =>
         var best = 0; var bestD = Double.MaxValue
@@ -347,10 +344,21 @@ object Similarity {
         best
       }
     }
-    val dtUdf = udf { (e: Seq[Float]) =>
+
+  private def pqTableUdf(
+      cb: Array[Array[Array[Double]]], m: Int, nCodes: Int, dim: Int) =
+    udf { (e: Seq[Float]) =>
       require(e != null && e.length == dim, s"embedding dim != $dim")
       (0 until m).flatMap(s => (0 until nCodes).map(c => pqDist(e, cb, s, c)))
     }
+
+  def pqTopK(
+      queries: DataFrame, corpus: DataFrame, idCol: String, embCol: String,
+      k: Int, m: Int = 4, nCodes: Int = 16, dim: Int = 64): DataFrame = {
+    val subDim = dim / m
+    val cb = pqCodebooks(m, nCodes, subDim)
+    val codesUdf = pqCodesUdf(cb, m, nCodes, dim)
+    val dtUdf = pqTableUdf(cb, m, nCodes, dim)
     val codes = corpus
       .select(col(idCol).as("neighbor_id"), posexplode(codesUdf(col(embCol))))
       .select(col("neighbor_id"), col("pos").as("__s"), col("col").as("__c"))
@@ -361,6 +369,51 @@ object Similarity {
         round(col("col"), 12).as("__dt"))
     codes.join(broadcast(dt), Seq("__s", "__c"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(col("__dt").cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+        .cast("double").as("adist"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("adist"), 6).as("adist"))
+  }
+
+  /** IVF-PQ: the full production ANN shape — the IVF router restricts
+    * each query to its nProbe nearest coarse cells (so the scan
+    * touches |corpus|·nProbe/nCells codes, not the whole corpus) and
+    * the PQ ADC ranks inside them from 4-byte codes. Same
+    * deterministic pieces as `ivfTopK` + `pqTopK`, composed: cell
+    * assignment from the md5 coarse centroids, codes/table from the
+    * md5 codebooks, 12dp-rounded DECIMAL ADC sums. The code path a
+    * 100 TB corpus actually serves queries from: coarse route, then
+    * compressed-domain scan, floats touched zero times.
+    */
+  def ivfPqTopK(
+      queries: DataFrame, corpus: DataFrame, idCol: String, embCol: String,
+      k: Int, nCells: Int = 8, nProbe: Int = 2, m: Int = 4, nCodes: Int = 16,
+      dim: Int = 64): DataFrame = {
+    val cents = centroids(dim, nCells)
+    val cb = pqCodebooks(m, nCodes, dim / m)
+    val probeUdf = udf((e: Seq[Float]) => nearestCells(e, cents, nProbe))
+    val cellUdf = udf((e: Seq[Float]) => nearestCells(e, cents, 1).head)
+    val codesUdf = pqCodesUdf(cb, m, nCodes, dim)
+    val dtUdf = pqTableUdf(cb, m, nCodes, dim)
+    val qc = queries.select(col(idCol).as("query_id"),
+      explode(probeUdf(col(embCol))).as("__cell"))
+    val dt = queries
+      .select(col(idCol).as("query_id"), posexplode(dtUdf(col(embCol))))
+      .select(col("query_id"), (col("pos") / nCodes).cast("int").as("__s"),
+        pmod(col("pos"), lit(nCodes)).cast("int").as("__c"),
+        round(col("col"), 12).as("__dt"))
+    val ccodes = corpus.select(col(idCol).as("neighbor_id"),
+      cellUdf(col(embCol)).as("__cell"), codesUdf(col(embCol)).as("__codes"))
+    ccodes.join(broadcast(qc), Seq("__cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), posexplode(col("__codes")))
+      .select(col("query_id"), col("neighbor_id"), col("pos").as("__s"),
+        col("col").as("__c"))
+      .join(broadcast(dt), Seq("query_id", "__s", "__c"))
       .groupBy("query_id", "neighbor_id")
       .agg(sum(col("__dt").cast(org.apache.spark.sql.types.DecimalType(28, 12)))
         .cast("double").as("adist"))

@@ -1673,6 +1673,124 @@ object LlmQueries {
               .as("mse"))
           .orderBy("vec_id")),
 
+    // ---------------------------------------------------------------- IVF-PQ ANN (coarse route + compressed-domain scan)
+    QueryDef(
+      "q_l43_ann_ivfpq", "LLM-ann-ivfpq",
+      // q_l12's coarse router composed with q_l39's PQ ADC: queries
+      // probe their 2 nearest md5 cells, and ranking inside the probed
+      // cells runs entirely on 4-byte PQ codes against the query's
+      // broadcast distance table (Similarity.ivfPqTopK). The oracle
+      // rebuilds both structures and must agree bit-for-bit.
+      Some("""WITH cents AS (
+             |  SELECT c, j, CAST(('0x' || substr(md5('c:' || c || ':' || j), 1, 16))
+             |         AS UBIGINT) / 9223372036854775808.0 - 1.0 AS w
+             |  FROM generate_series(0, 7) a(c) CROSS JOIN generate_series(0, 63) b(j)),
+             |cl AS (SELECT c, list(w ORDER BY j) AS cw FROM cents GROUP BY c),
+             |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+             |      FROM embeddings),
+             |cdists AS (SELECT vec_id, c, list_inner_product(d, d) AS dist
+             |  FROM (SELECT v.vec_id, cl.c,
+             |          list_transform(list_zip(v.e, cl.cw), s -> s[1] - s[2]) AS d
+             |        FROM v CROSS JOIN cl) t),
+             |cranked AS (SELECT vec_id, c,
+             |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS r
+             |  FROM cdists),
+             |cc AS (SELECT vec_id, c FROM cranked WHERE r = 1),
+             |qc AS (SELECT vec_id, c FROM cranked WHERE r <= 2 AND vec_id < 20),
+             |cb AS (SELECT s, c, j,
+             |    CAST(('0x' || substr(md5('pq:' || s || ':' || c || ':' || j), 1, 16))
+             |         AS UBIGINT) / 9223372036854775808.0 - 1.0 AS w
+             |  FROM generate_series(0, 3) a(s) CROSS JOIN generate_series(0, 15) b(c)
+             |       CROSS JOIN generate_series(0, 15) d(j)),
+             |cbl AS (SELECT s, c, list(w ORDER BY j) AS cw FROM cb GROUP BY s, c),
+             |sub AS (SELECT vec_id, gs.s, v.e[gs.s*16+1 : gs.s*16+16] AS se
+             |        FROM v CROSS JOIN generate_series(0, 3) gs(s)),
+             |pdists AS (SELECT t.vec_id, t.s, t.c, list_inner_product(t.d, t.d) AS dist
+             |  FROM (SELECT sub.vec_id, sub.s, cbl.c,
+             |          list_transform(list_zip(sub.se, cbl.cw), z -> z[1] - z[2]) AS d
+             |        FROM sub JOIN cbl ON cbl.s = sub.s) t),
+             |codes AS (SELECT vec_id, s, c FROM (
+             |    SELECT vec_id, s, c,
+             |      row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, c) AS r
+             |    FROM pdists) WHERE r = 1),
+             |qdt AS (SELECT vec_id AS query_id, s, c, round(dist, 12) AS dt
+             |        FROM pdists WHERE vec_id < 20),
+             |scored AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+             |    CAST(sum(CAST(qdt.dt AS DECIMAL(28,12))) AS DOUBLE) AS adist
+             |  FROM qc q JOIN cc n ON n.c = q.c AND n.vec_id <> q.vec_id
+             |  JOIN codes ON codes.vec_id = n.vec_id
+             |  JOIN qdt ON qdt.query_id = q.vec_id AND qdt.s = codes.s
+             |          AND qdt.c = codes.c
+             |  GROUP BY 1, 2)
+             |SELECT query_id, rank, neighbor_id, round(adist, 6) AS adist FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY query_id
+             |                               ORDER BY adist, neighbor_id) AS rank
+             |  FROM scored) t
+             |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.ivfPqTopK(emb.filter(col("vec_id") < 20), emb, "vec_id",
+            "embedding", k = 5)
+          .orderBy("query_id", "rank")
+      }),
+
+    // ---------------------------------------------------------------- entity resolution e2e (block → match → cluster → canonicalize)
+    QueryDef(
+      "q_l44_entity_resolution", "LLM-entity-resolution",
+      // the full ER chain over part names: collapse to distinct names
+      // (dedupe-before-pairwise), block on the trailing noun, match by
+      // Levenshtein ≤ 4 (q_l31's semantics), cluster matches with
+      // connected components (q_l14's operator), and elect a canonical
+      // name per entity (most parts, ties to the lexicographic min —
+      // a per-entity window over cluster-sized partitions). Entities
+      // are labeled by their min member name; singletons resolve to
+      // themselves. The oracle reaches the same fixpoint through a
+      // recursive CTE — value-checked, not replayed.
+      Some("""WITH RECURSIVE
+             |names AS (SELECT p_name, count(*) AS n_parts,
+             |    string_split(p_name, ' ')[-1] AS noun FROM part GROUP BY p_name),
+             |e AS (SELECT a.p_name AS na, b.p_name AS nb FROM names a JOIN names b
+             |      ON a.noun = b.noun AND a.p_name < b.p_name
+             |      WHERE levenshtein(a.p_name, b.p_name) <= 4),
+             |sym AS (SELECT na AS src, nb AS dst FROM e UNION SELECT nb, na FROM e),
+             |reach(id, r) AS (SELECT src, src FROM (SELECT DISTINCT src FROM sym) t
+             |  UNION SELECT s.src, q.r FROM sym s JOIN reach q ON q.id = s.dst),
+             |comp AS (SELECT id, min(r) AS entity FROM reach GROUP BY id),
+             |lab AS (SELECT n.p_name, n.n_parts, coalesce(c.entity, n.p_name) AS entity
+             |        FROM names n LEFT JOIN comp c ON c.id = n.p_name),
+             |canon AS (SELECT entity, p_name AS canonical FROM (
+             |    SELECT entity, p_name, row_number() OVER (PARTITION BY entity
+             |      ORDER BY n_parts DESC, p_name) AS rn FROM lab) t WHERE rn = 1),
+             |agg AS (SELECT entity, count(*) AS n_members,
+             |        CAST(sum(n_parts) AS BIGINT) AS total_parts FROM lab GROUP BY 1)
+             |SELECT agg.entity, canon.canonical, agg.n_members, agg.total_parts
+             |FROM agg JOIN canon USING (entity) ORDER BY entity""".stripMargin),
+      (s, dir) => {
+        val names = Tables.part(s, dir)
+          .groupBy("p_name").agg(count(lit(1)).as("n_parts"))
+          .withColumn("noun", element_at(split(col("p_name"), " "), -1))
+          .localCheckpoint(false) // consumed by pairing and labeling
+        val pairs = names.select(col("p_name").as("name_a"), col("noun"))
+          .join(names.select(col("p_name").as("name_b"), col("noun")), Seq("noun"))
+          .filter(col("name_a") < col("name_b"))
+          .filter(levenshtein(col("name_a"), col("name_b")) <= 4)
+          .select("name_a", "name_b")
+        val cc = Dedup.connectedComponents(pairs, "name_a", "name_b")
+        val lab = names
+          .join(cc.withColumnRenamed("id", "p_name"), Seq("p_name"), "left")
+          .select(col("p_name"), col("n_parts"),
+            coalesce(col("comp"), col("p_name")).as("entity"))
+        val w = Window.partitionBy("entity").orderBy(col("n_parts").desc, col("p_name"))
+        val canon = lab.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("entity"), col("p_name").as("canonical"))
+        lab.groupBy("entity")
+          .agg(count(lit(1)).as("n_members"), sum("n_parts").as("total_parts"))
+          .join(canon, "entity")
+          .select(col("entity"), col("canonical"), col("n_members"), col("total_parts"))
+          .orderBy("entity")
+      }),
+
     // ---------------------------------------------------------------- bigram collocations (PMI)
     QueryDef(
       "q_l40_bigram_pmi", "LLM-collocations",

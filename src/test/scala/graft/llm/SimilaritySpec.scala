@@ -131,4 +131,31 @@ class SimilaritySpec extends AnyFunSuite {
       assert(ds == ds.sorted)
     }
   }
+
+  test("IVF-PQ probing every cell degenerates to the full PQ scan") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") < 8)
+    val full = Similarity.pqTopK(q, emb, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val ivfpq = Similarity.ivfPqTopK(q, emb, "vec_id", "embedding", k = 5,
+        nCells = 8, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(ivfpq == full)
+  }
+
+  test("IVF-PQ with 2 probes returns a candidate subset of the full PQ ranking domain") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") < 8)
+    val out = Similarity.ivfPqTopK(q, emb, "vec_id", "embedding", k = 5)
+      .orderBy("query_id", "rank").collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      val ranks = rs.map(_.getAs[Int]("rank")).toSeq.sorted
+      assert(ranks == (1 to ranks.size))
+      val ds = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("adist")).toSeq
+      assert(ds == ds.sorted)
+    }
+  }
 }

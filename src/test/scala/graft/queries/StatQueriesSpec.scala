@@ -187,6 +187,22 @@ class StatQueriesSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("top_share") - 0.75) < 1e-9)
   }
 
+  test("entity resolution merges blocked name variants and elects the biggest") {
+    // "alpha bolt"x3 and its typo "alphq bolt"x1 share the noun block and
+    // are 1 edit apart; "gamma nut"x2 is its own entity
+    val parts = (Seq.fill(3)("alpha bolt") ++ Seq("alphq bolt") ++
+      Seq.fill(2)("gamma nut")).zipWithIndex.map { case (nm, i) =>
+      (i.toLong, nm, "B", "T", 1, 1.0)
+    }.toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+    val dir = java.nio.file.Files.createTempDirectory("stat_er").toString
+    parts.write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val out = q("q_l44_entity_resolution").fn(spark, dir).collect()
+      .map(r => (r.getAs[String]("entity"), r.getAs[String]("canonical"),
+        r.getAs[Long]("n_members"), r.getAs[Long]("total_parts"))).toSet
+    assert(out == Set(("alpha bolt", "alpha bolt", 2L, 4L),
+      ("gamma nut", "gamma nut", 1L, 2L)))
+  }
+
   test("HLL sketch estimates 200 distinct users within 30%") {
     val ev = (1L to 200L).map(u =>
       (u, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), u, "view", 1.0, "{}"))
