@@ -245,12 +245,40 @@ class PlanSpec extends AnyFunSuite {
     val intentionallyTiny = Set( // 1-row aggregate cross joins by design
       "q_d8_dimdate_fill", "q_d7_location_append", "q_d12_cleanup_dups",
       "q_d14_integrity_ratio", "q_l1_exact_dedup")
-    val offenders = (RelationalQueries.defs ++ DwhQueries.defs)
+    val offenders = (RelationalQueries.defs ++ DwhQueries.defs ++ StatQueries.defs)
       .filterNot(q => intentionallyTiny.contains(q.name))
       .flatMap { q =>
         val p = plan(q.fn(spark, sf))
         if (p.contains("CartesianProduct")) Some(q.name) else None
       }
     assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
+  test("PQ ADC scan broadcasts the query distance table; codes never shuffle for it") {
+    val p = queryPlan("q_l39_ann_pq")
+    assert(p.contains("BroadcastHashJoin"), s"dt lookup should broadcast:\n$p")
+  }
+
+  test("skyline's data-sized window is partitioned by bucket, not global") {
+    val p = queryPlan("q_a36_skyline")
+    // the only global-order window runs over the <=64 bucket-max rows;
+    // the per-point running max must carry the bucket partition key
+    assert(p.contains("Window [max(size"), p)
+    assert(p.contains("windowspecdefinition(b"),
+      s"per-point window must be partitioned by bucket:\n$p")
+  }
+
+  test("HLL registers partial-aggregate before shuffling (mergeable-state shape)") {
+    val p = queryPlan("q_a37_hll_distinct")
+    assert(p.contains("partial_max") || p.contains("merge_max"),
+      s"register max must be a partial aggregate:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("frequent pairs joins within basket keys — no cartesian, apriori prune applied") {
+    val p = queryPlan("q_a34_frequent_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+    // the item-support filter must appear below the pair self-join
+    assert(p.contains("(f#") || p.contains("f >= 2") || p.contains("(f"), p)
   }
 }
