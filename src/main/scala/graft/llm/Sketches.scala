@@ -65,6 +65,56 @@ object Sketches {
       .groupBy(groupCol)
       .agg(count(lit(1)).as("bits_set"))
 
+  /** HyperLogLog registers over the 32-bit md5 hash: 64 registers
+    * (top 6 hash bits), rho = leading-zero rank of the low 26 bits
+    * (via bin()-string length — pure integer/string ops, replayable
+    * in SQL). The state per group is a 64-int MAX — partial-
+    * aggregated, mergeable across partitions/days/streams, and legal
+    * in a streaming aggregation (max is a streaming-supported agg, so
+    * the same expression tree runs over readStream unchanged).
+    * Returns sparse (groupCols*, idx, m) rows.
+    */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String], valCol: String): DataFrame = {
+    val h = conv(substring(md5(col(valCol).cast("string")), 1, 8), 16, 10).cast("long")
+    df.select(groupCols.map(col) ++ Seq(
+        shiftright(h, 26).cast("int").as("idx"),
+        h.bitwiseAND(lit(67108863L)).as("__rem")): _*)
+      .withColumn("rho",
+        when(col("__rem") === 0, lit(27)).otherwise(lit(27) - length(bin(col("__rem")))))
+      .groupBy((groupCols :+ "idx").map(col): _*)
+      .agg(max("rho").as("m"))
+  }
+
+  /** Finalize HLL registers (sparse or dense) into a raw estimate per
+    * group (column `est_raw`). The harmonic sum adds 64 dyadic
+    * rationals 2^-m (m ≤ 27) whose double sum is EXACT and
+    * order-independent; the small-range correction branch compares
+    * deterministic doubles, so the whole finalize replays in SQL.
+    */
+  def hllEstimate(registers: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val grid = registers.select(groupCols.map(col): _*).distinct()
+      .select(groupCols.map(col) :+ explode(sequence(lit(0), lit(63))).as("idx"): _*)
+    // the grid derives FROM `registers`, so a self-join shares attribute
+    // ids (a memory-sink source does not self-dedupe them); renaming
+    // the right side through aliases mints fresh ids and sidesteps it
+    val regR = registers.select(
+      (groupCols :+ "idx" :+ "m").map(c => col(c).as(s"__r_$c")): _*)
+    val cond = (groupCols :+ "idx")
+      .map(c => col(c) === col(s"__r_$c")).reduce(_ && _)
+    val z = grid.join(regR, cond, "left")
+      .select(groupCols.map(col) :+ coalesce(col("__r_m"), lit(0)).as("m"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(lit(1.0) / expr("CAST(shiftleft(CAST(1 AS BIGINT), m) AS DOUBLE)"))
+        .as("z"),
+        sum(when(col("m") === 0, 1L).otherwise(0L)).as("v"))
+    z.withColumn("e_raw",
+        lit(0.7213) / (lit(1.0) + lit(1.079) / lit(64.0)) * lit(4096.0) / col("z"))
+      .withColumn("est_raw",
+        when(col("e_raw") <= 160.0 && col("v") > 0,
+          lit(64.0) * log(lit(64.0) / col("v"))).otherwise(col("e_raw")))
+      .select(groupCols.map(col) :+ col("est_raw"): _*)
+  }
+
   /** Count-Min estimate for each probe token: min over rows of its
     * bucket's count. `cells` is `buildTokenSketch`'s output
     * (depth·width rows — broadcastable by construction).

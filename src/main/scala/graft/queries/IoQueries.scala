@@ -838,6 +838,62 @@ object IoQueries {
           .agg(count(lit(1)).as("n_users"), sum(col("last_id")).as("id_sum"),
             max(unix_micros(col("last_ts"))).as("max_ts_us"))
           .orderBy("last_type")
+      }),
+
+    // ---------------------------------------------------------------- ST: streaming HLL distinct sketch
+    QueryDef(
+      "q_st10_stream_hll", "ST HLL distinct (bounded streaming state)",
+      // per-type distinct users counted IN-STREAM with HyperLogLog
+      // registers: the streaming aggregation state is 64 ints per
+      // group (a max-merge — legal and bounded in Structured
+      // Streaming, unlike countDistinct, whose state grows with the
+      // id universe). Because register max is order-insensitive, the
+      // stream's finished registers are IDENTICAL to the batch
+      // sketch, so the oracle is q_a37's closed form verbatim — the
+      // strongest convergence check a streaming sketch can get. The
+      // finalize (grid + harmonic sum) runs as a tiny batch step over
+      // the memory sink.
+      Some("""WITH h AS (SELECT event_type,
+             |    CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+             |         AS UBIGINT) AS BIGINT) AS h
+             |  FROM events),
+             |b AS (SELECT event_type, CAST(h >> 26 AS INT) AS idx, h & 67108863 AS rem
+             |      FROM h),
+             |r AS (SELECT event_type, idx,
+             |    max(CASE WHEN rem = 0 THEN 27 ELSE 27 - length(bin(rem)) END) AS m
+             |  FROM b GROUP BY 1, 2),
+             |g AS (SELECT et.event_type, gs.i
+             |      FROM (SELECT DISTINCT event_type FROM events) et
+             |      CROSS JOIN generate_series(0, 63) gs(i)),
+             |reg AS (SELECT g.event_type, coalesce(r.m, 0) AS m
+             |        FROM g LEFT JOIN r ON r.event_type = g.event_type AND r.idx = g.i),
+             |z AS (SELECT event_type,
+             |    sum(1.0 / CAST(CAST(1 AS BIGINT) << m AS DOUBLE)) AS z,
+             |    count(*) FILTER (WHERE m = 0) AS v FROM reg GROUP BY 1),
+             |est AS (SELECT event_type, v,
+             |    (0.7213 / (1 + 1.079 / 64)) * 4096 / z AS e_raw FROM z),
+             |fin AS (SELECT event_type,
+             |    CASE WHEN e_raw <= 160.0 AND v > 0 THEN 64 * ln(64.0 / v)
+             |         ELSE e_raw END AS e FROM est),
+             |x AS (SELECT event_type, count(DISTINCT user_id) AS n_exact FROM events
+             |      GROUP BY 1)
+             |SELECT fin.event_type, x.n_exact, round(fin.e, 4) AS est,
+             |round(abs(round(fin.e, 4) - x.n_exact) / x.n_exact, 4) AS rel_err
+             |FROM fin JOIN x USING (event_type) ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        val watch = CdcStream.ensureStaged(s, dir)
+        val streamed = graft.llm.Sketches.hllRegisters(
+          CdcStream.readEvents(s, watch), Seq("event_type"), "user_id")
+        val registers = CdcStream.runToMemory(s, streamed, "q_st10_mem")
+        val fin = graft.llm.Sketches.hllEstimate(registers, Seq("event_type"))
+        val x = s.read.parquet(s"$dir/events.parquet")
+          .groupBy("event_type").agg(countDistinct("user_id").as("n_exact"))
+        fin.join(broadcast(x), "event_type")
+          .select(col("event_type"), col("n_exact"),
+            round(col("est_raw"), 4).as("est"),
+            round(abs(round(col("est_raw"), 4) - col("n_exact")) / col("n_exact"), 4)
+              .as("rel_err"))
+          .orderBy("event_type")
       })
   )
 }

@@ -1685,7 +1685,9 @@ object RelationalQueries {
           .groupBy("src", "dst").agg(count(lit(1)).as("__shared"))
           .filter(col("__shared") >= 3)
           .select("src", "dst")
+          .localCheckpoint(false) // consumed by deg + both iterations
         val d = e.groupBy("src").agg(count(lit(1)).as("deg"))
+          .localCheckpoint(false) // consumed by pr0 + both iterations
         def iterate(pr: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
           e.join(d, "src")
             .join(pr.select(col("u").as("src"), col("pr")), Seq("src"))
@@ -1741,6 +1743,7 @@ object RelationalQueries {
           .groupBy("src", "dst").agg(count(lit(1)).as("__shared"))
           .filter(col("__shared") >= 5)
           .select("src", "dst")
+          .localCheckpoint(false) // consumed by deg + 3 wedge-join scans + count
         val deg = und.groupBy(col("src").as("u")).agg(count(lit(1)).as("d"))
         val o = und.filter(col("src") < col("dst"))
         val tri = o.as("e1")

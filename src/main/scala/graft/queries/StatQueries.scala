@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.llm.Sketches
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -403,7 +404,9 @@ object StatQueries {
           .groupBy("src", "dst").agg(count(lit(1)).as("__shared"))
           .filter(col("__shared") >= 3)
           .select("src", "dst")
+          .localCheckpoint(false) // consumed by deg + the edge-degree join
         val d = e.groupBy("src").agg(count(lit(1)).as("deg"))
+          .localCheckpoint(false) // joined twice (src and dst endpoints)
         val xy = e
           .join(d.select(col("src"), col("deg").as("x")), "src")
           .join(d.select(col("src").as("dst"), col("deg").as("y")), "dst")
@@ -504,32 +507,17 @@ object StatQueries {
       (s, dir) => {
         val wd = Tables.events(s, dir)
           .select(to_date(date_trunc("day", col("ts"))).as("day"), col("user_id"))
-        val r = wd
-          .select(col("day"),
-            conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
-              .cast("long").as("h"))
-          .select(col("day"), shiftright(col("h"), 26).cast("int").as("idx"),
-            col("h").bitwiseAND(lit(67108863L)).as("rem"))
-          .withColumn("rho",
-            when(col("rem") === 0, lit(27)).otherwise(lit(27) - length(bin(col("rem")))))
-          .groupBy("day", "idx").agg(max("rho").as("m"))
+        val r = Sketches.hllRegisters(wd, Seq("day"), "user_id")
         val days = wd.select("day").distinct().localCheckpoint(false)
-        val grid = days.select(col("day"), explode(sequence(lit(0), lit(63))).as("i"))
-        val reg = grid.join(r.withColumnRenamed("idx", "i"), Seq("day", "i"), "left")
-          .select(col("day"), col("i"), coalesce(col("m"), lit(0)).as("m"))
-        val wcum = Window.partitionBy("i").orderBy("day")
+        val grid = days.select(col("day"), explode(sequence(lit(0), lit(63))).as("idx"))
+        val reg = grid.join(r, Seq("day", "idx"), "left")
+          .select(col("day"), col("idx"), coalesce(col("m"), lit(0)).as("m"))
+        val wcum = Window.partitionBy("idx").orderBy("day")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val z = reg.withColumn("mc", max("m").over(wcum))
-          .groupBy("day")
-          .agg(sum(lit(1.0) / expr("CAST(shiftleft(CAST(1 AS BIGINT), mc) AS DOUBLE)"))
-            .as("z"),
-            sum(when(col("mc") === 0, 1L).otherwise(0L)).as("v"))
-        val fin = z
-          .withColumn("e_raw",
-            lit(0.7213) / (lit(1.0) + lit(1.079) / lit(64.0)) * lit(4096.0) / col("z"))
-          .withColumn("e",
-            when(col("e_raw") <= 160.0 && col("v") > 0,
-              lit(64.0) * log(lit(64.0) / col("v"))).otherwise(col("e_raw")))
+        val merged = reg.select(col("day"), col("idx"),
+          max("m").over(wcum).as("m0")).withColumnRenamed("m0", "m")
+        val fin = Sketches.hllEstimate(merged, Seq("day"))
+          .withColumnRenamed("est_raw", "e")
         val pd = wd.groupBy("user_id").agg(min("day").as("fd"))
           .groupBy("fd").agg(count(lit(1)).as("nd"))
         val wday = Window.orderBy("day")
@@ -632,32 +620,13 @@ object StatQueries {
              |FROM fin JOIN x USING (event_type) ORDER BY event_type""".stripMargin),
       (s, dir) => {
         val ev = Tables.events(s, dir)
-        val r = ev.select(col("event_type"),
-            conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
-              .cast("long").as("h"))
-          .select(col("event_type"), shiftright(col("h"), 26).cast("int").as("idx"),
-            col("h").bitwiseAND(lit(67108863L)).as("rem"))
-          .withColumn("rho",
-            when(col("rem") === 0, lit(27)).otherwise(lit(27) - length(bin(col("rem")))))
-          .groupBy("event_type", "idx").agg(max("rho").as("m"))
-        val grid = ev.select("event_type").distinct()
-          .select(col("event_type"), explode(sequence(lit(0), lit(63))).as("i"))
-        val z = grid.join(r.withColumnRenamed("idx", "i"), Seq("event_type", "i"), "left")
-          .select(col("event_type"), coalesce(col("m"), lit(0)).as("m"))
-          .groupBy("event_type")
-          .agg(sum(lit(1.0) / expr("CAST(shiftleft(CAST(1 AS BIGINT), m) AS DOUBLE)"))
-            .as("z"),
-            sum(when(col("m") === 0, 1L).otherwise(0L)).as("v"))
-        val eRaw = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(64.0)) * lit(4096.0) /
-          col("z")
-        val fin = z.withColumn("e_raw", eRaw)
-          .withColumn("e",
-            when(col("e_raw") <= 160.0 && col("v") > 0,
-              lit(64.0) * log(lit(64.0) / col("v"))).otherwise(col("e_raw")))
+        val fin = Sketches.hllEstimate(
+          Sketches.hllRegisters(ev, Seq("event_type"), "user_id"), Seq("event_type"))
         val x = ev.groupBy("event_type").agg(countDistinct("user_id").as("n_exact"))
         fin.join(broadcast(x), "event_type")
-          .select(col("event_type"), col("n_exact"), round(col("e"), 4).as("est"),
-            round(abs(round(col("e"), 4) - col("n_exact")) / col("n_exact"), 4)
+          .select(col("event_type"), col("n_exact"),
+            round(col("est_raw"), 4).as("est"),
+            round(abs(round(col("est_raw"), 4) - col("n_exact")) / col("n_exact"), 4)
               .as("rel_err"))
           .orderBy("event_type")
       })
