@@ -186,4 +186,42 @@ object Corpus {
     corpusSh.join(benchSh, Seq("__s"), "left_semi")
       .select(col(idCol)).distinct()
   }
+
+  /** Sliding-window chunking with overlap: split each document into
+    * chunks of `chunkTokens` whitespace tokens, successive chunks
+    * starting `chunkTokens − overlap` tokens apart — the standard
+    * long-document → context-window preprocessing (every long-context
+    * training recipe chunks with overlap so no span is seen only at a
+    * window edge). Chunk starts are 0, stride, 2·stride, … up to the
+    * last start < n_tokens, so every token lands in ≥ 1 chunk and the
+    * final chunk may be short.
+    *
+    * Scale shape: pure per-row expressions + one generator explode —
+    * no shuffle, no state, no UDF; the token array is built once per
+    * document and sliced per chunk inside codegen. Output size is
+    * input tokens × (1 + overlap/stride) — the explode multiplies rows
+    * exactly like the fact ×5-day explode, a generator, never a loop.
+    * Empty/whitespace-only documents produce no chunks.
+    */
+  def chunkDocs(
+      docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlap: Int): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      s"chunkDocs: need 0 <= overlap < chunkTokens, got chunk=$chunkTokens overlap=$overlap")
+    val stride = chunkTokens - overlap
+    val toks = TextAnalysis.tokens(col(textCol))
+    docs
+      .filter(trim(col(textCol)).isNotNull && trim(col(textCol)) =!= "")
+      .withColumn("__w", toks)
+      .withColumn("__n", size(col("__w")))
+      .withColumn("chunk_id",
+        explode(sequence(lit(0L), floor((col("__n") - 1) / stride).cast("long"))))
+      .withColumn("token_start", col("chunk_id") * stride)
+      .select(col(idCol),
+        col("chunk_id"),
+        col("token_start"),
+        least(lit(chunkTokens), col("__n") - col("token_start")).as("n_tokens"),
+        array_join(slice(col("__w"), (col("token_start") + 1).cast("int"),
+          lit(chunkTokens)), " ").as("chunk_text"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Large-scale training-data deduplication operators: exact
@@ -505,6 +506,60 @@ object Dedup {
         .select(col(idCol).as("__id"),
           explode(TextAnalysis.winnowUdf(normalizeText(col(textCol)), lit(k), lit(w))).as("fp")),
       "fp", threshold, maxDocFreq, sketchK, minShared)
+
+  /** Sorted-neighborhood dedup blocking (the classic merge/purge
+    * strategy: sort by a cheap key, compare each record only to its
+    * `window − 1` successors in the global order). Complements the
+    * set-based blockers (MinHash bands, rare-shingle sketches): SN's
+    * candidate count is EXACTLY N·(w−1) regardless of how skewed the
+    * shingle-frequency distribution is, so it has no hot-bucket
+    * failure mode — at the price of only finding pairs whose blocking
+    * keys (here: the first `keyLen` chars of normalized text) sort
+    * adjacently.
+    *
+    * Scale shape: the global order is a range exchange, NOT a
+    * single-partition window — global positions are per-partition
+    * row_numbers plus a broadcast running offset over per-partition
+    * counts (the same two-pass zip Corpus.packShards uses for token
+    * offsets). Neighbor pairing is an equi-join on the dense position
+    * (each row emits `window − 1` probe positions), and the exact
+    * Jaccard verify evaluates on the joined pair rows only — never on
+    * the full corpus cross product.
+    */
+  def sortedNeighborhoodPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      keyLen: Int, window: Int, shingleN: Int, threshold: Double): DataFrame = {
+    require(window >= 2, s"sortedNeighborhoodPairs: window must be >= 2, got $window")
+    val base = spread(docs).select(
+      col(idCol).as("__id"),
+      substring(normalizeText(col(textCol)), 1, keyLen).as("__k"),
+      shingles(col(textCol), shingleN).as("__sh"))
+    val arranged = base
+      .repartitionByRange(col("__k"), col("__id"))
+      .sortWithinPartitions(col("__k"), col("__id"))
+      .localCheckpoint(false) // pins partition ids for the offset zip
+      .withColumn("__pid", spark_partition_id())
+    // ≤ one row per partition: the running-offset window is tiny by
+    // construction (same argument as Corpus.packShards)
+    val offs = arranged.groupBy("__pid").agg(count(lit(1)).as("__n"))
+      .withColumn("__off",
+        coalesce(sum("__n").over(Window.orderBy("__pid")) - col("__n"), lit(0L)))
+      .select("__pid", "__off")
+    val ranked = arranged.join(broadcast(offs), Seq("__pid"))
+      .withColumn("rn", col("__off") +
+        row_number().over(Window.partitionBy("__pid").orderBy(col("__k"), col("__id"))))
+      .select(col("__id"), col("__sh"), col("rn"))
+      .localCheckpoint(false) // consumed by both sides of the neighbor join
+    val probes = ranked.select(col("__id").as("__ida"), col("__sh").as("__sha"),
+      explode(sequence(col("rn") + 1, col("rn") + (window - 1))).as("rn"))
+    probes
+      .join(ranked.select(col("__id").as("__idb"), col("__sh").as("__shb"), col("rn")),
+        Seq("rn"))
+      .select(least(col("__ida"), col("__idb")).as("id_a"),
+        greatest(col("__ida"), col("__idb")).as("id_b"),
+        jaccard(col("__sha"), col("__shb")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
 
   // ------------------------------------------------------------ SimHash
   /** 64-bit SimHash of a token array: each token votes its hash bits

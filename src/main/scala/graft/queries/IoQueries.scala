@@ -894,6 +894,46 @@ object IoQueries {
             round(abs(round(col("est_raw"), 4) - col("n_exact")) / col("n_exact"), 4)
               .as("rel_err"))
           .orderBy("event_type")
+      }),
+
+    // ---------------------------------------------------------------- ST: streaming Count-Min heavy hitters
+    QueryDef(
+      "q_st11_stream_countmin", "ST Count-Min heavy hitters (bounded streaming state)",
+      // per-user event frequencies estimated IN-STREAM with a Count-Min
+      // sketch: the streaming aggregation state is <= 4x1024 cell
+      // counters no matter how many users exist (a sum-merge — legal
+      // and bounded in Structured Streaming, where an exact per-user
+      // count's state grows with the user universe). Because cell
+      // counts are order-insensitive sums, the stream's finished cells
+      // are IDENTICAL to the batch sketch, so the oracle rebuilds the
+      // sketch from the same md5 derivation and the estimates compare
+      // value-exact against the exact top-10 users — including the CM
+      // overcount invariant (cm_est >= exact_n, always).
+      Some("""WITH tok AS (SELECT CAST(user_id AS VARCHAR) AS tok FROM events),
+             |cells AS (
+             |  SELECT r, CAST(('0x' || substr(md5(r || ':' || tok), 1, 8)) AS UBIGINT)
+             |           % 1024 AS b, count(*) AS c
+             |  FROM tok CROSS JOIN generate_series(0, 3) g(r) GROUP BY 1, 2),
+             |ex AS (SELECT tok, count(*) AS exact_n FROM tok GROUP BY 1
+             |       ORDER BY exact_n DESC, tok LIMIT 10)
+             |SELECT ex.tok AS user_id, ex.exact_n, CAST(min(c.c) AS BIGINT) AS cm_est
+             |FROM ex CROSS JOIN generate_series(0, 3) g(r)
+             |JOIN cells c ON c.r = g.r
+             | AND c.b = CAST(('0x' || substr(md5(g.r || ':' || ex.tok), 1, 8)) AS UBIGINT) % 1024
+             |GROUP BY 1, 2 ORDER BY exact_n DESC, user_id""".stripMargin),
+      (s, dir) => {
+        val watch = CdcStream.ensureStaged(s, dir)
+        val streamToks = CdcStream.readEvents(s, watch)
+          .select(col("user_id").cast("string").as("tok"))
+        val cells = CdcStream.runToMemory(s,
+          graft.llm.Sketches.buildTokenSketch(streamToks, "tok"), "q_st11_mem")
+        val top = s.read.parquet(s"$dir/events.parquet")
+          .select(col("user_id").cast("string").as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("exact_n"))
+          .orderBy(col("exact_n").desc, col("tok")).limit(10)
+        graft.llm.Sketches.estimate(top, "tok", cells)
+          .select(col("tok").as("user_id"), col("exact_n"), col("cm_est"))
+          .orderBy(col("exact_n").desc, col("user_id"))
       })
   )
 }

@@ -1882,6 +1882,67 @@ object LlmQueries {
         Similarity.pqTopK(emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding",
             k = 5)
           .orderBy("query_id", "rank")
-      })
+      }),
+
+    // ---------------------------------------------------------------- sorted-neighborhood dedup blocking
+    QueryDef(
+      "q_l45_sorted_neighborhood", "LLM-dedup-sorted-neighborhood",
+      // merge/purge blocking: rank the corpus by the first-24-chars
+      // normalized-text key (doc_id tiebreak), compare each doc to its
+      // 2 successors only, exact 3-shingle Jaccard >= 0.8 on the
+      // candidates. The oracle replays the identical global order with
+      // a row_number window — the engine side computes the same ranks
+      // with a range exchange + per-partition offsets (no global
+      // window), which is the point of the operator.
+      Some("""WITH base AS (SELECT doc_id,
+             |         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+             |       FROM documents),
+             |r AS (SELECT doc_id,
+             |        row_number() OVER (ORDER BY substr(nt, 1, 24), doc_id) AS rn
+             |      FROM base),
+             |cand AS (SELECT a.doc_id AS da, b.doc_id AS db
+             |         FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 2),
+             |toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+             |sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+             |                                            for i in generate_series(1, len(w)-2)])) AS s
+             |       FROM toks WHERE len(w) >= 3),
+             |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+             |inter AS (SELECT least(c.da, c.db) AS id_a, greatest(c.da, c.db) AS id_b,
+             |                 count(*) AS inter
+             |          FROM cand c JOIN sh a ON a.doc_id = c.da
+             |                      JOIN sh b ON b.doc_id = c.db AND b.s = a.s
+             |          GROUP BY 1, 2)
+             |SELECT id_a, id_b,
+             |       round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+             |FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+             |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
+             |ORDER BY id_a, id_b""".stripMargin),
+      (s, dir) =>
+        Dedup.sortedNeighborhoodPairs(Tables.documents(s, dir), "doc_id", "text",
+            keyLen = 24, window = 3, shingleN = 3, threshold = 0.8)
+          .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+          .orderBy("id_a", "id_b")),
+
+    // ---------------------------------------------------------------- sliding-window chunking with overlap
+    QueryDef(
+      "q_l46_chunk_overlap", "LLM-corpus-chunking",
+      // long-document -> context-window chunking: 64-token chunks every
+      // 48 tokens (16-token overlap), final chunk short. Pure generator
+      // explode + array slice — the oracle replays the identical spans,
+      // chunk text included, so offsets AND content are value-exact.
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+             |          FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+             |c AS (SELECT doc_id, w, len(w) AS n,
+             |        unnest([i for i in generate_series(0, (len(w) - 1) // 48)]) AS chunk_id
+             |      FROM t),
+             |s AS (SELECT doc_id, w, n, chunk_id, chunk_id * 48 AS token_start FROM c)
+             |SELECT doc_id, chunk_id, token_start,
+             |       least(64, n - token_start) AS n_tokens,
+             |       array_to_string(w[token_start + 1 : token_start + 64], ' ') AS chunk_text
+             |FROM s ORDER BY doc_id, chunk_id""".stripMargin),
+      (s, dir) =>
+        Corpus.chunkDocs(Tables.documents(s, dir), "doc_id", "text",
+            chunkTokens = 64, overlap = 16)
+          .orderBy("doc_id", "chunk_id"))
   )
 }

@@ -89,4 +89,27 @@ class CorpusSpec extends AnyFunSuite {
       .as[Long].collect().sorted
     assert(ids.toSeq == Seq(1L, 3L))
   }
+
+  test("chunkDocs: stride spacing, overlap, short final chunk, full token coverage") {
+    val text = (1 to 100).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, text), (2L, "   "), (3L, "single")).toDF("doc_id", "text")
+    val out = Corpus.chunkDocs(docs, "doc_id", "text", chunkTokens = 10, overlap = 3)
+      .orderBy("doc_id", "chunk_id").collect()
+    val d1 = out.filter(_.getLong(0) == 1L)
+    // starts 0, 7, ..., 98 -> 15 chunks; last one holds 2 tokens
+    assert(d1.length == 15)
+    assert(d1.map(_.getLong(2)).toSeq == (0 until 15).map(_ * 7L))
+    assert(d1.head.getString(4).startsWith("t1 t2 ") && d1.head.getLong(3) == 10L)
+    assert(d1.last.getString(4) == "t99 t100" && d1.last.getLong(3) == 2L)
+    // consecutive chunks share exactly the 3-token overlap
+    val c0 = d1(0).getString(4).split(" ")
+    val c1 = d1(1).getString(4).split(" ")
+    assert(c0.takeRight(3).toSeq == c1.take(3).toSeq)
+    // every token appears in at least one chunk
+    assert(d1.flatMap(_.getString(4).split(" ")).toSet == (1 to 100).map(i => s"t$i").toSet)
+    // whitespace-only doc chunk-free; single-token doc one short chunk
+    assert(!out.exists(_.getLong(0) == 2L))
+    val d3 = out.filter(_.getLong(0) == 3L)
+    assert(d3.length == 1 && d3.head.getString(4) == "single" && d3.head.getLong(3) == 1L)
+  }
 }

@@ -33,6 +33,40 @@ class DedupSpec extends AnyFunSuite {
     assert(jac.isEmpty, jac.mkString(","))
   }
 
+  test("sorted-neighborhood: offset-zip ranks reproduce a global-window reference") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sf)
+    val sn = Dedup.sortedNeighborhoodPairs(docs, "doc_id", "text", 24, 3, 3, 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // test-only reference: the single-partition global window the
+    // operator deliberately avoids, same candidates + verify
+    val ranked = docs.select(col("doc_id"),
+        substring(Dedup.normalizeText(col("text")), 1, 24).as("k"),
+        Dedup.shingles(col("text"), 3).as("sh"))
+      .withColumn("rn", row_number().over(Window.orderBy(col("k"), col("doc_id"))))
+    val ref = ranked.select(col("doc_id").as("ida"), col("sh").as("sha"), col("rn"))
+      .join(ranked.select(col("doc_id").as("idb"), col("sh").as("shb"),
+          col("rn").as("rnb")),
+        col("rnb") - col("rn") >= 1 && col("rnb") - col("rn") <= 2)
+      .select(least(col("ida"), col("idb")).as("id_a"),
+        greatest(col("ida"), col("idb")).as("id_b"),
+        Dedup.jaccard(col("sha"), col("shb")).as("j"))
+      .filter(col("j") >= 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sn == ref, s"SN ${sn.size} pairs vs window reference ${ref.size}")
+  }
+
+  test("sorted-neighborhood finds tail-edited near-dups adjacent by prefix") {
+    import spark.implicits._
+    val body = (1 to 40).map(i => s"word$i").mkString(" ")
+    val tailEdit = (1 to 39).map(i => s"word$i").mkString(" ") + " changed"
+    val other = (200 to 240).map(i => s"word$i").mkString(" ")
+    val docs = Seq((1L, body), (2L, tailEdit), (3L, other)).toDF("doc_id", "text")
+    val sn = Dedup.sortedNeighborhoodPairs(docs, "doc_id", "text", 24, 3, 3, 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sn == Set((1L, 2L)), sn.mkString(","))
+  }
+
   test("exact fingerprint collapses case/whitespace variants") {
     import spark.implicits._
     val df = Seq("hello  world", "HELLO WORLD  ", "other doc").toDF("text")

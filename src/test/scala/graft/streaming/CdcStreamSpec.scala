@@ -23,6 +23,19 @@ class CdcStreamSpec extends AnyFunSuite {
       batch.orderBy("event_type").collect().toSeq)
   }
 
+  test("streaming Count-Min cells equal the batch sketch (sum-merge is order-insensitive)") {
+    val stream = CdcStream.readEvents(spark, CdcStream.ensureStaged(spark, sf))
+      .select(col("user_id").cast("string").as("tok"))
+    val streamed = CdcStream.runToMemory(spark,
+      graft.llm.Sketches.buildTokenSketch(stream, "tok"), "cdcspec_cm")
+    val batch = graft.llm.Sketches.buildTokenSketch(
+      Tables.events(spark, sf).select(col("user_id").cast("string").as("tok")), "tok")
+    assert(streamed.orderBy("r", "b").collect().toSeq ==
+      batch.orderBy("r", "b").collect().toSeq)
+    // bounded-state claim: the finished state can never exceed depth*width cells
+    assert(streamed.count() <= 4L * 1024L)
+  }
+
   test("sessionize closes sessions on event-time gaps (batch-verified counts)") {
     import spark.implicits._
     // deterministic mini-stream: user 1 has two sessions 2h apart,
