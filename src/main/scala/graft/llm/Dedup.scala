@@ -561,6 +561,77 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Prefix-filtering set-similarity self-join (the AllPairs/PPJoin
+    * candidate scheme): order every document's distinct tokens by
+    * ascending global document frequency (rarest first, token text as
+    * tiebreak), keep only each document's first
+    * `|d| − ⌈t·|d|⌉ + 1` tokens as its PREFIX, and generate candidates
+    * from pairs sharing a prefix token. The prefix-filter lemma
+    * (Xiao et al., PPJoin, WWW'08) guarantees every pair with
+    * Jaccard ≥ t shares at least one token inside both prefixes, so
+    * the candidate set is a provable superset — unlike the df-cap
+    * blockers, which trade a documented blind spot for bucket bounds.
+    * At t = 0.8 only ~20% of each document's tokens (its rarest ones)
+    * are indexed, so buckets are both fewer and intrinsically
+    * rare-keyed — the frequency-ascending order is what kills the
+    * hot-bucket problem, not a cap.
+    *
+    * The set elements are distinct word `shingleN`-shingles (the same
+    * universe as the MinHash/sketch operators — order-sensitive, so
+    * same-vocabulary template documents don't degenerate into one
+    * giant near-dup clique the way raw token SETS do on boilerplate
+    * corpora).
+    *
+    * Scale shape: shingle-df is one partial-aggregated groupBy; prefix
+    * ranking is a window PARTITIONED BY DOCUMENT (bounded by document
+    * shingle count, never by corpus size); candidates come from one
+    * equi-join of prefix rows; the exact-Jaccard verify semi-joins the
+    * full shingle frame down to candidate ids before the intersection
+    * count (the q_l13 lesson). Nothing is all-pairs.
+    */
+  def prefixFilterJaccardPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"prefixFilterJaccardPairs: threshold in (0,1], got $threshold")
+    val toksD = spread(docs)
+      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(col(idCol).as("__id"),
+        explode(shingles(col(textCol), shingleN)).as("t"))
+    val tokDf = toksD.groupBy("t").agg(count(lit(1)).as("__df"))
+    val sizes = toksD.groupBy("__id").agg(count(lit(1)).as("n"))
+    val wDoc = Window.partitionBy("__id").orderBy(col("__df"), col("t"))
+    val prefix = toksD.join(tokDf, Seq("t"))
+      .withColumn("__rn", row_number().over(wDoc))
+      .join(sizes, Seq("__id"))
+      .filter(col("__rn") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+      .select("__id", "t", "n")
+    // length filter (also PPJoin): J >= t forces i >= t·max(|a|,|b|)
+    // and i <= min(|a|,|b|), so mismatched set sizes can't qualify —
+    // applied inside the candidate join, before the dedup shuffle
+    val cand = prefix.select(col("t"), col("__id").as("id_a"), col("n").as("__la"))
+      .join(prefix.select(col("t"), col("__id").as("id_b"), col("n").as("__lb")),
+        Seq("t"))
+      .filter(col("id_a") < col("id_b") &&
+        least(col("__la"), col("__lb")) >=
+          lit(threshold) * greatest(col("__la"), col("__lb")))
+      .select("id_a", "id_b")
+      .distinct()
+      .localCheckpoint(false) // consumed by two semi-joins + the verify join
+    val keptA = toksD.select(col("__id").as("id_a"), col("t"))
+      .join(cand.select("id_a"), Seq("id_a"), "left_semi")
+    val keptB = toksD.select(col("__id").as("id_b"), col("t"))
+      .join(cand.select("id_b"), Seq("id_b"), "left_semi")
+    cand.join(keptA, Seq("id_a"))
+      .join(keptB, Seq("id_b", "t"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("__i"))
+      .join(sizes.select(col("__id").as("id_a"), col("n").as("__na")), Seq("id_a"))
+      .join(sizes.select(col("__id").as("id_b"), col("n").as("__nb")), Seq("id_b"))
+      .withColumn("jaccard", col("__i") / (col("__na") + col("__nb") - col("__i")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   // ------------------------------------------------------------ SimHash
   /** 64-bit SimHash of a token array: each token votes its hash bits
     * up/down; the sign of each bit-sum forms the fingerprint. The token

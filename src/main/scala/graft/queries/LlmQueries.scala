@@ -1943,6 +1943,44 @@ object LlmQueries {
       (s, dir) =>
         Corpus.chunkDocs(Tables.documents(s, dir), "doc_id", "text",
             chunkTokens = 64, overlap = 16)
-          .orderBy("doc_id", "chunk_id"))
+          .orderBy("doc_id", "chunk_id")),
+
+    // ---------------------------------------------------------------- prefix-filter set-similarity join
+    QueryDef(
+      "q_l47_prefix_filter_pairs", "LLM-dedup-prefix-filter",
+      // AllPairs/PPJoin prefix filtering on 3-shingle Jaccard >= 0.8:
+      // candidates share a shingle inside both docs' rarest-first
+      // prefixes of length n - ceil(0.8*n) + 1 — a PROVABLE superset
+      // of all true pairs (prefix-filter lemma), verified by exact
+      // intersection counts. The oracle replays the identical global
+      // shingle order (df asc, shingle asc), prefixes, candidates, and
+      // verify.
+      Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+             |tok AS (SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+             |                                             for i in generate_series(1, len(w)-2)])) AS t
+             |        FROM toks WHERE len(w) >= 3),
+             |df AS (SELECT t, count(*) AS df FROM tok GROUP BY 1),
+             |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+             |rk AS (SELECT tok.doc_id, tok.t,
+             |         row_number() OVER (PARTITION BY tok.doc_id ORDER BY df.df, tok.t) AS rn
+             |       FROM tok JOIN df USING (t)),
+             |pref AS (SELECT rk.doc_id, rk.t FROM rk JOIN sz USING (doc_id)
+             |         WHERE rn <= n - ceil(0.8 * n) + 1),
+             |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |         FROM pref a JOIN pref b ON a.t = b.t AND a.doc_id < b.doc_id),
+             |i AS (SELECT c.id_a, c.id_b, count(*) AS i FROM cand c
+             |      JOIN tok a ON a.doc_id = c.id_a
+             |      JOIN tok b ON b.doc_id = c.id_b AND b.t = a.t
+             |      GROUP BY 1, 2)
+             |SELECT id_a, id_b,
+             |       round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+             |FROM i JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+             |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+             |ORDER BY id_a, id_b""".stripMargin),
+      (s, dir) =>
+        Dedup.prefixFilterJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+            shingleN = 3, threshold = 0.8)
+          .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+          .orderBy("id_a", "id_b"))
   )
 }

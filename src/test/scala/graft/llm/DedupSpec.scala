@@ -67,6 +67,23 @@ class DedupSpec extends AnyFunSuite {
     assert(sn == Set((1L, 2L)), sn.mkString(","))
   }
 
+  test("prefix-filter pairs equal brute-force shingle Jaccard (no blocking misses)") {
+    val docs = Tables.documents(spark, sf)
+    val pf = Dedup.prefixFilterJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force over ALL pairs: the prefix-filter lemma says nothing may be missed
+    val sets = docs.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("s"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1).toSet))
+      .filter(_._2.nonEmpty)
+    val brute = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      if j >= 0.8
+    } yield (ia, ib)).toSet
+    assert(pf == brute, s"prefix-filter ${pf.size} pairs vs brute ${brute.size}")
+    assert(pf.nonEmpty, "testdata should contain planted near-duplicates")
+  }
+
   test("exact fingerprint collapses case/whitespace variants") {
     import spark.implicits._
     val df = Seq("hello  world", "HELLO WORLD  ", "other doc").toDF("text")
