@@ -281,4 +281,41 @@ class PlanSpec extends AnyFunSuite {
     // the item-support filter must appear below the pair self-join
     assert(p.contains("(f#") || p.contains("f >= 2") || p.contains("(f"), p)
   }
+
+  test("sorted-neighborhood ranks with doc-partitioned windows + broadcast offsets") {
+    val p = queryPlan("q_l45_sorted_neighborhood")
+    assert(!p.contains("CartesianProduct"), p)
+    // the offset map joins broadcast (<= one row per partition)
+    assert(p.contains("BroadcastHashJoin"), s"offset zip should broadcast:\n$p")
+    // no global (empty-partition-spec) window over data-sized input:
+    // every windowspecdefinition must carry a partition key
+    assert(!p.contains("windowspecdefinition(__id#") || p.contains("windowspecdefinition(__pid"),
+      s"rank window must be partitioned by __pid:\n$p")
+  }
+
+  test("prefix-filter join: per-document ranking window, no cartesian") {
+    val p = queryPlan("q_l47_prefix_filter_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+    // the candidate localCheckpoint truncates the visible lineage, so
+    // assert the ranking shape on the pre-checkpoint stage directly:
+    // the ONLY window in the whole operator is partitioned by document
+    val docs = graft.Tables.documents(spark, sf)
+    val toks = docs.select(col("doc_id").as("__id"),
+      explode(graft.llm.Dedup.shingles(col("text"), 3)).as("t"))
+    val ranked = toks
+      .join(toks.groupBy("t").agg(count(lit(1)).as("__df")), Seq("t"))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("__id")
+          .orderBy(col("__df"), col("t"))))
+    val rp = plan(ranked)
+    assert(rp.contains("windowspecdefinition(__id"),
+      s"prefix ranking must be partitioned by document:\n$rp")
+  }
+
+  test("chunking is shuffle-free: generator explode + slice, no exchange") {
+    val p = plan(graft.llm.Corpus.chunkDocs(
+      graft.Tables.documents(spark, sf), "doc_id", "text", 64, 16))
+    assert(!p.contains("Exchange"), s"chunkDocs must not shuffle:\n$p")
+    assert(p.contains("Generate explode"), s"chunk ids must come from a generator:\n$p")
+  }
 }
