@@ -1981,6 +1981,43 @@ object LlmQueries {
         Dedup.prefixFilterJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
             shingleN = 3, threshold = 0.8)
           .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
-          .orderBy("id_a", "id_b"))
+          .orderBy("id_a", "id_b")),
+
+    // ---------------------------------------------------------------- grouped deterministic k-sample
+    QueryDef(
+      "q_l48_group_sample", "LLM-corpus-grouped-sample",
+      // per-source weighted k-sample without replacement: q_l38's
+      // Efraimidis-Spirakis priorities (ln(u)/w with u the doc's md5
+      // fraction, w its token count), but selected PER GROUP through
+      // the k-capped TopKByScore aggregate — map-side combine ships
+      // <= k rows per (source, partition), no per-group window, no
+      // global sort. The oracle is the definitional row_number form;
+      // the aggregate's window-equivalence is additionally spec-pinned
+      // (q_w5b's TopKSpec).
+      Some("""WITH f AS (SELECT doc_id, source,
+             |  CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+             |       ELSE len(string_split_regex(trim(text), '\s+')) END AS w,
+             |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+             |    / 4294967296.0 AS u
+             |  FROM documents),
+             |r AS (SELECT source, doc_id,
+             |        row_number() OVER (PARTITION BY source
+             |                           ORDER BY ln(u) / w DESC, doc_id) AS rank
+             |      FROM f WHERE w > 0)
+             |SELECT source, rank, doc_id FROM r WHERE rank <= 20
+             |ORDER BY source, rank""".stripMargin),
+      (s, dir) => {
+        val f = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            TextAnalysis.tokenCount(col("text")).as("w"),
+            Corpus.hashFraction(col("doc_id")).as("u"))
+          .filter(col("w") > 0)
+          .select(col("source"), col("doc_id"),
+            (log(col("u")) / col("w")).as("__pri"))
+        graft.operators.TopK.groupedTopKAgg(f, Seq("source"), "__pri", "doc_id", 20)
+          .withColumn("rank", col("rank").cast("long"))
+          .select("source", "rank", "doc_id")
+          .orderBy("source", "rank")
+      })
   )
 }
