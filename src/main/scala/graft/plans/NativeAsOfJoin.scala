@@ -1,0 +1,201 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftColumnBridge, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Ascending, Attribute, BindReferences, GenericInternalRow, JoinedRow,
+  RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{
+  ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.functions.col
+
+/** The as-of join as a FIRST-CLASS Catalyst operator — the SURVEY §7.3
+  * option-(c) toolchain end to end: a custom `LogicalPlan` node, a
+  * `SparkStrategy` planning it, and a `SparkPlan` executing a streaming
+  * SORT-MERGE as-of — registered on live sessions through
+  * `GraftColumnBridge.addStrategy` (the runtime counterpart of
+  * `SparkSessionExtensions.injectPlannerStrategy`).
+  *
+  * Why a physical operator when `operators/AsOfJoin` already exists:
+  * the composed form UNIONS both sides into one frame and runs a
+  * running-`last` window over |L|+|R| rows — every right payload column
+  * is widened onto every left row before the window even runs, and the
+  * window operator buffers its frame. The native exec keeps the sides
+  * separate until the merge instant: EnsureRequirements hash-partitions
+  * BOTH children on the keys (`ClusteredDistribution` pair — the same
+  * co-partitioning contract SortMergeJoinExec declares) and sorts each
+  * side by (keys, ts), and `doExecute` then streams the two sorted
+  * iterators with O(1) state per partition — one candidate row — never
+  * materializing a group, never widening the union. Backward-as-of
+  * semantics are IDENTICAL to `AsOfJoin.joinAsOfBackward` (ties
+  * rightTs == leftTs admit the right row; right rows tying on
+  * (keys, ts) resolve to the lexicographically greatest payload —
+  * enforced here by appending the remaining orderable right columns to
+  * the required child ordering; null timestamps sort first on both
+  * sides, so a null-ts left row can only match null-ts right rows),
+  * and the spec pins row-for-row equality between the two forms plus
+  * the DuckDB ASOF oracle through q_w4d.
+  *
+  * Scale: one hash exchange + one sort per side — strictly less data
+  * through the shuffle than the union form (no widened nulls), and the
+  * merge is a single forward pass. The hot-key caveat is the same as
+  * every key-clustered operator's (one key = one task's merge);
+  * `AsOfJoin.joinAsOfBackwardSalted` remains the salted escape hatch.
+  */
+case class AsOfJoinNode(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
+    leftTs: Attribute, rightTs: Attribute) extends BinaryNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinNode =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinNode(l, r, lk, rk, lts, rts) =>
+      AsOfJoinExec(lk, rk, lts, rts, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(
+    leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
+    leftTs: Attribute, rightTs: Attribute,
+    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  // the merge preserves the left side's row distribution and order
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  /** Both sides sorted by (keys, ts); the right side additionally by
+    * its remaining orderable columns so rows tying on (keys, ts) have
+    * a DETERMINISTIC last element — the same field-wise-greatest rule
+    * the window form's `__p` tiebreaker implements.
+    */
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = {
+    val rightTie = right.output
+      .filterNot(a => rightKeys.contains(a) || a == rightTs)
+      .filter(a => RowOrdering.isOrderable(a.dataType))
+    Seq(
+      (leftKeys :+ leftTs).map(SortOrder(_, Ascending)),
+      (rightKeys ++ (rightTs +: rightTie)).map(SortOrder(_, Ascending)))
+  }
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lKeys = leftKeys
+    val rKeys = rightKeys
+    val lTs = leftTs
+    val rTs = rightTs
+    val keyTypes = leftKeys.map(_.dataType)
+    val tsType = leftTs.dataType
+    require(rightTs.dataType == tsType,
+      s"as-of timestamp types must match: $tsType vs ${rightTs.dataType}")
+    val allOut = output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(lKeys, lOut)
+      val rKeyProj = UnsafeProjection.create(rKeys, rOut)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val lTsBound = BindReferences.bindReference[org.apache.spark.sql.catalyst.expressions.Expression](lTs, lOut)
+      val rTsBound = BindReferences.bindReference[org.apache.spark.sql.catalyst.expressions.Expression](rTs, rOut)
+      val tsOrd = TypeUtils.getInterpretedOrdering(tsType)
+      // null ts sorts first (asc nulls-first child ordering), so
+      // "r.ts <= l.ts" with nulls-smallest matches the sorted stream
+      def tsLeq(r: Any, l: Any): Boolean =
+        if (r == null) true
+        else if (l == null) false
+        else tsOrd.compare(r, l) <= 0
+      val nullRight = new GenericInternalRow(rOut.length)
+      val joined = new JoinedRow
+      val resultProj = UnsafeProjection.create(allOut, allOut)
+      val rBuffered = rIter.buffered
+      var candidate: InternalRow = null
+      var candidateKey: InternalRow = null
+      lIter.map { lRow =>
+        val lKey = lKeyProj(lRow)
+        val lTsVal = lTsBound.eval(lRow)
+        // candidate from a previous (smaller) key is stale
+        if (candidateKey != null && keyOrd.compare(candidateKey, lKey) != 0) {
+          candidate = null; candidateKey = null
+        }
+        var advancing = true
+        while (advancing && rBuffered.hasNext) {
+          val rRow = rBuffered.head
+          val rKey = rKeyProj(rRow)
+          val c = keyOrd.compare(rKey, lKey)
+          if (c < 0) { rBuffered.next() } // behind this key: discard
+          else if (c == 0 && tsLeq(rTsBound.eval(rRow), lTsVal)) {
+            candidate = rBuffered.next().copy()
+            candidateKey = lKey.copy()
+          } else advancing = false // ahead (key or ts): stop for this left row
+        }
+        resultProj(joined(lRow, if (candidate != null) candidate else nullRight))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** DataFrame-level API over the native operator. */
+object NativeAsOfJoin {
+
+  /** Backward as-of with `AsOfJoin.joinAsOfBackward`'s exact contract:
+    * left columns unchanged, right timestamp + payload columns
+    * appended as `prefix`-prefixed nullable columns.
+    */
+  def joinAsOfBackward(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, payloadCols: Seq[String],
+      prefix: String = "asof_"): DataFrame = {
+    val spark: SparkSession = left.sparkSession
+    GraftColumnBridge.addStrategy(spark, AsOfJoinStrategy)
+    // project the right side down to keys + ts + payload FIRST (the
+    // node's output carries every right column, so pruning must happen
+    // below it — Catalyst leaves unknown nodes unpruned), and ALIAS
+    // every right column: aliases mint fresh attribute ids, so a right
+    // side derived from the same base frame as the left cannot collide
+    // (the analyzer's relation dedup only knows built-in binary nodes)
+    val rCols = (keys ++ (rightTs +: payloadCols).distinct).distinct
+    val rPruned = right.select(rCols.map(c => col(c).as(s"__r_$c")): _*)
+    val lPlan = GraftColumnBridge.analyzed(left)
+    val rPlan = GraftColumnBridge.analyzed(rPruned)
+    def resolve(plan: LogicalPlan, name: String): Attribute =
+      plan.output.find(a => spark.sessionState.conf.resolver(a.name, name))
+        .getOrElse(throw new IllegalArgumentException(
+          s"as-of column '$name' not found in ${plan.output.map(_.name)}"))
+    val node = AsOfJoinNode(
+      lPlan, rPlan,
+      keys.map(resolve(lPlan, _)), keys.map(k => resolve(rPlan, s"__r_$k")),
+      resolve(lPlan, leftTs), resolve(rPlan, s"__r_$rightTs"))
+    val joined = GraftColumnBridge.ofRows(spark, node)
+    // select by the node's attributes (ids are unique by construction)
+    val attrs = node.output
+    val sel =
+      left.columns.indices.map(i =>
+        GraftColumnBridge.column(attrs(i)).as(left.columns(i))) ++
+        (rightTs +: payloadCols).distinct.zipWithIndex.map { case (n, i) =>
+          GraftColumnBridge.column(attrs(left.columns.length + keys.length + i))
+            .as(s"$prefix$n")
+        }
+    joined.select(sel: _*)
+  }
+}

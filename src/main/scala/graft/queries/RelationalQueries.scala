@@ -510,6 +510,36 @@ object RelationalQueries {
           .orderBy("day")
       }),
 
+    // ---------------------------------------------------------------- W4d (NATIVE as-of join: custom Catalyst operator)
+    QueryDef(
+      "q_w4d_asof_native", "W4 as-of join (native Catalyst operator)",
+      // q_w4's exact scenario and oracle, executed by the FIRST-CLASS
+      // operator (plans/NativeAsOfJoin: custom LogicalPlan →
+      // SparkStrategy → sort-merge AsOfJoinExec). Same answer as the
+      // union+window form — the physical algorithm is a streaming
+      // two-iterator merge per key partition with O(1) state, no
+      // union widening, no window buffer.
+      Some("""WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+             |v AS (SELECT user_id, ts FROM events WHERE event_type = 'view')
+             |SELECT strftime(date_trunc('day', p.ts), '%Y-%m-%d') AS day,
+             |count(*) AS n_purchases, count(v.ts) AS n_matched,
+             |round(avg(epoch_us(p.ts) - epoch_us(v.ts)) / 1e6, 6) AS avg_gap_sec
+             |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+             |GROUP BY 1 ORDER BY day""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val p = ev.filter(col("event_type") === "purchase").select("user_id", "ts")
+        val v = ev.filter(col("event_type") === "view").select("user_id", "ts")
+        graft.plans.NativeAsOfJoin.joinAsOfBackward(
+            p, v, Seq("user_id"), "ts", "ts", Seq("ts"))
+          .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+          .agg(count(lit(1)).as("n_purchases"),
+            count(col("asof_ts")).as("n_matched"),
+            round(avg(unix_micros(col("ts")) - unix_micros(col("asof_ts"))) / 1e6, 6)
+              .as("avg_gap_sec"))
+          .orderBy("day")
+      }),
+
     // ---------------------------------------------------------------- P9 (unpivot / melt)
     QueryDef(
       "q_p9_unpivot", "P1 (wide→long reshape)",

@@ -1,0 +1,86 @@
+package graft.plans
+
+import graft.{Tables, TestSpark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native Catalyst as-of operator against the composed
+  * union+window form (operators/AsOfJoin): identical contract, so the
+  * two implementations must agree row for row on every input —
+  * including the adversarial tie/no-match edges and the real events
+  * table. q_w4d additionally pins it to DuckDB's native ASOF JOIN.
+  */
+class NativeAsOfJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("native as-of handles tie, no-earlier, and absent-key edges") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, t("2024-01-01 10:00:00"), "p1"),
+      (1L, t("2024-01-01 10:30:00"), "p2"), // inclusive tie
+      (2L, t("2024-01-01 08:00:00"), "p3"), // no earlier right row
+      (3L, t("2024-01-01 12:00:00"), "p4")) // key absent on right
+      .toDF("user_id", "ts", "tag")
+    val right = Seq(
+      (1L, t("2024-01-01 09:58:00")),
+      (1L, t("2024-01-01 10:30:00")),
+      (1L, t("2024-01-01 11:00:00")),
+      (2L, t("2024-01-01 09:00:00")))
+      .toDF("user_id", "ts")
+    val out = NativeAsOfJoin.joinAsOfBackward(
+        left, right, Seq("user_id"), "ts", "ts", Seq("ts"))
+      .select("tag", "asof_ts").collect()
+      .map(r => r.getString(0) -> Option(r.getTimestamp(1)).map(_.toString).orNull)
+      .toMap
+    assert(out == Map(
+      "p1" -> "2024-01-01 09:58:00.0",
+      "p2" -> "2024-01-01 10:30:00.0",
+      "p3" -> null,
+      "p4" -> null), out.toString)
+  }
+
+  test("native as-of: duplicate right (key, ts) rows resolve deterministically on every layout") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 09:00:00")
+    val left = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+      .toDF("user_id", "ts")
+    val dupes = Seq((1L, ts, "a", 10), (1L, ts, "c", 30), (1L, ts, "b", 20))
+    for (parts <- Seq(1, 3, 7); shift <- 0 until 3) {
+      val right = (dupes.drop(shift) ++ dupes.take(shift))
+        .toDF("user_id", "ts", "tag", "amount").repartition(parts)
+      val got = NativeAsOfJoin.joinAsOfBackward(
+          left, right, Seq("user_id"), "ts", "ts", Seq("tag", "amount"))
+        .select("asof_tag", "asof_amount").as[(String, Int)].collect().toSeq
+      assert(got == Seq(("c", 30)), s"parts=$parts shift=$shift got=$got")
+    }
+  }
+
+  test("native as-of equals the composed union+window form on the events table") {
+    val ev = Tables.events(spark, sf)
+    val p = ev.filter(col("event_type") === "purchase").select("user_id", "ts")
+    val v = ev.filter(col("event_type") === "view")
+      .select("user_id", "ts", "value")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("user_id", "ts", "asof_ts").collect().map(_.toString).toSeq
+    val native = NativeAsOfJoin.joinAsOfBackward(
+      p, v, Seq("user_id"), "ts", "ts", Seq("ts", "value"))
+    val composed = graft.operators.AsOfJoin.joinAsOfBackward(
+      p, v, Seq("user_id"), "ts", "ts", Seq("ts", "value"))
+    assert(native.columns.toSeq == composed.columns.toSeq)
+    assert(canon(native) == canon(composed))
+  }
+
+  test("native as-of plans AsOfJoinExec with one exchange per side") {
+    val ev = Tables.events(spark, sf)
+    val p = ev.filter(col("event_type") === "purchase").select("user_id", "ts")
+    val v = ev.filter(col("event_type") === "view").select("user_id", "ts")
+    val df = NativeAsOfJoin.joinAsOfBackward(
+      p, v, Seq("user_id"), "ts", "ts", Seq("ts"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin ["), plan) // AsOfJoinExec renders sans Exec
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 2, s"expected one hash exchange per side, got $exchanges:\n$plan")
+  }
+}
