@@ -4,8 +4,8 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, GraftColumnBridge, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
-  Ascending, Attribute, BindReferences, GenericInternalRow, JoinedRow,
-  RowOrdering, SortOrder, UnsafeProjection}
+  Ascending, Attribute, BindReferences, Descending, GenericInternalRow,
+  JoinedRow, RowOrdering, SortDirection, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{
   ClusteredDistribution, Distribution, Partitioning}
@@ -35,10 +35,11 @@ import org.apache.spark.sql.functions.col
   * rightTs == leftTs admit the right row; right rows tying on
   * (keys, ts) resolve to the lexicographically greatest payload —
   * enforced here by appending the remaining orderable right columns to
-  * the required child ordering; null timestamps sort first on both
-  * sides, so a null-ts left row can only match null-ts right rows),
-  * and the spec pins row-for-row equality between the two forms plus
-  * the DuckDB ASOF oracle through q_w4d.
+  * the required child ordering; null timestamps follow each
+  * direction's default null ordering — first in backward/asc, last in
+  * forward/desc — exactly like the window form), and the spec pins
+  * row-for-row equality between the two forms plus the DuckDB ASOF
+  * oracle through q_w4d (backward) and q_w4e (forward).
   *
   * Scale: one hash exchange + one sort per side — strictly less data
   * through the shuffle than the union form (no widened nulls), and the
@@ -49,7 +50,8 @@ import org.apache.spark.sql.functions.col
 case class AsOfJoinNode(
     left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
-    leftTs: Attribute, rightTs: Attribute) extends BinaryNode {
+    leftTs: Attribute, rightTs: Attribute,
+    forward: Boolean) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -61,15 +63,15 @@ case class AsOfJoinNode(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lk, rk, lts, rts) =>
-      AsOfJoinExec(lk, rk, lts, rts, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinNode(l, r, lk, rk, lts, rts, fwd) =>
+      AsOfJoinExec(lk, rk, lts, rts, fwd, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
 
 case class AsOfJoinExec(
     leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
-    leftTs: Attribute, rightTs: Attribute,
+    leftTs: Attribute, rightTs: Attribute, forward: Boolean,
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -91,9 +93,11 @@ case class AsOfJoinExec(
     val rightTie = right.output
       .filterNot(a => rightKeys.contains(a) || a == rightTs)
       .filter(a => RowOrdering.isOrderable(a.dataType))
+    val tsDir: SortDirection = if (forward) Descending else Ascending
     Seq(
-      (leftKeys :+ leftTs).map(SortOrder(_, Ascending)),
-      (rightKeys ++ (rightTs +: rightTie)).map(SortOrder(_, Ascending)))
+      leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTs, tsDir),
+      (rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTs, tsDir)) ++
+        rightTie.map(SortOrder(_, Ascending)))
   }
 
   override protected def doExecute(): RDD[InternalRow] = {
@@ -115,12 +119,15 @@ case class AsOfJoinExec(
       val lTsBound = BindReferences.bindReference[org.apache.spark.sql.catalyst.expressions.Expression](lTs, lOut)
       val rTsBound = BindReferences.bindReference[org.apache.spark.sql.catalyst.expressions.Expression](rTs, rOut)
       val tsOrd = TypeUtils.getInterpretedOrdering(tsType)
-      // null ts sorts first (asc nulls-first child ordering), so
-      // "r.ts <= l.ts" with nulls-smallest matches the sorted stream
-      def tsLeq(r: Any, l: Any): Boolean =
-        if (r == null) true
-        else if (l == null) false
-        else tsOrd.compare(r, l) <= 0
+      // admit = "this right row sorts at-or-before the left row in the
+      // merge order". Backward (ts asc, nulls FIRST): null right ts
+      // always admits, null left ts admits only null rights. Forward
+      // (ts desc, nulls LAST): mirrored — identical to the window
+      // form's default null ordering in each direction.
+      val fwd = forward
+      def admits(r: Any, l: Any): Boolean =
+        if (fwd) (l == null) || (r != null && tsOrd.compare(r, l) >= 0)
+        else (r == null) || (l != null && tsOrd.compare(r, l) <= 0)
       val nullRight = new GenericInternalRow(rOut.length)
       val joined = new JoinedRow
       val resultProj = UnsafeProjection.create(allOut, allOut)
@@ -140,7 +147,7 @@ case class AsOfJoinExec(
           val rKey = rKeyProj(rRow)
           val c = keyOrd.compare(rKey, lKey)
           if (c < 0) { rBuffered.next() } // behind this key: discard
-          else if (c == 0 && tsLeq(rTsBound.eval(rRow), lTsVal)) {
+          else if (c == 0 && admits(rTsBound.eval(rRow), lTsVal)) {
             candidate = rBuffered.next().copy()
             candidateKey = lKey.copy()
           } else advancing = false // ahead (key or ts): stop for this left row
@@ -165,7 +172,24 @@ object NativeAsOfJoin {
   def joinAsOfBackward(
       left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, payloadCols: Seq[String],
-      prefix: String = "asof_"): DataFrame = {
+      prefix: String = "asof_"): DataFrame =
+    joinImpl(left, right, keys, leftTs, rightTs, payloadCols, prefix,
+      forward = false)
+
+  /** Forward (nearest-later) as-of, `AsOfJoin.joinAsOfForward`'s
+    * contract: smallest rightTs >= leftTs per key, ties admitted.
+    */
+  def joinAsOfForward(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, payloadCols: Seq[String],
+      prefix: String = "asof_"): DataFrame =
+    joinImpl(left, right, keys, leftTs, rightTs, payloadCols, prefix,
+      forward = true)
+
+  private def joinImpl(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, payloadCols: Seq[String],
+      prefix: String, forward: Boolean): DataFrame = {
     val spark: SparkSession = left.sparkSession
     GraftColumnBridge.addStrategy(spark, AsOfJoinStrategy)
     // project the right side down to keys + ts + payload FIRST (the
@@ -185,7 +209,7 @@ object NativeAsOfJoin {
     val node = AsOfJoinNode(
       lPlan, rPlan,
       keys.map(resolve(lPlan, _)), keys.map(k => resolve(rPlan, s"__r_$k")),
-      resolve(lPlan, leftTs), resolve(rPlan, s"__r_$rightTs"))
+      resolve(lPlan, leftTs), resolve(rPlan, s"__r_$rightTs"), forward)
     val joined = GraftColumnBridge.ofRows(spark, node)
     // select by the node's attributes (ids are unique by construction)
     val attrs = node.output

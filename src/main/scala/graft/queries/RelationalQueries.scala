@@ -540,6 +540,32 @@ object RelationalQueries {
           .orderBy("day")
       }),
 
+    // ---------------------------------------------------------------- W4e (native FORWARD as-of)
+    QueryDef(
+      "q_w4e_asof_native_fwd", "W4 forward as-of (native Catalyst operator)",
+      // q_w4c's attribution scenario on the native exec in forward
+      // mode (ts desc merge order, smallest later right row wins).
+      Some("""WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+             |v AS (SELECT user_id, ts FROM events WHERE event_type = 'view')
+             |SELECT strftime(date_trunc('day', v.ts), '%Y-%m-%d') AS day,
+             |count(*) AS n_views, count(p.ts) AS n_converted,
+             |round(avg(epoch_us(p.ts) - epoch_us(v.ts)) / 1e6, 6) AS avg_gap_sec
+             |FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND p.ts >= v.ts
+             |GROUP BY 1 ORDER BY day""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val p = ev.filter(col("event_type") === "purchase").select("user_id", "ts")
+        val v = ev.filter(col("event_type") === "view").select("user_id", "ts")
+        graft.plans.NativeAsOfJoin.joinAsOfForward(
+            v, p, Seq("user_id"), "ts", "ts", Seq("ts"))
+          .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+          .agg(count(lit(1)).as("n_views"),
+            count(col("asof_ts")).as("n_converted"),
+            round(avg(unix_micros(col("asof_ts")) - unix_micros(col("ts"))) / 1e6, 6)
+              .as("avg_gap_sec"))
+          .orderBy("day")
+      }),
+
     // ---------------------------------------------------------------- P9 (unpivot / melt)
     QueryDef(
       "q_p9_unpivot", "P1 (wide→long reshape)",

@@ -72,6 +72,19 @@ class NativeAsOfJoinSpec extends AnyFunSuite {
     assert(canon(native) == canon(composed))
   }
 
+  test("native FORWARD as-of equals the composed form on the events table") {
+    val ev = Tables.events(spark, sf)
+    val p = ev.filter(col("event_type") === "purchase").select("user_id", "ts")
+    val v = ev.filter(col("event_type") === "view").select("user_id", "ts", "value")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("user_id", "ts", "asof_ts").collect().map(_.toString).toSeq
+    val native = NativeAsOfJoin.joinAsOfForward(
+      p, v, Seq("user_id"), "ts", "ts", Seq("ts", "value"))
+    val composed = graft.operators.AsOfJoin.joinAsOfForward(
+      p, v, Seq("user_id"), "ts", "ts", Seq("ts", "value"))
+    assert(canon(native) == canon(composed))
+  }
+
   test("native as-of plans AsOfJoinExec with one exchange per side") {
     val ev = Tables.events(spark, sf)
     val p = ev.filter(col("event_type") === "purchase").select("user_id", "ts")
