@@ -8,7 +8,8 @@ import org.apache.spark.sql.catalyst.expressions.{
   JoinedRow, RowOrdering, SortDirection, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{
-  ClusteredDistribution, Distribution, Partitioning}
+  BroadcastDistribution, ClusteredDistribution, Distribution,
+  IdentityBroadcastMode, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.functions.col
@@ -61,10 +62,25 @@ case class AsOfJoinNode(
     copy(left = newLeft, right = newRight)
 }
 
+/** Statistics-driven physical choice, exactly like Spark's own join
+  * selection: a right side whose estimated size fits the session's
+  * `spark.sql.autoBroadcastJoinThreshold` plans as
+  * `BroadcastAsOfJoinExec` — the left side then needs NO exchange and
+  * NO sort at all (the 100 TB "events versus a bounded state history"
+  * shape); anything larger falls back to the co-partitioned sort-merge
+  * `AsOfJoinExec`.
+  */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoinNode(l, r, lk, rk, lts, rts, fwd) =>
-      AsOfJoinExec(lk, rk, lts, rts, fwd, planLater(l), planLater(r)) :: Nil
+      val threshold =
+        org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+      val exec =
+        if (threshold > 0 && r.stats.sizeInBytes <= threshold)
+          BroadcastAsOfJoinExec(lk, rk, lts, rts, fwd, planLater(l), planLater(r))
+        else
+          AsOfJoinExec(lk, rk, lts, rts, fwd, planLater(l), planLater(r))
+      exec :: Nil
     case _ => Nil
   }
 }
@@ -159,6 +175,111 @@ case class AsOfJoinExec(
 
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Broadcast form of the as-of: the right side ships whole to every
+  * task (EnsureRequirements inserts the BroadcastExchange to satisfy
+  * `BroadcastDistribution`), each task groups it by key into
+  * ts-sorted arrays once, and every left row answers with one hash
+  * lookup + one binary search — the LEFT SIDE IS NEVER SHUFFLED OR
+  * SORTED. Same admit/tie/null semantics as the sort-merge exec: the
+  * per-key arrays sort by (ts in merge direction, remaining orderable
+  * payload columns asc), under which the admitted region is a PREFIX
+  * and its last element is the match.
+  *
+  * The per-task index build is the IdentityBroadcastMode trade (the
+  * same one BroadcastNestedLoopJoin makes); a prebuilt HashedRelation
+  * broadcast mode is the upgrade path if index construction ever
+  * shows up in profiles — for a dimension-sized history it does not.
+  */
+case class BroadcastAsOfJoinExec(
+    leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
+    leftTs: Attribute, rightTs: Attribute, forward: Boolean,
+    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    UnspecifiedDistribution ::
+      BroadcastDistribution(IdentityBroadcastMode) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lKeys = leftKeys
+    val rKeys = rightKeys
+    val lTs = leftTs
+    val rTs = rightTs
+    val fwd = forward
+    val tsType = leftTs.dataType
+    require(rightTs.dataType == tsType,
+      s"as-of timestamp types must match: $tsType vs ${rightTs.dataType}")
+    val allOut = output
+    // within a key: ts in merge direction, then the payload tiebreak —
+    // identical to the sort-merge exec's right child ordering
+    val tsDir: SortDirection = if (fwd) Descending else Ascending
+    val rightOrder: Seq[SortOrder] =
+      SortOrder(rTs, tsDir) +:
+        rOut.filterNot(a => rKeys.contains(a) || a == rTs)
+          .filter(a => RowOrdering.isOrderable(a.dataType))
+          .map(SortOrder(_, Ascending))
+    val broadcastRows = right.executeBroadcast[Array[InternalRow]]()
+    left.execute().mapPartitions { lIter =>
+      val rKeyProj = UnsafeProjection.create(rKeys, rOut)
+      val rowOrd = RowOrdering.create(rightOrder, rOut)
+      val index = new java.util.HashMap[InternalRow,
+        scala.collection.mutable.ArrayBuffer[InternalRow]]()
+      broadcastRows.value.foreach { row =>
+        val k = rKeyProj(row)
+        var bucket = index.get(k)
+        if (bucket == null) {
+          bucket = new scala.collection.mutable.ArrayBuffer[InternalRow](4)
+          index.put(k.copy(), bucket)
+        }
+        bucket += row
+      }
+      index.values().forEach(b => b.sortInPlace()(rowOrd.on[InternalRow](identity)))
+      val lKeyProj = UnsafeProjection.create(lKeys, lOut)
+      val lTsBound = BindReferences.bindReference[
+        org.apache.spark.sql.catalyst.expressions.Expression](lTs, lOut)
+      val rTsBound = BindReferences.bindReference[
+        org.apache.spark.sql.catalyst.expressions.Expression](rTs, rOut)
+      val tsOrd = TypeUtils.getInterpretedOrdering(tsType)
+      def admits(r: Any, l: Any): Boolean =
+        if (fwd) (l == null) || (r != null && tsOrd.compare(r, l) >= 0)
+        else (r == null) || (l != null && tsOrd.compare(r, l) <= 0)
+      val nullRight = new GenericInternalRow(rOut.length)
+      val joined = new JoinedRow
+      val resultProj = UnsafeProjection.create(allOut, allOut)
+      lIter.map { lRow =>
+        val bucket = index.get(lKeyProj(lRow))
+        var matched: InternalRow = null
+        if (bucket != null) {
+          val lTsVal = lTsBound.eval(lRow)
+          // admitted rows form a prefix of the sorted bucket; binary
+          // search the LAST admitted index
+          var lo = 0
+          var hi = bucket.length - 1
+          var best = -1
+          while (lo <= hi) {
+            val mid = (lo + hi) >>> 1
+            if (admits(rTsBound.eval(bucket(mid)), lTsVal)) { best = mid; lo = mid + 1 }
+            else hi = mid - 1
+          }
+          if (best >= 0) matched = bucket(best)
+        }
+        resultProj(joined(lRow, if (matched != null) matched else nullRight))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsOfJoinExec =
     copy(left = newLeft, right = newRight)
 }
 

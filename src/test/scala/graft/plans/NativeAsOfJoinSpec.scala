@@ -14,6 +14,17 @@ class NativeAsOfJoinSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
 
+  /** Run `body` with autoBroadcastJoinThreshold pinned, restoring it
+    * after — forces the sort-merge (threshold "-1") or broadcast
+    * (large threshold) physical choice deterministically.
+    */
+  private def withBroadcastThreshold[A](v: String)(body: => A): A = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, v)
+    try body finally spark.conf.set(key, prev)
+  }
+
   test("native as-of handles tie, no-earlier, and absent-key edges") {
     import spark.implicits._
     def t(s: String) = java.sql.Timestamp.valueOf(s)
@@ -57,19 +68,21 @@ class NativeAsOfJoinSpec extends AnyFunSuite {
     }
   }
 
-  test("native as-of equals the composed union+window form on the events table") {
+  test("native as-of equals the composed union+window form on the events table (both physical forms)") {
     val ev = Tables.events(spark, sf)
     val p = ev.filter(col("event_type") === "purchase").select("user_id", "ts")
     val v = ev.filter(col("event_type") === "view")
       .select("user_id", "ts", "value")
     def canon(df: org.apache.spark.sql.DataFrame) =
       df.orderBy("user_id", "ts", "asof_ts").collect().map(_.toString).toSeq
-    val native = NativeAsOfJoin.joinAsOfBackward(
-      p, v, Seq("user_id"), "ts", "ts", Seq("ts", "value"))
-    val composed = graft.operators.AsOfJoin.joinAsOfBackward(
-      p, v, Seq("user_id"), "ts", "ts", Seq("ts", "value"))
-    assert(native.columns.toSeq == composed.columns.toSeq)
-    assert(canon(native) == canon(composed))
+    val composed = canon(graft.operators.AsOfJoin.joinAsOfBackward(
+      p, v, Seq("user_id"), "ts", "ts", Seq("ts", "value")))
+    for (threshold <- Seq("-1", "100MB")) withBroadcastThreshold(threshold) {
+      val native = NativeAsOfJoin.joinAsOfBackward(
+        p, v, Seq("user_id"), "ts", "ts", Seq("ts", "value"))
+      assert(native.columns.toSeq.last == "asof_value")
+      assert(canon(native) == composed, s"threshold=$threshold")
+    }
   }
 
   test("native FORWARD as-of equals the composed form on the events table") {
@@ -78,22 +91,42 @@ class NativeAsOfJoinSpec extends AnyFunSuite {
     val v = ev.filter(col("event_type") === "view").select("user_id", "ts", "value")
     def canon(df: org.apache.spark.sql.DataFrame) =
       df.orderBy("user_id", "ts", "asof_ts").collect().map(_.toString).toSeq
-    val native = NativeAsOfJoin.joinAsOfForward(
-      p, v, Seq("user_id"), "ts", "ts", Seq("ts", "value"))
-    val composed = graft.operators.AsOfJoin.joinAsOfForward(
-      p, v, Seq("user_id"), "ts", "ts", Seq("ts", "value"))
-    assert(canon(native) == canon(composed))
+    val composed = canon(graft.operators.AsOfJoin.joinAsOfForward(
+      p, v, Seq("user_id"), "ts", "ts", Seq("ts", "value")))
+    for (threshold <- Seq("-1", "100MB")) withBroadcastThreshold(threshold) {
+      val native = NativeAsOfJoin.joinAsOfForward(
+        p, v, Seq("user_id"), "ts", "ts", Seq("ts", "value"))
+      assert(canon(native) == composed, s"threshold=$threshold")
+    }
   }
 
-  test("native as-of plans AsOfJoinExec with one exchange per side") {
-    val ev = Tables.events(spark, sf)
-    val p = ev.filter(col("event_type") === "purchase").select("user_id", "ts")
-    val v = ev.filter(col("event_type") === "view").select("user_id", "ts")
-    val df = NativeAsOfJoin.joinAsOfBackward(
-      p, v, Seq("user_id"), "ts", "ts", Seq("ts"))
-    val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("AsOfJoin ["), plan) // AsOfJoinExec renders sans Exec
-    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
-    assert(exchanges == 2, s"expected one hash exchange per side, got $exchanges:\n$plan")
+  test("large right side plans sort-merge AsOfJoinExec with one exchange per side") {
+    withBroadcastThreshold("-1") {
+      val ev = Tables.events(spark, sf)
+      val p = ev.filter(col("event_type") === "purchase").select("user_id", "ts")
+      val v = ev.filter(col("event_type") === "view").select("user_id", "ts")
+      val df = NativeAsOfJoin.joinAsOfBackward(
+        p, v, Seq("user_id"), "ts", "ts", Seq("ts"))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("AsOfJoin ["), plan) // AsOfJoinExec renders sans Exec
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(exchanges == 2, s"expected one hash exchange per side, got $exchanges:\n$plan")
+    }
+  }
+
+  test("small right side plans BroadcastAsOfJoin: left never shuffles or sorts") {
+    withBroadcastThreshold("100MB") {
+      val ev = Tables.events(spark, sf)
+      val p = ev.filter(col("event_type") === "purchase").select("user_id", "ts")
+      val v = ev.filter(col("event_type") === "view").select("user_id", "ts")
+      val df = NativeAsOfJoin.joinAsOfBackward(
+        p, v, Seq("user_id"), "ts", "ts", Seq("ts"))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastAsOfJoin"), plan)
+      assert(plan.contains("BroadcastExchange"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"left side must not shuffle:\n$plan")
+      assert(!plan.contains("Sort ["), s"no sort on either side:\n$plan")
+    }
   }
 }
