@@ -313,6 +313,7 @@ object NativeAsOfJoin {
       prefix: String, forward: Boolean): DataFrame = {
     val spark: SparkSession = left.sparkSession
     GraftColumnBridge.addStrategy(spark, AsOfJoinStrategy)
+    GraftColumnBridge.addOptimizerRule(spark, PushFilterThroughAsOfJoin)
     // project the right side down to keys + ts + payload FIRST (the
     // node's output carries every right column, so pruning must happen
     // below it — Catalyst leaves unknown nodes unpruned), and ALIAS

@@ -114,6 +114,35 @@ class NativeAsOfJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("optimizer rule pushes left-only filters below the node, key filters to BOTH sides") {
+    import org.apache.spark.sql.catalyst.plans.logical
+    val ev = Tables.events(spark, sf)
+    val p = ev.filter(col("event_type") === "purchase").select("user_id", "ts")
+    val v = ev.filter(col("event_type") === "view").select("user_id", "ts")
+    val joined = NativeAsOfJoin.joinAsOfBackward(
+        p, v, Seq("user_id"), "ts", "ts", Seq("ts"))
+      .filter(col("user_id") < 500)
+    val opt = joined.queryExecution.optimizedPlan
+    val node = opt.collect { case n: AsOfJoinNode => n }.head
+    def hasPred(pl: logical.LogicalPlan): Boolean =
+      pl.collect {
+        case f: logical.Filter if f.condition.toString.contains("500") => f
+      }.nonEmpty
+    assert(hasPred(node.left), s"predicate must push to the left child:\n${node.left}")
+    assert(hasPred(node.right),
+      s"key predicate must copy to the right child:\n${node.right}")
+    // nothing left-only may remain ABOVE the node
+    val filtersAbove = opt.collect {
+      case f: logical.Filter
+        if f.child.find(_.isInstanceOf[AsOfJoinNode]).isDefined => f
+    }
+    assert(filtersAbove.isEmpty, opt.toString)
+    // and the answer is the answer
+    val expect = graft.operators.AsOfJoin.joinAsOfBackward(
+      p.filter(col("user_id") < 500), v, Seq("user_id"), "ts", "ts", Seq("ts")).count()
+    assert(joined.count() == expect)
+  }
+
   test("small right side plans BroadcastAsOfJoin: left never shuffles or sorts") {
     withBroadcastThreshold("100MB") {
       val ev = Tables.events(spark, sf)
