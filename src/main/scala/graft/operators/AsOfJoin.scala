@@ -148,10 +148,19 @@ object AsOfJoin {
   def joinPointInTime(
       left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, validFrom: String, validTo: String,
-      payloadCols: Seq[String], prefix: String = "pit_"): DataFrame = {
-    val joined = joinAsOfBackward(
-      left, right, keys, leftTs, validFrom,
-      (payloadCols :+ validTo).distinct, prefix)
+      payloadCols: Seq[String], prefix: String = "pit_"): DataFrame =
+    voidExpired(
+      joinAsOfBackward(left, right, keys, leftTs, validFrom,
+        (payloadCols :+ validTo).distinct, prefix),
+      leftTs, validFrom, validTo, payloadCols, prefix)
+
+  /** Void matches whose validTo had already passed — shared by the
+    * composed point-in-time join above and the native-exec form
+    * (plans/NativeAsOfJoin.joinPointInTime).
+    */
+  private[graft] def voidExpired(
+      joined: DataFrame, leftTs: String, validFrom: String, validTo: String,
+      payloadCols: Seq[String], prefix: String): DataFrame = {
     // materialize the flag BEFORE voiding: the first voided column is
     // validTo itself, and re-deriving the predicate from the already-
     // nulled column would spare every later column

@@ -333,15 +333,31 @@ object NativeAsOfJoin {
       keys.map(resolve(lPlan, _)), keys.map(k => resolve(rPlan, s"__r_$k")),
       resolve(lPlan, leftTs), resolve(rPlan, s"__r_$rightTs"), forward)
     val joined = GraftColumnBridge.ofRows(spark, node)
-    // select by the node's attributes (ids are unique by construction)
+    // select by the node's attributes (ids are unique by construction);
+    // right positions looked up by NAME in rCols so a payload column
+    // that is also a key (deduped in rCols) still maps correctly
     val attrs = node.output
     val sel =
       left.columns.indices.map(i =>
         GraftColumnBridge.column(attrs(i)).as(left.columns(i))) ++
-        (rightTs +: payloadCols).distinct.zipWithIndex.map { case (n, i) =>
-          GraftColumnBridge.column(attrs(left.columns.length + keys.length + i))
+        (rightTs +: payloadCols).distinct.map { n =>
+          GraftColumnBridge.column(attrs(left.columns.length + rCols.indexOf(n)))
             .as(s"$prefix$n")
         }
     joined.select(sel: _*)
   }
+
+  /** Point-in-time (validity-interval) join on the native exec:
+    * `AsOfJoin.joinPointInTime`'s exact contract — backward as-of on
+    * validFrom, then matches whose validTo had already passed are
+    * voided to null (gapped version histories; null validTo = open).
+    */
+  def joinPointInTime(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, validFrom: String, validTo: String,
+      payloadCols: Seq[String], prefix: String = "pit_"): DataFrame =
+    graft.operators.AsOfJoin.voidExpired(
+      joinAsOfBackward(left, right, keys, leftTs, validFrom,
+        (payloadCols :+ validTo).distinct, prefix),
+      leftTs, validFrom, validTo, payloadCols, prefix)
 }

@@ -875,6 +875,44 @@ object RelationalQueries {
           .orderBy("tier")
       }),
 
+    // ---------------------------------------------------------------- J12b (point-in-time on the native exec)
+    QueryDef(
+      "q_j12b_pit_native", "J12 point-in-time lookup (native Catalyst operator)",
+      // q_j12's exact scenario and oracle on the native as-of exec —
+      // the validity-interval lookup rides NativeAsOfJoin plus the
+      // shared expiry-voiding step.
+      Some("""WITH p AS (SELECT user_id, ts AS valid_from,
+             |  CAST(floor(value / 100) AS BIGINT) AS tier,
+             |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS nxt
+             |  FROM events WHERE event_type = 'purchase'),
+             |h AS (SELECT user_id, valid_from, tier,
+             |        least(coalesce(nxt, valid_from + INTERVAL 7 DAY),
+             |              valid_from + INTERVAL 7 DAY) AS valid_to FROM p),
+             |v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+             |j AS (SELECT v.user_id, h.tier FROM v LEFT JOIN h
+             |      ON v.user_id = h.user_id AND v.ts >= h.valid_from AND v.ts < h.valid_to)
+             |SELECT coalesce(CAST(tier AS VARCHAR), 'none') AS tier,
+             |count(*) AS n_views, count(DISTINCT user_id) AS n_users
+             |FROM j GROUP BY 1 ORDER BY tier""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val wNext = Window.partitionBy("user_id").orderBy("valid_from")
+        val hist = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("valid_from"),
+            floor(col("value") / 100).cast("long").as("tier"))
+          .withColumn("valid_to",
+            least(
+              coalesce(lead(col("valid_from"), 1).over(wNext),
+                col("valid_from") + expr("INTERVAL 7 DAYS")),
+              col("valid_from") + expr("INTERVAL 7 DAYS")))
+        val views = ev.filter(col("event_type") === "view").select("user_id", "ts")
+        graft.plans.NativeAsOfJoin.joinPointInTime(
+            views, hist, Seq("user_id"), "ts", "valid_from", "valid_to", Seq("tier"))
+          .groupBy(coalesce(col("pit_tier").cast("string"), lit("none")).as("tier"))
+          .agg(count(lit(1)).as("n_views"), countDistinct(col("user_id")).as("n_users"))
+          .orderBy("tier")
+      }),
+
     // ---------------------------------------------------------------- O4/S6 (unionByName + anti-append)
     QueryDef(
       "q_o4_anti_append", "O4 S6 S8",
