@@ -397,6 +397,41 @@ object Scratch {
         graft.app.Pipeline.incrementalBatch(dwh1, b2, "2026-08-03")
           .fact.groupBy("load_month", "date_id").agg(count(lit(1)).as("n_facts"))
           .write.format("noop").mode("overwrite").save())
+    } else if (args.headOption.contains("profile-asof")) {
+      // composed union+window vs native sort-merge vs native broadcast
+      // as-of on PLANTED data larger than the testdata: `nLeft` left
+      // rows over `nKeys` keys, `nRight` right history rows. All three
+      // must return identical match counts; wall times show where each
+      // physical form wins.
+      import org.apache.spark.sql.functions._
+      val nLeft = args.lift(1).map(_.toLong).getOrElse(4000000L)
+      val nRight = args.lift(2).map(_.toLong).getOrElse(200000L)
+      val nKeys = args.lift(3).map(_.toLong).getOrElse(100000L)
+      val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime
+      def mk(n: Long, salt: Int) = spark.range(n).select(
+        pmod(xxhash64(col("id") + salt), lit(nKeys)).as("user_id"),
+        timestamp_millis(lit(base) +
+          pmod(xxhash64(col("id") * 7 + salt), lit(86400000L * 30))).as("ts"))
+      val left = mk(nLeft, 1).localCheckpoint()
+      val right = mk(nRight, 2).withColumn("payload", col("user_id") * 10)
+        .localCheckpoint()
+      def t(what: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+        for (pass <- 1 to 3) {
+          val t0 = System.nanoTime()
+          val n = df.agg(count(col("asof_payload")).as("n")).collect()(0).getLong(0)
+          println(f"[profile] $what pass$pass: ${(System.nanoTime() - t0) / 1e9}%.2f s (matched=$n)")
+        }
+      }
+      def conf(k: String, v: String) = spark.conf.set(k, v)
+      t("composed union+window")(graft.operators.AsOfJoin.joinAsOfBackward(
+        left, right, Seq("user_id"), "ts", "ts", Seq("payload")))
+      conf("spark.sql.autoBroadcastJoinThreshold", "-1")
+      t("native sort-merge")(graft.plans.NativeAsOfJoin.joinAsOfBackward(
+        left, right, Seq("user_id"), "ts", "ts", Seq("payload")))
+      conf("spark.sql.autoBroadcastJoinThreshold", "512MB")
+      t("native broadcast")(graft.plans.NativeAsOfJoin.joinAsOfBackward(
+        left, right, Seq("user_id"), "ts", "ts", Seq("payload")))
+      conf("spark.sql.autoBroadcastJoinThreshold", "10MB")
     } else {
       val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
       for (t <- Tables.all) {
