@@ -2018,6 +2018,56 @@ object LlmQueries {
           .withColumn("rank", col("rank").cast("long"))
           .select("source", "rank", "doc_id")
           .orderBy("source", "rank")
+      }),
+
+    // ---------------------------------------------------------------- quality-gated corpus selection
+    QueryDef(
+      "q_l49_quality_gate", "LLM-corpus-quality-gate",
+      // the standard curation step: keep only documents at-or-above
+      // their SOURCE's median quality score. The per-source median is
+      // the exact nearest-rank order statistic from the scale-safe
+      // two-level histogram selection (operators/GroupedQuantiles —
+      // no parallelism collapse to the source count); the gate itself
+      // is a broadcast join + native filter. Medians are selected
+      // CORPUS VALUES (round(...,6) doubles), so the >= compare is
+      // identical-operand IEEE on both engines.
+      Some("""WITH t AS (
+             |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS w FROM documents),
+             |per AS (
+             |  SELECT doc_id, source,
+             |    round(least(len(w) / 100.0, 1.0) * 0.4 +
+             |      (1.0 - CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','for')))
+             |             AS DOUBLE) / len(w)) * 0.3 +
+             |      least((CAST(CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS DOUBLE)
+             |             / len(w)) / 8.0, 1.0) * 0.3, 6) AS quality
+             |  FROM t),
+             |n AS (SELECT source, count(*) AS n FROM per GROUP BY 1),
+             |r AS (SELECT source, quality,
+             |        row_number() OVER (PARTITION BY source ORDER BY quality) AS rn FROM per),
+             |med AS (SELECT r.source, r.quality AS med FROM r JOIN n USING (source)
+             |        WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)),
+             |kept AS (SELECT per.source, per.quality, med.med
+             |         FROM per JOIN med USING (source) WHERE per.quality >= med.med)
+             |SELECT source, min(n.n) AS n_docs, count(*) AS n_kept,
+             |  round(min(med), 6) AS med_quality,
+             |  round(CAST(sum(CAST(round(quality, 6) AS DECIMAL(18,6))) AS DOUBLE)
+             |        / count(*), 6) AS avg_kept_quality
+             |FROM kept JOIN n USING (source) GROUP BY source ORDER BY source""".stripMargin),
+      (s, dir) => {
+        val t = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+        val n = t.groupBy("source").agg(count(lit(1)).as("n"))
+        val med = graft.operators.GroupedQuantiles
+          .exactQuantiles(t, "source", "quality", Seq(("med", 0.5)))
+        t.join(broadcast(med), "source")
+          .filter(col("quality") >= col("med"))
+          .join(broadcast(n), "source")
+          .groupBy("source")
+          .agg(min(col("n")).as("n_docs"), count(lit(1)).as("n_kept"),
+            round(min(col("med")), 6).as("med_quality"),
+            round(sum(round(col("quality"), 6).cast(DecimalType(18, 6))).cast("double")
+              / count(lit(1)), 6).as("avg_kept_quality"))
+          .orderBy("source")
       })
   )
 }
