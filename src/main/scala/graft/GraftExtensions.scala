@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // lazily via GraftColumnBridge.addStrategy on first use instead.
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOfJoin)
+    ext.injectOptimizerRule(_ => graft.plans.PruneColumnsThroughAsOfJoin)
   }
 }
 

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{
   Attribute, AttributeMap, Expression, PredicateHelper}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 
 /** Filter pushdown THROUGH the custom as-of node — the §7.3 option-(c)
@@ -49,5 +49,28 @@ object PushFilterThroughAsOfJoin extends Rule[LogicalPlan] with PredicateHelper 
         kept.reduceOption(org.apache.spark.sql.catalyst.expressions.And)
           .map(Filter(_, pushed)).getOrElse(pushed)
       }
+  }
+}
+
+/** Column pruning through the custom as-of node — the other half of
+  * what Catalyst's ColumnPruning can't do for unknown nodes: when a
+  * Project above the join uses only a subset of each side's output,
+  * insert child Projects keeping exactly the referenced columns plus
+  * the join keys and timestamps. The parquet scans then read only
+  * those columns (ReadSchema narrows), and — more importantly at
+  * 100 TB — the exchanges ship only them.
+  */
+object PruneColumnsThroughAsOfJoin extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case p @ Project(projList, j @ AsOfJoinNode(l, r, lk, rk, lts, rts, _)) =>
+      val needed = org.apache.spark.sql.catalyst.expressions.AttributeSet(
+        projList.flatMap(_.references) ++ lk ++ rk ++ Seq(lts, rts))
+      val keepL = l.output.filter(needed.contains)
+      val keepR = r.output.filter(needed.contains)
+      if (keepL.length == l.output.length && keepR.length == r.output.length) p
+      else Project(projList, j.copy(
+        left = if (keepL.length == l.output.length) l else Project(keepL, l),
+        right = if (keepR.length == r.output.length) r else Project(keepR, r)))
   }
 }

@@ -314,6 +314,7 @@ object NativeAsOfJoin {
     val spark: SparkSession = left.sparkSession
     GraftColumnBridge.addStrategy(spark, AsOfJoinStrategy)
     GraftColumnBridge.addOptimizerRule(spark, PushFilterThroughAsOfJoin)
+    GraftColumnBridge.addOptimizerRule(spark, PruneColumnsThroughAsOfJoin)
     // project the right side down to keys + ts + payload FIRST (the
     // node's output carries every right column, so pruning must happen
     // below it — Catalyst leaves unknown nodes unpruned), and ALIAS

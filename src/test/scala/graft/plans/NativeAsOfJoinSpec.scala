@@ -143,6 +143,25 @@ class NativeAsOfJoinSpec extends AnyFunSuite {
     assert(joined.count() == expect)
   }
 
+  test("pruning rule trims unused left columns below the node") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq((1L, t("2024-01-01 10:00:00"), "wide1", "wide2", 42))
+      .toDF("user_id", "ts", "extra_a", "extra_b", "extra_c")
+    val right = Seq((1L, t("2024-01-01 09:00:00"), 7L))
+      .toDF("user_id", "ts", "payload")
+    val joined = NativeAsOfJoin.joinAsOfBackward(
+        left, right, Seq("user_id"), "ts", "ts", Seq("payload"))
+      .select("user_id", "asof_payload") // drops every extra_* column
+    val node = joined.queryExecution.optimizedPlan
+      .collect { case n: AsOfJoinNode => n }.head
+    val leftCols = node.left.output.map(_.name).toSet
+    assert(leftCols == Set("user_id", "ts"),
+      s"unused left columns must prune below the node, kept: $leftCols")
+    assert(joined.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 7L)))
+  }
+
   test("small right side plans BroadcastAsOfJoin: left never shuffles or sorts") {
     withBroadcastThreshold("100MB") {
       val ev = Tables.events(spark, sf)
