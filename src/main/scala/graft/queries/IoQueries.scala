@@ -934,6 +934,42 @@ object IoQueries {
         graft.llm.Sketches.estimate(top, "tok", cells)
           .select(col("tok").as("user_id"), col("exact_n"), col("cm_est"))
           .orderBy(col("exact_n").desc, col("user_id"))
+      }),
+
+    // ---------------------------------------------------------------- ST: streaming as-of enrichment (native exec per micro-batch)
+    QueryDef(
+      "q_st12_stream_asof_enrich", "ST as-of enrichment (foreachBatch + native exec)",
+      // purchases arrive as a STREAM and each micro-batch enriches
+      // against the static view history with the native Catalyst
+      // as-of exec (the broadcast form at this scale). As-of against
+      // a static right side distributes over left batches — the union
+      // of per-batch joins IS the batch join — so q_w4's DuckDB ASOF
+      // oracle applies verbatim. Idempotent overwrite-own-partition
+      // sink per batch (q_st8's exactly-once contract).
+      Some("""WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+             |v AS (SELECT user_id, ts FROM events WHERE event_type = 'view')
+             |SELECT strftime(date_trunc('day', p.ts), '%Y-%m-%d') AS day,
+             |count(*) AS n_purchases, count(v.ts) AS n_matched,
+             |round(avg(epoch_us(p.ts) - epoch_us(v.ts)) / 1e6, 6) AS avg_gap_sec
+             |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+             |GROUP BY 1 ORDER BY day""".stripMargin),
+      (s, dir) => {
+        val watch = CdcStream.ensureStaged(s, dir)
+        val hist = Tables.events(s, dir)
+          .filter(col("event_type") === "view").select("user_id", "ts")
+        val stream = CdcStream.readEvents(s, watch)
+          .filter(col("event_type") === "purchase").select("user_id", "ts")
+        val outDir = s"$TmpBase/q_st12_out"
+        CdcStream.runForeachBatchTransform(s, stream, outDir)(b =>
+          graft.plans.NativeAsOfJoin.joinAsOfBackward(
+            b, hist, Seq("user_id"), "ts", "ts", Seq("ts")))
+        s.read.parquet(outDir)
+          .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+          .agg(count(lit(1)).as("n_purchases"),
+            count(col("asof_ts")).as("n_matched"),
+            round(avg(unix_micros(col("ts")) - unix_micros(col("asof_ts"))) / 1e6, 6)
+              .as("avg_gap_sec"))
+          .orderBy("day")
       })
   )
 }

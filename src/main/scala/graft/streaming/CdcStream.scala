@@ -247,14 +247,26 @@ object CdcStream {
     * Returns the sink path; the finished table is the union of the
     * batch partitions.
     */
-  def runForeachBatchToDir(spark: SparkSession, events: DataFrame, outDir: String): String = {
+  def runForeachBatchToDir(spark: SparkSession, events: DataFrame, outDir: String): String =
+    runForeachBatchTransform(spark, events, outDir)(identity)
+
+  /** foreachBatch with a per-micro-batch BATCH transform — the
+    * production enrichment shape: inside foreachBatch the frame is a
+    * plain DataFrame, so the full batch operator library (including
+    * the custom Catalyst as-of exec, q_st12) applies per batch, with
+    * the same overwrite-own-partition idempotence as the plain sink
+    * (a retried batch id rewrites its own directory, never doubles).
+    */
+  def runForeachBatchTransform(
+      spark: SparkSession, events: DataFrame, outDir: String)(
+      transform: DataFrame => DataFrame): String = {
     val conf = spark.sparkContext.hadoopConfiguration
     val out = new org.apache.hadoop.fs.Path(outDir)
     val fs = out.getFileSystem(conf)
     if (fs.exists(out)) fs.delete(out, true) // fresh run, stale batches poison the union
     val q = events.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        transform(batch).write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
         ()
       }
       .start()
