@@ -353,7 +353,10 @@ object Scratch {
         "q_l1_exact_dedup", "q_l2_minhash_neardup", "q_l3_ngram_jaccard",
         "q_l13_winnow_neardup", "q_l14_dedup_clusters", "q_l22_incremental_dedup",
         "q_l7_cosine_neardup", "q_w4_asof_join", "q_a1_monthly_agg",
-        "q_s1_html_ingest")
+        "q_s1_html_ingest",
+        // round-9 final-wave additions
+        "q_l45_sorted_neighborhood", "q_l47_prefix_filter_pairs",
+        "q_l46_chunk_overlap", "q_l49_quality_gate", "q_w4d_asof_native")
       val sfs = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
       Tables.lineitem(spark, sfs.last).write.format("noop").mode("overwrite").save()
       val results = names.map { name =>
