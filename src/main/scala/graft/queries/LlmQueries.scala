@@ -2054,8 +2054,12 @@ object LlmQueries {
              |        / count(*), 6) AS avg_kept_quality
              |FROM kept JOIN n USING (source) GROUP BY source ORDER BY source""".stripMargin),
       (s, dir) => {
+        // pin the scored frame: the histogram selection scans its input
+        // three times and the gate join a fourth — without the pin each
+        // scan re-tokenizes every document (3 splits per score)
         val t = Tables.documents(s, dir).select(col("doc_id"), col("source"),
           TextAnalysis.qualityScore(col("text")).as("quality"))
+          .localCheckpoint(false)
         val n = t.groupBy("source").agg(count(lit(1)).as("n"))
         val med = graft.operators.GroupedQuantiles
           .exactQuantiles(t, "source", "quality", Seq(("med", 0.5)))
