@@ -530,6 +530,81 @@ object LlmQueries {
           .orderBy("cluster_id")
       }),
 
+    // ---------------------------------------------------------------- quality-aware cluster keeper selection
+    QueryDef(
+      "q_l50_cluster_keeper", "LLM-dedup-keeper (best copy per cluster)",
+      // q_l14 keeps each cluster's MIN id; production pipelines keep
+      // the BEST copy — the member with the highest quality score
+      // (doc_id tiebreak). Keeper selection is the k=1 case of the
+      // k-capped top-k aggregate (map-side combine, <= 1 row per
+      // (cluster, partition) over the shuffle, no per-cluster window).
+      // The oracle recomputes components via the recursive CTE and
+      // picks the same argmax with a rank window.
+      Some("""WITH RECURSIVE
+             |toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+             |sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+             |                                            for i in generate_series(1, len(w)-2)])) AS s
+             |       FROM toks WHERE len(w) >= 3),
+             |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+             |np AS (SELECT id_a, id_b FROM
+             |         (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+             |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |          GROUP BY 1, 2) p
+             |       JOIN sizes sa ON sa.doc_id = p.id_a
+             |       JOIN sizes sb ON sb.doc_id = p.id_b
+             |       WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8),
+             |fp AS (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f
+             |       FROM documents),
+             |ep AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |       FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id),
+             |edges AS (SELECT id_a, id_b FROM np UNION SELECT id_a, id_b FROM ep),
+             |sym AS (SELECT id_a AS src, id_b AS dst FROM edges
+             |        UNION SELECT id_b, id_a FROM edges),
+             |reach(id, r) AS (
+             |  SELECT src, src FROM (SELECT DISTINCT src FROM sym) t
+             |  UNION
+             |  SELECT s.src, q.r FROM sym s JOIN reach q ON q.id = s.dst),
+             |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+             |qual AS (SELECT doc_id,
+             |    round(least(len(w) / 100.0, 1.0) * 0.4 +
+             |      (1.0 - CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','for')))
+             |             AS DOUBLE) / len(w)) * 0.3 +
+             |      least((CAST(CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS DOUBLE)
+             |             / len(w)) / 8.0, 1.0) * 0.3, 6) AS quality
+             |  FROM toks),
+             |m AS (SELECT comp.cluster_id, comp.id, qual.quality
+             |      FROM comp JOIN qual ON qual.doc_id = comp.id),
+             |k AS (SELECT cluster_id, id AS keeper_id, quality,
+             |        row_number() OVER (PARTITION BY cluster_id
+             |                           ORDER BY quality DESC, id) AS rn FROM m)
+             |SELECT k.cluster_id, n.n_docs, k.keeper_id,
+             |       round(k.quality, 6) AS keeper_quality
+             |FROM k JOIN (SELECT cluster_id, count(*) AS n_docs FROM m GROUP BY 1) n
+             |USING (cluster_id)
+             |WHERE rn = 1 ORDER BY cluster_id""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val near = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+            shingleN = 3, perms = 128, bands = 32, threshold = 0.8)
+          .select("id_a", "id_b")
+        val fp = docs.select(col("doc_id"), Dedup.exactFingerprint(col("text")).as("f"))
+        val exact = fp.as("a")
+          .join(fp.as("b"), col("a.f") === col("b.f") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        val cc = Dedup.connectedComponents(near.unionByName(exact).distinct(), "id_a", "id_b")
+        val q = docs.select(col("doc_id"),
+          graft.llm.TextAnalysis.qualityScore(col("text")).as("quality"))
+        val m = cc.join(q, cc("id") === q("doc_id"))
+          .select(col("comp"), col("id"), col("quality"))
+          .localCheckpoint(false) // consumed by the count agg AND the top-k agg
+        val n = m.groupBy("comp").agg(count(lit(1)).as("n_docs"))
+        graft.operators.TopK.groupedTopKAgg(m, Seq("comp"), "quality", "id", 1)
+          .join(n, Seq("comp"))
+          .select(col("comp").as("cluster_id"), col("n_docs"),
+            col("id").as("keeper_id"), round(col("quality"), 6).as("keeper_quality"))
+          .orderBy("cluster_id")
+      }),
+
     // ---------------------------------------------------------------- dedup decision applied: the shipped corpus
     QueryDef(
       "q_l15_dedup_corpus", "LLM-dedup-corpus (cluster keepers applied)",
