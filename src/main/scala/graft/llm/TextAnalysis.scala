@@ -89,12 +89,20 @@ object TextAnalysis {
     * share, healthy token length (heuristics in the C4/Gopher-rules
     * spirit; weights are policy, the plumbing is the point).
     */
-  def qualityScore(c: Column): Column =
-    round(
-      least(tokenCount(c) / 100.0, lit(1.0)) * 0.4 +
-        (lit(1.0) - stopwordRatio(c)) * 0.3 +
-        least(avgTokenLength(c) / 8.0, lit(1.0)) * 0.3,
-      6)
+  def qualityScore(c: Column): Column = round(qualityScoreRaw(c), 6)
+
+  /** The UNROUNDED score: every term is exact integer arithmetic plus
+    * correctly-rounded IEEE divisions in a fixed order, so the raw
+    * double is bit-identical across engines — the form to ORDER or
+    * THRESHOLD on. The rounded form above can differ cross-engine on
+    * exact half-way values (e.g. raw 0.5186875: Spark HALF_UP gives
+    * 0.518688 where DuckDB gives 0.518687), so queries exposing a
+    * single document's score should emit floor(raw·1e6) instead.
+    */
+  def qualityScoreRaw(c: Column): Column =
+    least(tokenCount(c) / 100.0, lit(1.0)) * 0.4 +
+      (lit(1.0) - stopwordRatio(c)) * 0.3 +
+      least(avgTokenLength(c) / 8.0, lit(1.0)) * 0.3
 
   /** Marker-word language ID over (en, de, fr, es, vi): predicts the
     * language whose marker tokens appear most often; ties and all-zero

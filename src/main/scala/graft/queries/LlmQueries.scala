@@ -566,11 +566,11 @@ object LlmQueries {
              |  SELECT s.src, q.r FROM sym s JOIN reach q ON q.id = s.dst),
              |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
              |qual AS (SELECT doc_id,
-             |    round(least(len(w) / 100.0, 1.0) * 0.4 +
+             |    least(len(w) / 100.0, 1.0) * 0.4 +
              |      (1.0 - CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','for')))
              |             AS DOUBLE) / len(w)) * 0.3 +
              |      least((CAST(CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS DOUBLE)
-             |             / len(w)) / 8.0, 1.0) * 0.3, 6) AS quality
+             |             / len(w)) / 8.0, 1.0) * 0.3 AS quality
              |  FROM toks),
              |m AS (SELECT comp.cluster_id, comp.id, qual.quality
              |      FROM comp JOIN qual ON qual.doc_id = comp.id),
@@ -578,7 +578,7 @@ object LlmQueries {
              |        row_number() OVER (PARTITION BY cluster_id
              |                           ORDER BY quality DESC, id) AS rn FROM m)
              |SELECT k.cluster_id, n.n_docs, k.keeper_id,
-             |       round(k.quality, 6) AS keeper_quality
+             |       CAST(floor(k.quality * 1e6) AS BIGINT) AS keeper_q_micro
              |FROM k JOIN (SELECT cluster_id, count(*) AS n_docs FROM m GROUP BY 1) n
              |USING (cluster_id)
              |WHERE rn = 1 ORDER BY cluster_id""".stripMargin),
@@ -592,8 +592,10 @@ object LlmQueries {
           .join(fp.as("b"), col("a.f") === col("b.f") && col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
         val cc = Dedup.connectedComponents(near.unionByName(exact).distinct(), "id_a", "id_b")
+        // RAW score for ordering and output (rounded scores can flip
+        // cross-engine on exact halves — TextAnalysis.qualityScoreRaw)
         val q = docs.select(col("doc_id"),
-          graft.llm.TextAnalysis.qualityScore(col("text")).as("quality"))
+          graft.llm.TextAnalysis.qualityScoreRaw(col("text")).as("quality"))
         val m = cc.join(q, cc("id") === q("doc_id"))
           .select(col("comp"), col("id"), col("quality"))
           .localCheckpoint(false) // consumed by the count agg AND the top-k agg
@@ -601,7 +603,8 @@ object LlmQueries {
         graft.operators.TopK.groupedTopKAgg(m, Seq("comp"), "quality", "id", 1)
           .join(n, Seq("comp"))
           .select(col("comp").as("cluster_id"), col("n_docs"),
-            col("id").as("keeper_id"), round(col("quality"), 6).as("keeper_quality"))
+            col("id").as("keeper_id"),
+            floor(col("quality") * 1e6).cast("long").as("keeper_q_micro"))
           .orderBy("cluster_id")
       }),
 
@@ -2110,11 +2113,11 @@ object LlmQueries {
              |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS w FROM documents),
              |per AS (
              |  SELECT doc_id, source,
-             |    round(least(len(w) / 100.0, 1.0) * 0.4 +
+             |    least(len(w) / 100.0, 1.0) * 0.4 +
              |      (1.0 - CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','for')))
              |             AS DOUBLE) / len(w)) * 0.3 +
              |      least((CAST(CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS DOUBLE)
-             |             / len(w)) / 8.0, 1.0) * 0.3, 6) AS quality
+             |             / len(w)) / 8.0, 1.0) * 0.3 AS quality
              |  FROM t),
              |n AS (SELECT source, count(*) AS n FROM per GROUP BY 1),
              |r AS (SELECT source, quality,
@@ -2124,16 +2127,20 @@ object LlmQueries {
              |kept AS (SELECT per.source, per.quality, med.med
              |         FROM per JOIN med USING (source) WHERE per.quality >= med.med)
              |SELECT source, min(n.n) AS n_docs, count(*) AS n_kept,
-             |  round(min(med), 6) AS med_quality,
-             |  round(CAST(sum(CAST(round(quality, 6) AS DECIMAL(18,6))) AS DOUBLE)
-             |        / count(*), 6) AS avg_kept_quality
+             |  CAST(floor(min(med) * 1e6) AS BIGINT) AS med_q_micro,
+             |  CAST(sum(CAST(floor(quality * 1e6) AS BIGINT)) AS BIGINT) AS sum_kept_q_micro
              |FROM kept JOIN n USING (source) GROUP BY source ORDER BY source""".stripMargin),
       (s, dir) => {
         // pin the scored frame: the histogram selection scans its input
         // three times and the gate join a fourth — without the pin each
         // scan re-tokenizes every document (3 splits per score)
+        // RAW scores throughout: the unrounded double is bit-identical
+        // across engines (exact integer arithmetic + fixed-order IEEE
+        // divisions), where round(...,6) can flip on exact half-way
+        // values (see TextAnalysis.qualityScoreRaw). Outputs are
+        // floor-scaled micro integers — no rounding tie possible.
         val t = Tables.documents(s, dir).select(col("doc_id"), col("source"),
-          TextAnalysis.qualityScore(col("text")).as("quality"))
+          TextAnalysis.qualityScoreRaw(col("text")).as("quality"))
           .localCheckpoint(false)
         val n = t.groupBy("source").agg(count(lit(1)).as("n"))
         val med = graft.operators.GroupedQuantiles
@@ -2143,9 +2150,9 @@ object LlmQueries {
           .join(broadcast(n), "source")
           .groupBy("source")
           .agg(min(col("n")).as("n_docs"), count(lit(1)).as("n_kept"),
-            round(min(col("med")), 6).as("med_quality"),
-            round(sum(round(col("quality"), 6).cast(DecimalType(18, 6))).cast("double")
-              / count(lit(1)), 6).as("avg_kept_quality"))
+            floor(min(col("med")) * 1e6).cast("long").as("med_q_micro"),
+            sum(floor(col("quality") * 1e6).cast("long")).cast("long")
+              .as("sum_kept_q_micro"))
           .orderBy("source")
       })
   )
