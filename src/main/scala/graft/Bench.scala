@@ -158,11 +158,17 @@ object Bench {
       val qs = results.map { case (k, v) => entry(k, v, 3) }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     }
-    try {
-      val p = java.nio.file.Paths.get("target", "bench_last.json")
-      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
-      java.nio.file.Files.writeString(p, fullJson + "\n")
-    } catch { case e: Throwable => System.err.println(s"[bench] audit write failed: $e") }
+    // Two copies: target/ for local dev, and a repo-root BENCH_DETAIL
+    // .json the driver's end-of-round commit picks up — the stdout
+    // summary stays truncated by the driver's 2000-char tail window,
+    // so this file is the only complete, diffable per-query record.
+    Seq(java.nio.file.Paths.get("target", "bench_last.json"),
+        java.nio.file.Paths.get("BENCH_DETAIL.json")).foreach { p =>
+      try {
+        if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.writeString(p, fullJson + "\n")
+      } catch { case e: Throwable => System.err.println(s"[bench] audit write failed ($p): $e") }
+    }
     val ascending = results.sortBy { case (_, v) => if (v < 0) Double.MaxValue else v }
     val detailLines = ascending.map { case (k, v) => entry(k, v, 2) }
       .grouped(15).zipWithIndex.map { case (chunk, i) =>

@@ -435,6 +435,61 @@ object Scratch {
       t("native broadcast")(graft.plans.NativeAsOfJoin.joinAsOfBackward(
         left, right, Seq("user_id"), "ts", "ts", Seq("payload")))
       conf("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    } else if (args.headOption.contains("profile-asof-skew")) {
+      // the r9 profile-asof used UNIFORM keys; this is the hot-key
+      // layout the sort-merge form's caveat warns about. Keys follow a
+      // power law (key = ⌊nKeys·u⁴⌋ for u ~ U[0,1)): ~5-6% of all left
+      // rows land on key 0, so the co-partitioned sort-merge serializes
+      // that key's merge in one task, while the broadcast form (left
+      // side never exchanged) and the salted composed form spread it.
+      // Max per-pass task time is printed alongside wall — the skew
+      // signature is one straggler task owning the wall clock.
+      import org.apache.spark.sql.functions._
+      val nLeft = args.lift(1).map(_.toLong).getOrElse(4000000L)
+      val nRight = args.lift(2).map(_.toLong).getOrElse(200000L)
+      val nKeys = args.lift(3).map(_.toLong).getOrElse(100000L)
+      val sc = spark.sparkContext
+      val maxTaskMs = new java.util.concurrent.atomic.AtomicLong
+      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (t.taskInfo != null)
+            maxTaskMs.getAndUpdate(m => math.max(m, t.taskInfo.duration))
+      })
+      val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime
+      def mk(n: Long, salt: Int, skewed: Boolean) = {
+        val u = pmod(xxhash64(col("id") + salt), lit(1000000L)) / lit(1000000.0)
+        val key =
+          if (skewed) floor(lit(nKeys.toDouble) * pow(u, lit(4.0))).cast("long")
+          else pmod(xxhash64(col("id") + salt), lit(nKeys))
+        spark.range(n).select(key.as("user_id"),
+          timestamp_millis(lit(base) +
+            pmod(xxhash64(col("id") * 7 + salt), lit(86400000L * 30))).as("ts"))
+      }
+      val left = mk(nLeft, 1, skewed = true).localCheckpoint()
+      val right = mk(nRight, 2, skewed = true)
+        .withColumn("payload", col("user_id") * 10).localCheckpoint()
+      println(s"[profile] hot-key mass: " + left.groupBy("user_id").count()
+        .orderBy(col("count").desc).limit(3).collect().mkString(", "))
+      def t(what: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+        for (pass <- 1 to 3) {
+          maxTaskMs.set(0)
+          val t0 = System.nanoTime()
+          val n = df.agg(count(col("asof_payload")).as("n")).collect()(0).getLong(0)
+          println(f"[profile] $what pass$pass: ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+            f"maxTask=${maxTaskMs.get / 1000.0}%.2f s (matched=$n)")
+        }
+      }
+      def conf(k: String, v: String) = spark.conf.set(k, v)
+      conf("spark.sql.autoBroadcastJoinThreshold", "-1")
+      t("native sort-merge (skewed)")(graft.plans.NativeAsOfJoin.joinAsOfBackward(
+        left, right, Seq("user_id"), "ts", "ts", Seq("payload")))
+      conf("spark.sql.autoBroadcastJoinThreshold", "512MB")
+      t("native broadcast (skewed)")(graft.plans.NativeAsOfJoin.joinAsOfBackward(
+        left, right, Seq("user_id"), "ts", "ts", Seq("payload")))
+      conf("spark.sql.autoBroadcastJoinThreshold", "-1")
+      t("composed salted (skewed)")(graft.operators.AsOfJoin.joinAsOfBackwardSalted(
+        left, right, Seq("user_id"), "ts", "ts", Seq("payload"), saltBuckets = 16))
+      conf("spark.sql.autoBroadcastJoinThreshold", "10MB")
     } else {
       val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
       for (t <- Tables.all) {

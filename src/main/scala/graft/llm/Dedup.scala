@@ -601,10 +601,15 @@ object Dedup {
     val tokDf = toksD.groupBy("t").agg(count(lit(1)).as("__df"))
     val sizes = toksD.groupBy("__id").agg(count(lit(1)).as("n"))
     val wDoc = Window.partitionBy("__id").orderBy(col("__df"), col("t"))
+    // prefix bound: subtract a sub-ulp epsilon before ceil so FP noise
+    // in threshold*n (e.g. an exact-rational integer landing a hair
+    // high in doubles) can only LENGTHEN the prefix — a too-short
+    // prefix would void the PPJoin superset guarantee and silently
+    // drop true pairs (the oracle replays the same epsilon)
     val prefix = toksD.join(tokDf, Seq("t"))
       .withColumn("__rn", row_number().over(wDoc))
       .join(sizes, Seq("__id"))
-      .filter(col("__rn") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+      .filter(col("__rn") <= col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)) + 1)
       .select("__id", "t", "n")
     // length filter (also PPJoin): J >= t forces i >= t·max(|a|,|b|)
     // and i <= min(|a|,|b|), so mismatched set sizes can't qualify —
@@ -614,7 +619,7 @@ object Dedup {
         Seq("t"))
       .filter(col("id_a") < col("id_b") &&
         least(col("__la"), col("__lb")) >=
-          lit(threshold) * greatest(col("__la"), col("__lb")))
+          lit(threshold) * greatest(col("__la"), col("__lb")) - lit(1e-9))
       .select("id_a", "id_b")
       .distinct()
       .localCheckpoint(false) // consumed by two semi-joins + the verify join

@@ -7,15 +7,16 @@ import org.apache.spark.sql.functions._
   * typed metadata, plus decode / feature-extract / frame-sample
   * operators.
   *
-  * Decode coverage: PNG/GIF HEADER decode is native expressions
-  * (`decodeImage`), and full PIXEL decode is real for 8-bit
+  * Decode coverage: PNG/GIF/JPEG HEADER decode (`decodeImage` — PNG/
+  * GIF as native expressions, JPEG as a guarded marker-walk UDF), and
+  * full PIXEL decode is real for BOTH still-image format classes: 8-bit
   * non-interlaced PNG (`decodePngPixels` — chunk walk with CRC32
   * verification, zlib inflate via `java.util.zip.Inflater`, all five
-  * PNG scanline filters de-filtered per spec, gray/RGB/RGBA). Only
-  * OTHER codecs (JPEG/video/audio), which need native libraries this
-  * container doesn't ship, fall back to `decodeImageStub`'s
-  * deterministic fake features; swapping the stub for a JNI /
-  * vectorized decoder changes one function.
+  * PNG scanline filters de-filtered per spec, gray/RGB/RGBA) and
+  * baseline JPEG (`Jpeg.decodeJpegPixels` — Huffman entropy decode,
+  * dequantization, IDCT, chroma upsample, YCbCr→RGB; see Jpeg.scala).
+  * Unrecognized containers (video/audio wrappers, progressive JPEG)
+  * surface as "unknown"/null — never fake features.
   *
   * Scale notes: payloads stay opaque binary end-to-end (no base64
   * round-trips); metadata extraction is native expressions over the
@@ -36,14 +37,9 @@ object Multimodal {
     octet_length(payload).as("n_bytes"),
     md5(payload).as("checksum"))
 
-  /** STUB decoder — deterministic fake image features from the bytes.
-    * Real implementation: a vectorized decoder over the binary batches
-    * (mapInArrow / native Expression); feature shape stays identical.
-    */
-  def decodeImageStub(payload: Column): Column = struct(
-    (octet_length(payload) % 640).cast("int").as("width"),
-    ((octet_length(payload) * 7) % 480).cast("int").as("height"),
-    lit("stub/raw").as("format"))
+  // (the r8 decodeImageStub is gone — every recognized container now
+  // has a real parse, and unrecognized bytes surface as format
+  // "unknown" with null dims rather than fake features)
 
   // ------------------------------------------------------- real headers
   // PNG: 8-byte magic, then the IHDR chunk (length 13 + "IHDR") whose
@@ -86,24 +82,32 @@ object Multimodal {
     concat(lit(GifMagic), le2(width), le2(height), body.cast("binary"))
 
   /** REAL per-format image decode over the raw bytes: detects the PNG
-    * magic (dims = 4-byte big-endian at IHDR offsets 17/21) and the
-    * GIF89a magic (dims = 2-byte little-endian at 7/9); anything else
-    * falls back to the documented stub. All native expressions
-    * (substring/hex/conv on binary) — no UDF, stays in codegen, so a
-    * 100 TB media table pays one projection. Full-image pixel decode
-    * still needs a native library (mapInArrow at scale); HEADER decode
-    * is real and oracle-checked (q_m1).
+    * magic (dims = 4-byte big-endian at IHDR offsets 17/21), the
+    * GIF89a magic (dims = 2-byte little-endian at 7/9), and the JPEG
+    * SOI marker (dims from the SOF frame header, a variable-offset
+    * marker walk — `Jpeg.jpegHeaderDims`). PNG/GIF stay pure native
+    * expressions (substring/hex/conv — codegen'd, one projection at
+    * 100 TB); the JPEG walk is a UDF evaluated ONLY on rows whose
+    * first two bytes are FFD8 (the when() guard), so a PNG/GIF-heavy
+    * table never pays it. Anything unrecognized is format "unknown"
+    * with null dims — decode gaps must be visible, never stubbed
+    * (full pixel decode: `decodePngPixels` / `Jpeg.decodeJpegPixels`).
     */
   def decodeImage(payload: Column): Column = {
     val isPng = substring(payload, 1, 8) === lit(PngMagic)
     val isGif = substring(payload, 1, 6) === lit(GifMagic)
+    val isJpeg = substring(payload, 1, 2) === lit(Array(0xFF.toByte, 0xD8.toByte))
     def be(pos: Int) = conv(hex(substring(payload, pos, 4)), 16, 10).cast("int")
     def le(pos: Int) = conv(
       concat(hex(substring(payload, pos + 1, 1)), hex(substring(payload, pos, 1))),
       16, 10).cast("int")
+    val jpegDims = Jpeg.jpegHeaderDims(payload)
     when(isPng, struct(be(17).as("width"), be(21).as("height"), lit("png").as("format")))
       .when(isGif, struct(le(7).as("width"), le(9).as("height"), lit("gif").as("format")))
-      .otherwise(decodeImageStub(payload))
+      .when(isJpeg, struct(jpegDims.getField("width").as("width"),
+        jpegDims.getField("height").as("height"), lit("jpeg").as("format")))
+      .otherwise(struct(lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"), lit("unknown").as("format")))
   }
 
   // ------------------------------------------------- full pixel codec

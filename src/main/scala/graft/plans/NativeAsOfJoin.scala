@@ -127,6 +127,10 @@ case class AsOfJoinExec(
     val tsType = leftTs.dataType
     require(rightTs.dataType == tsType,
       s"as-of timestamp types must match: $tsType vs ${rightTs.dataType}")
+    // key comparison is UnsafeRow-binary / left-typed interpreted
+    // ordering — a type mismatch would silently mis-compare, not error
+    require(rightKeys.map(_.dataType) == keyTypes,
+      s"as-of key types must match: $keyTypes vs ${rightKeys.map(_.dataType)}")
     val allOut = output
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeys, lOut)
@@ -219,6 +223,10 @@ case class BroadcastAsOfJoinExec(
     val tsType = leftTs.dataType
     require(rightTs.dataType == tsType,
       s"as-of timestamp types must match: $tsType vs ${rightTs.dataType}")
+    // the hash lookup compares UnsafeRow bytes — typed-mismatch keys
+    // would never match (or misread widths) instead of erroring
+    require(rightKeys.map(_.dataType) == leftKeys.map(_.dataType),
+      s"as-of key types must match: ${leftKeys.map(_.dataType)} vs ${rightKeys.map(_.dataType)}")
     val allOut = output
     // within a key: ts in merge direction, then the payload tiebreak —
     // identical to the sort-merge exec's right child ordering
@@ -333,6 +341,14 @@ object NativeAsOfJoin {
       lPlan, rPlan,
       keys.map(resolve(lPlan, _)), keys.map(k => resolve(rPlan, s"__r_$k")),
       resolve(lPlan, leftTs), resolve(rPlan, s"__r_$rightTs"), forward)
+    // fail eagerly at the API (the execs re-check at runtime): binary
+    // key equality is only sound over identical types
+    require(node.leftKeys.map(_.dataType) == node.rightKeys.map(_.dataType),
+      s"as-of join key types must match between sides: " +
+        s"${node.leftKeys.map(a => s"${a.name}:${a.dataType.simpleString}")} vs " +
+        s"${node.rightKeys.map(a => s"${a.name}:${a.dataType.simpleString}")}")
+    require(node.leftTs.dataType == node.rightTs.dataType,
+      s"as-of timestamp types must match: ${node.leftTs.dataType} vs ${node.rightTs.dataType}")
     val joined = GraftColumnBridge.ofRows(spark, node)
     // select by the node's attributes (ids are unique by construction);
     // right positions looked up by NAME in rCols so a payload column

@@ -844,6 +844,59 @@ object LlmQueries {
           .orderBy("source")
       }),
 
+    // ---------------------------------------------------------------- multimodal JPEG pixel decode
+    QueryDef(
+      "q_m6_jpeg_decode", "LLM-multimodal-jpeg",
+      // REAL baseline-JPEG decode end to end (the r9 stub, closed):
+      // each doc becomes a COMPLETE grayscale JFIF JPEG — Annex-K
+      // Huffman tables, all-ones quant, byte-stuffed entropy scan —
+      // whose 8×8 block (by,bx) holds pixel(x,y) = base + amp·s(y)
+      // with s the v=4 DCT basis scaled to ±1, base = (doc_id + 7·by
+      // + 13·bx)%192 + 32, amp = (doc_id + by + bx)%16. That spectrum
+      // (DC = 8·(base−128), F(4,0) = 8·amp) is exactly integral under
+      // q=1, so the lossy format round-trips losslessly and the
+      // oracle replays the decoded sums in closed form. pixel_values
+      // is AC-blind (s sums to 0 over a block) but row0_values is
+      // not: row 0 decodes to base + amp, so only a decoder that
+      // Huffman-decodes the run-9 AC symbol, dequantizes, and
+      // inverse-transforms exactly can match both.
+      Some("""WITH d AS (SELECT source, doc_id,
+             |  doc_id % 6 + 1 AS nbx, doc_id % 4 + 1 AS nby FROM documents),
+             |b AS (SELECT source, doc_id, by, bx,
+             |        (doc_id + 7 * by + 13 * bx) % 192 + 32 AS base,
+             |        (doc_id + by + bx) % 16 AS amp
+             |      FROM d
+             |      CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS by)
+             |      CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS bx)
+             |      WHERE by < nby AND bx < nbx),
+             |ab AS (SELECT source, count(DISTINCT doc_id) AS n,
+             |         CAST(64 * count(*) AS BIGINT) AS pixel_bytes,
+             |         CAST(sum(64 * base) AS BIGINT) AS pixel_values,
+             |         CAST(sum(CASE WHEN by = 0 THEN 8 * (base + amp) ELSE 0 END) AS BIGINT)
+             |           AS row0_values
+             |       FROM b GROUP BY source),
+             |ad AS (SELECT source, CAST(sum(8 * nbx) AS BIGINT) AS sum_width,
+             |         CAST(sum(8 * nby) AS BIGINT) AS sum_height
+             |       FROM d GROUP BY source)
+             |SELECT source, n, pixel_bytes, pixel_values, row0_values, sum_width, sum_height
+             |FROM ab JOIN ad USING (source) ORDER BY source""".stripMargin),
+      (s, dir) => {
+        val w = ((col("doc_id") % 6 + 1) * 8).cast("int")
+        val h = ((col("doc_id") % 4 + 1) * 8).cast("int")
+        val payload = graft.llm.Jpeg.jpegPixelPayload(col("doc_id"), w, h)
+        Tables.documents(s, dir)
+          .select(col("source"), graft.llm.Jpeg.decodeJpegPixels(payload).as("px"))
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("px.n_pixel_bytes")).as("pixel_bytes"),
+            sum(col("px.pixel_sum")).as("pixel_values"),
+            sum(col("px.row0_sum")).as("row0_values"),
+            sum(col("px.width").cast("long")).as("sum_width"),
+            sum(col("px.height").cast("long")).as("sum_height"))
+          .orderBy("source")
+      }),
+
     // ---------------------------------------------------------------- deterministic split assignment
     QueryDef(
       "q_l16_split_assign", "LLM-corpus-split",
@@ -2043,7 +2096,7 @@ object LlmQueries {
              |         row_number() OVER (PARTITION BY tok.doc_id ORDER BY df.df, tok.t) AS rn
              |       FROM tok JOIN df USING (t)),
              |pref AS (SELECT rk.doc_id, rk.t FROM rk JOIN sz USING (doc_id)
-             |         WHERE rn <= n - ceil(0.8 * n) + 1),
+             |         WHERE rn <= n - ceil(0.8 * n - 1e-9) + 1),
              |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
              |         FROM pref a JOIN pref b ON a.t = b.t AND a.doc_id < b.doc_id),
              |i AS (SELECT c.id_a, c.id_b, count(*) AS i FROM cand c

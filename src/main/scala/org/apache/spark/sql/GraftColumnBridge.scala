@@ -50,8 +50,13 @@ object GraftColumnBridge {
   def addStrategy(
       spark: SparkSession,
       strategy: org.apache.spark.sql.execution.SparkStrategy): Unit = {
-    val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
-    if (!exp.extraStrategies.contains(strategy))
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val exp = classic.experimental
+    // a session built with GraftExtensions already carries the strategy
+    // through the planner (injectPlannerStrategy) — checking only
+    // extraStrategies would register a second copy and run it twice
+    val alreadyPlanned = classic.sessionState.planner.strategies.contains(strategy)
+    if (!alreadyPlanned && !exp.extraStrategies.contains(strategy))
       exp.extraStrategies = exp.extraStrategies :+ strategy
   }
 
@@ -62,8 +67,14 @@ object GraftColumnBridge {
       spark: SparkSession,
       rule: org.apache.spark.sql.catalyst.rules.Rule[
         org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]): Unit = {
-    val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
-    if (!exp.extraOptimizations.contains(rule))
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val exp = classic.experimental
+    // extension-injected rules (injectOptimizerRule) live in the
+    // optimizer's batches, not in extraOptimizations — check both so a
+    // GraftExtensions session doesn't run the rule twice per plan
+    val alreadyBatched =
+      classic.sessionState.optimizer.batches.exists(_.rules.exists(_ eq rule))
+    if (!alreadyBatched && !exp.extraOptimizations.contains(rule))
       exp.extraOptimizations = exp.extraOptimizations :+ rule
   }
 }

@@ -43,11 +43,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(messages(e).exists(_.contains("out of range")))
   }
 
-  test("non-image payloads fall back to the documented stub") {
+  test("non-image payloads surface as unknown with null dims (no fake features)") {
     val r = Seq("plain text").toDF("t")
       .select(Multimodal.decodeImage(Multimodal.asPayload(col("t"))).as("img"))
-      .select("img.format").as[String].collect()
-    assert(r.sameElements(Array("stub/raw")))
+      .select("img.format", "img.width").collect()
+    assert(r.head.getString(0) == "unknown" && r.head.isNullAt(1))
+  }
+
+  test("decodeImage recognizes JPEG payloads via the SOF marker walk") {
+    val jpegs = Seq((3L, 123, 45), (9L, 8, 8)).toDF("seed", "w", "h")
+      .select(Multimodal.decodeImage(
+        graft.llm.Jpeg.jpegPixelPayload(col("seed"), col("w"), col("h"))).as("img"),
+        col("w"), col("h"))
+      .select("img.width", "img.height", "img.format", "w", "h").collect()
+    jpegs.foreach { r =>
+      assert(r.getAs[String]("format") == "jpeg")
+      assert(r.getAs[Int]("width") == r.getAs[Int]("w"))
+      assert(r.getAs[Int]("height") == r.getAs[Int]("h"))
+    }
   }
 
   test("pixel codec round-trips every filter type bit-exactly") {
