@@ -374,6 +374,9 @@ private[llm] object JpegCodec {
             val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
             comps.foreach { c =>
               c.pw = mcusX * 8 * c.h; c.ph = mcusY * 8 * c.v
+              // a hostile SOF (65535×65535, 4×4 factors) would overflow
+              // pw·ph into a negative allocation — reject, don't throw OOM
+              if (c.pw.toLong * c.ph > (1L << 28)) throw DecodeFailed
               c.plane = new Array[Int](c.pw * c.ph)
             }
             val br = new BitReader(bytes, pos + 2 + len)
@@ -435,6 +438,7 @@ private[llm] object JpegCodec {
             }
             // assemble output: crop planes, upsample (replication), convert
             val nc = comps.length
+            if (w.toLong * h * nc > Int.MaxValue) throw DecodeFailed
             val out = new Array[Byte](w * h * nc)
             if (nc == 1) {
               val c = comps(0)

@@ -897,6 +897,43 @@ object LlmQueries {
           .orderBy("source")
       }),
 
+    // ---------------------------------------------------------------- multimodal mixed-container dispatch
+    QueryDef(
+      "q_m7_mixed_dispatch", "LLM-multimodal-meta",
+      // a REALISTIC media column is format-heterogeneous: each doc
+      // becomes PNG / GIF / JPEG / raw-text by doc_id % 4 and the
+      // query groups by the format decodeImage DETECTED (never by the
+      // construction) — so it only matches if the magic-byte dispatch
+      // classifies every payload right, all three header parsers
+      // recover exact dims, and unrecognized bytes surface as
+      // 'unknown' with NULL dims (the r10 no-stub contract; sum over
+      // an all-null group is NULL in both engines).
+      Some("""WITH d AS (SELECT doc_id, doc_id % 4 AS m,
+             |  doc_id % 64 + 1 AS w, doc_id % 48 + 1 AS h FROM documents)
+             |SELECT CASE m WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+             |              WHEN 2 THEN 'jpeg' ELSE 'unknown' END AS format,
+             |count(*) AS n,
+             |CAST(sum(CASE WHEN m <= 2 THEN w END) AS BIGINT) AS sum_width,
+             |CAST(sum(CASE WHEN m <= 2 THEN h END) AS BIGINT) AS sum_height
+             |FROM d GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) => {
+        val m = col("doc_id") % 4
+        val w = (col("doc_id") % 64 + 1).cast("int")
+        val h = (col("doc_id") % 48 + 1).cast("int")
+        val body = coalesce(col("text"), lit(""))
+        val payload = when(m === 0, Multimodal.pngPayload(w, h, body))
+          .when(m === 1, Multimodal.gifPayload(w, h, body))
+          .when(m === 2, graft.llm.Jpeg.jpegPixelPayload(col("doc_id"), w, h))
+          .otherwise(Multimodal.asPayload(concat(lit("txt:"), body)))
+        Tables.documents(s, dir)
+          .select(Multimodal.decodeImage(payload).as("img"))
+          .groupBy(col("img.format").as("format"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("img.width").cast("long")).as("sum_width"),
+            sum(col("img.height").cast("long")).as("sum_height"))
+          .orderBy("format")
+      }),
+
     // ---------------------------------------------------------------- deterministic split assignment
     QueryDef(
       "q_l16_split_assign", "LLM-corpus-split",

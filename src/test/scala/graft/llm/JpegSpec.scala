@@ -180,6 +180,14 @@ class JpegSpec extends AnyFunSuite {
     assert(Jpeg.decodeJpegPixelsImpl(prog).isEmpty)
     // PNG bytes through the JPEG decoder
     assert(Jpeg.decodeJpegPixelsImpl(Multimodal.pngGrayImpl(1L, 8, 8)).isEmpty)
+    // hostile SOF dims (65535×65535): must reject via the plane-size
+    // guard / entropy exhaustion, never a negative-size allocation
+    val huge = good.clone()
+    val sof0 = huge.indices.dropRight(1)
+      .find(i => (huge(i) & 0xFF) == 0xFF && (huge(i + 1) & 0xFF) == 0xC0).get
+    huge(sof0 + 5) = 0xFF.toByte; huge(sof0 + 6) = 0xFF.toByte // height
+    huge(sof0 + 7) = 0xFF.toByte; huge(sof0 + 8) = 0xFF.toByte // width
+    assert(Jpeg.decodeJpegPixelsImpl(huge).isEmpty)
   }
 
   test("header-only parse recovers SOF dimensions without entropy decode") {
