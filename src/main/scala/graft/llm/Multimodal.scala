@@ -9,14 +9,16 @@ import org.apache.spark.sql.functions._
   *
   * Decode coverage: PNG/GIF/JPEG HEADER decode (`decodeImage` — PNG/
   * GIF as native expressions, JPEG as a guarded marker-walk UDF), and
-  * full PIXEL decode is real for BOTH still-image format classes: 8-bit
-  * non-interlaced PNG (`decodePngPixels` — chunk walk with CRC32
+  * full PIXEL decode is real for ALL THREE recognized containers:
+  * 8-bit non-interlaced PNG (`decodePngPixels` — chunk walk with CRC32
   * verification, zlib inflate via `java.util.zip.Inflater`, all five
-  * PNG scanline filters de-filtered per spec, gray/RGB/RGBA) and
+  * PNG scanline filters de-filtered per spec, gray/RGB/RGBA),
   * baseline JPEG (`Jpeg.decodeJpegPixels` — Huffman entropy decode,
-  * dequantization, IDCT, chroma upsample, YCbCr→RGB; see Jpeg.scala).
-  * Unrecognized containers (video/audio wrappers, progressive JPEG)
-  * surface as "unknown"/null — never fake features.
+  * dequantization, IDCT, chroma upsample, YCbCr→RGB), and GIF
+  * (`Gif.decodeGifPixels` — multi-frame LZW decompression,
+  * de-interlacing, palette mapping). Unrecognized containers
+  * (video/audio wrappers, progressive JPEG) surface as
+  * "unknown"/null — never fake features.
   *
   * Scale notes: payloads stay opaque binary end-to-end (no base64
   * round-trips); metadata extraction is native expressions over the

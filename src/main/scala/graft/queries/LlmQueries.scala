@@ -897,6 +897,53 @@ object LlmQueries {
           .orderBy("source")
       }),
 
+    // ---------------------------------------------------------------- multimodal GIF pixel decode (LZW)
+    QueryDef(
+      "q_m8_gif_decode", "LLM-multimodal-pixels",
+      // REAL GIF LZW decode end to end: each doc becomes a COMPLETE
+      // GIF89a — 256-entry identity-gray palette, 1-3 full-size frames
+      // LZW-compressed by a real greedy-dictionary encoder, interlace
+      // on odd doc_ids — where frame f row y holds constant index
+      // (doc_id + 17·f + y) % 256. GIF is lossless, so the oracle
+      // replays every decoded channel byte in closed form; the
+      // (y+1)-weighted moment is row-permutation sensitive, so a
+      // decoder that reads interlaced passes in storage order (or
+      // mis-grows the LZW code width) cannot match.
+      Some("""WITH d AS (SELECT source, doc_id, doc_id % 32 + 1 AS w,
+             |  doc_id % 24 + 1 AS h, doc_id % 3 + 1 AS nf FROM documents),
+             |r AS (SELECT source, doc_id, w, y, (doc_id + 17 * f + y) % 256 AS v
+             |      FROM d
+             |      CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS f)
+             |      CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS y)
+             |      WHERE f < nf AND y < h),
+             |ar AS (SELECT source, count(DISTINCT doc_id) AS n,
+             |         CAST(sum(3 * w * v) AS BIGINT) AS pixel_values,
+             |         CAST(sum((y + 1) * 3 * w * v) AS BIGINT) AS row_weighted
+             |       FROM r GROUP BY source),
+             |ad AS (SELECT source, CAST(sum(nf) AS BIGINT) AS sum_frames,
+             |         CAST(sum(w) AS BIGINT) AS sum_width,
+             |         CAST(sum(h) AS BIGINT) AS sum_height
+             |       FROM d GROUP BY source)
+             |SELECT source, n, pixel_values, row_weighted, sum_frames, sum_width, sum_height
+             |FROM ar JOIN ad USING (source) ORDER BY source""".stripMargin),
+      (s, dir) => {
+        val w = (col("doc_id") % 32 + 1).cast("int")
+        val h = (col("doc_id") % 24 + 1).cast("int")
+        val nf = (col("doc_id") % 3 + 1).cast("int")
+        val payload = graft.llm.Gif.gifPixelPayload(col("doc_id"), w, h, nf)
+        Tables.documents(s, dir)
+          .select(col("source"), graft.llm.Gif.decodeGifPixels(payload).as("px"))
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("px.pixel_sum")).as("pixel_values"),
+            sum(col("px.row_weighted_sum")).as("row_weighted"),
+            sum(col("px.n_frames").cast("long")).as("sum_frames"),
+            sum(col("px.width").cast("long")).as("sum_width"),
+            sum(col("px.height").cast("long")).as("sum_height"))
+          .orderBy("source")
+      }),
+
     // ---------------------------------------------------------------- multimodal mixed-container dispatch
     QueryDef(
       "q_m7_mixed_dispatch", "LLM-multimodal-meta",
