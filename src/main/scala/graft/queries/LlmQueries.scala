@@ -944,6 +944,65 @@ object LlmQueries {
           .orderBy("source")
       }),
 
+    // ---------------------------------------------------------------- multimodal WAV audio decode + features
+    QueryDef(
+      "q_m9_wav_features", "LLM-multimodal-audio",
+      // the audio modality: each doc becomes a COMPLETE RIFF/WAVE
+      // 16-bit mono PCM clip (sample i = (doc_id + 37·i) % 65536 −
+      // 32768, a full-range ramp sweep) and decodeWav parses the
+      // container and computes one-pass features — Σ|v| (the RMS
+      // numerator, integer-exact), channel-0 sign alternations, and
+      // 64-sample frame energies vs the activity threshold (the VAD
+      // silence-trimming shape). Every feature is integer arithmetic,
+      // so the oracle replays the whole pipeline in closed form; the
+      // zero-crossing lag and frame-energy grouping only match if the
+      // PCM bytes were parsed sample-exactly.
+      Some("""WITH d AS (SELECT source, doc_id, doc_id % 400 + 10 AS n,
+             |  CAST(8000 + (doc_id % 8) * 1000 AS BIGINT) AS rate FROM documents),
+             |s AS (SELECT source, doc_id, n, i,
+             |        ((doc_id + 37 * i) % 65536) - 32768 AS v
+             |      FROM d CROSS JOIN (SELECT unnest(generate_series(0, 409)) AS i)
+             |      WHERE i < n),
+             |z AS (SELECT source, doc_id, v, i,
+             |        CASE WHEN lag(v) OVER (PARTITION BY doc_id ORDER BY i) IS NOT NULL
+             |              AND ((v < 0) <> (lag(v) OVER (PARTITION BY doc_id ORDER BY i) < 0))
+             |             THEN 1 ELSE 0 END AS zc
+             |      FROM s),
+             |pd AS (SELECT source, doc_id, sum(abs(v)) AS sum_abs, sum(zc) AS zc
+             |       FROM z GROUP BY 1, 2),
+             |fr AS (SELECT source, doc_id, i // 64 AS frame,
+             |         sum(CAST(v AS BIGINT) * v) AS energy
+             |       FROM s GROUP BY 1, 2, 3),
+             |pf AS (SELECT source, doc_id, count(*) AS nf,
+             |         sum(CASE WHEN energy > 20000000000 THEN 1 ELSE 0 END) AS na
+             |       FROM fr GROUP BY 1, 2)
+             |SELECT source, count(*) AS n,
+             |  CAST(sum(d.n) AS BIGINT) AS sum_samples,
+             |  CAST(sum(d.rate) AS BIGINT) AS sum_rate,
+             |  CAST(sum(sum_abs) AS BIGINT) AS sum_abs,
+             |  CAST(sum(zc) AS BIGINT) AS zero_crossings,
+             |  CAST(sum(nf) AS BIGINT) AS total_frames,
+             |  CAST(sum(na) AS BIGINT) AS active_frames
+             |FROM d JOIN pd USING (source, doc_id) JOIN pf USING (source, doc_id)
+             |GROUP BY source ORDER BY source""".stripMargin),
+      (s, dir) => {
+        val n = (col("doc_id") % 400 + 10).cast("int")
+        val rate = (lit(8000) + (col("doc_id") % 8) * 1000).cast("int")
+        val payload = graft.llm.Wav.wavPayload(col("doc_id"), n, rate)
+        Tables.documents(s, dir)
+          .select(col("source"), graft.llm.Wav.decodeWav(payload).as("a"))
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("a.n_samples").cast("long")).as("sum_samples"),
+            sum(col("a.sample_rate").cast("long")).as("sum_rate"),
+            sum(col("a.sum_abs")).as("sum_abs"),
+            sum(col("a.zero_crossings")).as("zero_crossings"),
+            sum(col("a.n_frames").cast("long")).as("total_frames"),
+            sum(col("a.n_active_frames").cast("long")).as("active_frames"))
+          .orderBy("source")
+      }),
+
     // ---------------------------------------------------------------- multimodal mixed-container dispatch
     QueryDef(
       "q_m7_mixed_dispatch", "LLM-multimodal-meta",
