@@ -1003,6 +1003,63 @@ object LlmQueries {
           .orderBy("source")
       }),
 
+    // ---------------------------------------------------------------- multimodal video: container walk + frame sample + decode
+    QueryDef(
+      "q_m10_video_sample", "LLM-multimodal-frames LLM-multimodal-pixels",
+      // the video-corpus shape end to end: each doc becomes an MJPEG
+      // AVI (doc_id%5+1 frames, frame f a real baseline JPEG at seed
+      // doc_id+101·f from the q_m6 exact-spectrum family) and the
+      // decoder walks the RIFF container, samples every 2nd frame AT
+      // THE WALK (unsampled frames skipped by size, never decoded),
+      // and pixel-decodes only the samples. The oracle replays the
+      // sampled frames' sums in closed form — sums only match if the
+      // container walk, the stride arithmetic, AND the JPEG decode of
+      // each sampled frame are all exact.
+      Some("""WITH d AS (SELECT source, doc_id,
+             |  (doc_id % 4 + 1) * 8 AS w, (doc_id % 3 + 1) * 8 AS h,
+             |  doc_id % 5 + 1 AS nfr FROM documents),
+             |b AS (SELECT source, doc_id, w, h, f, by, bx,
+             |        (doc_id + 101 * f + 7 * by + 13 * bx) % 192 + 32 AS base,
+             |        (doc_id + 101 * f + by + bx) % 16 AS amp
+             |      FROM d
+             |      CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS f)
+             |      CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS by)
+             |      CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS bx)
+             |      WHERE f < nfr AND f % 2 = 0
+             |        AND by < h // 8 AND bx < w // 8),
+             |ab AS (SELECT source, count(DISTINCT doc_id) AS n,
+             |         CAST(sum(64 * base) AS BIGINT) AS pixel_values,
+             |         CAST(sum(CASE WHEN by = 0 THEN 8 * (base + amp) ELSE 0 END)
+             |              AS BIGINT) AS row0_values
+             |       FROM b GROUP BY source),
+             |ad AS (SELECT source, CAST(sum(nfr) AS BIGINT) AS sum_frames,
+             |         CAST(sum((nfr - 1) // 2 + 1) AS BIGINT) AS sum_sampled,
+             |         CAST(sum(w) AS BIGINT) AS sum_width,
+             |         CAST(sum(h) AS BIGINT) AS sum_height
+             |       FROM d GROUP BY source)
+             |SELECT source, n, pixel_values, row0_values, sum_frames, sum_sampled,
+             |       sum_width, sum_height
+             |FROM ab JOIN ad USING (source) ORDER BY source""".stripMargin),
+      (s, dir) => {
+        val w = ((col("doc_id") % 4 + 1) * 8).cast("int")
+        val h = ((col("doc_id") % 3 + 1) * 8).cast("int")
+        val nfr = (col("doc_id") % 5 + 1).cast("int")
+        val payload = graft.llm.Video.aviPayload(col("doc_id"), w, h, nfr)
+        Tables.documents(s, dir)
+          .select(col("source"),
+            graft.llm.Video.decodeVideoSampled(payload, stride = 2).as("v"))
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("v.pixel_sum")).as("pixel_values"),
+            sum(col("v.row0_sum")).as("row0_values"),
+            sum(col("v.n_frames").cast("long")).as("sum_frames"),
+            sum(col("v.n_sampled").cast("long")).as("sum_sampled"),
+            sum(col("v.width").cast("long")).as("sum_width"),
+            sum(col("v.height").cast("long")).as("sum_height"))
+          .orderBy("source")
+      }),
+
     // ---------------------------------------------------------------- multimodal mixed-container dispatch
     QueryDef(
       "q_m7_mixed_dispatch", "LLM-multimodal-meta",
