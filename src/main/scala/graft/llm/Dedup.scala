@@ -768,4 +768,60 @@ object Dedup {
         "pathological graph diameter; raise maxIter or switch to star contraction")
     labels
   }
+
+  // ----------------------------------------- duplicate-span statistics
+  /** Per-document duplicated-substring coverage — the exact-substring
+    * dedup signal of Lee et al. 2022 ("Deduplicating Training Data
+    * Makes Language Models Better"), re-expressed for Spark: instead
+    * of a corpus suffix array (inherently sequential), every n-token
+    * gram is joined against the corpus gram table, a gram is
+    * DUPLICATED when it occurs in ≥ 2 distinct documents (within-doc
+    * repetition is the separate q_l24 repetition-filter family), and
+    * each document's covered-token count is the measure of the UNION
+    * of its duplicated spans [pos, pos+n) — computed in one pass over
+    * the sorted positions (sum of min(n, gap)), no interval
+    * materialization.
+    *
+    * Returns one row per document with ≥ n tokens:
+    * (idCol, n_tokens, covered) — covered ∈ [0, n_tokens].
+    *
+    * Scale shape: gram duplication is min(id) ≠ max(id) over a
+    * gram-keyed aggregate (partial-aggregated, no countDistinct
+    * shuffle); the coverage window partitions BY DOCUMENT, so its
+    * width is bounded by document length, never corpus size — the
+    * same bound every per-doc window here relies on (q_l47's wDoc).
+    */
+  def duplicateSpanStats(
+      docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 2, s"duplicateSpanStats: n must be >= 2, got $n")
+    val toks = spread(docs)
+      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(col(idCol).as("__id"),
+        split(trim(col(textCol)), "\\s+").as("__w"))
+      .filter(size(col("__w")) >= n)
+    // positional grams, natively (NOT `shingles`, which DEDUPES — a
+    // repeated gram's later positions must still extend coverage):
+    // start positions 0..len-n, gram = the n tokens from each start
+    val grams = toks.select(col("__id"),
+      posexplode(transform(
+        sequence(lit(0), size(col("__w")) - n),
+        i => concat_ws(" ", slice(col("__w"), i + 1, lit(n))))).as(Seq("pos", "g")))
+    // duplicated across documents: cheapest distinct-ness test that
+    // needs no countDistinct — two ids differ iff min != max
+    val dup = grams.groupBy("g")
+      .agg(min("__id").as("__lo"), max("__id").as("__hi"))
+      .filter(col("__lo") =!= col("__hi"))
+      .select("g")
+    val hits = grams.join(dup, Seq("g"), "left_semi")
+    val wDoc = Window.partitionBy("__id").orderBy("pos")
+    val covered = hits
+      .withColumn("__prev", lag("pos", 1).over(wDoc))
+      .groupBy("__id")
+      .agg(sum(when(col("__prev").isNull, lit(n))
+        .otherwise(least(lit(n), col("pos") - col("__prev")))).as("covered"))
+    toks.select(col("__id"), size(col("__w")).cast("long").as("n_tokens"))
+      .join(covered, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("n_tokens"),
+        coalesce(col("covered"), lit(0L)).as("covered"))
+  }
 }

@@ -897,6 +897,58 @@ object LlmQueries {
           .orderBy("source")
       }),
 
+    // ---------------------------------------------------------------- duplicate-span coverage (exact-substring dedup signal)
+    QueryDef(
+      "q_l51_dup_spans", "LLM-dedup-substring",
+      // Lee et al. 2022 exact-substring dedup, Spark-shaped: a 5-gram
+      // is duplicated when it occurs in >= 2 distinct docs; each doc's
+      // covered-token count is the measured union of its duplicated
+      // [pos, pos+5) spans (one sorted pass: sum of min(5, gap)).
+      // dup-heavy = covered/tokens > 0.2, tested as the integer
+      // cross-multiply covered*5 > tokens so no FP is involved; the
+      // flagged-id sum makes the check sensitive to every per-doc
+      // coverage value, not just totals.
+      Some("""WITH toks AS (SELECT doc_id, source,
+             |         string_split_regex(trim(text), '\s+') AS w
+             |       FROM documents WHERE text IS NOT NULL),
+             |sz AS (SELECT doc_id, source, len(w) AS n_tokens FROM toks WHERE len(w) >= 5),
+             |g AS (SELECT t.doc_id, i AS pos, array_to_string(w[i+1:i+5], ' ') AS gram
+             |      FROM toks t CROSS JOIN (SELECT unnest(generate_series(0, 120)) AS i)
+             |      WHERE len(w) >= 5 AND i + 5 <= len(w)),
+             |dup AS (SELECT gram FROM (SELECT gram, min(doc_id) AS lo, max(doc_id) AS hi
+             |                          FROM g GROUP BY 1) WHERE lo <> hi),
+             |h AS (SELECT g.doc_id, g.pos,
+             |        lag(g.pos) OVER (PARTITION BY g.doc_id ORDER BY g.pos) AS prev
+             |      FROM g JOIN dup USING (gram)),
+             |cov AS (SELECT doc_id,
+             |          sum(CASE WHEN prev IS NULL THEN 5
+             |                   ELSE least(5, pos - prev) END) AS covered
+             |        FROM h GROUP BY 1)
+             |SELECT source, count(*) AS n_docs,
+             |  CAST(sum(coalesce(covered, 0)) AS BIGINT) AS covered_tokens,
+             |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             |  CAST(sum(CASE WHEN coalesce(covered, 0) * 5 > n_tokens THEN 1 ELSE 0 END)
+             |       AS BIGINT) AS n_dup_heavy,
+             |  CAST(sum(CASE WHEN coalesce(covered, 0) * 5 > n_tokens THEN doc_id ELSE 0 END)
+             |       AS BIGINT) AS dup_heavy_id_sum
+             |FROM sz LEFT JOIN cov USING (doc_id)
+             |GROUP BY source ORDER BY source""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val stats = Dedup.duplicateSpanStats(docs, "doc_id", "text", 5)
+        stats.join(docs.select("doc_id", "source"), Seq("doc_id"))
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("covered")).cast("long").as("covered_tokens"),
+            sum(col("n_tokens")).cast("long").as("total_tokens"),
+            sum(when(col("covered") * 5 > col("n_tokens"), 1L).otherwise(0L))
+              .as("n_dup_heavy"),
+            sum(when(col("covered") * 5 > col("n_tokens"), col("doc_id")).otherwise(0L))
+              .cast("long").as("dup_heavy_id_sum"))
+          .orderBy("source")
+      }),
+
     // ---------------------------------------------------------------- multimodal GIF pixel decode (LZW)
     QueryDef(
       "q_m8_gif_decode", "LLM-multimodal-pixels",

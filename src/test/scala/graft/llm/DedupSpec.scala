@@ -244,4 +244,28 @@ class DedupSpec extends AnyFunSuite {
       .filter { case (n, c) => n % 5 == 0 && c % 5 != 0 }.map(_._1).toSet
     assert(inc == all, s"incremental $inc vs all-pairs slice $all")
   }
+
+  test("duplicateSpanStats: overlapping spans union, repeats extend coverage, gaps don't merge") {
+    import spark.implicits._
+    // docs 1 & 2 share "a b c d e f" (two overlapping dup 5-grams in
+    // each: coverage 6, not 10); doc 3 shares nothing (coverage 0);
+    // doc 4 repeats the shared gram TWICE with a gap — both
+    // occurrences covered (5 + 5), proving repeated grams extend
+    // coverage (the shingles-dedup bug this operator must not have)
+    val docs = Seq(
+      (1L, "a b c d e f x y z"),
+      (2L, "q a b c d e f w"),
+      (3L, "p q r s t u v"),
+      (4L, "a b c d e u1 u2 u3 u4 u5 u6 a b c d e")).toDF("doc_id", "text")
+    val got = Dedup.duplicateSpanStats(docs, "doc_id", "text", 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc1: grams at 0..4; dup grams "a b c d e"(0), "b c d e f"(1)
+    //       -> union [0,6) = 6 of 9 tokens
+    assert(got(1L) == (9L, 6L), s"doc1 ${got(1L)}")
+    // doc2: same two grams at pos 1,2 -> 6 of 8
+    assert(got(2L) == (8L, 6L), s"doc2 ${got(2L)}")
+    assert(got(3L) == (7L, 0L), s"doc3 ${got(3L)}")
+    // doc4: "a b c d e" at pos 0 and pos 11 -> 5 + 5 = 10 of 16
+    assert(got(4L) == (16L, 10L), s"doc4 ${got(4L)}")
+  }
 }
