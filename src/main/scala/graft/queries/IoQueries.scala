@@ -424,6 +424,42 @@ object IoQueries {
           .orderBy("l_returnflag")
       }),
 
+    // ---------------------------------------------------------------- S23 (small-file compaction)
+    QueryDef(
+      "q_s23_compaction", "S4 S10 small-file compaction",
+      // the standing lakehouse maintenance job: a deliberately
+      // fragmented copy of orders (48 small files — the shape a
+      // micro-batched or over-parallel writer leaves behind) is
+      // compacted into size-targeted files, and the aggregate over
+      // the COMPACTED copy must equal the source table's — compaction
+      // must be a pure layout change. File-count mechanics (planned
+      // from on-disk bytes, no data read) are asserted in
+      // SnapshotsSpec; the oracle gates data preservation.
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+             |CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+             |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin),
+      (s, dir) => {
+        val frag = s"$TmpBase/q_s23_fragmented"
+        val out = s"$TmpBase/q_s23_compacted"
+        // fragmented staging is per-sfDir idempotent setup (the copy
+        // is the PRE-EXISTING mess compaction exists to fix, not the
+        // work being measured) — keyed like CdcStream's staging
+        val marker = new org.apache.hadoop.fs.Path(s"$frag/_STAGED_${dir.replaceAll("[^A-Za-z0-9]+", "_")}")
+        val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (!fs.exists(marker)) {
+          Tables.orders(s, dir).repartition(48)
+            .write.mode("overwrite").parquet(frag)
+          fs.create(marker, true).close()
+        }
+        graft.io.Snapshots.compact(s, frag, out, targetBytes = 16L << 20)
+        s.read.parquet(out)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"),
+            sum(col("o_orderkey")).cast("long").as("key_sum"))
+          .orderBy("o_orderstatus")
+      }),
+
     // ---------------------------------------------------------------- S20 (CSV ingest with malformed-row quarantine)
     QueryDef(
       "q_s20_csv_malformed", "S1 S2 (delimited ingest, PERMISSIVE quarantine)",
@@ -970,6 +1006,43 @@ object IoQueries {
             round(avg(unix_micros(col("ts")) - unix_micros(col("asof_ts"))) / 1e6, 6)
               .as("avg_gap_sec"))
           .orderBy("day")
+      }),
+
+    // ---------------------------------------------------------------- ST: multimodal decode inside the stream
+    QueryDef(
+      "q_st13_stream_decode", "ST LLM-multimodal-meta",
+      // a media INGEST stream: each arriving event carries a binary
+      // payload (synthesized PNG/GIF/JPEG per event_id % 3, like the
+      // q_m fixtures) and the STREAMING aggregation groups by the
+      // format `decodeImage` detects and sums the parsed dimensions —
+      // pinning that the whole decode family (native header
+      // expressions + the JPEG marker-walk and encoder UDFs) plans
+      // and serializes inside Structured Streaming micro-batches.
+      // Bounded stream → the batch closed form is the oracle.
+      Some("""SELECT CASE event_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+             |            ELSE 'jpeg' END AS format,
+             |count(*) AS n,
+             |CAST(sum(event_id % 64 + 1) AS BIGINT) AS sum_width,
+             |CAST(sum(event_id % 48 + 1) AS BIGINT) AS sum_height
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) => {
+        val name = "q_st13_mem"
+        val watch = CdcStream.ensureStaged(s, dir)
+        val w = (col("event_id") % 64 + 1).cast("int")
+        val h = (col("event_id") % 48 + 1).cast("int")
+        val m = col("event_id") % 3
+        val payload = when(m === 0,
+            graft.llm.Multimodal.pngPayload(w, h, col("event_type")))
+          .when(m === 1, graft.llm.Multimodal.gifPayload(w, h, col("event_type")))
+          .otherwise(graft.llm.Jpeg.jpegPixelPayload(col("event_id"), w, h))
+        val decoded = CdcStream.readEvents(s, watch)
+          .select(graft.llm.Multimodal.decodeImage(payload).as("img"))
+          .groupBy(col("img.format").as("format"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("img.width").cast("long")).as("sum_width"),
+            sum(col("img.height").cast("long")).as("sum_height"))
+        CdcStream.runToMemory(s, decoded, name)
+          .orderBy("format")
       })
   )
 }

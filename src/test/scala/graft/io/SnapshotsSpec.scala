@@ -51,4 +51,28 @@ class SnapshotsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("collision"))
   }
+
+  test("compact: file count planned from on-disk bytes, data byte-identical") {
+    import spark.implicits._
+    val src = "target/tmp/spec_compact_src"
+    val out = "target/tmp/spec_compact_out"
+    val df = (1 to 10000).map(i => (i.toLong, s"row-$i", i * 1.5)).toDF("id", "s", "v")
+    df.repartition(32).write.mode("overwrite").parquet(src)
+    def files(dir: String) = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+    }
+    val srcBytes = files(src).map(_.getLen).sum
+    assert(files(src).length == 32)
+    // target = half the total -> exactly 2 output files
+    val (before, after) = Snapshots.compact(spark, src, out, (srcBytes + 1) / 2)
+    assert(before == 32 && after == 2, s"before=$before after=$after")
+    // pure layout change: full content preserved
+    val a = spark.read.parquet(src).orderBy("id").collect()
+    val b = spark.read.parquet(out).orderBy("id").collect()
+    assert(a.sameElements(b))
+    // giant target -> single file
+    assert(Snapshots.compact(spark, src, out, Long.MaxValue)._2 == 1)
+  }
 }
