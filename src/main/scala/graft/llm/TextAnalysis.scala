@@ -149,6 +149,27 @@ object TextAnalysis {
   /** Content fingerprint: first 16 hex chars of md5 over normalized text. */
   def fingerprint16(c: Column): Column = substring(md5(Dedup.normalizeText(c)), 1, 16)
 
+  /** Unicode-correct text normalization — the first stage of every
+    * real corpus pipeline (before any dedup hash or tokenizer): NFC
+    * composition (java.text.Normalizer — the same Unicode NFC that
+    * DuckDB's utf8proc `nfc_normalize` implements, which is what
+    * makes q_l53 oracle-checkable), C0 control characters stripped
+    * (tab/newline survive only as whitespace), whitespace runs
+    * squeezed to single spaces, ends trimmed. Unlike
+    * `Dedup.normalizeText` (a lossy lowercase dedup KEY), this is a
+    * content-preserving canonical form safe to TRAIN on. NFC is a
+    * per-codepoint table lookup — a UDF by necessity, but one pass,
+    * no allocation beyond the output.
+    */
+  private[llm] def unicodeNormalizeImpl(s: String): String =
+    if (s == null) null
+    else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+      .replaceAll("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", "")
+      .replaceAll("\\s+", " ")
+      .trim
+  private val unicodeNormalizeUdf = udf(unicodeNormalizeImpl _)
+  def unicodeNormalize(c: Column): Column = unicodeNormalizeUdf(c)
+
   // ------------------------------------------------------------ winnowing
   /** Winnowing fingerprints (Schleimer et al., SIGMOD'03): hash every
     * k-gram of characters, slide a window of w hashes, keep each

@@ -897,6 +897,48 @@ object LlmQueries {
           .orderBy("source")
       }),
 
+    // ---------------------------------------------------------------- Unicode text normalization
+    QueryDef(
+      "q_l53_normalize", "LLM-text-normalize",
+      // content-preserving canonicalization (NFC + control-strip +
+      // whitespace squeeze): each doc gets deterministic dirt
+      // appended — a BEL control char in double spaces (doc_id%3=0)
+      // and a decomposed e+COMBINING-ACUTE that NFC must compose to
+      // one codepoint (doc_id%3=1) — so the operator does real work
+      // on every class of fix. Both engines implement Unicode NFC
+      // (java.text.Normalizer vs utf8proc), so normalized lengths and
+      // change counts replay exactly.
+      Some("""WITH d AS (SELECT source, doc_id,
+             |  coalesce(text, '') ||
+             |    CASE WHEN doc_id % 3 = 0 THEN '  x' || chr(7) || 'y  '
+             |         WHEN doc_id % 3 = 1 THEN ' e' || chr(769)
+             |         ELSE '' END AS raw FROM documents),
+             |n AS (SELECT source, doc_id, raw,
+             |  trim(regexp_replace(regexp_replace(nfc_normalize(raw),
+             |    '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g'), '\s+', ' ', 'g')) AS norm
+             |  FROM d)
+             |SELECT source, count(*) AS n_docs,
+             |  CAST(sum(CASE WHEN norm <> raw THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+             |  CAST(sum(length(norm)) AS BIGINT) AS sum_norm_len,
+             |  CAST(sum(length(raw) - length(norm)) AS BIGINT) AS sum_delta
+             |FROM n GROUP BY source ORDER BY source""".stripMargin),
+      (s, dir) => {
+        val raw = concat(coalesce(col("text"), lit("")),
+          when(col("doc_id") % 3 === 0, lit("  x\u0007y  "))
+            .when(col("doc_id") % 3 === 1, lit(" e\u0301")) // decomposed e + combining acute
+            .otherwise(lit("")))
+        Tables.documents(s, dir)
+          .select(col("source"), raw.as("raw"),
+            TextAnalysis.unicodeNormalize(raw).as("norm"))
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("norm") =!= col("raw"), 1L).otherwise(0L)).as("n_changed"),
+            sum(length(col("norm"))).cast("long").as("sum_norm_len"),
+            sum(length(col("raw")) - length(col("norm"))).cast("long").as("sum_delta"))
+          .orderBy("source")
+      }),
+
     // ---------------------------------------------------------------- duplicate-span coverage (exact-substring dedup signal)
     QueryDef(
       "q_l51_dup_spans", "LLM-dedup-substring",

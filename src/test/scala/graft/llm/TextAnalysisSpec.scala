@@ -35,4 +35,17 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got("tiny") == ((0.0, 0.0, 0)))
     assert(got("empty") == ((0.0, 0.0, 0)))
   }
+
+  test("unicodeNormalize: NFC composition, control strip, whitespace squeeze") {
+    val f = TextAnalysis.unicodeNormalizeImpl _
+    assert(f(null) == null)
+    assert(f("a  b\t\nc") == "a b c")
+    assert(f("  padded  ") == "padded")
+    assert(f("x\u0007y\u0000z") == "xyz") // BEL + NUL stripped, no space left
+    assert(f("e\u0301") == "\u00e9") // decomposed composes to one codepoint
+    assert(f("e\u0301").length == 1)
+    assert(f("\u00e9") == "\u00e9") // already-NFC input is a fixpoint
+    assert(f("a\u000bb") == "ab") // VT is in the stripped control class
+    assert(f("word1   word2") == "word1 word2")
+  }
 }
