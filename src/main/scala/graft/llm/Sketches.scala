@@ -129,4 +129,59 @@ object Sketches {
       .groupBy(probes.columns.map(col): _*)
       .agg(min(col("c")).as("cm_est"))
   }
+
+  // ---------------------------------- mergeable histogram quantile sketch
+  /** Equi-width histogram sketch over a FIXED value range — the
+    * mergeable quantile summary that completes the sketch family
+    * (HLL = distincts, Count-Min = frequencies, this = quantiles).
+    * State is ≤ `buckets` counts per group; merging two sketches is
+    * count addition (associative + commutative), which is what makes
+    * it legal bounded streaming-aggregation state (q_st14) and a
+    * rollup-able partial aggregate — where the EXACT path
+    * (operators/GroupedQuantiles) must re-scan data per query, the
+    * sketch answers any quantile later from the standing counts, with
+    * error bounded by one bucket width. Out-of-range values clamp to
+    * the edge buckets (visible as mass at the extremes, never
+    * dropped); the fixed [lo, hi) contract is the standard production
+    * trade (pick bounds from schema/domain knowledge).
+    */
+  private def bucketOf(v: Column, lo: Double, hi: Double, buckets: Int): Column =
+    least(lit(buckets - 1), greatest(lit(0),
+      floor((v - lit(lo)) / lit(hi - lo) * lit(buckets)).cast("int")))
+
+  /** Sketch build: one row per (group, non-empty bucket). */
+  def histogramSketch(df: DataFrame, groupCols: Seq[String], valCol: String,
+      lo: Double, hi: Double, buckets: Int): DataFrame = {
+    require(buckets > 1 && hi > lo, "histogramSketch: need buckets > 1 and hi > lo")
+    df.filter(col(valCol).isNotNull)
+      .groupBy(groupCols.map(col) :+
+        bucketOf(col(valCol).cast("double"), lo, hi, buckets).as("__hb"): _*)
+      .agg(count(lit(1)).as("__hc"))
+  }
+
+  /** Finalize quantiles from a (merged) sketch: for each (name, q)
+    * the FIRST bucket whose cumulative count reaches rank ceil(q·n),
+    * reported as the bucket midpoint. The cumulative window runs over
+    * ≤ `buckets` rows per group — bounded by construction, never by
+    * data. Long output: (groupCols*, q_name, est).
+    */
+  def sketchQuantiles(sketch: DataFrame, groupCols: Seq[String],
+      qs: Seq[(String, Double)], lo: Double, hi: Double, buckets: Int): DataFrame = {
+    require(qs.nonEmpty && qs.forall { case (_, q) => q > 0 && q <= 1 })
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy("__hb")
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+    val cum = sketch
+      .withColumn("__cum", sum("__hc").over(w))
+      .withColumn("__n", sum("__hc").over(wAll))
+    val qlit = qs.map { case (nm, q) => struct(lit(nm).as("__q"), lit(q).as("__qf")) }
+    cum.select(col("*"), explode(array(qlit: _*)).as("__qs"))
+      .filter(col("__cum") >= ceil(col("__qs.__qf") * col("__n")))
+      .groupBy(groupCols.map(col) :+ col("__qs.__q").as("q_name"): _*)
+      .agg(min("__hb").as("__b"), min("__n").cast("long").as("n"))
+      .select(groupCols.map(col) :+ col("q_name") :+
+        (lit(lo) + (col("__b") + lit(0.5)) * lit((hi - lo)) / lit(buckets)).as("est") :+
+        col("n"): _*)
+  }
 }

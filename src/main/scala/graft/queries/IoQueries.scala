@@ -1043,6 +1043,45 @@ object IoQueries {
             sum(col("img.height").cast("long")).as("sum_height"))
         CdcStream.runToMemory(s, decoded, name)
           .orderBy("format")
+      }),
+
+    // ---------------------------------------------------------------- ST: streaming histogram quantile sketch
+    QueryDef(
+      "q_st14_stream_quantile", "ST A43 quantile sketch (bounded streaming state)",
+      // per-type value quantiles sketched IN-STREAM: the streaming
+      // aggregation state is ≤512 bucket counts per group (count
+      // addition is order-insensitive, so the finished sketch is
+      // IDENTICAL to the batch build — q_st10's convergence argument,
+      // now for quantiles). Finalize (cumulative rank walk over ≤512
+      // rows, bucket midpoint) runs as a tiny batch step over the
+      // memory sink; oracle is the batch closed form verbatim.
+      Some("""WITH b AS (SELECT event_type,
+             |    least(511, greatest(0,
+             |      CAST(floor((value - 0.0) / 600.0 * 512) AS INT))) AS hb
+             |  FROM events),
+             |h AS (SELECT event_type, hb, count(*) AS c FROM b GROUP BY 1, 2),
+             |c AS (SELECT event_type, hb, c,
+             |        sum(c) OVER (PARTITION BY event_type ORDER BY hb) AS cum,
+             |        sum(c) OVER (PARTITION BY event_type) AS n
+             |      FROM h),
+             |q AS (SELECT * FROM (VALUES ('p50', 0.5), ('p90', 0.9)) AS t(q_name, qf)),
+             |sel AS (SELECT event_type, q_name, min(hb) AS b, min(n) AS n
+             |        FROM c CROSS JOIN q WHERE cum >= ceil(qf * n)
+             |        GROUP BY 1, 2)
+             |SELECT event_type, q_name, 0.0 + (b + 0.5) * 600.0 / 512 AS est,
+             |  CAST(n AS BIGINT) AS n
+             |FROM sel ORDER BY event_type, q_name""".stripMargin),
+      (s, dir) => {
+        val name = "q_st14_mem"
+        val watch = CdcStream.ensureStaged(s, dir)
+        val streamSketch = graft.llm.Sketches.histogramSketch(
+          CdcStream.readEvents(s, watch), Seq("event_type"), "value",
+          lo = 0.0, hi = 600.0, buckets = 512)
+        val sketch = CdcStream.runToMemory(s, streamSketch, name)
+        graft.llm.Sketches.sketchQuantiles(sketch, Seq("event_type"),
+            Seq(("p50", 0.5), ("p90", 0.9)), lo = 0.0, hi = 600.0, buckets = 512)
+          .select("event_type", "q_name", "est", "n")
+          .orderBy("event_type", "q_name")
       })
   )
 }

@@ -629,6 +629,47 @@ object StatQueries {
             round(abs(round(col("est_raw"), 4) - col("n_exact")) / col("n_exact"), 4)
               .as("rel_err"))
           .orderBy("event_type")
+      }),
+
+    // ---------------------------------------------------------------- A43 (mergeable histogram quantile sketch)
+    QueryDef(
+      "q_a43_quantile_sketch", "A43 mergeable quantile sketch A10",
+      // the quantile member of the mergeable-sketch family (HLL =
+      // distincts, Count-Min = frequencies): ≤1024 bucket counts per
+      // group over a fixed [0, 512000) price range, quantile = first
+      // bucket whose cumulative count reaches rank ceil(q·n),
+      // reported as the bucket midpoint (error ≤ one bucket width ≈
+      // 500). Counts merge by addition, so the same sketch is legal
+      // streaming state (q_st14) and a rollup-able partial — where
+      // the exact path (q_a10b's two-level selection) re-scans per
+      // query. Deterministic bucket/midpoint arithmetic replays
+      // bit-for-bit in the oracle.
+      Some("""WITH b AS (SELECT o_orderstatus,
+             |    least(1023, greatest(0,
+             |      CAST(floor((o_totalprice - 0.0) / 512000.0 * 1024) AS INT))) AS hb
+             |  FROM orders),
+             |h AS (SELECT o_orderstatus, hb, count(*) AS c FROM b GROUP BY 1, 2),
+             |c AS (SELECT o_orderstatus, hb, c,
+             |        sum(c) OVER (PARTITION BY o_orderstatus ORDER BY hb) AS cum,
+             |        sum(c) OVER (PARTITION BY o_orderstatus) AS n
+             |      FROM h),
+             |q AS (SELECT * FROM (VALUES ('p50', 0.5), ('p95', 0.95), ('p99', 0.99))
+             |      AS t(q_name, qf)),
+             |sel AS (SELECT o_orderstatus, q_name, min(hb) AS b, min(n) AS n
+             |        FROM c CROSS JOIN q WHERE cum >= ceil(qf * n)
+             |        GROUP BY 1, 2)
+             |SELECT o_orderstatus, q_name,
+             |  0.0 + (b + 0.5) * 512000.0 / 1024 AS est,
+             |  CAST(n AS BIGINT) AS n
+             |FROM sel ORDER BY o_orderstatus, q_name""".stripMargin),
+      (s, dir) => {
+        val sk = Sketches.histogramSketch(Tables.orders(s, dir),
+          Seq("o_orderstatus"), "o_totalprice", lo = 0.0, hi = 512000.0, buckets = 1024)
+        Sketches.sketchQuantiles(sk, Seq("o_orderstatus"),
+            Seq(("p50", 0.5), ("p95", 0.95), ("p99", 0.99)),
+            lo = 0.0, hi = 512000.0, buckets = 1024)
+          .select("o_orderstatus", "q_name", "est", "n")
+          .orderBy("o_orderstatus", "q_name")
       })
   )
 }
