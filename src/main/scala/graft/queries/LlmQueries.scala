@@ -897,6 +897,105 @@ object LlmQueries {
           .orderBy("source")
       }),
 
+    // ---------------------------------------------------------------- matryoshka truncation audit
+    QueryDef(
+      "q_l54_matryoshka", "LLM-ann-matryoshka LLM-ann-bruteforce",
+      // the modern embedding-cost lever: answer ANN from a PREFIX of
+      // each vector (matryoshka truncation — 16 of 64 dims = 4× less
+      // compute and shuffle bytes) and MEASURE what it costs in rank
+      // agreement: per query, |top5@16d ∩ top5@64d| plus both top-1s.
+      // Both rankings replay exactly (list slices + identical cosine
+      // accumulation order + round(…,3), the q_l5 discipline), so the
+      // agreement matrix is oracle-checked, not a recall claim.
+      Some("""WITH v AS (SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+             |    list_transform(embedding[1:16], x -> CAST(x AS DOUBLE)) AS e16
+             |  FROM embeddings),
+             |s64 AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |    round(list_inner_product(q.e, c.e) /
+             |      (sqrt(list_inner_product(q.e, q.e)) * sqrt(list_inner_product(c.e, c.e))),
+             |      3) AS score
+             |  FROM v q JOIN v c ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+             |s16 AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |    round(list_inner_product(q.e16, c.e16) /
+             |      (sqrt(list_inner_product(q.e16, q.e16)) * sqrt(list_inner_product(c.e16, c.e16))),
+             |      3) AS score
+             |  FROM v q JOIN v c ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+             |t64 AS (SELECT query_id, neighbor_id, rank FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY query_id
+             |      ORDER BY score DESC, neighbor_id) AS rank FROM s64) r64 WHERE rank <= 5),
+             |t16 AS (SELECT query_id, neighbor_id, rank FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY query_id
+             |      ORDER BY score DESC, neighbor_id) AS rank FROM s16) r16 WHERE rank <= 5),
+             |o16 AS (SELECT query_id, min(neighbor_id) AS top1_trunc FROM t16
+             |        WHERE rank = 1 GROUP BY 1),
+             |ov AS (SELECT t64.query_id,
+             |         CAST(count(t16.neighbor_id) AS BIGINT) AS n_overlap,
+             |         min(CASE WHEN t64.rank = 1 THEN t64.neighbor_id END) AS top1_full
+             |       FROM t64 LEFT JOIN t16
+             |         ON t16.query_id = t64.query_id AND t16.neighbor_id = t64.neighbor_id
+             |       GROUP BY t64.query_id)
+             |SELECT ov.query_id, ov.n_overlap, ov.top1_full, o16.top1_trunc
+             |FROM ov JOIN o16 USING (query_id) ORDER BY query_id""".stripMargin),
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val emb16 = emb.select(col("vec_id"),
+          slice(col("embedding"), 1, 16).as("emb16"))
+        val q = col("vec_id") < 20
+        val full = Similarity.bruteForceTopK(
+          emb.filter(q), emb, "vec_id", "embedding", k = 5, scale = 3)
+        val trunc = Similarity.bruteForceTopK(
+          emb16.filter(q), emb16, "vec_id", "emb16", k = 5, scale = 3)
+        full.alias("f")
+          .join(trunc.alias("t"),
+            col("f.query_id") === col("t.query_id") &&
+              col("f.neighbor_id") === col("t.neighbor_id"), "left")
+          .groupBy(col("f.query_id").as("query_id"))
+          .agg(
+            count(col("t.neighbor_id")).as("n_overlap"),
+            min(when(col("f.rank") === 1, col("f.neighbor_id"))).as("top1_full"))
+          .join(trunc.filter(col("rank") === 1)
+            .groupBy("query_id").agg(min("neighbor_id").as("top1_trunc")), "query_id")
+          .select("query_id", "n_overlap", "top1_full", "top1_trunc")
+          .orderBy("query_id")
+      }),
+
+    // ---------------------------------------------------------------- cross-source contamination matrix
+    QueryDef(
+      "q_l55_contamination_matrix", "LLM-corpus-decontaminate LLM-dedup-substring",
+      // the train/eval leakage audit across corpus slices: for every
+      // source pair, the number of DISTINCT 8-grams they share. Shape
+      // at scale: distinct (gram, source) pairs (one partial-agg
+      // shuffle), then per-gram source self-join — bounded by the
+      // source count squared per gram, never by corpus size.
+      Some("""WITH toks AS (SELECT doc_id, source,
+             |         string_split_regex(trim(text), '\s+') AS w
+             |       FROM documents WHERE text IS NOT NULL),
+             |g AS (SELECT DISTINCT source, array_to_string(w[i+1:i+8], ' ') AS gram
+             |      FROM toks CROSS JOIN (SELECT unnest(generate_series(0, 120)) AS i)
+             |      WHERE i + 8 <= len(w)),
+             |p AS (SELECT a.source AS source_a, b.source AS source_b
+             |      FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source)
+             |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_shared_grams
+             |FROM p GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin),
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .filter(col("text").isNotNull)
+          .select(col("source"), split(trim(col("text")), "\\s+").as("__w"))
+          .filter(size(col("__w")) >= 8)
+        val g = toks.select(col("source"),
+            explode(transform(
+              sequence(lit(0), size(col("__w")) - 8),
+              i => concat_ws(" ", slice(col("__w"), i + 1, lit(8))))).as("gram"))
+          .distinct()
+        g.alias("a")
+          .join(g.alias("b"),
+            col("a.gram") === col("b.gram") && col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+          .agg(count(lit(1)).as("n_shared_grams"))
+          .orderBy("source_a", "source_b")
+      }),
+
     // ---------------------------------------------------------------- Unicode text normalization
     QueryDef(
       "q_l53_normalize", "LLM-text-normalize",
