@@ -1045,6 +1045,57 @@ object IoQueries {
           .orderBy("format")
       }),
 
+    // ---------------------------------------------------------------- ST: continuous-ingest incremental dedup
+    QueryDef(
+      "q_st15_stream_incr_dedup", "ST LLM-dedup-incremental",
+      // the production continuous-curation shape end to end: new
+      // documents ARRIVE AS A STREAM (4 real micro-batches via
+      // maxFilesPerTrigger=1) and each batch dedups against the
+      // STANDING corpus with the q_l22 MinHash-LSH incremental path
+      // inside foreachBatch; per-batch decisions land in idempotent
+      // batch_id partitions (q_st8's exactly-once contract). Each new
+      // doc's keep/reject decision depends only on (doc, corpus) —
+      // never on batch boundaries — so the union of batch decisions
+      // IS the batch-mode q_l22 result, and its exact closed-form
+      // oracle applies verbatim: the strongest convergence check the
+      // streaming form can get.
+      Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+             |sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+             |                                            for i in generate_series(1, len(w)-2)])) AS s
+             |       FROM toks WHERE len(w) >= 3),
+             |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+             |inter AS (SELECT b.doc_id AS new_id, c.doc_id AS corpus_id, count(*) AS inter
+             |          FROM sh b JOIN sh c ON b.s = c.s
+             |          WHERE b.doc_id % 5 = 0 AND c.doc_id % 5 <> 0
+             |          GROUP BY 1, 2),
+             |j AS (SELECT new_id, corpus_id,
+             |        CAST(inter AS DOUBLE) / (sb.n + sc.n - inter) AS jac
+             |      FROM inter JOIN sizes sb ON sb.doc_id = new_id
+             |                 JOIN sizes sc ON sc.doc_id = corpus_id
+             |      WHERE CAST(inter AS DOUBLE) / (sb.n + sc.n - inter) >= 0.8)
+             |SELECT new_id, corpus_id, round(jac, 6) AS jaccard FROM j
+             |QUALIFY row_number() OVER (PARTITION BY new_id ORDER BY jac DESC, corpus_id) = 1
+             |ORDER BY new_id""".stripMargin),
+      (s, dir) => {
+        val watch = CdcStream.ensureStagedDocBatches(s, dir, nFiles = 4)
+        val corpus = graft.Tables.documents(s, dir)
+          .filter(col("doc_id") % 5 =!= 0)
+          .select("doc_id", "text")
+          .localCheckpoint(false) // standing corpus: scanned once, pinned across batches
+        val stream = s.readStream
+          .schema(s.read.parquet(watch).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(watch)
+        val outDir = s"$TmpBase/q_st15_out"
+        CdcStream.runForeachBatchTransform(s, stream, outDir)(b =>
+          graft.llm.Dedup.dedupAgainstCorpus(
+            b, corpus, "doc_id", "text",
+            shingleN = 3, perms = 128, bands = 32, threshold = 0.8))
+        s.read.parquet(outDir)
+          .select(col("new_id"), col("corpus_id"), round(col("jaccard"), 6).as("jaccard"))
+          .orderBy("new_id")
+      }),
+
     // ---------------------------------------------------------------- ST: streaming histogram quantile sketch
     QueryDef(
       "q_st14_stream_quantile", "ST A43 quantile sketch (bounded streaming state)",

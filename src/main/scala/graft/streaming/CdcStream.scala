@@ -75,6 +75,44 @@ object CdcStream {
     watchDir
   }
 
+  /** Stage the ARRIVING slice of the documents table (doc_id % 5 = 0,
+    * q_l22's batch convention) into a watch dir as `nFiles` separate
+    * parquet files — with `maxFilesPerTrigger = 1` the file source
+    * then delivers them as nFiles genuine micro-batches, which is the
+    * continuous-ingest shape q_st15 exists to pin. Range-partitioned
+    * by doc_id so the file split is deterministic. Idempotent and
+    * marker-guarded like every staging helper here.
+    */
+  def ensureStagedDocBatches(spark: SparkSession, dir: String, nFiles: Int = 4): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9]+", "_")
+    val watchDir = s"/root/repo/target/tmp/stream_docs_watch/$key"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val dstDir = new org.apache.hadoop.fs.Path(watchDir)
+    val fs = dstDir.getFileSystem(conf)
+    val marker = new org.apache.hadoop.fs.Path(dstDir, "_STAGED")
+    val srcFs = src.getFileSystem(conf)
+    val st = srcFs.getFileStatus(src)
+    val stamp = s"v1:$nFiles:${st.getModificationTime}:${st.getLen}"
+    val current =
+      if (!fs.exists(marker)) None
+      else {
+        val in = fs.open(marker)
+        try Some(new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8"))
+        finally in.close()
+      }
+    if (!current.contains(stamp)) {
+      if (fs.exists(dstDir)) fs.delete(dstDir, true)
+      graft.Tables.documents(spark, dir)
+        .filter(org.apache.spark.sql.functions.col("doc_id") % 5 === 0)
+        .repartitionByRange(nFiles, org.apache.spark.sql.functions.col("doc_id"))
+        .write.mode("overwrite").parquet(watchDir)
+      val out = fs.create(marker, true)
+      try out.write(stamp.getBytes("UTF-8")) finally out.close()
+    }
+    watchDir
+  }
+
   /** Watch dir with a sentinel event appended 10 days past max(ts)
     * (user −1): append-mode session_window only emits sessions the
     * watermark has passed, and a bounded stream's watermark stops at
