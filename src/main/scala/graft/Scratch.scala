@@ -356,7 +356,12 @@ object Scratch {
         "q_s1_html_ingest",
         // round-9 final-wave additions
         "q_l45_sorted_neighborhood", "q_l47_prefix_filter_pairs",
-        "q_l46_chunk_overlap", "q_l49_quality_gate", "q_w4d_asof_native")
+        "q_l46_chunk_overlap", "q_l49_quality_gate", "q_w4d_asof_native",
+        // round-10 additions: substring dedup, contamination matrix,
+        // the codec family's heaviest (video walk + JPEG decode),
+        // compaction, matryoshka
+        "q_l51_dup_spans", "q_l55_contamination_matrix",
+        "q_m10_video_sample", "q_s23_compaction", "q_l54_matryoshka")
       val sfs = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
       Tables.lineitem(spark, sfs.last).write.format("noop").mode("overwrite").save()
       val results = names.map { name =>

@@ -824,4 +824,60 @@ object Dedup {
       .select(col("__id").as(idCol), col("n_tokens"),
         coalesce(col("covered"), lit(0L)).as("covered"))
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication scoped to k-means clusters. The published recipe:
+    * cluster the embedding space, compute pairwise cosine only WITHIN
+    * each cluster, and in every duplicate pair keep the member
+    * FURTHEST from its cluster centroid (retaining "edge" examples
+    * preserves diversity; the near-centroid copy is the redundant
+    * one).
+    *
+    * Determinism / oracle replay: clustering is the md5-init
+    * exact-decimal Lloyd loop (`Similarity.lloydCents` — the q_l26
+    * machinery), centroid distances are the same sequential squared-L2
+    * the assignment uses, and pair scores are round(cosine, 3) exactly
+    * as q_l7 — so DuckDB replays every cluster, distance, pair, and
+    * keep/drop decision value-for-value. Ties on centroid distance
+    * (exact copies) drop the higher id.
+    *
+    * Scale shape — the reason SemDeDup exists: the pairwise stage is
+    * bounded per cluster, and the recipe scales k with corpus size so
+    * the expected cluster size |C|/k stays CONSTANT — total pair work
+    * is O(|C| · avg_cluster_size), linear in the corpus, one shuffle
+    * on cluster id. The centroid array (k×dim doubles) rides the UDF
+    * closure exactly like the IVF router; at k beyond closure size,
+    * swap for the same broadcast-join routing IVF uses — the keeper
+    * semantics are unchanged.
+    *
+    * Returns one row per input vector: (idCol, cluster, kept 1/0).
+    */
+  def semDedup(
+      vectors: DataFrame, idCol: String, embCol: String,
+      k: Int, iters: Int, tau: Double, dim: Int = 64): DataFrame = {
+    val v = vectors
+      .select(col(idCol).as("__id"), Similarity.asDouble(col(embCol)).as("__e"))
+      .localCheckpoint(false) // scanned per Lloyd iteration + twice for pairs
+    val cs = Similarity.lloydCents(v, k, iters, dim)
+    val asgUdf = udf((e: Seq[Double]) => Similarity.nearestIdxDist(e, cs))
+    val asg = v.withColumn("__cd", asgUdf(col("__e")))
+      .select(col("__id"), col("__cd._1").as("cluster"),
+        col("__cd._2").as("__cent_dist"), col("__e"))
+      .localCheckpoint(false) // both sides of the pair join + the output
+    val a = asg.select(col("cluster"), col("__id").as("__ida"),
+      col("__cent_dist").as("__da"), col("__e").as("__ea"))
+    val b = asg.select(col("cluster"), col("__id").as("__idb"),
+      col("__cent_dist").as("__db"), col("__e").as("__eb"))
+    val losers = a.join(b, Seq("cluster"))
+      .filter(col("__ida") < col("__idb"))
+      .filter(round(Similarity.cosine(col("__ea"), col("__eb")), 3) >= tau)
+      // keep the far-from-centroid member; dist ties drop the higher id
+      .select(when(col("__da") < col("__db"), col("__ida"))
+        .when(col("__db") < col("__da"), col("__idb"))
+        .otherwise(greatest(col("__ida"), col("__idb"))).as("__id"))
+      .distinct()
+    asg.join(losers.withColumn("__drop", lit(1)), Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("cluster"),
+        when(col("__drop").isNotNull, lit(0)).otherwise(lit(1)).as("kept"))
+  }
 }

@@ -218,7 +218,17 @@ object Similarity {
     * accumulation order to `nearestCells` (and thus to the oracle's
     * list_inner_product over the elementwise difference).
     */
-  private def nearestIdx(e: Seq[Double], cents: Array[Array[Double]]): Int = {
+  private def nearestIdx(e: Seq[Double], cents: Array[Array[Double]]): Int =
+    nearestIdxDist(e, cents)._1
+
+  /** Nearest centroid index AND its squared-L2 distance — the same
+    * strict-< lower-id tie rule, with the distance exposed for
+    * keeper rules that order cluster members by centrality
+    * (`Dedup.semDedup`). Sequential accumulation keeps the double
+    * bit-identical to the oracle's list_inner_product(d, d).
+    */
+  private[llm] def nearestIdxDist(
+      e: Seq[Double], cents: Array[Array[Double]]): (Int, Double) = {
     var best = 0; var bestD = Double.MaxValue
     var c = 0
     while (c < cents.length) {
@@ -228,7 +238,7 @@ object Similarity {
       if (s < bestD) { bestD = s; best = c } // strict <: ties keep lower c
       c += 1
     }
-    best
+    (best, bestD)
   }
 
   /** Distributed k-means (Lloyd's) cluster assignment — semantic
@@ -259,28 +269,38 @@ object Similarity {
     require(iters >= 1)
     val v = vectors.select(col(idCol), asDouble(col(embCol)).as("__e"))
       .localCheckpoint(false) // scanned once per iteration
+    val cs = lloydCents(v, k, iters, dim)
+    val cellUdf = udf((e: Seq[Double]) => nearestIdx(e, cs))
+    v.select(col(idCol), cellUdf(col("__e")).as("cluster"))
+  }
+
+  /** The Lloyd driver loop shared by `kmeansAssign` and
+    * `Dedup.semDedup`: `iters - 1` assign→recompute rounds over a
+    * frame carrying a double-vector `__e` column, returning the FINAL
+    * centroids (the ones the last assignment should use). Recompute is
+    * the exact-decimal per-(cluster, dim) mean described on
+    * `kmeansAssign`; empty clusters keep their previous centroid.
+    */
+  private[llm] def lloydCents(
+      v: DataFrame, k: Int, iters: Int, dim: Int): Array[Array[Double]] = {
     var cents = centroids(dim, k)
-    var assigned: DataFrame = null
-    for (it <- 1 to iters) {
+    for (_ <- 1 until iters) {
       val cs = cents
       val cellUdf = udf((e: Seq[Double]) => nearestIdx(e, cs))
-      assigned = v.withColumn("__c", cellUdf(col("__e")))
-      if (it < iters) {
-        val sums = assigned
-          .select(col("__c"), posexplode(col("__e")).as(Seq("__j", "__x")))
-          .groupBy("__c", "__j")
-          .agg(sum(col("__x").cast(org.apache.spark.sql.types.DecimalType(25, 10))).as("__s"),
-            count(lit(1)).as("__n"))
-          .collect() // ≤ k·dim rows — bounded driver state
-        val next = cents.map(_.clone())
-        sums.foreach { r =>
-          next(r.getInt(0))(r.getInt(1)) =
-            r.getDecimal(2).doubleValue() / r.getLong(3)
-        }
-        cents = next
+      val sums = v.withColumn("__c", cellUdf(col("__e")))
+        .select(col("__c"), posexplode(col("__e")).as(Seq("__j", "__x")))
+        .groupBy("__c", "__j")
+        .agg(sum(col("__x").cast(org.apache.spark.sql.types.DecimalType(25, 10))).as("__s"),
+          count(lit(1)).as("__n"))
+        .collect() // ≤ k·dim rows — bounded driver state
+      val next = cents.map(_.clone())
+      sums.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) =
+          r.getDecimal(2).doubleValue() / r.getLong(3)
       }
+      cents = next
     }
-    assigned.select(col(idCol), col("__c").as("cluster"))
+    cents
   }
 
   /** md5-derived deterministic weight in [-1, 1) for an arbitrary

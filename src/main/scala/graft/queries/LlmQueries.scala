@@ -2600,6 +2600,73 @@ object LlmQueries {
             sum(floor(col("quality") * 1e6).cast("long")).cast("long")
               .as("sum_kept_q_micro"))
           .orderBy("source")
+      }),
+
+    // ---------------------------------------------------------------- SemDeDup (cluster-scoped semantic dedup)
+    QueryDef(
+      "q_l56_semdedup", "LLM-dedup-semantic",
+      // SemDeDup (Abbas et al. 2023): k-means-cluster-scoped pairwise
+      // cosine; in each duplicate pair keep the member FURTHEST from
+      // its centroid (edge examples preserve diversity), dist ties
+      // drop the higher id. Clustering is the q_l26 exact-decimal
+      // Lloyd replay WITH the final distance retained; pair scores are
+      // round(cos, 3) exactly as q_l7. Planted exact copies
+      // (vec_id+10000) co-cluster with their originals by
+      // construction, tie on distance, and lose — every keep/drop
+      // decision is pinned per vector.
+      Some("""WITH cents0 AS (
+             |  SELECT c, j, CAST(('0x' || substr(md5('c:' || c || ':' || j), 1, 16)) AS UBIGINT)
+             |               / 9223372036854775808.0 - 1.0 AS w
+             |  FROM generate_series(0, 7) a(c) CROSS JOIN generate_series(0, 63) b(j)),
+             |cl0 AS (SELECT c, list(w ORDER BY j) AS cw FROM cents0 GROUP BY c),
+             |aug AS (
+             |  SELECT vec_id, embedding FROM embeddings
+             |  UNION ALL
+             |  SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id < 50),
+             |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM aug),
+             |d1 AS (SELECT vec_id, c, list_inner_product(d, d) AS dist
+             |       FROM (SELECT v.vec_id, cl0.c,
+             |               list_transform(list_zip(v.e, cl0.cw), s -> s[1] - s[2]) AS d
+             |             FROM v CROSS JOIN cl0) t),
+             |a1 AS (SELECT vec_id, c FROM (
+             |         SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id
+             |                  ORDER BY dist, c) AS r FROM d1) WHERE r = 1),
+             |x1 AS (SELECT a1.c, generate_subscripts(v.e, 1) AS j, unnest(v.e) AS x
+             |       FROM a1 JOIN v ON v.vec_id = a1.vec_id),
+             |m1 AS (SELECT c, j,
+             |         CAST(sum(CAST(x AS DECIMAL(25,10))) AS DOUBLE) / count(*) AS w
+             |       FROM x1 GROUP BY c, j),
+             |cl1 AS (SELECT g.c, list(coalesce(m1.w, g.w) ORDER BY g.j) AS cw
+             |        FROM cents0 g LEFT JOIN m1 ON m1.c = g.c AND m1.j = g.j + 1
+             |        GROUP BY g.c),
+             |d2 AS (SELECT vec_id, c, list_inner_product(d, d) AS dist
+             |       FROM (SELECT v.vec_id, cl1.c,
+             |               list_transform(list_zip(v.e, cl1.cw), s -> s[1] - s[2]) AS d
+             |             FROM v CROSS JOIN cl1) t),
+             |a2 AS (SELECT vec_id, c, dist FROM (
+             |         SELECT vec_id, c, dist, row_number() OVER (PARTITION BY vec_id
+             |                  ORDER BY dist, c) AS r FROM d2) WHERE r = 1),
+             |pairs AS (
+             |  SELECT a.vec_id AS ia, b.vec_id AS ib, a.dist AS da, b.dist AS db
+             |  FROM a2 a JOIN a2 b ON a.c = b.c AND a.vec_id < b.vec_id
+             |  JOIN v va ON va.vec_id = a.vec_id JOIN v vb ON vb.vec_id = b.vec_id
+             |  WHERE round(list_inner_product(va.e, vb.e) /
+             |        (sqrt(list_inner_product(va.e, va.e)) * sqrt(list_inner_product(vb.e, vb.e))),
+             |        3) >= 0.95),
+             |losers AS (
+             |  SELECT DISTINCT CASE WHEN da < db THEN ia WHEN db < da THEN ib
+             |                       ELSE greatest(ia, ib) END AS vec_id
+             |  FROM pairs)
+             |SELECT a2.vec_id, a2.c AS cluster,
+             |  CASE WHEN l.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+             |FROM a2 LEFT JOIN losers l ON l.vec_id = a2.vec_id
+             |ORDER BY a2.vec_id""".stripMargin),
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+        val aug = emb.unionByName(emb.filter(col("vec_id") < 50)
+          .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+        Dedup.semDedup(aug, "vec_id", "embedding", k = 8, iters = 2, tau = 0.95)
+          .orderBy("vec_id")
       })
   )
 }

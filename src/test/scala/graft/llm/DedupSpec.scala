@@ -268,4 +268,24 @@ class DedupSpec extends AnyFunSuite {
     // doc4: "a b c d e" at pos 0 and pos 11 -> 5 + 5 = 10 of 16
     assert(got(4L) == (16L, 10L), s"doc4 ${got(4L)}")
   }
+
+  test("semDedup keeps the far-from-centroid member of a duplicate pair") {
+    import spark.implicits._
+    // k=1, iters=1: one cluster whose centroid is the fixed md5 init —
+    // replicate it here to decide which pair member is the "edge" copy
+    val cent = Similarity.centroids(4, 1)(0)
+    def d2(v: Seq[Double]) =
+      v.zip(cent).map { case (x, c) => (x - c) * (x - c) }.sum
+    val a = Seq(1f, 0f, 0f, 0f); val b = Seq(3f, 0f, 0f, 0f) // cos = 1.0
+    val o = Seq(0f, 5f, 0f, 0f) // orthogonal to both
+    val vecs = Seq((1L, a), (2L, b), (3L, o), (10L, o), (11L, o))
+      .toDF("vec_id", "embedding")
+    val got = Dedup.semDedup(vecs, "vec_id", "embedding",
+        k = 1, iters = 1, tau = 0.95, dim = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val farOf12 = if (d2(a.map(_.toDouble)) > d2(b.map(_.toDouble))) 1L else 2L
+    assert(got(farOf12) == 1 && got(3L - farOf12) == 0, got.toString)
+    // 3/10/11 are identical: distance ties drop the higher ids
+    assert(got(3L) == 1 && got(10L) == 0 && got(11L) == 0, got.toString)
+  }
 }
