@@ -224,4 +224,94 @@ object Corpus {
         array_join(slice(col("__w"), (col("token_start") + 1).cast("int"),
           lit(chunkTokens)), " ").as("chunk_text"))
   }
+
+  /** C4-style cross-document line deduplication (Raffel et al. 2020
+    * §2.2 — the open implementation dedups exact lines corpus-wide,
+    * keeping one occurrence). Keep-FIRST semantics: a line occurrence
+    * survives iff it is the (min doc id, min position) occurrence of
+    * that exact line text; lines shorter than `minChars` never
+    * participate (C4 only dedups substantial spans — a length floor
+    * keeps one-word boilerplate out of the key space). Documents are
+    * reassembled in original line order; a doc whose every line was a
+    * later duplicate yields the empty string.
+    *
+    * Scale: one hash-partitioned groupBy on the line text whose winner
+    * is a min-STRUCT aggregate (partial-aggregated map-side; NOT a
+    * window — no per-key ordering state), then reassembly as a groupBy
+    * on the doc id with a positional sort_array. Hot identical lines
+    * (the reason minChars exists) cost one combiner row per partition,
+    * not a shuffle of every occurrence.
+    *
+    * Returns (idCol, n_lines, n_kept, text_out).
+    */
+  def lineDedup(
+      docs: DataFrame, idCol: String, textCol: String,
+      minChars: Int): DataFrame = {
+    val lines = docs.select(col(idCol).as("__id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val winners = lines
+      .filter(length(col("line")) >= minChars)
+      .groupBy("line")
+      .agg(min(struct(col("__id"), col("pos"))).as("__w"))
+      .select(col("line"), col("__w.__id").as("__wid"), col("__w.pos").as("__wpos"))
+    val kept = lines.join(winners, Seq("line"), "left")
+      .filter(col("__wid").isNull ||
+        (col("__wid") === col("__id") && col("__wpos") === col("pos")))
+    docs.select(col(idCol).as("__id"),
+        size(split(col(textCol), "\n")).cast("long").as("n_lines"))
+      .join(
+        kept.groupBy("__id").agg(
+          count(lit(1)).as("n_kept"),
+          array_join(
+            transform(sort_array(collect_list(struct(col("pos"), col("line")))),
+              s => s.getField("line")), "\n").as("text_out")),
+        Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_out"), lit("")).as("text_out"))
+  }
+
+  /** DSIR-style data selection via importance resampling (Xie et al.
+    * 2023, arXiv:2302.03169): score each raw document by the
+    * log-likelihood ratio of its hashed unigram features under a
+    * target-domain bag-of-words model vs the raw-corpus model. Hashed
+    * features are md5-bucketed tokens (`buckets` cells — the paper's
+    * hashed n-grams at n=1) with add-1 smoothing on both models; the
+    * caller ranks/filters on the returned score.
+    *
+    * Determinism: bucket counts are exact integers; each bucket's
+    * ratio ln((t_b+1)/(T+B)) − ln((r_b+1)/(R+B)) is the same
+    * fixed-order double in both engines, rounded to 12dp; the per-doc
+    * score Σ count_b·ratio_b accumulates as DECIMAL(28,12), so the
+    * reduction order cannot leak — selection on the score is exact.
+    *
+    * Scale: two map-side-combined groupBys onto ≤`buckets` cells (the
+    * models), the ratio table broadcast back onto the doc-token frame,
+    * one partial agg per doc. No window, no all-pairs; `buckets`
+    * bounds every model-side intermediate regardless of corpus size.
+    *
+    * Returns (idCol, n_tokens, score DECIMAL(28,12)).
+    */
+  def dsirScores(
+      docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, buckets: Int): DataFrame = {
+    val b = lit(buckets)
+    val toks = docs.select(col(idCol).as("__id"), isTarget.as("__t"),
+        explode(TextAnalysis.tokens(trim(col(textCol)))).as("__tok"))
+      .withColumn("__b",
+        pmod(conv(substring(md5(col("__tok")), 1, 8), 16, 10).cast("long"), b))
+    val cells = toks.groupBy("__b").agg(
+      sum(when(col("__t"), 1L).otherwise(0L)).as("__tc"),
+      count(lit(1)).as("__rc"))
+    val totals = cells.agg(sum("__tc").as("__tt"), sum("__rc").as("__rt")).collect()(0)
+    val (tt, rt) = (totals.getLong(0), totals.getLong(1))
+    val ratios = cells.select(col("__b"),
+      round(log((col("__tc") + 1).cast("double") / lit(tt + buckets).cast("double")) -
+            log((col("__rc") + 1).cast("double") / lit(rt + buckets).cast("double")),
+        12).cast(org.apache.spark.sql.types.DecimalType(28, 12)).as("__lr"))
+    toks.join(broadcast(ratios), Seq("__b"))
+      .groupBy("__id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__lr")).as("score"))
+      .select(col("__id").as(idCol), col("n_tokens"), col("score"))
+  }
 }

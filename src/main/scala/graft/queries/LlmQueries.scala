@@ -2667,6 +2667,109 @@ object LlmQueries {
           .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
         Dedup.semDedup(aug, "vec_id", "embedding", k = 8, iters = 2, tau = 0.95)
           .orderBy("vec_id")
+      }),
+
+    // ---------------------------------------------------------------- C4 cross-document line dedup
+    QueryDef(
+      "q_l57_line_dedup", "LLM-dedup-lines",
+      // C4-style exact-line dedup with document reassembly. Docs are
+      // restructured into 10-token lines (the corpus has no natural
+      // newlines); exact copies planted at doc_id+10000 lose every
+      // substantial line to their originals and reassemble to (at
+      // most) their short tail line. Keep-first = min (doc, pos)
+      // occurrence; lines under 20 chars never participate. Winner
+      // choice is a min-struct aggregate on Spark and a row_number
+      // window in the oracle — same winner, value-level identical.
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+             |  FROM documents),
+             |lred AS (SELECT doc_id, w,
+             |    unnest(generate_series(0, CAST(floor((len(w) - 1) / 10.0) AS BIGINT))) AS i
+             |  FROM t),
+             |lined0 AS (
+             |  SELECT doc_id, string_agg(array_to_string(list_slice(w, i*10+1, i*10+10), ' '),
+             |                            chr(10) ORDER BY i) AS text
+             |  FROM lred GROUP BY doc_id),
+             |lined AS (
+             |  SELECT doc_id, text FROM lined0
+             |  UNION ALL
+             |  SELECT doc_id + 10000, text FROM lined0 WHERE doc_id < 20),
+             |lines AS (SELECT doc_id,
+             |    generate_subscripts(string_split(text, chr(10)), 1) - 1 AS pos,
+             |    unnest(string_split(text, chr(10))) AS line
+             |  FROM lined),
+             |win AS (SELECT line, doc_id AS wid, pos AS wpos FROM (
+             |    SELECT line, doc_id, pos,
+             |      row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS r
+             |    FROM lines WHERE length(line) >= 20) WHERE r = 1),
+             |kept AS (SELECT l.doc_id, l.pos, l.line
+             |  FROM lines l LEFT JOIN win ON win.line = l.line
+             |  WHERE win.line IS NULL OR (win.wid = l.doc_id AND win.wpos = l.pos)),
+             |agg AS (SELECT doc_id, count(*) AS n_kept,
+             |    string_agg(line, chr(10) ORDER BY pos) AS text_out
+             |  FROM kept GROUP BY doc_id)
+             |SELECT l.doc_id,
+             |  CAST(len(string_split(l.text, chr(10))) AS BIGINT) AS n_lines,
+             |  coalesce(agg.n_kept, 0) AS n_kept,
+             |  coalesce(agg.text_out, '') AS text_out
+             |FROM lined l LEFT JOIN agg USING (doc_id)
+             |ORDER BY l.doc_id""".stripMargin),
+      (s, dir) => {
+        val lined0 = Tables.documents(s, dir)
+          .withColumn("__w", TextAnalysis.tokens(trim(col("text"))))
+          .select(col("doc_id"), array_join(transform(
+            sequence(lit(0L), floor((size(col("__w")) - 1) / 10).cast("long")),
+            i => concat_ws(" ", slice(col("__w"), (i * 10 + 1).cast("int"), lit(10)))),
+            "\n").as("text"))
+        val lined = lined0.unionByName(lined0.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+        Corpus.lineDedup(lined, "doc_id", "text", minChars = 20)
+          .orderBy("doc_id")
+      }),
+
+    // ---------------------------------------------------------------- DSIR importance-resampling selection
+    QueryDef(
+      "q_l58_dsir", "LLM-dsir-selection",
+      // DSIR (Xie et al. 2023): rank raw docs by the hashed-unigram
+      // log-likelihood ratio target-vs-raw (target = src0/src1), 1024
+      // md5 buckets, add-1 smoothing. Each bucket ratio is the same
+      // fixed-order double both engines rounded to 12dp; per-doc
+      // scores sum as DECIMAL(28,12) (order-independent), so the
+      // top-40 selection compares exact decimals — emitted floor-micro.
+      Some("""WITH tok AS (SELECT doc_id, source IN ('src0', 'src1') AS t,
+             |    unnest(string_split_regex(trim(text), '\s+')) AS tok
+             |  FROM documents),
+             |tb AS (SELECT doc_id, t,
+             |    CAST(('0x' || substr(md5(tok), 1, 8)) AS UBIGINT) % 1024 AS b
+             |  FROM tok),
+             |cells AS (SELECT b, sum(CASE WHEN t THEN 1 ELSE 0 END) AS tc,
+             |    count(*) AS rc FROM tb GROUP BY b),
+             |tot AS (SELECT sum(tc) AS tt, sum(rc) AS rt FROM cells),
+             |ratios AS (SELECT b,
+             |    CAST(round(ln(CAST(tc + 1 AS DOUBLE) / CAST(tt + 1024 AS DOUBLE))
+             |             - ln(CAST(rc + 1 AS DOUBLE) / CAST(rt + 1024 AS DOUBLE)), 12)
+             |         AS DECIMAL(28,12)) AS lr
+             |  FROM cells CROSS JOIN tot),
+             |scored AS (SELECT doc_id, count(*) AS n_tokens, sum(lr) AS score
+             |  FROM tb JOIN ratios USING (b) GROUP BY doc_id),
+             |ranked AS (SELECT doc_id, n_tokens, score,
+             |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+             |  FROM scored)
+             |SELECT rank, doc_id, n_tokens,
+             |  CAST(floor(score * 1000000) AS BIGINT) AS score_micro
+             |FROM ranked WHERE rank <= 40 ORDER BY rank""".stripMargin),
+      (s, dir) => {
+        val scored = Corpus.dsirScores(Tables.documents(s, dir), "doc_id", "text",
+          isTarget = col("source").isin("src0", "src1"), buckets = 1024)
+        // global top-40 via TakeOrderedAndProject, THEN rank — the
+        // window runs over the 40 surviving rows, never the corpus
+        val top = scored.orderBy(col("score").desc, col("doc_id")).limit(40)
+        top.withColumn("rank",
+            row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+          .select(col("rank"), col("doc_id"), col("n_tokens"),
+            // integer multiplier: DECIMAL x INT stays exact (a 1e6
+            // double would detour through a decimal->double cast)
+            floor(col("score") * lit(1000000)).cast("long").as("score_micro"))
+          .orderBy("rank")
       })
   )
 }

@@ -112,4 +112,47 @@ class CorpusSpec extends AnyFunSuite {
     val d3 = out.filter(_.getLong(0) == 3L)
     assert(d3.length == 1 && d3.head.getString(4) == "single" && d3.head.getLong(3) == 1L)
   }
+
+  test("lineDedup keeps first occurrence, short lines always survive") {
+    import spark.implicits._
+    val dup = "this line is long enough to participate"
+    val docs = Seq(
+      (1L, s"$dup\nunique first doc line content\nok"),
+      (2L, s"also unique second doc line\n$dup\nok"),
+      (3L, s"$dup")).toDF("doc_id", "text")
+    val got = Corpus.lineDedup(docs, "doc_id", "text", minChars = 20)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // doc 1 owns (min doc, min pos) of the dup line — keeps all 3 lines
+    assert(got(0) == ((1L, 3L, 3L, s"$dup\nunique first doc line content\nok")))
+    // doc 2 loses the dup but keeps its unique line and the short "ok"
+    assert(got(1) == ((2L, 3L, 2L, "also unique second doc line\nok")))
+    // doc 3 was ONLY the dup line: reassembles to the empty string
+    assert(got(2) == ((3L, 1L, 0L, "")))
+    // within-doc repetition: second occurrence in the SAME doc drops
+    val self = Seq((7L, s"$dup\nmiddle line that is unique\n$dup"))
+      .toDF("doc_id", "text")
+    val g7 = Corpus.lineDedup(self, "doc_id", "text", minChars = 20)
+      .collect().map(r => (r.getLong(2), r.getString(3))).head
+    assert(g7 == ((2L, s"$dup\nmiddle line that is unique")))
+  }
+
+  test("dsirScores: target-only vocab scores above raw-only vocab") {
+    import spark.implicits._
+    // 4 docs: two 'wiki' target docs over vocab A, two raw docs over
+    // vocab B; a doc of pure vocab A must outscore a doc of pure vocab B
+    val docs = Seq(
+      (1L, "wiki", "alpha beta gamma alpha beta"),
+      (2L, "wiki", "beta gamma alpha gamma beta"),
+      (3L, "web", "delta epsilon zeta delta eta"),
+      (4L, "web", "epsilon zeta eta zeta delta")).toDF("doc_id", "source", "text")
+    val got = Corpus.dsirScores(docs, "doc_id", "text",
+        isTarget = col("source") === "wiki", buckets = 64)
+      .collect().map(r => r.getLong(0) -> r.getDecimal(2)).toMap
+    assert(got(1L).compareTo(got(3L)) > 0, s"${got(1L)} !> ${got(3L)}")
+    assert(got(2L).compareTo(got(4L)) > 0, s"${got(2L)} !> ${got(4L)}")
+    // equal-length docs: the target-vocab scores are strictly positive
+    // relative to raw-vocab ones under add-1 smoothing
+    assert(got.values.toSet.size > 1)
+  }
 }
