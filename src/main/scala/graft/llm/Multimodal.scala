@@ -359,6 +359,55 @@ object Multimodal {
   def decodePngHistogram(payload: Column, bins: Int): Column =
     decodePngHistUdf(payload, lit(bins))
 
+  /** Perceptual difference hash (dHash, vertical-gradient form) of a
+    * GRAYSCALE 8-bit PNG: NN-resample onto an 8×8 grid during the
+    * scanline walk, then bit (ty·8 + tx) records whether grid cell
+    * (ty+1, tx) is brighter than (ty, tx) — 7×8 = 56 gradient bits, a
+    * non-negative BIGINT in any engine. Brightness-shift invariant
+    * (gradients compare, not absolute values), which is what makes it
+    * a near-dup key for re-encoded/re-leveled images where exact byte
+    * hashes fail. The vertical form is used (rather than the classic
+    * 9×8 horizontal) so the hash fits 56 bits signed — and horizontal
+    * gradients carry no information on row-constant fixtures anyway.
+    * None for non-gray or undecodable payloads.
+    */
+  private[llm] def decodePngDHashImpl(bytes: Array[Byte]): Option[Long] = {
+    val grid = Array.ofDim[Int](8, 8)
+    var gray = true
+    val res = walkPng(bytes, (y, w, h, bpp, cur) => {
+      if (bpp != 1) gray = false
+      else {
+        var ty = 0
+        while (ty < 8) {
+          if (ty.toLong * h / 8 == y) {
+            var tx = 0
+            while (tx < 8) { grid(ty)(tx) = cur((tx.toLong * w / 8).toInt); tx += 1 }
+          }
+          ty += 1
+        }
+      }
+    })
+    if (res.isEmpty || !gray) None
+    else {
+      var hash = 0L
+      var ty = 0
+      while (ty < 7) {
+        var tx = 0
+        while (tx < 8) {
+          if (grid(ty + 1)(tx) > grid(ty)(tx)) hash |= 1L << (ty * 8 + tx)
+          tx += 1
+        }
+        ty += 1
+      }
+      Some(hash)
+    }
+  }
+  private val decodePngDHashUdf = udf(decodePngDHashImpl _)
+
+  /** dHash column (null = not a decodable grayscale PNG). */
+  def decodePngDHash(payload: Column): Column =
+    decodePngDHashUdf(payload).cast("bigint")
+
   /** Pixel-decode column: struct(width, height, n_pixel_bytes,
     * pixel_sum) or null for non-decodable payloads.
     */

@@ -1253,6 +1253,69 @@ object LlmQueries {
           .orderBy("source")
       }),
 
+    // ---------------------------------------------------------------- perceptual image dedup (dHash)
+    QueryDef(
+      "q_m11_phash_dedup", "LLM-multimodal-phash-dedup",
+      // perceptual near-dup image dedup: every doc's fixture PNG gets
+      // a 56-bit vertical-gradient dHash DURING the decode walk, then
+      // the dedup index: exact groups by hash (keeper = min id) plus,
+      // per group, how many OTHER groups sit within Hamming≤16 via a
+      // 4×14-bit SimHash-style band join over the DISTINCT hashes —
+      // candidate work scales with distinct perceptual content, not
+      // corpus size. Row y of doc a holds (a+y)%256, so the hash's
+      // closed form is the row-comparison bits at the 8-grid NN rows;
+      // the oracle replays hash, groups, bands, and neighbor counts.
+      Some("""WITH d AS (SELECT doc_id, doc_id % 256 AS a, doc_id % 48 + 1 AS h
+             |  FROM documents),
+             |g AS (SELECT doc_id, ty, (a + (ty * h) // 8) % 256 AS rv
+             |  FROM d CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS ty) s),
+             |hashes AS (SELECT c.doc_id,
+             |    CAST(sum(CASE WHEN n.rv > c.rv
+             |                  THEN CAST(255 AS BIGINT) << (8 * c.ty)
+             |                  ELSE 0 END) AS BIGINT) AS hash
+             |  FROM g c JOIN g n ON n.doc_id = c.doc_id AND n.ty = c.ty + 1
+             |  WHERE c.ty < 7 GROUP BY c.doc_id),
+             |grp AS (SELECT hash, count(*) AS n_copies, min(doc_id) AS keeper_id
+             |  FROM hashes GROUP BY hash),
+             |bands AS (SELECT hash, b, (hash >> (14 * b)) & 16383 AS bv
+             |  FROM grp CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) s),
+             |near AS (SELECT h1, count(*) AS near_groups FROM (
+             |    SELECT DISTINCT x.hash AS h1, y.hash AS h2
+             |    FROM bands x JOIN bands y ON x.b = y.b AND x.bv = y.bv
+             |                             AND x.hash <> y.hash
+             |    WHERE bit_count(xor(x.hash, y.hash)) <= 16) GROUP BY h1)
+             |SELECT g2.hash, g2.n_copies, g2.keeper_id,
+             |  coalesce(near.near_groups, 0) AS near_groups
+             |FROM grp g2 LEFT JOIN near ON near.h1 = g2.hash
+             |WHERE g2.n_copies >= 2
+             |ORDER BY g2.hash""".stripMargin),
+      (s, dir) => {
+        val w = (col("doc_id") % 64 + 1).cast("int")
+        val h = (col("doc_id") % 48 + 1).cast("int")
+        val payload = Multimodal.pngPixelPayload(col("doc_id"), w, h)
+        val grp = Tables.documents(s, dir)
+          .select(col("doc_id"), Multimodal.decodePngDHash(payload).as("hash"))
+          .groupBy("hash")
+          .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper_id"))
+          .localCheckpoint(false) // consumed by bands AND the output join
+        val bands = grp.select(col("hash"), explode(array((0 until 4).map(b =>
+            struct(lit(b).as("b"),
+              shiftright(col("hash"), 14 * b).bitwiseAND(lit(16383L)).as("bv"))): _*))
+            .as("bb"))
+          .select(col("hash"), col("bb.b").as("b"), col("bb.bv").as("bv"))
+        val near = bands.as("x").join(bands.as("y"),
+            col("x.b") === col("y.b") && col("x.bv") === col("y.bv") &&
+              col("x.hash") =!= col("y.hash"))
+          .filter(bit_count(col("x.hash").bitwiseXOR(col("y.hash"))) <= 16)
+          .select(col("x.hash").as("h1"), col("y.hash").as("h2")).distinct()
+          .groupBy("h1").agg(count(lit(1)).as("near_groups"))
+        grp.filter(col("n_copies") >= 2)
+          .join(near, col("hash") === col("h1"), "left")
+          .select(col("hash"), col("n_copies"), col("keeper_id"),
+            coalesce(col("near_groups"), lit(0L)).as("near_groups"))
+          .orderBy("hash")
+      }),
+
     // ---------------------------------------------------------------- multimodal mixed-container dispatch
     QueryDef(
       "q_m7_mixed_dispatch", "LLM-multimodal-meta",

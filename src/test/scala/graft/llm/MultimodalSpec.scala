@@ -119,4 +119,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodePngPixelsImpl("not a png at all, just text".getBytes).isEmpty)
     assert(Multimodal.decodePngPixelsImpl(null).isEmpty)
   }
+
+  test("dHash matches the closed form and is brightness-shift invariant") {
+    // fixture rows hold (seed%256 + y) % 256, so the expected hash is
+    // the vertical row-comparison bits at the 8-grid NN sample rows
+    def expected(seed: Long, h: Int): Long = {
+      val a = (seed % 256).toInt
+      val rv = (0 until 8).map(ty => (a + ty * h / 8) % 256)
+      (0 until 7).foldLeft(0L) { (acc, ty) =>
+        if (rv(ty + 1) > rv(ty))
+          acc | (0xFFL << (8 * ty))
+        else acc
+      }
+    }
+    for (seed <- Seq(0L, 3L, 77L, 250L); (w, h) <- Seq((17, 11), (5, 48), (64, 3))) {
+      val got = Multimodal.decodePngDHashImpl(Multimodal.pngGrayImpl(seed, w, h))
+      assert(got.contains(expected(seed, h)), s"seed=$seed w=$w h=$h")
+    }
+    // same gradients at different base brightness (no mod-256 wrap in
+    // either image) -> identical perceptual hash, though bytes differ
+    val dim = (31, 40)
+    val h1 = Multimodal.decodePngDHashImpl(Multimodal.pngGrayImpl(10L, dim._1, dim._2))
+    val h2 = Multimodal.decodePngDHashImpl(Multimodal.pngGrayImpl(20L, dim._1, dim._2))
+    assert(h1.isDefined && h1 == h2)
+    // non-gray and garbage payloads surface as None, never a fake hash
+    assert(Multimodal.decodePngDHashImpl("nope".getBytes).isEmpty)
+  }
 }
