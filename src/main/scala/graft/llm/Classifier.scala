@@ -1,0 +1,105 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Seed-labeled quality classifier over hashed token buckets — the
+  * "train a small classifier on curated seed sources, score the whole
+  * corpus" step every large curation pipeline runs (the fastText-style
+  * quality filter of LLaMA-class data recipes, the linear model of
+  * CCNet): a multinomial Naive Bayes whose features are md5-hashed
+  * unigram buckets, trained from WEAK labels (membership in a curated
+  * positive source set vs a known-bad negative set) and applied to
+  * every document, labeled or not.
+  *
+  * Scale shape: training is token-explode → groupBy (bucket, label) —
+  * the model is AT MOST `buckets` rows regardless of corpus size — and
+  * scoring is one broadcast join of that model onto the token stream
+  * followed by a single groupBy(doc) sum, so the only fact-sized
+  * shuffle is the per-doc aggregation. Nothing is collected to the
+  * driver; the model rides a broadcast.
+  *
+  * Cross-engine determinism: bucket ids come from md5 (identical hex
+  * in any engine); log-odds weights are computed from EXACT integer
+  * counts, rounded to 12 decimals, and cast to DECIMAL(28,12), so the
+  * per-doc score is an exact decimal sum — no float accumulation
+  * order anywhere in the scoring path.
+  */
+object Classifier {
+
+  /** md5-derived feature bucket in [0, buckets) for a term column. */
+  def tokenBucket(term: Column, buckets: Int): Column =
+    conv(substring(md5(term), 1, 6), 16, 10).cast("long") % buckets
+
+  /** Per-bucket log-odds weights from seed-labeled docs.
+    *
+    * `label` must be 1 (positive seed) / 0 (negative seed); unlabeled
+    * docs are excluded by the caller. Returns `buckets` rows at most:
+    * (bucket, w DECIMAL(28,12)) with Laplace(1) smoothing —
+    * w(b) = ln((n_pos_b+1)/(n_pos+B)) − ln((n_neg_b+1)/(n_neg+B)).
+    */
+  def nbTrain(
+      seedDocs: DataFrame,
+      textCol: String,
+      labelCol: String,
+      buckets: Int): DataFrame = {
+    val tok = seedDocs
+      .select(col(labelCol).cast("int").as("label"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .select(col("label"), tokenBucket(col("term"), buckets).as("bucket"))
+    val counts = tok
+      .groupBy("bucket")
+      .agg(
+        sum(col("label")).as("n_pos_b"),
+        sum(lit(1) - col("label")).as("n_neg_b"))
+    val totals = counts.agg(
+      sum("n_pos_b").as("n_pos"), sum("n_neg_b").as("n_neg"))
+    counts
+      .crossJoin(broadcast(totals)) // 1 row: class token totals
+      .select(
+        col("bucket"),
+        round(
+          log((col("n_pos_b") + 1.0) / (col("n_pos") + buckets.toDouble)) -
+            log((col("n_neg_b") + 1.0) / (col("n_neg") + buckets.toDouble)),
+          12).cast("decimal(28,12)").as("w"))
+  }
+
+  /** Score every doc: prior + Σ_tokens w(bucket(token)), all decimal.
+    *
+    * `prior` is a 1-row (prior DECIMAL) frame (class-balance log-odds
+    * from the seed doc counts) so the whole model stays in the plan —
+    * returns (idCol…, score DECIMAL, accept BOOLEAN).
+    */
+  def nbScore(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      model: DataFrame,
+      prior: DataFrame,
+      buckets: Int): DataFrame = {
+    val tok = docs
+      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .select(col(idCol), tokenBucket(col("term"), buckets).as("bucket"))
+    tok
+      .join(broadcast(model), "bucket")
+      .groupBy(idCol)
+      .agg(sum(col("w")).as("token_score"))
+      .crossJoin(broadcast(prior)) // 1 row: class prior
+      .select(
+        col(idCol),
+        (col("prior") + col("token_score")).as("score"))
+      .withColumn("accept", col("score") > 0)
+  }
+
+  /** Laplace(1) class-balance prior from seed doc counts, as a 1-row
+    * broadcastable frame: ln((n_pos_docs+1)/(n_neg_docs+1)).
+    */
+  def nbPrior(seedDocs: DataFrame, labelCol: String): DataFrame =
+    seedDocs
+      .agg(
+        sum(col(labelCol).cast("long")).as("n_pos"),
+        sum(lit(1L) - col(labelCol).cast("long")).as("n_neg"))
+      .select(
+        round(log((col("n_pos") + 1.0) / (col("n_neg") + 1.0)), 12)
+          .cast("decimal(28,12)").as("prior"))
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.llm.{Corpus, Dedup, Multimodal, Retrieval, Similarity, Sketches, TextAnalysis}
+import graft.llm.{Classifier, Corpus, Dedup, Multimodal, Retrieval, Similarity, Sketches, TextAnalysis}
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -2833,6 +2833,67 @@ object LlmQueries {
             // double would detour through a decimal->double cast)
             floor(col("score") * lit(1000000)).cast("long").as("score_micro"))
           .orderBy("rank")
+      }),
+
+    // ---------------------------------------------------------------- seed-labeled NB quality classifier
+    QueryDef(
+      "q_l59_quality_classifier", "LLM-quality-classifier",
+      // fastText-style corpus quality filter: train a multinomial NB
+      // on WEAK seed labels (src0-4 positive, src15-19 negative; 64
+      // md5 unigram buckets, add-1 smoothing, class prior), then score
+      // EVERY doc — including the 10 unlabeled middle sources — and
+      // report per-source acceptance. Weights are exact-count LLRs
+      // rounded 12dp to DECIMAL(28,12); per-doc scores are exact
+      // decimal sums, so accept (score > 0) is engine-independent.
+      // Docs whose every token hashes outside the seed's buckets fall
+      // back to the prior alone (left join + coalesce).
+      Some("""WITH tok AS (SELECT doc_id,
+             |    CAST(('0x' || substr(md5(term), 1, 6)) AS BIGINT) % 64 AS bucket
+             |  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+             |        FROM documents)),
+             |seed AS (SELECT doc_id,
+             |    CASE WHEN source IN ('src0','src1','src2','src3','src4')
+             |         THEN 1 ELSE 0 END AS label
+             |  FROM documents
+             |  WHERE source IN ('src0','src1','src2','src3','src4',
+             |                   'src15','src16','src17','src18','src19')),
+             |counts AS (SELECT t.bucket, sum(s.label) AS n_pos_b,
+             |    sum(1 - s.label) AS n_neg_b
+             |  FROM tok t JOIN seed s ON t.doc_id = s.doc_id GROUP BY t.bucket),
+             |tot AS (SELECT sum(n_pos_b) AS n_pos, sum(n_neg_b) AS n_neg FROM counts),
+             |model AS (SELECT bucket,
+             |    CAST(round(ln((n_pos_b + 1.0) / (n_pos + 64.0))
+             |             - ln((n_neg_b + 1.0) / (n_neg + 64.0)), 12)
+             |         AS DECIMAL(28,12)) AS w
+             |  FROM counts CROSS JOIN tot),
+             |prior AS (SELECT CAST(round(ln((sum(label) + 1.0)
+             |    / (sum(1 - label) + 1.0)), 12) AS DECIMAL(28,12)) AS prior
+             |  FROM seed),
+             |scores AS (SELECT t.doc_id, sum(m.w) AS token_score
+             |  FROM tok t JOIN model m ON t.bucket = m.bucket GROUP BY t.doc_id)
+             |SELECT d.source, count(*) AS n_docs,
+             |  CAST(sum(CASE WHEN prior.prior + coalesce(s.token_score, 0) > 0
+             |           THEN 1 ELSE 0 END) AS BIGINT) AS n_accept
+             |FROM documents d CROSS JOIN prior
+             |LEFT JOIN scores s ON s.doc_id = d.doc_id
+             |GROUP BY d.source ORDER BY d.source""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val posSet = Seq("src0", "src1", "src2", "src3", "src4")
+        val negSet = Seq("src15", "src16", "src17", "src18", "src19")
+        val seed = docs
+          .filter(col("source").isin(posSet ++ negSet: _*))
+          .withColumn("label", col("source").isin(posSet: _*).cast("int"))
+        val model = Classifier.nbTrain(seed, "text", "label", buckets = 64)
+        val prior = Classifier.nbPrior(seed, "label")
+        val scored = Classifier.nbScore(docs, "doc_id", "text", model, prior, buckets = 64)
+        docs.select(col("doc_id"), col("source"))
+          .join(scored.select(col("doc_id"), col("score")), Seq("doc_id"), "left")
+          .crossJoin(broadcast(prior)) // 1 row: prior-only fallback
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum((coalesce(col("score"), col("prior")) > 0).cast("long")).as("n_accept"))
+          .orderBy("source")
       })
   )
 }
