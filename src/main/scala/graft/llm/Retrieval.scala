@@ -88,6 +88,69 @@ object Retrieval {
       .select(col(idCol), round(col("score_raw"), 6).as("score"))
   }
 
+  /** BM25 against PER-QUERY term bags (each probe's own distinct
+    * terms) — the retrieval shape of query-by-document. Unlike
+    * `bm25`'s fixed bag (whose score sums a declared coalesce chain),
+    * the bag here is data-dependent, so per-(query,term) contributions
+    * are rounded to 12 decimals and summed as DECIMAL(28,12) — exact,
+    * order-independent accumulation in any engine.
+    *
+    * `probeTerms` is (query_id, term) DISTINCT rows. Scale shape: the
+    * corpus-sized work is the token explode + (doc, term) groupBy; the
+    * probe bag joins through the (term)-keyed posting side exactly
+    * like an inverted-index lookup, and the per-candidate sum is one
+    * key-partitioned aggregation. Self-matches are kept — callers
+    * filter query_id <> cand id when probes come from the corpus.
+    */
+  def bm25PerQuery(
+      docs: DataFrame, idCol: String, textCol: String,
+      probeTerms: DataFrame, k1: Double, b: Double): DataFrame = {
+    val toks = docs.select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("term"))
+    val dl = toks.groupBy(idCol).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val avgdl = col("total_len").cast("double") / col("n_docs")
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val contrib = idf * (col("tf") * (k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / avgdl))
+    tf
+      .join(broadcast(df), "term")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .select(col(idCol).as("cand_id"), col("term"),
+        round(contrib, 12).cast("decimal(28,12)").as("c"))
+      .join(probeTerms.select(col("query_id"), col("term")), "term")
+      .groupBy("query_id", "cand_id")
+      .agg(sum(col("c")).as("score"))
+  }
+
+  /** Reciprocal-rank fusion of two rankers' top lists (Cormack et al.
+    * 2009): rrf = Σ 1/(k + rank) over the rankers that returned the
+    * candidate. Inputs are (query_id, neighbor_id, rank) frames; the
+    * fused score is a FIXED two-term double sum over exact integer
+    * ranks — bit-deterministic in any engine — and the final order
+    * ties break on neighbor id. The per-query window runs over at most
+    * the two top lists (≤ 2·topN rows per query), key-partitioned.
+    */
+  def rrfFuse(
+      a: DataFrame, bRanks: DataFrame, kRrf: Int, topN: Int): DataFrame = {
+    val fused = a.select(col("query_id"), col("neighbor_id"), col("rank").as("rank_a"))
+      .join(
+        bRanks.select(col("query_id"), col("neighbor_id"), col("rank").as("rank_b")),
+        Seq("query_id", "neighbor_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(kRrf) + col("rank_a")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kRrf) + col("rank_b")), lit(0.0)))
+    val w = Window.partitionBy("query_id").orderBy(col("rrf").desc, col("neighbor_id"))
+    fused
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topN)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("rrf"), 6).as("rrf"))
+  }
+
   /** term → (df, first `maxPostings` doc ids ascending, as a string).
     *
     * The cap bounds what any single task materializes; a production

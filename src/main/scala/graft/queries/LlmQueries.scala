@@ -2894,6 +2894,83 @@ object LlmQueries {
           .agg(count(lit(1)).as("n_docs"),
             sum((coalesce(col("score"), col("prior")) > 0).cast("long")).as("n_accept"))
           .orderBy("source")
+      }),
+
+    // ---------------------------------------------------------------- hybrid retrieval: RRF(dense, sparse)
+    QueryDef(
+      "q_l60_rrf_fusion", "LLM-hybrid-retrieval",
+      // query-by-document hybrid search: for each probe doc (< 10),
+      // fuse its dense top-20 (exact cosine, the q_l5 ranker) with its
+      // sparse top-20 (BM25 against the probe's OWN term bag) by
+      // reciprocal-rank fusion 1/(60+rank). Sparse scores sum
+      // 12dp-DECIMAL per-term contributions (dynamic bags can't use
+      // q_l29's fixed coalesce chain); the fused score is a two-term
+      // double sum over exact integer ranks, so the final top-5 order
+      // is engine-independent.
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+             |  FROM documents),
+             |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+             |stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_len FROM dl),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+             |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |contrib AS (SELECT tf.doc_id AS cand_id, tf.term,
+             |    CAST(round(ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+             |      * (tf.tf * 2.2)
+             |      / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl
+             |           / (CAST(stats.total_len AS DOUBLE) / stats.n_docs))), 12)
+             |         AS DECIMAL(28,12)) AS c
+             |  FROM tf JOIN df ON tf.term = df.term
+             |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats),
+             |probeterms AS (SELECT DISTINCT doc_id AS query_id, term FROM tok
+             |  WHERE doc_id < 10),
+             |sparse_scores AS (SELECT p.query_id, c.cand_id, sum(c.c) AS score
+             |  FROM contrib c JOIN probeterms p ON c.term = p.term
+             |  WHERE c.cand_id <> p.query_id GROUP BY 1, 2),
+             |sparse AS (SELECT query_id, cand_id AS neighbor_id,
+             |    row_number() OVER (PARTITION BY query_id
+             |                       ORDER BY score DESC, cand_id) AS rank
+             |  FROM sparse_scores QUALIFY rank <= 20),
+             |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+             |  FROM embeddings),
+             |dense_scored AS (SELECT q.vec_id AS query_id, c2.vec_id AS neighbor_id,
+             |    round(list_inner_product(q.e, c2.e) /
+             |          (sqrt(list_inner_product(q.e, q.e))
+             |           * sqrt(list_inner_product(c2.e, c2.e))), 6) AS score
+             |  FROM v q JOIN v c2 ON q.vec_id < 10 AND q.vec_id <> c2.vec_id),
+             |dense AS (SELECT query_id, neighbor_id,
+             |    row_number() OVER (PARTITION BY query_id
+             |                       ORDER BY score DESC, neighbor_id) AS rank
+             |  FROM dense_scored QUALIFY rank <= 20),
+             |fused AS (SELECT coalesce(d.query_id, s.query_id) AS query_id,
+             |    coalesce(d.neighbor_id, s.neighbor_id) AS neighbor_id,
+             |    coalesce(1.0 / (60 + d.rank), 0.0)
+             |      + coalesce(1.0 / (60 + s.rank), 0.0) AS rrf
+             |  FROM dense d FULL OUTER JOIN sparse s
+             |    ON d.query_id = s.query_id AND d.neighbor_id = s.neighbor_id)
+             |SELECT query_id, rank, neighbor_id, round(rrf, 6) AS rrf FROM (
+             |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+             |      ORDER BY rrf DESC, neighbor_id) AS BIGINT) AS rank
+             |  FROM fused) t
+             |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val emb = Tables.embeddings(s, dir)
+        val dense = Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", k = 20, scale = 6)
+        val probeTerms = docs.filter(col("doc_id") < 10)
+          .select(col("doc_id").as("query_id"),
+            explode(TextAnalysis.tokens(col("text"))).as("term"))
+          .distinct()
+        val ws = Window.partitionBy("query_id").orderBy(col("score").desc, col("cand_id"))
+        val sparse = Retrieval
+          .bm25PerQuery(docs, "doc_id", "text", probeTerms, k1 = 1.2, b = 0.75)
+          .filter(col("cand_id") =!= col("query_id"))
+          .withColumn("rank", row_number().over(ws))
+          .filter(col("rank") <= 20)
+          .select(col("query_id"), col("cand_id").as("neighbor_id"), col("rank"))
+        Retrieval.rrfFuse(
+            dense.select("query_id", "neighbor_id", "rank"), sparse, kRrf = 60, topN = 5)
+          .orderBy("query_id", "rank")
       })
   )
 }
