@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.llm.{Classifier, Corpus, Dedup, Multimodal, Retrieval, Similarity, Sketches, TextAnalysis}
+import graft.llm.{Bpe, Classifier, Corpus, Dedup, Multimodal, Retrieval, Similarity, Sketches, TextAnalysis}
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -2971,6 +2971,54 @@ object LlmQueries {
         Retrieval.rrfFuse(
             dense.select("query_id", "neighbor_id", "rank"), sparse, kRrf = 60, topN = 5)
           .orderBy("query_id", "rank")
-      })
+      }),
+
+    // ---------------------------------------------------------------- BPE tokenizer merge training
+    QueryDef(
+      "q_l61_bpe_train", "LLM-bpe-train",
+      // train-the-tokenizer-on-the-corpus: 8 BPE merge rounds over the
+      // word-frequency table (Sennrich et al. 2016) — per round, count
+      // adjacent symbol pairs weighted by word freq (overlaps counted,
+      // as in the reference implementation), pick max count with
+      // lexicographic tie-break, merge leftmost-greedily everywhere.
+      // The oracle UNROLLS all 8 rounds as CTE chains; both engines
+      // share the delimited-sequence form, so a merge is the same
+      // non-overlapping left-to-right replace of '|a||b|'. Output is
+      // the merge table plus the weighted symbol count after each
+      // round (the compression curve) — every row depends on all
+      // previous rounds' rewrites, so a single mis-merge anywhere
+      // diverges the table.
+      Some {
+        val head =
+          """WITH words AS (
+            |  SELECT term AS word, count(*) AS freq
+            |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+            |        FROM documents)
+            |  GROUP BY 1),
+            |seq0 AS (SELECT word, freq,
+            |  '|' || array_to_string(string_split(word, ''), '||') || '|' AS seq
+            |  FROM words)""".stripMargin
+        val rounds = (1 to 8).map { k =>
+          val p = k - 1
+          s"""syms$k AS (SELECT freq, string_split(trim(seq, '|'), '||') AS syms FROM seq$p),
+             |p$k AS (SELECT freq,
+             |  unnest(list_slice(syms, 1, len(syms)-1)) AS a,
+             |  unnest(list_slice(syms, 2, len(syms))) AS b FROM syms$k),
+             |c$k AS (SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt FROM p$k GROUP BY 1, 2),
+             |b$k AS (SELECT a, b, cnt FROM c$k ORDER BY cnt DESC, a, b LIMIT 1),
+             |seq$k AS (SELECT word, freq,
+             |  replace(seq, '|' || bk.a || '||' || bk.b || '|',
+             |               '|' || bk.a || bk.b || '|') AS seq
+             |  FROM seq$p CROSS JOIN b$k bk),
+             |n$k AS (SELECT CAST(sum(freq * len(string_split(trim(seq, '|'), '||')))
+             |  AS BIGINT) AS n_sym FROM seq$k)""".stripMargin
+        }.mkString(",\n")
+        val union = (1 to 8).map { k =>
+          s"SELECT CAST($k AS BIGINT) AS step, a AS sym_a, b AS sym_b, " +
+            s"cnt AS pair_count, n.n_sym FROM b$k CROSS JOIN n$k n"
+        }.mkString("\nUNION ALL ")
+        s"$head,\n$rounds\nSELECT * FROM ($union) ORDER BY step"
+      },
+      (s, dir) => Bpe.train(Tables.documents(s, dir), "text", merges = 8).orderBy("step"))
   )
 }
