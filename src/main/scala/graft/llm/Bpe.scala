@@ -33,7 +33,29 @@ object Bpe {
     * total weighted symbol count AFTER applying the merge — the
     * corpus-compression curve of the tokenizer.
     */
-  def train(docs: DataFrame, textCol: String, merges: Int): DataFrame = {
+  def train(docs: DataFrame, textCol: String, merges: Int): DataFrame =
+    trainLoop(docs, textCol, merges)._2
+
+  /** Apply the `merges`-round tokenizer corpus-wide: per source, the
+    * whitespace token count vs the BPE token count (the compression
+    * the tokenizer actually achieves on the data it was trained on).
+    * The vocabulary (word → merged symbol count) joins back onto the
+    * token stream by word — vocabulary-sized build, corpus-sized
+    * stream, one key-partitioned join + one aggregation.
+    */
+  def tokenCounts(docs: DataFrame, textCol: String, groupCol: String, merges: Int): DataFrame = {
+    val seqs = trainLoop(docs, textCol, merges)._1
+    val syms = split(trim(col("seq"), "|"), "\\|\\|")
+    val vocab = seqs.select(col("word"), size(syms).cast("long").as("n_bpe"))
+    docs
+      .select(col(groupCol), explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .join(vocab, "word")
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("ws_tokens"), sum(col("n_bpe")).as("bpe_tokens"))
+  }
+
+  private def trainLoop(
+      docs: DataFrame, textCol: String, merges: Int): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     val words = docs
       .select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
@@ -72,6 +94,6 @@ object Bpe {
     import spark.implicits._
     // the merge table IS the trained model — materializing the
     // `merges`-row artifact on the driver is the point of training
-    out.toSeq.toDF("step", "sym_a", "sym_b", "pair_count", "n_sym")
+    (seqs, out.toSeq.toDF("step", "sym_a", "sym_b", "pair_count", "n_sym"))
   }
 }

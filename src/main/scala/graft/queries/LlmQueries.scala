@@ -2989,36 +2989,66 @@ object LlmQueries {
       // previous rounds' rewrites, so a single mis-merge anywhere
       // diverges the table.
       Some {
-        val head =
-          """WITH words AS (
-            |  SELECT term AS word, count(*) AS freq
-            |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
-            |        FROM documents)
-            |  GROUP BY 1),
-            |seq0 AS (SELECT word, freq,
-            |  '|' || array_to_string(string_split(word, ''), '||') || '|' AS seq
-            |  FROM words)""".stripMargin
-        val rounds = (1 to 8).map { k =>
-          val p = k - 1
-          s"""syms$k AS (SELECT freq, string_split(trim(seq, '|'), '||') AS syms FROM seq$p),
-             |p$k AS (SELECT freq,
-             |  unnest(list_slice(syms, 1, len(syms)-1)) AS a,
-             |  unnest(list_slice(syms, 2, len(syms))) AS b FROM syms$k),
-             |c$k AS (SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt FROM p$k GROUP BY 1, 2),
-             |b$k AS (SELECT a, b, cnt FROM c$k ORDER BY cnt DESC, a, b LIMIT 1),
-             |seq$k AS (SELECT word, freq,
-             |  replace(seq, '|' || bk.a || '||' || bk.b || '|',
-             |               '|' || bk.a || bk.b || '|') AS seq
-             |  FROM seq$p CROSS JOIN b$k bk),
-             |n$k AS (SELECT CAST(sum(freq * len(string_split(trim(seq, '|'), '||')))
-             |  AS BIGINT) AS n_sym FROM seq$k)""".stripMargin
-        }.mkString(",\n")
         val union = (1 to 8).map { k =>
           s"SELECT CAST($k AS BIGINT) AS step, a AS sym_a, b AS sym_b, " +
             s"cnt AS pair_count, n.n_sym FROM b$k CROSS JOIN n$k n"
         }.mkString("\nUNION ALL ")
-        s"$head,\n$rounds\nSELECT * FROM ($union) ORDER BY step"
+        s"${bpeOracleCtes(8)}\nSELECT * FROM ($union) ORDER BY step"
       },
-      (s, dir) => Bpe.train(Tables.documents(s, dir), "text", merges = 8).orderBy("step"))
+      (s, dir) => Bpe.train(Tables.documents(s, dir), "text", merges = 8).orderBy("step")),
+
+    // ---------------------------------------------------------------- BPE apply: corpus compression per source
+    QueryDef(
+      "q_l61b_bpe_apply", "LLM-bpe-apply",
+      // tokenize the corpus with the 8-merge BPE just trained on it:
+      // per source, whitespace tokens vs BPE tokens — the compression
+      // the tokenizer buys, the number a data-budget plan actually
+      // consumes. The vocabulary (word → merged symbol count after
+      // round 8) joins back onto the token stream; the oracle replays
+      // the full 8-round chain and the apply join.
+      Some(s"""${bpeOracleCtes(8)},
+              |vocab AS (SELECT word, len(string_split(trim(seq, '|'), '||')) AS n_bpe
+              |  FROM seq8),
+              |tok2 AS (SELECT source,
+              |    unnest(string_split_regex(trim(text), '\\s+')) AS term
+              |  FROM documents)
+              |SELECT source, CAST(count(*) AS BIGINT) AS ws_tokens,
+              |  CAST(sum(v.n_bpe) AS BIGINT) AS bpe_tokens
+              |FROM tok2 JOIN vocab v ON tok2.term = v.word
+              |GROUP BY source ORDER BY source""".stripMargin),
+      (s, dir) =>
+        Bpe.tokenCounts(Tables.documents(s, dir), "text", "source", merges = 8)
+          .orderBy("source"))
   )
+
+  /** Generated CTE chain shared by the BPE queries: words → seq0 →
+    * (syms/p/c/b/seq/n)×m — each round picks and applies one merge.
+    */
+  private def bpeOracleCtes(m: Int): String = {
+    val head =
+      """WITH words AS (
+        |  SELECT term AS word, count(*) AS freq
+        |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+        |        FROM documents)
+        |  GROUP BY 1),
+        |seq0 AS (SELECT word, freq,
+        |  '|' || array_to_string(string_split(word, ''), '||') || '|' AS seq
+        |  FROM words)""".stripMargin
+    val rounds = (1 to m).map { k =>
+      val p = k - 1
+      s"""syms$k AS (SELECT freq, string_split(trim(seq, '|'), '||') AS syms FROM seq$p),
+         |p$k AS (SELECT freq,
+         |  unnest(list_slice(syms, 1, len(syms)-1)) AS a,
+         |  unnest(list_slice(syms, 2, len(syms))) AS b FROM syms$k),
+         |c$k AS (SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt FROM p$k GROUP BY 1, 2),
+         |b$k AS (SELECT a, b, cnt FROM c$k ORDER BY cnt DESC, a, b LIMIT 1),
+         |seq$k AS (SELECT word, freq,
+         |  replace(seq, '|' || bk.a || '||' || bk.b || '|',
+         |               '|' || bk.a || bk.b || '|') AS seq
+         |  FROM seq$p CROSS JOIN b$k bk),
+         |n$k AS (SELECT CAST(sum(freq * len(string_split(trim(seq, '|'), '||')))
+         |  AS BIGINT) AS n_sym FROM seq$k)""".stripMargin
+    }.mkString(",\n")
+    s"$head,\n$rounds"
+  }
 }

@@ -34,4 +34,18 @@ class BpeSpec extends AnyFunSuite {
     // after merge: aaa -> [aa, a] (2 syms) x2 words + ab -> [a, b] (2) = 6
     assert(r.getAs[Long]("n_sym") == 6L)
   }
+
+  test("tokenCounts reports per-group whitespace vs BPE token totals") {
+    import spark.implicits._
+    // after 2 merges (lo, then low): low->1 sym, lower->3, lowest->4
+    val docs = Seq(
+      ("s1", "low low lower"), // 3 ws tokens -> 1+1+3 = 5 bpe
+      ("s2", "lowest low")) // 2 ws tokens -> 4+1 = 5 bpe
+      .toDF("source", "text")
+    val out = Bpe.tokenCounts(docs, "text", "source", merges = 2)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("ws_tokens"), r.getAs[Long]("bpe_tokens"))).toMap
+    assert(out("s1") == ((3L, 5L)), s"got ${out("s1")}")
+    assert(out("s2") == ((2L, 5L)), s"got ${out("s2")}")
+  }
 }
