@@ -3018,7 +3018,82 @@ object LlmQueries {
               |GROUP BY source ORDER BY source""".stripMargin),
       (s, dir) =>
         Bpe.tokenCounts(Tables.documents(s, dir), "text", "source", merges = 8)
-          .orderBy("source"))
+          .orderBy("source")),
+
+    // ---------------------------------------------------------------- CCNet perplexity terciles per language
+    QueryDef(
+      "q_l62_ppl_buckets", "LLM-ppl-buckets",
+      // CCNet-style head/middle/tail bucketing: score every doc with
+      // the self-trained unigram LM (q_l32's exact-decimal mean
+      // log-prob), then split EACH LANGUAGE at its own perplexity
+      // terciles — thresholds are exact nearest-rank order statistics
+      // ceil(n/3)/ceil(2n/3) from the two-level histogram selection
+      // (parallelism never collapses to the 5-language cardinality;
+      // the oracle is the sort-based formulation, q_a10b's contract),
+      // broadcast back for the bucket assignment. Doc+token counts
+      // per (lang, bucket) drive the mix a CCNet pipeline feeds
+      // downstream.
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+             |  FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+             |c AS (SELECT term, sum(tf) AS c FROM tf GROUP BY 1),
+             |tot AS (SELECT sum(c) AS t, count(*) AS v FROM c),
+             |per AS (SELECT tf.doc_id,
+             |    CAST(sum(CAST(round(tf.tf * ln((c.c + 1.0) / (tot.t + tot.v)), 9)
+             |                  AS DECIMAL(28,9))) AS DOUBLE) AS logp_sum,
+             |    sum(tf.tf) AS n_tokens
+             |  FROM tf JOIN c ON tf.term = c.term CROSS JOIN tot
+             |  GROUP BY tf.doc_id),
+             |scored AS (SELECT d.lang, p.doc_id,
+             |    CAST(round(p.logp_sum / p.n_tokens, 6) AS DECIMAL(18,6)) AS score,
+             |    p.n_tokens
+             |  FROM per p JOIN documents d ON d.doc_id = p.doc_id),
+             |rk AS (SELECT lang, score,
+             |    row_number() OVER (PARTITION BY lang ORDER BY score, doc_id) AS rn,
+             |    count(*) OVER (PARTITION BY lang) AS n
+             |  FROM scored),
+             |th AS (SELECT lang,
+             |    max(CASE WHEN rn = CAST(ceil((1.0/3) * n) AS BIGINT) THEN score END) AS q33,
+             |    max(CASE WHEN rn = CAST(ceil((2.0/3) * n) AS BIGINT) THEN score END) AS q66
+             |  FROM rk GROUP BY 1)
+             |SELECT s.lang,
+             |  CASE WHEN s.score > t.q66 THEN 'head'
+             |       WHEN s.score > t.q33 THEN 'middle'
+             |       ELSE 'tail' END AS bucket,
+             |  count(*) AS n_docs, CAST(sum(s.n_tokens) AS BIGINT) AS n_tokens
+             |FROM scored s JOIN th t ON s.lang = t.lang
+             |GROUP BY 1, 2 ORDER BY s.lang, bucket""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val tf = Retrieval.termFreqs(docs, "doc_id", "text")
+        val c = tf.groupBy("term").agg(sum(col("tf")).as("c"))
+        val tot = c.agg(sum(col("c")).as("t"), count(lit(1)).as("v"))
+        val contrib = col("tf") *
+          log((col("c") + lit(1.0)) / (col("t") + col("v")))
+        val per = tf
+          .join(broadcast(c), "term")
+          .crossJoin(broadcast(tot))
+          .groupBy("doc_id")
+          .agg(sum(round(contrib, 9).cast(DecimalType(28, 9))).cast("double")
+            .as("logp_sum"),
+            sum(col("tf")).as("n_tokens"))
+        val scored = per
+          .withColumn("score",
+            round(col("logp_sum") / col("n_tokens"), 6).cast(DecimalType(18, 6)))
+          .join(docs.select("doc_id", "lang"), "doc_id")
+          .localCheckpoint(false) // consumed by thresholds AND bucketing
+        val th = graft.operators.GroupedQuantiles.exactQuantiles(
+          scored, "lang", "score", Seq("q33" -> (1.0 / 3), "q66" -> (2.0 / 3)))
+        scored
+          .join(broadcast(th), "lang")
+          .withColumn("bucket",
+            when(col("score") > col("q66"), "head")
+              .when(col("score") > col("q33"), "middle")
+              .otherwise("tail"))
+          .groupBy("lang", "bucket")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+          .orderBy("lang", "bucket")
+      })
   )
 
   /** Generated CTE chain shared by the BPE queries: words → seq0 →
