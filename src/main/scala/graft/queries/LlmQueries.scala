@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.llm.{Bpe, Classifier, Corpus, Dedup, Multimodal, Retrieval, Similarity, Sketches, TextAnalysis}
+import graft.llm.{Bpe, Classifier, Corpus, Dedup, Multimodal, Pca, Retrieval, Similarity, Sketches, TextAnalysis}
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -3093,7 +3093,55 @@ object LlmQueries {
           .groupBy("lang", "bucket")
           .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
           .orderBy("lang", "bucket")
-      })
+      }),
+
+    // ---------------------------------------------------------------- distributed PCA: covariance + power iteration
+    QueryDef(
+      "q_l63_pca_power", "LLM-pca",
+      // top principal component of the embedding column: one corpus
+      // pass builds the 64×64 covariance (centered products rounded
+      // 10dp, summed as DECIMAL — the n·d² kernel of whitening), then
+      // 3 power steps from an md5 seed against the broadcast matrix,
+      // every float-accumulation point decimal-rounded so both engines
+      // walk bit-identical iterates (the q_l26 recipe). Sign fixed at
+      // loading(1) ≥ 0; lambda is ‖C·v‖ of the final step. Fixed step
+      // count IS the contract — production loops to tolerance.
+      Some {
+        val head =
+          """WITH v0 AS (SELECT j, CAST(('0x' || substr(md5('pc:' || j), 1, 16)) AS UBIGINT)
+            |    / 9223372036854775808.0 - 1.0 AS v
+            |  FROM generate_series(1, 64) g(j)),
+            |ve AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            |  FROM embeddings),
+            |x1 AS (SELECT vec_id, generate_subscripts(e, 1) AS j, unnest(e) AS x FROM ve),
+            |m AS (SELECT j, CAST(sum(CAST(x AS DECIMAL(25,10))) AS DOUBLE) / count(*) AS m
+            |  FROM x1 GROUP BY j),
+            |nn AS (SELECT count(*) AS n FROM embeddings),
+            |cx AS (SELECT vec_id, x1.j, x - m.m AS cx FROM x1 JOIN m ON x1.j = m.j),
+            |cov AS (SELECT a.j AS ci, b.j AS cj,
+            |    CAST(sum(CAST(round(a.cx * b.cx, 10) AS DECIMAL(28,10))) AS DOUBLE)
+            |      / (nn.n - 1) AS cov
+            |  FROM cx a JOIN cx b ON a.vec_id = b.vec_id CROSS JOIN nn
+            |  GROUP BY a.j, b.j, nn.n)""".stripMargin
+        val steps = (1 to 3).map { k =>
+          val p = if (k > 1) s"v${k - 1}" else "v0"
+          s"""u$k AS (SELECT c.ci AS j,
+             |    CAST(sum(CAST(round(c.cov * vp.v, 12) AS DECIMAL(28,12))) AS DOUBLE) AS u
+             |  FROM cov c JOIN $p vp ON c.cj = vp.j GROUP BY c.ci),
+             |nr$k AS (SELECT sqrt(CAST(sum(CAST(round(u*u, 12) AS DECIMAL(28,12)))
+             |  AS DOUBLE)) AS nrm FROM u$k),
+             |v$k AS (SELECT j, u / nr$k.nrm AS v FROM u$k CROSS JOIN nr$k)""".stripMargin
+        }.mkString(",\n")
+        s"""$head,
+           |$steps,
+           |sgn AS (SELECT CASE WHEN (SELECT v FROM v3 WHERE j = 1) < 0
+           |  THEN -1.0 ELSE 1.0 END AS sgn)
+           |SELECT j, round(v * sgn.sgn, 6) AS loading, round(nr3.nrm, 6) AS lambda
+           |FROM v3 CROSS JOIN sgn CROSS JOIN nr3 ORDER BY j""".stripMargin
+      },
+      (s, dir) =>
+        Pca.topComponent(Tables.embeddings(s, dir), "vec_id", "embedding",
+          dim = 64, iters = 3))
   )
 
   /** Generated CTE chain shared by the BPE queries: words → seq0 →
