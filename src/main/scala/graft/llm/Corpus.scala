@@ -314,4 +314,34 @@ object Corpus {
       .agg(count(lit(1)).as("n_tokens"), sum(col("__lr")).as("score"))
       .select(col("__id").as(idCol), col("n_tokens"), col("score"))
   }
+
+  /** Corpus data-contract checks, one row per check: structural
+    * integrity (empty text, metadata drift, key and content dups) plus
+    * policy thresholds (short docs, non-primary-language share) — the
+    * expectation suite a pipeline runs BEFORE spending compute on a
+    * drop. One aggregation pass; the two exact distinct counts are the
+    * contract's semantics (a 100 TB deployment would swap them for the
+    * HLL sketch family when ±2% suffices — see Sketches.hll).
+    */
+  def contractChecks(docs: DataFrame, shortBelow: Int, primaryLang: String): DataFrame =
+    docs
+      .agg(
+        count(lit(1)).as("n_checked"),
+        sum(when(col("text").isNull || trim(col("text")) === "", 1L).otherwise(0L))
+          .as("empty_text"),
+        sum(when(col("n_chars") =!= length(col("text")), 1L).otherwise(0L))
+          .as("chars_mismatch"),
+        (count(lit(1)) - countDistinct(col("doc_id"))).as("dup_doc_id"),
+        (count(lit(1)) - countDistinct(md5(col("text")))).as("dup_text"),
+        sum(when(col("n_chars") < shortBelow, 1L).otherwise(0L)).as("short_text"),
+        sum(when(col("lang") =!= primaryLang, 1L).otherwise(0L)).as("non_primary_lang"))
+      .select(
+        expr("""stack(6,
+          'chars_mismatch', chars_mismatch,
+          'dup_doc_id', dup_doc_id,
+          'dup_text', dup_text,
+          'empty_text', empty_text,
+          'non_primary_lang', non_primary_lang,
+          'short_text', short_text) as (check_name, n_violations)"""),
+        col("n_checked"))
 }

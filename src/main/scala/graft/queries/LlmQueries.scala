@@ -3141,7 +3141,40 @@ object LlmQueries {
       },
       (s, dir) =>
         Pca.topComponent(Tables.embeddings(s, dir), "vec_id", "embedding",
-          dim = 64, iters = 3))
+          dim = 64, iters = 3)),
+
+    // ---------------------------------------------------------------- corpus data-contract validator
+    QueryDef(
+      "q_l64_corpus_contract", "LLM-corpus-contract",
+      // the expectation suite run before any curation spend: four
+      // structural checks that must be zero on healthy data (empty
+      // text, n_chars drift vs the actual text, duplicate keys,
+      // duplicate content) and two policy meters that are non-zero by
+      // design (short docs under 150 chars, non-English share) — the
+      // zeros prove the data, the non-zeros prove the wiring. One
+      // aggregation pass, unpivoted to a row per check.
+      Some("""WITH a AS (SELECT count(*) AS n,
+             |  CAST(sum(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS empty_text,
+             |  CAST(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS chars_mismatch,
+             |  count(*) - count(DISTINCT doc_id) AS dup_doc_id,
+             |  count(*) - count(DISTINCT md5(text)) AS dup_text,
+             |  CAST(sum(CASE WHEN n_chars < 150 THEN 1 ELSE 0 END) AS BIGINT) AS short_text,
+             |  CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS non_primary_lang
+             |  FROM documents)
+             |SELECT c.check_name, c.n_violations, a.n AS n_checked FROM a,
+             |LATERAL (VALUES ('chars_mismatch', a.chars_mismatch),
+             |                ('dup_doc_id', a.dup_doc_id),
+             |                ('dup_text', a.dup_text),
+             |                ('empty_text', a.empty_text),
+             |                ('non_primary_lang', a.non_primary_lang),
+             |                ('short_text', a.short_text)) c(check_name, n_violations)
+             |ORDER BY c.check_name""".stripMargin),
+      (s, dir) =>
+        Corpus.contractChecks(Tables.documents(s, dir), shortBelow = 150, primaryLang = "en")
+          .orderBy("check_name"))
   )
 
   /** Generated CTE chain shared by the BPE queries: words → seq0 →
