@@ -1096,6 +1096,84 @@ object IoQueries {
           .orderBy("new_id")
       }),
 
+    // ---------------------------------------------------------------- ST: streaming quality gate (batch-trained model)
+    QueryDef(
+      "q_st16_stream_quality_gate", "ST LLM-quality-classifier",
+      // the other half of continuous curation (q_st15 dedups, this
+      // FILTERS): the NB quality classifier is trained ONCE on the
+      // standing corpus (doc_id % 5 <> 0, q_l59's seed sources) and
+      // pinned; each arriving micro-batch of new docs is scored
+      // against the broadcast model inside foreachBatch and its
+      // accept/reject decisions land in idempotent batch_id
+      // partitions. Decisions depend only on (doc, model) — never on
+      // batch boundaries — so the union equals the batch-mode scoring
+      // of the streamed slice and the exact-decimal oracle applies
+      // verbatim.
+      Some("""WITH tok AS (SELECT doc_id,
+             |    CAST(('0x' || substr(md5(term), 1, 6)) AS BIGINT) % 64 AS bucket
+             |  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+             |        FROM documents)),
+             |seed AS (SELECT doc_id,
+             |    CASE WHEN source IN ('src0','src1','src2','src3','src4')
+             |         THEN 1 ELSE 0 END AS label
+             |  FROM documents
+             |  WHERE doc_id % 5 <> 0
+             |    AND source IN ('src0','src1','src2','src3','src4',
+             |                   'src15','src16','src17','src18','src19')),
+             |counts AS (SELECT t.bucket, sum(s.label) AS n_pos_b,
+             |    sum(1 - s.label) AS n_neg_b
+             |  FROM tok t JOIN seed s ON t.doc_id = s.doc_id GROUP BY t.bucket),
+             |tot AS (SELECT sum(n_pos_b) AS n_pos, sum(n_neg_b) AS n_neg FROM counts),
+             |model AS (SELECT bucket,
+             |    CAST(round(ln((n_pos_b + 1.0) / (n_pos + 64.0))
+             |             - ln((n_neg_b + 1.0) / (n_neg + 64.0)), 12)
+             |         AS DECIMAL(28,12)) AS w
+             |  FROM counts CROSS JOIN tot),
+             |prior AS (SELECT CAST(round(ln((sum(label) + 1.0)
+             |    / (sum(1 - label) + 1.0)), 12) AS DECIMAL(28,12)) AS prior
+             |  FROM seed),
+             |scores AS (SELECT t.doc_id, sum(m.w) AS token_score
+             |  FROM tok t JOIN model m ON t.bucket = m.bucket GROUP BY t.doc_id)
+             |SELECT d.source, count(*) AS n_docs,
+             |  CAST(sum(CASE WHEN prior.prior + coalesce(s.token_score, 0) > 0
+             |           THEN 1 ELSE 0 END) AS BIGINT) AS n_accept
+             |FROM documents d CROSS JOIN prior
+             |LEFT JOIN scores s ON s.doc_id = d.doc_id
+             |WHERE d.doc_id % 5 = 0
+             |GROUP BY d.source ORDER BY d.source""".stripMargin),
+      (s, dir) => {
+        import graft.llm.Classifier
+        val watch = CdcStream.ensureStagedDocBatches(s, dir, nFiles = 4)
+        val docs = Tables.documents(s, dir)
+        val posSet = Seq("src0", "src1", "src2", "src3", "src4")
+        val negSet = Seq("src15", "src16", "src17", "src18", "src19")
+        val seed = docs
+          .filter(col("doc_id") % 5 =!= 0)
+          .filter(col("source").isin(posSet ++ negSet: _*))
+          .withColumn("label", col("source").isin(posSet: _*).cast("int"))
+        // trained once, pinned: every micro-batch reads the same model
+        val model = Classifier.nbTrain(seed, "text", "label", buckets = 64)
+          .localCheckpoint(false)
+        val prior = Classifier.nbPrior(seed, "label").localCheckpoint(false)
+        val stream = s.readStream
+          .schema(s.read.parquet(watch).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(watch)
+        val outDir = s"$TmpBase/q_st16_out"
+        CdcStream.runForeachBatchTransform(s, stream, outDir) { b =>
+          val scored = Classifier.nbScore(b, "doc_id", "text", model, prior, buckets = 64)
+          b.select(col("doc_id"), col("source"))
+            .join(scored.select(col("doc_id"), col("score")), Seq("doc_id"), "left")
+            .crossJoin(broadcast(prior)) // 1 row: prior-only fallback
+            .select(col("doc_id"), col("source"),
+              (coalesce(col("score"), col("prior")) > 0).as("accept"))
+        }
+        s.read.parquet(outDir)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum(col("accept").cast("long")).as("n_accept"))
+          .orderBy("source")
+      }),
+
     // ---------------------------------------------------------------- ST: streaming histogram quantile sketch
     QueryDef(
       "q_st14_stream_quantile", "ST A43 quantile sketch (bounded streaming state)",
