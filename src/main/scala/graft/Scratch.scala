@@ -361,7 +361,12 @@ object Scratch {
         // the codec family's heaviest (video walk + JPEG decode),
         // compaction, matryoshka
         "q_l51_dup_spans", "q_l55_contamination_matrix",
-        "q_m10_video_sample", "q_s23_compaction", "q_l54_matryoshka")
+        "q_m10_video_sample", "q_s23_compaction", "q_l54_matryoshka",
+        // round-10 wave 2: classifier, hybrid retrieval, BPE train +
+        // apply, perplexity terciles, PCA, perceptual image dedup
+        "q_l59_quality_classifier", "q_l60_rrf_fusion", "q_l61_bpe_train",
+        "q_l61b_bpe_apply", "q_l62_ppl_buckets", "q_l63_pca_power",
+        "q_m11_phash_dedup")
       val sfs = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
       Tables.lineitem(spark, sfs.last).write.format("noop").mode("overwrite").save()
       val results = names.map { name =>
