@@ -1796,6 +1796,72 @@ object RelationalQueries {
           .limit(20)
       }),
 
+    // ---------------------------------------------------------------- A44 (label-propagation communities)
+    QueryDef(
+      "q_a44_label_propagation", "A44 community detection (LPA)",
+      // SYNCHRONOUS label propagation (Raghavan et al. 2007) on the
+      // ≥5-shared-keys strong-tie graph: start every node at its own
+      // id, then 3 unrolled rounds of "adopt the most frequent
+      // neighbor label, ties to the smallest" — sync updates + the
+      // deterministic tie rule make LPA (normally run async with
+      // random order) exactly replayable. Each round is one
+      // key-partitioned join+count and a per-node argmax window over
+      // that node's DISTINCT neighbor labels (bounded by degree —
+      // partitions number in the node count, never collapsing to the
+      // community count). Output pins every assignment via id_sum.
+      Some("""WITH p AS (SELECT DISTINCT user_id AS u,
+             |    CAST(props->>'$.k' AS BIGINT) AS k
+             |  FROM events WHERE event_type = 'purchase'),
+             |e AS (SELECT a.u AS src, b.u AS dst
+             |      FROM p a JOIN p b ON a.k = b.k AND a.u <> b.u
+             |      GROUP BY 1, 2 HAVING count(*) >= 5),
+             |l0 AS (SELECT DISTINCT src AS u, src AS lbl FROM e),
+             |c1 AS (SELECT e.dst AS u, l.lbl, count(*) AS c
+             |  FROM e JOIN l0 l ON l.u = e.src GROUP BY 1, 2),
+             |l1 AS (SELECT u, lbl FROM (SELECT u, lbl,
+             |    row_number() OVER (PARTITION BY u ORDER BY c DESC, lbl) AS rn
+             |  FROM c1) WHERE rn = 1),
+             |c2 AS (SELECT e.dst AS u, l.lbl, count(*) AS c
+             |  FROM e JOIN l1 l ON l.u = e.src GROUP BY 1, 2),
+             |l2 AS (SELECT u, lbl FROM (SELECT u, lbl,
+             |    row_number() OVER (PARTITION BY u ORDER BY c DESC, lbl) AS rn
+             |  FROM c2) WHERE rn = 1),
+             |c3 AS (SELECT e.dst AS u, l.lbl, count(*) AS c
+             |  FROM e JOIN l2 l ON l.u = e.src GROUP BY 1, 2),
+             |l3 AS (SELECT u, lbl FROM (SELECT u, lbl,
+             |    row_number() OVER (PARTITION BY u ORDER BY c DESC, lbl) AS rn
+             |  FROM c3) WHERE rn = 1)
+             |SELECT lbl AS community, count(*) AS n_members,
+             |  CAST(sum(u) AS BIGINT) AS id_sum
+             |FROM l3 GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) => {
+        val p = Tables.events(s, dir)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id").as("u"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .distinct()
+        val e = p.select(col("u").as("src"), col("k"))
+          .join(p.select(col("u").as("dst"), col("k")), Seq("k"))
+          .filter(col("src") =!= col("dst"))
+          .groupBy("src", "dst").agg(count(lit(1)).as("__shared"))
+          .filter(col("__shared") >= 5)
+          .select("src", "dst")
+          .localCheckpoint(false) // consumed by init + all three rounds
+        val w = Window.partitionBy("u").orderBy(col("c").desc, col("lbl"))
+        def propagate(l: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+          e.join(l.select(col("u").as("src"), col("lbl")), Seq("src"))
+            .groupBy(col("dst").as("u"), col("lbl"))
+            .agg(count(lit(1)).as("c"))
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1)
+            .select("u", "lbl")
+        val l0 = e.select(col("src").as("u"), col("src").as("lbl")).distinct()
+        val l3 = propagate(propagate(propagate(l0)))
+        l3.groupBy(col("lbl").as("community"))
+          .agg(count(lit(1)).as("n_members"), sum(col("u")).as("id_sum"))
+          .orderBy("community")
+      }),
+
     // ---------------------------------------------------------------- A30 (triangle count / clustering coefficient)
     QueryDef(
       "q_a30_triangles", "A30 triangle counting",
