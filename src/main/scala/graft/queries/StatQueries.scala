@@ -631,6 +631,87 @@ object StatQueries {
           .orderBy("event_type")
       }),
 
+    // ---------------------------------------------------------------- A45 (HLL set algebra: intersection estimate)
+    QueryDef(
+      "q_a45_hll_set_algebra", "A45 HLL set algebra",
+      // the sketch-ALGEBRA step q_a37's counter enables: estimate
+      // |A ∩ B| (high-value purchasers ∩ high-value viewers) by
+      // inclusion-exclusion over three HLL estimates — A, B, and the
+      // union sketch, which is just the registers built over the
+      // unioned rows (register-wise max). No exact distinct over A∪B
+      // is ever computed at scale; the three 64-int states merge
+      // across partitions/days/streams. The estimate is compared to
+      // the exact intersection (the audit a sketch rollout runs at
+      // small scale). Same md5-determinized registers as q_a37, so
+      // the whole algebra replays in SQL.
+      Some("""WITH tag AS (
+             |  SELECT 'a' AS part, user_id FROM events
+             |    WHERE event_type = 'purchase' AND value > 100
+             |  UNION ALL SELECT 'b', user_id FROM events
+             |    WHERE event_type = 'view' AND value > 100
+             |  UNION ALL SELECT 'u', user_id FROM events
+             |    WHERE event_type IN ('purchase', 'view') AND value > 100),
+             |h AS (SELECT part,
+             |    CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+             |         AS UBIGINT) AS BIGINT) AS h
+             |  FROM tag),
+             |b AS (SELECT part, CAST(h >> 26 AS INT) AS idx, h & 67108863 AS rem
+             |      FROM h),
+             |r AS (SELECT part, idx,
+             |    max(CASE WHEN rem = 0 THEN 27 ELSE 27 - length(bin(rem)) END) AS m
+             |  FROM b GROUP BY 1, 2),
+             |g AS (SELECT pt.part, gs.i
+             |      FROM (SELECT DISTINCT part FROM tag) pt
+             |      CROSS JOIN generate_series(0, 63) gs(i)),
+             |reg AS (SELECT g.part, coalesce(r.m, 0) AS m
+             |        FROM g LEFT JOIN r ON r.part = g.part AND r.idx = g.i),
+             |z AS (SELECT part,
+             |    sum(1.0 / CAST(CAST(1 AS BIGINT) << m AS DOUBLE)) AS z,
+             |    count(*) FILTER (WHERE m = 0) AS v FROM reg GROUP BY 1),
+             |est AS (SELECT part, v,
+             |    (0.7213 / (1 + 1.079 / 64)) * 4096 / z AS e_raw FROM z),
+             |fin AS (SELECT part,
+             |    CASE WHEN e_raw <= 160.0 AND v > 0 THEN 64 * ln(64.0 / v)
+             |         ELSE e_raw END AS e FROM est),
+             |piv AS (SELECT max(CASE WHEN part = 'a' THEN e END) AS ea,
+             |    max(CASE WHEN part = 'b' THEN e END) AS eb,
+             |    max(CASE WHEN part = 'u' THEN e END) AS eu FROM fin),
+             |x AS (SELECT count(*) AS n_exact FROM (
+             |    SELECT DISTINCT user_id FROM events
+             |      WHERE event_type = 'purchase' AND value > 100
+             |    INTERSECT
+             |    SELECT DISTINCT user_id FROM events
+             |      WHERE event_type = 'view' AND value > 100) t)
+             |SELECT round(ea, 4) AS est_a, round(eb, 4) AS est_b,
+             |  round(eu, 4) AS est_union,
+             |  round(ea + eb - eu, 4) AS est_intersection, x.n_exact,
+             |  round(abs(round(ea + eb - eu, 4) - x.n_exact) / x.n_exact, 4) AS rel_err
+             |FROM piv CROSS JOIN x""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val a = ev.filter(col("event_type") === "purchase" && col("value") > 100)
+          .select(col("user_id"))
+        val bSet = ev.filter(col("event_type") === "view" && col("value") > 100)
+          .select(col("user_id"))
+        val tagged = a.select(lit("a").as("part"), col("user_id"))
+          .unionByName(bSet.select(lit("b").as("part"), col("user_id")))
+          .unionByName(a.unionByName(bSet).select(lit("u").as("part"), col("user_id")))
+        val piv = Sketches
+          .hllEstimate(Sketches.hllRegisters(tagged, Seq("part"), "user_id"), Seq("part"))
+          .agg(max(when(col("part") === "a", col("est_raw"))).as("ea"),
+            max(when(col("part") === "b", col("est_raw"))).as("eb"),
+            max(when(col("part") === "u", col("est_raw"))).as("eu"))
+        val x = a.distinct().join(bSet.distinct(), "user_id")
+          .agg(count(lit(1)).as("n_exact"))
+        piv.crossJoin(broadcast(x)) // 1 row: the exact audit count
+          .select(round(col("ea"), 4).as("est_a"), round(col("eb"), 4).as("est_b"),
+            round(col("eu"), 4).as("est_union"),
+            round(col("ea") + col("eb") - col("eu"), 4).as("est_intersection"),
+            col("n_exact"),
+            round(abs(round(col("ea") + col("eb") - col("eu"), 4) - col("n_exact"))
+              / col("n_exact"), 4).as("rel_err"))
+      }),
+
     // ---------------------------------------------------------------- A43 (mergeable histogram quantile sketch)
     QueryDef(
       "q_a43_quantile_sketch", "A43 mergeable quantile sketch A10",
