@@ -1174,6 +1174,67 @@ object IoQueries {
           .orderBy("source")
       }),
 
+    // ---------------------------------------------------------------- ST: streaming covariance state
+    QueryDef(
+      "q_st17_stream_covariance", "ST LLM-pca",
+      // the PCA kernel maintained AS STREAMING STATE: embeddings
+      // arrive in 4 micro-batches and the d² raw-moment cells
+      // (Σxᵢxⱼ, Σxᵢ, Σxⱼ, n as exact decimals) accumulate in a
+      // streaming aggregation whose state is BOUNDED at 4096 rows
+      // however much data flows — decimal addition is
+      // order-insensitive, so the finished cells are IDENTICAL to the
+      // batch build (q_st10's convergence argument, now for
+      // second-order moments). Finalize (cov = (Σxy − ΣxΣy/n)/(n−1),
+      // top-8 cells by |cov|) runs as a tiny batch step over the
+      // memory sink; the oracle is the batch closed form. Raw moments
+      // rather than q_l63's centered products because centering needs
+      // the final mean — the streaming-legal formulation is the
+      // mergeable one.
+      Some("""WITH ve AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+             |  FROM embeddings),
+             |x1 AS (SELECT vec_id, generate_subscripts(e, 1) AS j, unnest(e) AS x FROM ve),
+             |p2 AS (SELECT a.j AS ci, b.j AS cj, a.x AS xi, b.x AS xj
+             |  FROM x1 a JOIN x1 b ON a.vec_id = b.vec_id),
+             |cells AS (SELECT ci, cj,
+             |    CAST(sum(CAST(round(xi * xj, 10) AS DECIMAL(28,10))) AS DOUBLE) AS sxy,
+             |    CAST(sum(CAST(round(xi, 10) AS DECIMAL(28,10))) AS DOUBLE) AS sx,
+             |    CAST(sum(CAST(round(xj, 10) AS DECIMAL(28,10))) AS DOUBLE) AS sy,
+             |    count(*) AS n
+             |  FROM p2 GROUP BY 1, 2),
+             |cov AS (SELECT ci, cj, (sxy - sx * sy / n) / (n - 1) AS cov FROM cells)
+             |SELECT CAST(ci AS BIGINT) AS ci, CAST(cj AS BIGINT) AS cj,
+             |  round(cov, 8) AS cov
+             |FROM cov ORDER BY abs(cov) DESC, ci, cj LIMIT 8""".stripMargin),
+      (s, dir) => {
+        val name = "q_st17_mem"
+        val watch = CdcStream.ensureStagedEmbBatches(s, dir, nFiles = 4)
+        val stream = s.readStream
+          .schema(s.read.parquet(watch).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(watch)
+        val asD = graft.llm.Similarity.asDouble(col("embedding"))
+        val pairs = stream
+          .select(col("vec_id"), asD.as("e"))
+          .select(col("vec_id"), col("e"), posexplode(col("e")).as(Seq("i0", "xi")))
+          .select(col("i0"), col("xi"), posexplode(col("e")).as(Seq("j0", "xj")))
+          .select((col("i0") + 1).cast("long").as("ci"),
+            (col("j0") + 1).cast("long").as("cj"), col("xi"), col("xj"))
+        val cells = pairs
+          .groupBy("ci", "cj")
+          .agg(sum(round(col("xi") * col("xj"), 10).cast(DecimalType(28, 10))).as("sxyd"),
+            sum(round(col("xi"), 10).cast(DecimalType(28, 10))).as("sxd"),
+            sum(round(col("xj"), 10).cast(DecimalType(28, 10))).as("syd"),
+            count(lit(1)).as("n"))
+        CdcStream.runToMemory(s, cells, name)
+          .select(col("ci"), col("cj"),
+            ((col("sxyd").cast("double")
+              - col("sxd").cast("double") * col("syd").cast("double") / col("n"))
+              / (col("n") - 1)).as("cov"))
+          .select(col("ci"), col("cj"), round(col("cov"), 8).as("cov"))
+          .orderBy(abs(col("cov")).desc, col("ci"), col("cj"))
+          .limit(8)
+      }),
+
     // ---------------------------------------------------------------- ST: streaming histogram quantile sketch
     QueryDef(
       "q_st14_stream_quantile", "ST A43 quantile sketch (bounded streaming state)",

@@ -113,6 +113,40 @@ object CdcStream {
     watchDir
   }
 
+  /** Watch dir carrying the FULL embeddings table as `nFiles`
+    * range-partitioned files — the arrival stream for sketch-state
+    * convergence checks over the vector column (q_st17). Marker-
+    * guarded like `ensureStagedDocBatches`.
+    */
+  def ensureStagedEmbBatches(spark: SparkSession, dir: String, nFiles: Int = 4): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9]+", "_")
+    val watchDir = s"/root/repo/target/tmp/stream_emb_watch/$key"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val dstDir = new org.apache.hadoop.fs.Path(watchDir)
+    val fs = dstDir.getFileSystem(conf)
+    val marker = new org.apache.hadoop.fs.Path(dstDir, "_STAGED")
+    val srcFs = src.getFileSystem(conf)
+    val st = srcFs.getFileStatus(src)
+    val stamp = s"v1:$nFiles:${st.getModificationTime}:${st.getLen}"
+    val current =
+      if (!fs.exists(marker)) None
+      else {
+        val in = fs.open(marker)
+        try Some(new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8"))
+        finally in.close()
+      }
+    if (!current.contains(stamp)) {
+      if (fs.exists(dstDir)) fs.delete(dstDir, true)
+      graft.Tables.embeddings(spark, dir)
+        .repartitionByRange(nFiles, org.apache.spark.sql.functions.col("vec_id"))
+        .write.mode("overwrite").parquet(watchDir)
+      val out = fs.create(marker, true)
+      try out.write(stamp.getBytes("UTF-8")) finally out.close()
+    }
+    watchDir
+  }
+
   /** Watch dir with a sentinel event appended 10 days past max(ts)
     * (user −1): append-mode session_window only emits sessions the
     * watermark has passed, and a bounded stream's watermark stops at
