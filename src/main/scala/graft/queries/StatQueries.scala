@@ -712,6 +712,59 @@ object StatQueries {
               / col("n_exact"), 4).as("rel_err"))
       }),
 
+    // ---------------------------------------------------------------- A46 (winsorized robust moments)
+    QueryDef(
+      "q_a46_winsorized_stats", "A46 winsorized robust stats",
+      // robust per-type value moments: clip at the EXACT p05/p95
+      // nearest-rank order statistics (two-level histogram selection —
+      // thresholds broadcast back, no per-group sort window), then
+      // population mean/std over the clipped values via decimal raw
+      // moments (Σv, Σv² rounded per element — order-independent, so
+      // both engines agree exactly). The outlier-flagging complement
+      // of q_a32's MAD: A32 finds the tails, A46 reports moments with
+      // the tails neutralized.
+      Some("""WITH t AS (SELECT event_type, value,
+             |    row_number() OVER (PARTITION BY event_type
+             |      ORDER BY value, event_id) AS rn,
+             |    count(*) OVER (PARTITION BY event_type) AS n
+             |  FROM events),
+             |th AS (SELECT event_type,
+             |    max(CASE WHEN rn = CAST(ceil(0.05 * n) AS BIGINT) THEN value END) AS p05,
+             |    max(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT) THEN value END) AS p95
+             |  FROM t GROUP BY 1),
+             |w AS (SELECT e.event_type,
+             |    least(greatest(e.value, th.p05), th.p95) AS v
+             |  FROM events e JOIN th ON e.event_type = th.event_type),
+             |m AS (SELECT event_type, count(*) AS n,
+             |    CAST(sum(CAST(round(v, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sv,
+             |    CAST(sum(CAST(round(v * v, 6) AS DECIMAL(28,6))) AS DOUBLE) AS svv
+             |  FROM w GROUP BY 1)
+             |SELECT m.event_type, m.n, round(th.p05, 2) AS p05, round(th.p95, 2) AS p95,
+             |  round(m.sv / m.n, 6) AS wins_mean,
+             |  round(sqrt(m.svv / m.n - (m.sv / m.n) * (m.sv / m.n)), 6) AS wins_std
+             |FROM m JOIN th ON m.event_type = th.event_type
+             |ORDER BY m.event_type""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val th = graft.operators.GroupedQuantiles.exactQuantiles(
+          ev, "event_type", "value", Seq("p05" -> 0.05, "p95" -> 0.95))
+        val m = ev
+          .join(broadcast(th), "event_type")
+          .withColumn("v", least(greatest(col("value"), col("p05")), col("p95")))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("v"), 6).cast(DecimalType(28, 6))).cast("double").as("sv"),
+            sum(round(col("v") * col("v"), 6).cast(DecimalType(28, 6))).cast("double")
+              .as("svv"),
+            first(col("p05")).as("p05"), first(col("p95")).as("p95"))
+        m.select(col("event_type"), col("n"),
+            round(col("p05"), 2).as("p05"), round(col("p95"), 2).as("p95"),
+            round(col("sv") / col("n"), 6).as("wins_mean"),
+            round(sqrt(col("svv") / col("n")
+              - (col("sv") / col("n")) * (col("sv") / col("n"))), 6).as("wins_std"))
+          .orderBy("event_type")
+      }),
+
     // ---------------------------------------------------------------- A43 (mergeable histogram quantile sketch)
     QueryDef(
       "q_a43_quantile_sketch", "A43 mergeable quantile sketch A10",
