@@ -765,6 +765,63 @@ object StatQueries {
           .orderBy("event_type")
       }),
 
+    // ---------------------------------------------------------------- A47 (distribution drift: PSI)
+    QueryDef(
+      "q_a47_psi_drift", "A47 PSI distribution drift",
+      // the monitoring op every deployed pipeline runs: population
+      // stability index of each event type's value distribution
+      // against the 'view' reference — 10 equal-width bins on
+      // [0, 500), Laplace-smoothed shares (c+0.5)/(n+5), PSI =
+      // Σ (p−p_ref)·ln(p/p_ref). Per-bin terms come from exact
+      // integer counts (identical doubles both engines), rounded 10dp
+      // and summed as DECIMAL. PSI < 0.1 = stable; the click type's
+      // longer tail (max 490 vs view's 337) reads as real drift.
+      // Scale shape: one binning pass, 10-row-per-group grids,
+      // broadcast reference.
+      Some("""WITH b AS (SELECT event_type,
+             |    least(9, greatest(0, CAST(floor(value / 50.0) AS INT))) AS bin
+             |  FROM events),
+             |c AS (SELECT event_type, bin, count(*) AS c FROM b GROUP BY 1, 2),
+             |n AS (SELECT event_type, sum(c) AS n FROM c GROUP BY 1),
+             |grid AS (SELECT n.event_type, gs.i AS bin, n.n,
+             |    coalesce(c.c, 0) AS c
+             |  FROM n CROSS JOIN generate_series(0, 9) gs(i)
+             |  LEFT JOIN c ON c.event_type = n.event_type AND c.bin = gs.i),
+             |p AS (SELECT event_type, bin, (c + 0.5) / (n + 5.0) AS p FROM grid),
+             |ref AS (SELECT bin, p AS pr FROM p WHERE event_type = 'view'),
+             |terms AS (SELECT p.event_type, p.bin,
+             |    CAST(round((p.p - ref.pr) * ln(p.p / ref.pr), 10)
+             |         AS DECIMAL(28,10)) AS t
+             |  FROM p JOIN ref ON p.bin = ref.bin
+             |  WHERE p.event_type <> 'view')
+             |SELECT event_type, round(CAST(sum(t) AS DOUBLE), 6) AS psi
+             |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val c = ev
+          .select(col("event_type"),
+            least(lit(9), greatest(lit(0), floor(col("value") / 50.0).cast("int")))
+              .as("bin"))
+          .groupBy("event_type", "bin").agg(count(lit(1)).as("c"))
+        val n = c.groupBy("event_type").agg(sum(col("c")).as("n"))
+        val grid = n
+          .select(col("event_type"), col("n"),
+            explode(sequence(lit(0), lit(9))).as("bin"))
+          .join(c, Seq("event_type", "bin"), "left")
+          .select(col("event_type"), col("bin"),
+            ((coalesce(col("c"), lit(0L)) + 0.5) / (col("n") + 5.0)).as("p"))
+        val ref = grid.filter(col("event_type") === "view")
+          .select(col("bin"), col("p").as("pr"))
+        grid.filter(col("event_type") =!= "view")
+          .join(broadcast(ref), "bin")
+          .select(col("event_type"),
+            round((col("p") - col("pr")) * log(col("p") / col("pr")), 10)
+              .cast(DecimalType(28, 10)).as("t"))
+          .groupBy("event_type")
+          .agg(round(sum(col("t")).cast("double"), 6).as("psi"))
+          .orderBy("event_type")
+      }),
+
     // ---------------------------------------------------------------- A43 (mergeable histogram quantile sketch)
     QueryDef(
       "q_a43_quantile_sketch", "A43 mergeable quantile sketch A10",
