@@ -41,16 +41,21 @@ object Pca {
     * and lambda = ‖C·v‖ of the final step (the Rayleigh estimate of
     * the top eigenvalue once iterates align).
     */
-  def topComponent(
-      emb: DataFrame, idCol: String, embCol: String, dim: Int, iters: Int): DataFrame = {
-    require(iters >= 1)
-    val spark = emb.sparkSession
-    // a single parquet file arrives as ONE partition and every op
-    // below the scan is narrow or vec_id-keyed, so parallelism must be
-    // set HERE or the whole n·d² covariance pass serializes into one
-    // task (measured: 9.3 s wall ≈ 9.5 cpu-sec, parallelism 1). The
-    // explicit vec_id range exchange both spreads the scan 32-way and
-    // co-partitions the self-join below — no further exchange follows.
+  /** d×d covariance cells (ci, cj, cov), one corpus pass.
+    *
+    * A single parquet file arrives as ONE partition and every op here
+    * is narrow or vec_id-keyed, so parallelism must be set explicitly
+    * or the whole n·d² pass serializes into one task (measured: 9.3 s
+    * wall ≈ 9.5 cpu-sec, parallelism 1). The explicit vec_id exchange
+    * both spreads the scan 32-way and co-partitions the self-join —
+    * no further exchange follows it (PlanSpec pins this shape).
+    */
+  def covariance(
+      emb: DataFrame, idCol: String, embCol: String,
+      // pin=false keeps the centered frame's lineage visible so
+      // PlanSpec can assert the exchange shape; production callers
+      // leave the checkpoint on (the frame feeds both join sides)
+      pin: Boolean = true): DataFrame = {
     val x1 = emb
       .select(col(idCol).as("vec_id"),
         posexplode(Similarity.asDouble(col(embCol))).as(Seq("j0", "x")))
@@ -59,11 +64,11 @@ object Pca {
     val m = x1.groupBy("j")
       .agg((sum(col("x").cast(DecimalType(25, 10))).cast("double") / count(lit(1))).as("m"))
     val nFrame = emb.agg(count(lit(1)).as("n"))
-    val cx = x1
+    val cx0 = x1
       .join(broadcast(m), "j")
       .select(col("vec_id"), col("j"), (col("x") - col("m")).as("cx"))
-      .localCheckpoint(false) // both sides of the covariance self-join
-    val cov = cx.as("a")
+    val cx = if (pin) cx0.localCheckpoint(false) else cx0
+    cx.as("a")
       .join(cx.as("b"), "vec_id") // co-partitioned: d scalar pairs per key side
       .select(col("a.j").as("ci"), col("b.j").as("cj"),
         round(col("a.cx") * col("b.cx"), 10).cast(DecimalType(28, 10)).as("p"))
@@ -72,6 +77,13 @@ object Pca {
       .crossJoin(broadcast(nFrame)) // 1 row: corpus size
       .select(col("ci"), col("cj"),
         (col("sp").cast("double") / (col("n") - 1)).as("cov"))
+  }
+
+  def topComponent(
+      emb: DataFrame, idCol: String, embCol: String, dim: Int, iters: Int): DataFrame = {
+    require(iters >= 1)
+    val spark = emb.sparkSession
+    val cov = covariance(emb, idCol, embCol)
       .localCheckpoint(false) // read once per power step
     import spark.implicits._
     var v = (1 to dim).map(j => (j.toLong, pcInit(j))).toDF("j", "v")

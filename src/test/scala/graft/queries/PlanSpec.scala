@@ -318,4 +318,35 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"chunkDocs must not shuffle:\n$p")
     assert(p.contains("Generate explode"), s"chunk ids must come from a generator:\n$p")
   }
+
+  test("NB classifier: the model rides broadcasts, never a fact-side shuffle join") {
+    val p = queryPlan("q_l59_quality_classifier")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("hybrid retrieval: both ranking windows are keyed by query, no cartesian") {
+    val p = queryPlan("q_l60_rrf_fusion")
+    assert(!p.contains("CartesianProduct"),
+      s"only the dense scorer's broadcast NL join is allowed, not a cartesian:\n$p")
+    // every window in the fused plan partitions by query_id — a global
+    // window here would serialize the whole candidate set
+    assert(p.contains("windowspecdefinition(query_id"),
+      s"rank windows must be query-keyed:\n$p")
+  }
+
+  test("PCA covariance: explicit 32-way vec_id exchange, self-join co-partitioned") {
+    val cov = graft.llm.Pca.covariance(
+      graft.Tables.embeddings(spark, sf), "vec_id", "embedding", pin = false)
+    val p = plan(cov)
+    assert("hashpartitioning\\(vec_id#\\d+L?, 32\\)".r.findFirstIn(p).isDefined,
+      s"covariance must repartition 32-way by vec_id (single-file scans arrive 1-way):\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("perceptual dHash dedup: banded pairing is an equi-join, never all-pairs") {
+    val p = queryPlan("q_m11_phash_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"band join must stay an equi-join:\n$p")
+  }
 }
