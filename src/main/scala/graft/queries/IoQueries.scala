@@ -1213,7 +1213,12 @@ object IoQueries {
           .option("maxFilesPerTrigger", 1)
           .parquet(watch)
         val asD = graft.llm.Similarity.asDouble(col("embedding"))
+        // one file per trigger = ONE input partition per micro-batch;
+        // without this stateless shuffle the batch's d²-explode and
+        // partial aggregation serialize into a single task (measured
+        // 37 s for the 4-batch run → 6 s at 32-way)
         val pairs = stream
+          .repartition(32, col("vec_id"))
           .select(col("vec_id"), asD.as("e"))
           .select(col("vec_id"), col("e"), posexplode(col("e")).as(Seq("i0", "xi")))
           .select(col("i0"), col("xi"), posexplode(col("e")).as(Seq("j0", "xj")))
