@@ -366,7 +366,10 @@ object Scratch {
         // apply, perplexity terciles, PCA, perceptual image dedup
         "q_l59_quality_classifier", "q_l60_rrf_fusion", "q_l61_bpe_train",
         "q_l61b_bpe_apply", "q_l62_ppl_buckets", "q_l63_pca_power",
-        "q_m11_phash_dedup")
+        "q_m11_phash_dedup",
+        // wave-3: LPA, winsorize, PSI, streaming covariance
+        "q_a44_label_propagation", "q_a46_winsorized_stats",
+        "q_a47_psi_drift", "q_st17_stream_covariance")
       val sfs = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
       Tables.lineitem(spark, sfs.last).write.format("noop").mode("overwrite").save()
       val results = names.map { name =>
