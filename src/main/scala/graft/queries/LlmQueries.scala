@@ -3175,6 +3175,82 @@ object LlmQueries {
       (s, dir) =>
         Corpus.contractChecks(Tables.documents(s, dir), shortBelow = 150, primaryLang = "en")
           .orderBy("check_name"))
+        ,
+
+    // ---------------------------------------------------------------- cross-modal contract: docs <-> embeddings
+    QueryDef(
+      "q_l65_modal_contract", "LLM-modal-contract",
+      // q_l64's sibling for the vector modality, plus the referential
+      // contract BETWEEN modalities: every doc must have its
+      // embedding row and vice versa (left_anti both ways), vectors
+      // must be 64-dim, NaN-free, non-zero (order-free exists/forall
+      // forms — never a float sum), labels in range; the peaked-vector
+      // meter (max |x| > 0.3) is the non-zero row proving the wiring.
+      // Anti-joins are the scale path for referential checks — never
+      // a distinct-collect.
+      Some("""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+             |v AS (SELECT count(*) AS n_emb,
+             |  CAST(sum(CASE WHEN len(embedding) <> 64 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS wrong_dim,
+             |  CAST(sum(CASE WHEN len(list_filter(embedding, x -> isnan(x))) > 0
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS nan_component,
+             |  CAST(sum(CASE WHEN len(list_filter(embedding, x -> x <> 0)) = 0
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS zero_vector,
+             |  CAST(sum(CASE WHEN list_max(list_transform(embedding,
+             |    x -> abs(CAST(x AS DOUBLE)))) > 0.3 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS peaked_vector,
+             |  CAST(sum(CASE WHEN label IS NULL OR label < 0 OR label > 9
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS label_out_of_range
+             | FROM e),
+             |d1 AS (SELECT count(*) AS nv FROM documents d
+             |  LEFT JOIN e ON d.doc_id = e.vec_id WHERE e.vec_id IS NULL),
+             |d2 AS (SELECT count(*) AS nv FROM e
+             |  LEFT JOIN documents d ON d.doc_id = e.vec_id WHERE d.doc_id IS NULL),
+             |nd AS (SELECT count(*) AS n FROM documents)
+             |SELECT * FROM (
+             |  SELECT 'docs_without_embedding' AS check_name, d1.nv AS n_violations,
+             |    nd.n AS n_checked FROM d1, nd
+             |  UNION ALL SELECT 'embeddings_without_doc', d2.nv, v.n_emb FROM d2, v
+             |  UNION ALL SELECT 'wrong_dim', wrong_dim, n_emb FROM v
+             |  UNION ALL SELECT 'nan_component', nan_component, n_emb FROM v
+             |  UNION ALL SELECT 'zero_vector', zero_vector, n_emb FROM v
+             |  UNION ALL SELECT 'peaked_vector', peaked_vector, n_emb FROM v
+             |  UNION ALL SELECT 'label_out_of_range', label_out_of_range, n_emb FROM v
+             |) t ORDER BY check_name""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"))
+        val emb = Tables.embeddings(s, dir)
+        val e = emb.select(col("vec_id"), col("label"),
+          graft.llm.Similarity.asDouble(col("embedding")).as("e"))
+        val v = e.agg(
+          count(lit(1)).as("n_emb"),
+          sum(when(size(col("e")) =!= 64, 1L).otherwise(0L)).as("wrong_dim"),
+          sum(when(exists(col("e"), x => isnan(x)), 1L).otherwise(0L)).as("nan_component"),
+          sum(when(!exists(col("e"), x => x =!= 0.0), 1L).otherwise(0L)).as("zero_vector"),
+          sum(when(array_max(transform(col("e"), x => abs(x))) > 0.3, 1L).otherwise(0L))
+            .as("peaked_vector"),
+          sum(when(col("label").isNull || col("label") < 0 || col("label") > 9, 1L)
+            .otherwise(0L)).as("label_out_of_range"))
+        val d1 = docs.join(e.select(col("vec_id")), col("doc_id") === col("vec_id"),
+            "left_anti").agg(count(lit(1)).as("nv"))
+          .crossJoin(broadcast(docs.agg(count(lit(1)).as("n"))))
+          .select(lit("docs_without_embedding").as("check_name"),
+            col("nv").as("n_violations"), col("n").as("n_checked"))
+        val d2 = e.select(col("vec_id")).join(docs, col("doc_id") === col("vec_id"),
+            "left_anti").agg(count(lit(1)).as("nv"))
+          .crossJoin(broadcast(v.select(col("n_emb"))))
+          .select(lit("embeddings_without_doc").as("check_name"),
+            col("nv").as("n_violations"), col("n_emb").as("n_checked"))
+        val vRows = v.select(
+          expr("""stack(5,
+            'wrong_dim', wrong_dim,
+            'nan_component', nan_component,
+            'zero_vector', zero_vector,
+            'peaked_vector', peaked_vector,
+            'label_out_of_range', label_out_of_range) as (check_name, n_violations)"""),
+          col("n_emb").as("n_checked"))
+        d1.unionByName(d2).unionByName(vRows).orderBy("check_name")
+      })
   )
 
   /** Generated CTE chain shared by the BPE queries: words → seq0 →
