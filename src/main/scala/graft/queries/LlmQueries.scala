@@ -3250,6 +3250,61 @@ object LlmQueries {
             'label_out_of_range', label_out_of_range) as (check_name, n_violations)"""),
           col("n_emb").as("n_checked"))
         d1.unionByName(d2).unionByName(vRows).orderBy("check_name")
+      }),
+
+    // ---------------------------------------------------------------- Zipf-law fit per source
+    QueryDef(
+      "q_l66_zipf_fit", "LLM-zipf-fit",
+      // corpus-linguistics diagnostic: OLS of ln(freq) on ln(rank) per
+      // source — natural text slopes ≈ −1 (Zipf); a near-flat slope
+      // flags TEMPLATED/SYNTHETIC text (which this fixture corpus
+      // honestly is). Ranks are per-source windows bounded by the
+      // VOCABULARY (≤ |vocab| rows per partition however big the
+      // corpus — the token counting upstream is the corpus-sized
+      // work). OLS moment sums are 12dp-DECIMAL; the slope division
+      // runs once on exact operands.
+      Some("""WITH tok AS (SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS term
+             |  FROM documents),
+             |tf AS (SELECT source, term, count(*) AS f FROM tok GROUP BY 1, 2),
+             |rk AS (SELECT source, term, f,
+             |    row_number() OVER (PARTITION BY source ORDER BY f DESC, term) AS r
+             |  FROM tf),
+             |pts AS (SELECT source, ln(CAST(r AS DOUBLE)) AS x, ln(CAST(f AS DOUBLE)) AS y
+             |  FROM rk),
+             |m AS (SELECT source, count(*) AS n,
+             |    CAST(sum(CAST(round(x, 12) AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+             |    CAST(sum(CAST(round(y, 12) AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+             |    CAST(sum(CAST(round(x * y, 12) AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
+             |    CAST(sum(CAST(round(x * x, 12) AS DECIMAL(28,12))) AS DOUBLE) AS sxx
+             |  FROM pts GROUP BY 1)
+             |SELECT source, n AS n_terms,
+             |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+             |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+             |    AS intercept
+             |FROM m ORDER BY source""".stripMargin),
+      (s, dir) => {
+        val tf = Tables.documents(s, dir)
+          .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+          .groupBy("source", "term").agg(count(lit(1)).as("f"))
+        val w = Window.partitionBy("source").orderBy(col("f").desc, col("term"))
+        val pts = tf
+          .withColumn("r", row_number().over(w))
+          .select(col("source"),
+            log(col("r").cast("double")).as("x"), log(col("f").cast("double")).as("y"))
+        val m = pts.groupBy("source").agg(
+          count(lit(1)).as("n"),
+          sum(round(col("x"), 12).cast(DecimalType(28, 12))).cast("double").as("sx"),
+          sum(round(col("y"), 12).cast(DecimalType(28, 12))).cast("double").as("sy"),
+          sum(round(col("x") * col("y"), 12).cast(DecimalType(28, 12))).cast("double")
+            .as("sxy"),
+          sum(round(col("x") * col("x"), 12).cast(DecimalType(28, 12))).cast("double")
+            .as("sxx"))
+        val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))
+        m.select(col("source"), col("n").as("n_terms"),
+            round(slope, 6).as("slope"),
+            round((col("sy") - slope * col("sx")) / col("n"), 6).as("intercept"))
+          .orderBy("source")
       })
   )
 
