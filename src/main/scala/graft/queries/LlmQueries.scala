@@ -3305,6 +3305,94 @@ object LlmQueries {
             round(slope, 6).as("slope"),
             round((col("sy") - slope * col("sx")) / col("n"), 6).as("intercept"))
           .orderBy("source")
+      }),
+
+    // ---------------------------------------------------------------- ANN quality: nDCG@10 of multi-probe LSH
+    QueryDef(
+      "q_l67_ndcg_eval", "LLM-ann-eval",
+      // the IR-evaluation op an ANN rollout gates on: nDCG@10 of the
+      // multi-probe LSH ranking against exact-cosine ground truth
+      // (graded relevance 11−exact_rank for the true top-10, else 0).
+      // Everything is deterministic — md5 planes, rounded-score ranks,
+      // id tie-breaks — so the METRIC itself is oracle-checkable, not
+      // just sampled. DCG terms rel/log2(rank+1) are doubles from
+      // exact integers, rounded 12dp and summed as DECIMAL; IDCG is
+      // the same decimal build over the ideal ranking. Scale shape:
+      // both rankers are key-partitioned bucket/window work; the
+      // evaluation join is per-(query, neighbor).
+      Some("""WITH planes AS (
+             |  SELECT i, j, CAST(('0x' || substr(md5(i || ':' || j), 1, 16)) AS UBIGINT)
+             |               / 9223372036854775808.0 - 1.0 AS w
+             |  FROM generate_series(0, 3) a(i) CROSS JOIN generate_series(0, 63) b(j)),
+             |pl AS (SELECT i, list(w ORDER BY j) AS pw FROM planes GROUP BY i),
+             |dots AS (SELECT e.vec_id, pl.i,
+             |           list_inner_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+             |                              pl.pw) AS d
+             |         FROM embeddings e CROSS JOIN pl),
+             |vb AS (SELECT vec_id,
+             |         bit_or(CASE WHEN d > 0 THEN (1::UBIGINT << i) ELSE 0::UBIGINT END) AS bucket
+             |       FROM dots GROUP BY vec_id),
+             |v AS (SELECT e.vec_id, list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS e,
+             |             vb.bucket
+             |      FROM embeddings e JOIN vb ON vb.vec_id = e.vec_id),
+             |sys AS (SELECT query_id, neighbor_id, rank FROM (
+             |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |         round(list_inner_product(q.e, c.e) /
+             |               (sqrt(list_inner_product(q.e, q.e))
+             |                * sqrt(list_inner_product(c.e, c.e))), 3) AS score,
+             |         row_number() OVER (PARTITION BY q.vec_id
+             |           ORDER BY round(list_inner_product(q.e, c.e) /
+             |               (sqrt(list_inner_product(q.e, q.e))
+             |                * sqrt(list_inner_product(c.e, c.e))), 3) DESC, c.vec_id)
+             |           AS rank
+             |  FROM v q JOIN v c
+             |    ON bit_count(xor(q.bucket, c.bucket)) <= 1
+             |   AND q.vec_id < 20 AND q.vec_id <> c.vec_id) t WHERE rank <= 10),
+             |truth AS (SELECT query_id, neighbor_id, 11 - rank AS rel FROM (
+             |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |         row_number() OVER (PARTITION BY q.vec_id
+             |           ORDER BY round(list_inner_product(q.e, c.e) /
+             |               (sqrt(list_inner_product(q.e, q.e))
+             |                * sqrt(list_inner_product(c.e, c.e))), 3) DESC, c.vec_id)
+             |           AS rank
+             |  FROM v q JOIN v c ON q.vec_id < 20 AND q.vec_id <> c.vec_id) t
+             |  WHERE rank <= 10),
+             |dcg AS (SELECT s.query_id,
+             |    sum(CAST(round(coalesce(tr.rel, 0) / log2(s.rank + 1.0), 12)
+             |        AS DECIMAL(28,12))) AS dcg,
+             |    CAST(sum(CASE WHEN tr.rel IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_hits
+             |  FROM sys s LEFT JOIN truth tr
+             |    ON tr.query_id = s.query_id AND tr.neighbor_id = s.neighbor_id
+             |  GROUP BY s.query_id),
+             |idcg AS (SELECT sum(CAST(round((11 - i) / log2(i + 1.0), 12)
+             |    AS DECIMAL(28,12))) AS idcg
+             |  FROM generate_series(1, 10) g(i))
+             |SELECT query_id, n_hits,
+             |  round(CAST(dcg AS DOUBLE) / CAST(idcg.idcg AS DOUBLE), 6) AS ndcg
+             |FROM dcg CROSS JOIN idcg ORDER BY query_id""".stripMargin),
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val qs = emb.filter(col("vec_id") < 20)
+        val truth = Similarity
+          .bruteForceTopK(qs, emb, "vec_id", "embedding", k = 10, scale = 3)
+          .select(col("query_id"), col("neighbor_id"), (lit(11) - col("rank")).as("rel"))
+        val sys = Similarity
+          .lshTopKMultiProbe(qs, emb, "vec_id", "embedding", k = 10, nPlanes = 4)
+        val dcg = sys
+          .join(truth, Seq("query_id", "neighbor_id"), "left")
+          .groupBy("query_id")
+          .agg(
+            sum(round(coalesce(col("rel"), lit(0)).cast("double")
+              / log2(col("rank") + lit(1.0)), 12).cast(DecimalType(28, 12))).as("dcg"),
+            sum(when(col("rel").isNotNull, 1L).otherwise(0L)).as("n_hits"))
+        val idcg = s.range(1, 11)
+          .agg(sum(round((lit(11) - col("id")).cast("double")
+            / log2(col("id") + lit(1.0)), 12).cast(DecimalType(28, 12))).as("idcg"))
+        dcg.crossJoin(broadcast(idcg)) // 1 row: the ideal-ranking constant
+          .select(col("query_id"), col("n_hits"),
+            round(col("dcg").cast("double") / col("idcg").cast("double"), 6).as("ndcg"))
+          .orderBy("query_id")
       })
   )
 
