@@ -822,6 +822,85 @@ object StatQueries {
           .orderBy("event_type")
       }),
 
+    // ---------------------------------------------------------------- A48 (Kaplan-Meier survival)
+    QueryDef(
+      "q_a48_survival_km", "A48 Kaplan-Meier survival",
+      // time-to-event analysis: days from each user's first signup to
+      // first subsequent purchase, censored at a 7-day observation
+      // window — the Kaplan-Meier estimator S(d) = Π (1 − e/r) with
+      // real censored mass (users converting later never enter the
+      // event counts but leave the risk set only at the cutoff).
+      // Per-day factors come from exact integer (events, at-risk)
+      // counts; ln terms are rounded 12dp and cumulated as DECIMAL
+      // over the DAY axis (a bounded time-grid window, never
+      // row-scale); risk-set exhaustion (e = r) pins survival to an
+      // exact 0 instead of ln(0). Scale shape: two per-user aggregates
+      // + an 8-row grid.
+      Some("""WITH t0 AS (SELECT user_id, min(ts) AS t0 FROM events
+             |  WHERE event_type = 'signup' GROUP BY 1),
+             |te AS (SELECT t0.user_id, min(e.ts) AS te FROM t0
+             |  JOIN events e ON e.user_id = t0.user_id
+             |    AND e.event_type = 'purchase' AND e.ts >= t0.t0 GROUP BY 1),
+             |dur AS (SELECT t0.user_id,
+             |    CASE WHEN te.te IS NOT NULL AND datediff('day', t0.t0, te.te) <= 7
+             |         THEN datediff('day', t0.t0, te.te) END AS d_event
+             |  FROM t0 LEFT JOIN te USING (user_id)),
+             |days AS (SELECT unnest(generate_series(0, 7)) AS day),
+             |e AS (SELECT day, count(d.user_id) AS ev
+             |  FROM days LEFT JOIN dur d ON d.d_event = days.day GROUP BY day),
+             |tot AS (SELECT count(*) AS n FROM dur),
+             |r AS (SELECT e.day, e.ev,
+             |    tot.n - coalesce(sum(e.ev) OVER (ORDER BY e.day
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS at_risk
+             |  FROM e CROSS JOIN tot),
+             |km AS (SELECT day, ev, at_risk,
+             |    CAST(sum(CASE WHEN at_risk > ev
+             |        THEN CAST(round(ln(1.0 - CAST(ev AS DOUBLE) / at_risk), 12)
+             |             AS DECIMAL(28,12))
+             |        ELSE CAST(0 AS DECIMAL(28,12)) END)
+             |      OVER (ORDER BY day) AS DOUBLE) AS lnsum,
+             |    max(CASE WHEN ev = at_risk AND ev > 0 THEN 1 ELSE 0 END)
+             |      OVER (ORDER BY day) AS dead
+             |  FROM r)
+             |SELECT day, ev AS n_events, CAST(at_risk AS BIGINT) AS n_at_risk,
+             |  CASE WHEN dead = 1 THEN 0.0 ELSE round(exp(lnsum), 6) END AS survival
+             |FROM km ORDER BY day""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val t0 = ev.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min(col("ts")).as("t0"))
+        val te = t0.join(ev.filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts")), Seq("user_id"))
+          .filter(col("ts") >= col("t0"))
+          .groupBy("user_id").agg(min(col("ts")).as("te"))
+        val dur = t0.join(te, Seq("user_id"), "left")
+          .select(col("user_id"),
+            when(col("te").isNotNull && datediff(col("te"), col("t0")) <= 7,
+              datediff(col("te"), col("t0"))).as("d_event"))
+        val days = s.range(0, 8).select(col("id").cast("int").as("day"))
+        val e = days.join(dur, col("d_event") === col("day"), "left")
+          .groupBy("day").agg(count(col("user_id")).as("ev"))
+        val tot = dur.agg(count(lit(1)).as("n"))
+        val wPrev = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+        val wCum = Window.orderBy("day")
+        val r = e.crossJoin(broadcast(tot)) // 1 row: cohort size
+          .withColumn("at_risk",
+            col("n") - coalesce(sum(col("ev")).over(wPrev), lit(0L)))
+        r.withColumn("lnsum",
+            sum(when(col("at_risk") > col("ev"),
+              round(log(lit(1.0) - col("ev").cast("double") / col("at_risk")), 12)
+                .cast(DecimalType(28, 12)))
+              .otherwise(lit(0).cast(DecimalType(28, 12)))).over(wCum).cast("double"))
+          .withColumn("dead",
+            max(when(col("ev") === col("at_risk") && col("ev") > 0, 1).otherwise(0))
+              .over(wCum))
+          .select(col("day"), col("ev").as("n_events"),
+            col("at_risk").cast("long").as("n_at_risk"),
+            when(col("dead") === 1, 0.0).otherwise(round(exp(col("lnsum")), 6))
+              .as("survival"))
+          .orderBy("day")
+      }),
+
     // ---------------------------------------------------------------- A43 (mergeable histogram quantile sketch)
     QueryDef(
       "q_a43_quantile_sketch", "A43 mergeable quantile sketch A10",
