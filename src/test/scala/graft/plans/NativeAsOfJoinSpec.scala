@@ -177,4 +177,23 @@ class NativeAsOfJoinSpec extends AnyFunSuite {
       assert(!plan.contains("Sort ["), s"no sort on either side:\n$plan")
     }
   }
+
+  test("mismatched key types fail eagerly at the API, never silently mis-join") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // int key vs long key: UnsafeRow binary equality over different
+    // widths would read garbage — the API must refuse up front
+    val left = Seq((1, t("2024-01-01 10:00:00"))).toDF("k", "ts")
+    val right = Seq((1L, t("2024-01-01 09:00:00"), "x")).toDF("k", "ts", "v")
+    val e = intercept[IllegalArgumentException] {
+      NativeAsOfJoin.joinAsOfBackward(left, right, Seq("k"), "ts", "ts", Seq("v"))
+    }
+    assert(e.getMessage.contains("key types must match"), e.getMessage)
+    // timestamp-type mismatch is refused the same way
+    val rightBadTs = Seq((1, "2024-01-01", "x")).toDF("k", "ts", "v")
+    val e2 = intercept[IllegalArgumentException] {
+      NativeAsOfJoin.joinAsOfBackward(left, rightBadTs, Seq("k"), "ts", "ts", Seq("v"))
+    }
+    assert(e2.getMessage.contains("timestamp types must match"), e2.getMessage)
+  }
 }
