@@ -901,6 +901,62 @@ object StatQueries {
           .orderBy("day")
       }),
 
+    // ---------------------------------------------------------------- A49 (drift time series: daily PSI)
+    QueryDef(
+      "q_a49_psi_timeseries", "A49 PSI drift time series",
+      // q_a47's monitor as a TIME SERIES: each day's purchase-value
+      // distribution scored against the first day's baseline — the
+      // daily drift dashboard a production pipeline alerts on. Same
+      // 10-bin/Laplace/decimal-term construction; the baseline day's
+      // own row reads exactly 0 (the built-in sanity check). One
+      // binning pass over the fact stream; the grid is days×10 rows.
+      Some("""WITH b AS (SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+             |    least(9, greatest(0, CAST(floor(value / 50.0) AS INT))) AS bin
+             |  FROM events WHERE event_type = 'purchase'),
+             |c AS (SELECT day, bin, count(*) AS c FROM b GROUP BY 1, 2),
+             |n AS (SELECT day, sum(c) AS n FROM c GROUP BY 1),
+             |grid AS (SELECT n.day, gs.i AS bin, n.n, coalesce(c.c, 0) AS c
+             |  FROM n CROSS JOIN generate_series(0, 9) gs(i)
+             |  LEFT JOIN c ON c.day = n.day AND c.bin = gs.i),
+             |p AS (SELECT day, bin, n, (c + 0.5) / (n + 5.0) AS p FROM grid),
+             |ref AS (SELECT bin, p AS pr FROM p
+             |  WHERE day = (SELECT min(day) FROM p)),
+             |terms AS (SELECT p.day, p.n,
+             |    CAST(round((p.p - ref.pr) * ln(p.p / ref.pr), 10)
+             |         AS DECIMAL(28,10)) AS t
+             |  FROM p JOIN ref ON p.bin = ref.bin)
+             |SELECT day, CAST(min(n) AS BIGINT) AS n,
+             |  round(CAST(sum(t) AS DOUBLE), 6) AS psi
+             |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) => {
+        val c = Tables.events(s, dir)
+          .filter(col("event_type") === "purchase")
+          .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+            least(lit(9), greatest(lit(0), floor(col("value") / 50.0).cast("int")))
+              .as("bin"))
+          .groupBy("day", "bin").agg(count(lit(1)).as("c"))
+        val n = c.groupBy("day").agg(sum(col("c")).as("n"))
+        val grid = n
+          .select(col("day"), col("n"), explode(sequence(lit(0), lit(9))).as("bin"))
+          .join(c, Seq("day", "bin"), "left")
+          .select(col("day"), col("bin"), col("n"),
+            ((coalesce(col("c"), lit(0L)) + 0.5) / (col("n") + 5.0)).as("p"))
+          .localCheckpoint(false) // baseline row + all days read it
+        val refDay = grid.agg(min(col("day")).as("d0"))
+        val ref = grid.join(broadcast(refDay), col("day") === col("d0"))
+          .select(col("bin"), col("p").as("pr"))
+        grid
+          .join(broadcast(ref), "bin")
+          .select(col("day"), col("n"),
+            round((col("p") - col("pr")) * log(col("p") / col("pr")), 10)
+              .cast(DecimalType(28, 10)).as("t"))
+          .groupBy("day")
+          .agg(min(col("n")).cast("long").as("n"),
+            round(sum(col("t")).cast("double"), 6).as("psi"))
+          .select(col("day"), col("n"), col("psi"))
+          .orderBy("day")
+      }),
+
     // ---------------------------------------------------------------- A43 (mergeable histogram quantile sketch)
     QueryDef(
       "q_a43_quantile_sketch", "A43 mergeable quantile sketch A10",
