@@ -3393,6 +3393,78 @@ object LlmQueries {
           .select(col("query_id"), col("n_hits"),
             round(col("dcg").cast("double") / col("idcg").cast("double"), 6).as("ndcg"))
           .orderBy("query_id")
+      }),
+
+    // ---------------------------------------------------------------- exact-size stratified sample (largest remainder)
+    QueryDef(
+      "q_l68_stratified_sample", "LLM-stratified-exact-sample",
+      // draw EXACTLY 100 docs proportionally by language: quotas by
+      // largest-remainder apportionment (floor shares, then the
+      // biggest fractional remainders absorb the deficit — pure
+      // integer arithmetic, ties to the smaller lang), membership by
+      // md5 rank within each stratum (52-bit prefix: exact in a
+      // double, so the k-capped top-k aggregate and the oracle's
+      // UBIGINT ordering agree bit-for-bit). Unlike the fraction
+      // split (q_l16) the total is EXACT; unlike the fixed-k group
+      // sample (q_l48) quotas derive from the observed mix. Per-group
+      // state is capped at 100 — the apportionment windows run over
+      // the 5-row strata frame, never the corpus. id_sum pins the
+      // exact membership.
+      Some("""WITH s AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+             |tot AS (SELECT sum(n) AS t FROM s),
+             |q0 AS (SELECT lang, n, (100 * n) // t AS base, (100 * n) % t AS rem
+             |  FROM s CROSS JOIN tot),
+             |d AS (SELECT CAST(100 - sum(base) AS BIGINT) AS deficit FROM q0),
+             |qr AS (SELECT lang, n, base,
+             |    row_number() OVER (ORDER BY rem DESC, lang) AS rr FROM q0),
+             |quota AS (SELECT lang, n,
+             |    base + CASE WHEN rr <= d.deficit THEN 1 ELSE 0 END AS quota
+             |  FROM qr CROSS JOIN d),
+             |scored AS (SELECT lang, doc_id,
+             |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS UBIGINT) AS h
+             |  FROM documents),
+             |rk AS (SELECT lang, doc_id,
+             |    row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS r
+             |  FROM scored),
+             |sel AS (SELECT rk.lang, CAST(sum(rk.doc_id) AS BIGINT) AS id_sum
+             |  FROM rk JOIN quota ON rk.lang = quota.lang AND rk.r <= quota.quota
+             |  GROUP BY 1)
+             |SELECT q.lang, q.n AS n_docs, CAST(q.quota AS BIGINT) AS quota,
+             |  CAST(coalesce(sel.id_sum, 0) AS BIGINT) AS id_sum
+             |FROM quota q LEFT JOIN sel ON sel.lang = q.lang
+             |ORDER BY q.lang""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val strata = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+        val tot = strata.agg(sum(col("n")).as("t"))
+        val q0 = strata.crossJoin(broadcast(tot)) // 1 row: corpus total
+          .select(col("lang"), col("n"),
+            expr("(100 * n) div t").as("base"), expr("(100 * n) % t").as("rem"))
+        val deficit = q0.agg((lit(100) - sum(col("base"))).as("deficit"))
+        // apportionment runs over the strata frame (5 rows) — the
+        // global window is bounded by the number of languages
+        val quota = q0
+          .withColumn("rr", row_number().over(Window.orderBy(col("rem").desc, col("lang"))))
+          .crossJoin(broadcast(deficit)) // 1 row
+          .select(col("lang"), col("n"),
+            (col("base") + when(col("rr") <= col("deficit"), 1L).otherwise(0L))
+              .as("quota"))
+        val sel = docs
+          .select(col("lang"),
+            (-conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+              .cast("long").cast("double")).as("sc"),
+            col("doc_id"))
+          .groupBy("lang")
+          .agg(graft.functions.TopKByScore(col("sc"), col("doc_id"), 100).as("arr"))
+          .join(broadcast(quota.select(col("lang"), col("quota"))), "lang")
+          .select(col("lang"),
+            expr("aggregate(slice(arr, 1, CAST(quota AS INT)), CAST(0 AS BIGINT), (a, x) -> a + x.id)")
+              .as("id_sum"))
+        quota
+          .join(sel, Seq("lang"), "left")
+          .select(col("lang"), col("n").as("n_docs"), col("quota"),
+            coalesce(col("id_sum"), lit(0L)).as("id_sum"))
+          .orderBy("lang")
       })
   )
 
