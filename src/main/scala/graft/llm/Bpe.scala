@@ -60,6 +60,12 @@ object Bpe {
     val words = docs
       .select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
+    // the delimited form reserves '|'; a token containing it would
+    // parse as phantom symbols and silently corrupt every merge, so
+    // fail eagerly instead (vocabulary-sized probe, one bounded job)
+    require(words.filter(col("word").contains("|")).limit(1).count() == 0,
+      "BPE training requires '|'-free tokens: the delimited-sequence " +
+        "encoding reserves '|' as the symbol separator")
     // '|a||b||c|' — one regex pass builds the delimited char sequence
     var seqs = words
       .select(col("word"), col("freq"),

@@ -64,11 +64,15 @@ object Classifier {
           12).cast("decimal(28,12)").as("w"))
   }
 
-  /** Score every doc: prior + Σ_tokens w(bucket(token)), all decimal.
+  /** Score EVERY doc: prior + Σ_tokens w(bucket(token)), all decimal.
     *
-    * `prior` is a 1-row (prior DECIMAL) frame (class-balance log-odds
-    * from the seed doc counts) so the whole model stays in the plan —
-    * returns (idCol…, score DECIMAL, accept BOOLEAN).
+    * Docs with no tokens — or whose every token hashes to a bucket the
+    * seed never produced — fall back to the prior alone (left join +
+    * coalesce), so the output has exactly one row per input doc and
+    * the accept column is usable as-is. `prior` is a 1-row
+    * (prior DECIMAL) frame (class-balance log-odds from the seed doc
+    * counts) so the whole model stays in the plan — returns
+    * (idCol, score DECIMAL, accept BOOLEAN).
     */
   def nbScore(
       docs: DataFrame,
@@ -80,14 +84,17 @@ object Classifier {
     val tok = docs
       .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("term"))
       .select(col(idCol), tokenBucket(col("term"), buckets).as("bucket"))
-    tok
+    val tokenScores = tok
       .join(broadcast(model), "bucket")
       .groupBy(idCol)
       .agg(sum(col("w")).as("token_score"))
+    docs.select(col(idCol))
+      .join(tokenScores, Seq(idCol), "left")
       .crossJoin(broadcast(prior)) // 1 row: class prior
       .select(
         col(idCol),
-        (col("prior") + col("token_score")).as("score"))
+        (col("prior") +
+          coalesce(col("token_score"), lit(0).cast("decimal(28,12)"))).as("score"))
       .withColumn("accept", col("score") > 0)
   }
 

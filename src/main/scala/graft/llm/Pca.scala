@@ -27,14 +27,12 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Pca {
 
-  private val TwoPow63 = math.pow(2.0, 63) // exact power of two
-
-  /** md5-seeded start vector component in [-1, 1), SQL-replayable. */
-  private[llm] def pcInit(j: Int): Double = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val d = md.digest(s"pc:$j".getBytes("UTF-8"))
-    new java.math.BigInteger(1, java.util.Arrays.copyOf(d, 8)).doubleValue() / TwoPow63 - 1.0
-  }
+  /** md5-seeded start vector component in [-1, 1) — the repo's one
+    * SQL-replayable seeding recipe (Similarity.md5Weight), namespaced
+    * "pc:j" so the PCA seed can never collide with the
+    * hyperplane/centroid/PQ codebooks.
+    */
+  private[llm] def pcInit(j: Int): Double = Similarity.md5Weight(s"pc:$j")
 
   /** Top principal component after `iters` power steps:
     * (j 1-based, loading, lambda) with the sign fixed so loading(1) ≥ 0
@@ -90,18 +88,21 @@ object Pca {
     var lambda: DataFrame = null
     var it = 0
     while (it < iters) {
+      // pin the d²-row kernel's OUTPUT: the norm aggregate, the
+      // normalized iterate, and (last step) the final select all read
+      // u — without the checkpoint each consumer re-runs the cov join
       val u = cov
         .join(broadcast(v), col("cj") === col("j"))
         .select(col("ci"),
           round(col("cov") * col("v"), 12).cast(DecimalType(28, 12)).as("p"))
         .groupBy("ci")
         .agg(sum(col("p")).cast("double").as("u"))
+        .localCheckpoint(false)
       lambda = u.agg(
         sqrt(sum(round(col("u") * col("u"), 12).cast(DecimalType(28, 12)))
           .cast("double")).as("nrm"))
       v = u.crossJoin(broadcast(lambda)) // 1 row: the norm
         .select(col("ci").as("j"), (col("u") / col("nrm")).as("v"))
-        .localCheckpoint(false) // next step and the final output read it
       it += 1
     }
     val sgn = v.filter(col("j") === 1)

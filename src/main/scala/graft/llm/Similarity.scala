@@ -307,7 +307,7 @@ object Similarity {
     * namespaced key — the same derivation the hyperplanes/centroids
     * use, so every codebook is SQL-replayable.
     */
-  private def md5Weight(key: String): Double = {
+  private[llm] def md5Weight(key: String): Double = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val d = md.digest(key.getBytes("UTF-8"))
     new java.math.BigInteger(1, java.util.Arrays.copyOf(d, 8)).doubleValue() / TwoPow63 - 1.0

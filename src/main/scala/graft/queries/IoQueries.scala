@@ -1109,38 +1109,15 @@ object IoQueries {
       // batch boundaries — so the union equals the batch-mode scoring
       // of the streamed slice and the exact-decimal oracle applies
       // verbatim.
-      Some("""WITH tok AS (SELECT doc_id,
-             |    CAST(('0x' || substr(md5(term), 1, 6)) AS BIGINT) % 64 AS bucket
-             |  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
-             |        FROM documents)),
-             |seed AS (SELECT doc_id,
-             |    CASE WHEN source IN ('src0','src1','src2','src3','src4')
-             |         THEN 1 ELSE 0 END AS label
-             |  FROM documents
-             |  WHERE doc_id % 5 <> 0
-             |    AND source IN ('src0','src1','src2','src3','src4',
-             |                   'src15','src16','src17','src18','src19')),
-             |counts AS (SELECT t.bucket, sum(s.label) AS n_pos_b,
-             |    sum(1 - s.label) AS n_neg_b
-             |  FROM tok t JOIN seed s ON t.doc_id = s.doc_id GROUP BY t.bucket),
-             |tot AS (SELECT sum(n_pos_b) AS n_pos, sum(n_neg_b) AS n_neg FROM counts),
-             |model AS (SELECT bucket,
-             |    CAST(round(ln((n_pos_b + 1.0) / (n_pos + 64.0))
-             |             - ln((n_neg_b + 1.0) / (n_neg + 64.0)), 12)
-             |         AS DECIMAL(28,12)) AS w
-             |  FROM counts CROSS JOIN tot),
-             |prior AS (SELECT CAST(round(ln((sum(label) + 1.0)
-             |    / (sum(1 - label) + 1.0)), 12) AS DECIMAL(28,12)) AS prior
-             |  FROM seed),
-             |scores AS (SELECT t.doc_id, sum(m.w) AS token_score
-             |  FROM tok t JOIN model m ON t.bucket = m.bucket GROUP BY t.doc_id)
-             |SELECT d.source, count(*) AS n_docs,
-             |  CAST(sum(CASE WHEN prior.prior + coalesce(s.token_score, 0) > 0
-             |           THEN 1 ELSE 0 END) AS BIGINT) AS n_accept
-             |FROM documents d CROSS JOIN prior
-             |LEFT JOIN scores s ON s.doc_id = d.doc_id
-             |WHERE d.doc_id % 5 = 0
-             |GROUP BY d.source ORDER BY d.source""".stripMargin),
+      Some(s"""${LlmQueries.nbOracleCtes(
+                 seedWhere = s"doc_id % 5 <> 0 AND ${LlmQueries.NbSeedSources}")}
+              |SELECT d.source, count(*) AS n_docs,
+              |  CAST(sum(CASE WHEN prior.prior + coalesce(s.token_score, 0) > 0
+              |           THEN 1 ELSE 0 END) AS BIGINT) AS n_accept
+              |FROM documents d CROSS JOIN prior
+              |LEFT JOIN scores s ON s.doc_id = d.doc_id
+              |WHERE d.doc_id % 5 = 0
+              |GROUP BY d.source ORDER BY d.source""".stripMargin),
       (s, dir) => {
         import graft.llm.Classifier
         val watch = CdcStream.ensureStagedDocBatches(s, dir, nFiles = 4)
@@ -1163,10 +1140,7 @@ object IoQueries {
         CdcStream.runForeachBatchTransform(s, stream, outDir) { b =>
           val scored = Classifier.nbScore(b, "doc_id", "text", model, prior, buckets = 64)
           b.select(col("doc_id"), col("source"))
-            .join(scored.select(col("doc_id"), col("score")), Seq("doc_id"), "left")
-            .crossJoin(broadcast(prior)) // 1 row: prior-only fallback
-            .select(col("doc_id"), col("source"),
-              (coalesce(col("score"), col("prior")) > 0).as("accept"))
+            .join(scored.select(col("doc_id"), col("accept")), Seq("doc_id"))
         }
         s.read.parquet(outDir)
           .groupBy("source")

@@ -1259,8 +1259,11 @@ object LlmQueries {
       // perceptual near-dup image dedup: every doc's fixture PNG gets
       // a 56-bit vertical-gradient dHash DURING the decode walk, then
       // the dedup index: exact groups by hash (keeper = min id) plus,
-      // per group, how many OTHER groups sit within Hamming≤16 via a
-      // 4×14-bit SimHash-style band join over the DISTINCT hashes —
+      // per group, its BAND-MATE groups within Hamming≤16 via a
+      // 4×14-bit SimHash-style band join over the DISTINCT hashes
+      // (guaranteed complete only to Hamming≤3 — a pair differing in
+      // all four bands is not a candidate; the standard banding
+      // recall trade, replayed identically by the oracle) —
       // candidate work scales with distinct perceptual content, not
       // corpus size. Row y of doc a holds (a+y)%256, so the hash's
       // closed form is the row-comparison bits at the 8-grid NN rows;
@@ -2847,36 +2850,13 @@ object LlmQueries {
       // decimal sums, so accept (score > 0) is engine-independent.
       // Docs whose every token hashes outside the seed's buckets fall
       // back to the prior alone (left join + coalesce).
-      Some("""WITH tok AS (SELECT doc_id,
-             |    CAST(('0x' || substr(md5(term), 1, 6)) AS BIGINT) % 64 AS bucket
-             |  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
-             |        FROM documents)),
-             |seed AS (SELECT doc_id,
-             |    CASE WHEN source IN ('src0','src1','src2','src3','src4')
-             |         THEN 1 ELSE 0 END AS label
-             |  FROM documents
-             |  WHERE source IN ('src0','src1','src2','src3','src4',
-             |                   'src15','src16','src17','src18','src19')),
-             |counts AS (SELECT t.bucket, sum(s.label) AS n_pos_b,
-             |    sum(1 - s.label) AS n_neg_b
-             |  FROM tok t JOIN seed s ON t.doc_id = s.doc_id GROUP BY t.bucket),
-             |tot AS (SELECT sum(n_pos_b) AS n_pos, sum(n_neg_b) AS n_neg FROM counts),
-             |model AS (SELECT bucket,
-             |    CAST(round(ln((n_pos_b + 1.0) / (n_pos + 64.0))
-             |             - ln((n_neg_b + 1.0) / (n_neg + 64.0)), 12)
-             |         AS DECIMAL(28,12)) AS w
-             |  FROM counts CROSS JOIN tot),
-             |prior AS (SELECT CAST(round(ln((sum(label) + 1.0)
-             |    / (sum(1 - label) + 1.0)), 12) AS DECIMAL(28,12)) AS prior
-             |  FROM seed),
-             |scores AS (SELECT t.doc_id, sum(m.w) AS token_score
-             |  FROM tok t JOIN model m ON t.bucket = m.bucket GROUP BY t.doc_id)
-             |SELECT d.source, count(*) AS n_docs,
-             |  CAST(sum(CASE WHEN prior.prior + coalesce(s.token_score, 0) > 0
-             |           THEN 1 ELSE 0 END) AS BIGINT) AS n_accept
-             |FROM documents d CROSS JOIN prior
-             |LEFT JOIN scores s ON s.doc_id = d.doc_id
-             |GROUP BY d.source ORDER BY d.source""".stripMargin),
+      Some(s"""${nbOracleCtes(seedWhere = NbSeedSources)}
+              |SELECT d.source, count(*) AS n_docs,
+              |  CAST(sum(CASE WHEN prior.prior + coalesce(s.token_score, 0) > 0
+              |           THEN 1 ELSE 0 END) AS BIGINT) AS n_accept
+              |FROM documents d CROSS JOIN prior
+              |LEFT JOIN scores s ON s.doc_id = d.doc_id
+              |GROUP BY d.source ORDER BY d.source""".stripMargin),
       (s, dir) => {
         val docs = Tables.documents(s, dir)
         val posSet = Seq("src0", "src1", "src2", "src3", "src4")
@@ -2888,11 +2868,10 @@ object LlmQueries {
         val prior = Classifier.nbPrior(seed, "label")
         val scored = Classifier.nbScore(docs, "doc_id", "text", model, prior, buckets = 64)
         docs.select(col("doc_id"), col("source"))
-          .join(scored.select(col("doc_id"), col("score")), Seq("doc_id"), "left")
-          .crossJoin(broadcast(prior)) // 1 row: prior-only fallback
+          .join(scored.select(col("doc_id"), col("accept")), Seq("doc_id"))
           .groupBy("source")
           .agg(count(lit(1)).as("n_docs"),
-            sum((coalesce(col("score"), col("prior")) > 0).cast("long")).as("n_accept"))
+            sum(col("accept").cast("long")).as("n_accept"))
           .orderBy("source")
       }),
 
@@ -3467,6 +3446,42 @@ object LlmQueries {
           .orderBy("lang")
       })
   )
+
+  /** Seed-membership predicate shared by the NB classifier queries. */
+  private[queries] def NbSeedSources: String =
+    """source IN ('src0','src1','src2','src3','src4',
+      |                   'src15','src16','src17','src18','src19')""".stripMargin
+
+  /** Generated CTE chain shared by the NB classifier queries
+    * (q_l59 batch, q_st16 streaming): hashed-token buckets → seed
+    * labels (scoped by `seedWhere`) → Laplace-smoothed log-odds model
+    * → class prior → per-doc decimal token scores. One definition so
+    * the two oracles can never assert divergent classifier semantics.
+    */
+  private[queries] def nbOracleCtes(seedWhere: String): String =
+    s"""WITH tok AS (SELECT doc_id,
+       |    CAST(('0x' || substr(md5(term), 1, 6)) AS BIGINT) % 64 AS bucket
+       |  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+       |        FROM documents)),
+       |seed AS (SELECT doc_id,
+       |    CASE WHEN source IN ('src0','src1','src2','src3','src4')
+       |         THEN 1 ELSE 0 END AS label
+       |  FROM documents
+       |  WHERE $seedWhere),
+       |counts AS (SELECT t.bucket, sum(s.label) AS n_pos_b,
+       |    sum(1 - s.label) AS n_neg_b
+       |  FROM tok t JOIN seed s ON t.doc_id = s.doc_id GROUP BY t.bucket),
+       |tot AS (SELECT sum(n_pos_b) AS n_pos, sum(n_neg_b) AS n_neg FROM counts),
+       |model AS (SELECT bucket,
+       |    CAST(round(ln((n_pos_b + 1.0) / (n_pos + 64.0))
+       |             - ln((n_neg_b + 1.0) / (n_neg + 64.0)), 12)
+       |         AS DECIMAL(28,12)) AS w
+       |  FROM counts CROSS JOIN tot),
+       |prior AS (SELECT CAST(round(ln((sum(label) + 1.0)
+       |    / (sum(1 - label) + 1.0)), 12) AS DECIMAL(28,12)) AS prior
+       |  FROM seed),
+       |scores AS (SELECT t.doc_id, sum(m.w) AS token_score
+       |  FROM tok t JOIN model m ON t.bucket = m.bucket GROUP BY t.doc_id)""".stripMargin
 
   /** Generated CTE chain shared by the BPE queries: words → seq0 →
     * (syms/p/c/b/seq/n)×m — each round picks and applies one merge.

@@ -43,19 +43,23 @@ object CdcStream {
     * don't re-pay the copy (round-2 verdict: the copy inside the query
     * body inflated q_st1 by seconds).
     */
-  def ensureStaged(spark: SparkSession, dir: String): String = {
-    val key = dir.replaceAll("[^A-Za-z0-9]+", "_")
-    val watchDir = s"/root/repo/target/tmp/stream_events_watch/$key"
+  /** Marker-guarded staging guard shared by EVERY stager here: runs
+    * `write(stagedDir)` only when the source's (mtime, length) stamp
+    * changed — the marker stores that stamp, so a rewritten source
+    * invalidates the staged copy instead of being silently ignored —
+    * and writes the marker only after a successful (re)build. One
+    * definition of the guard; each stager is just its write closure.
+    */
+  private def ensureStagedDir(
+      spark: SparkSession, stagedDir: String, srcPath: String, version: String)(
+      write: String => Unit): String = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val src = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
-    val dstDir = new org.apache.hadoop.fs.Path(watchDir)
+    val src = new org.apache.hadoop.fs.Path(srcPath)
+    val dstDir = new org.apache.hadoop.fs.Path(stagedDir)
     val fs = dstDir.getFileSystem(conf)
     val marker = new org.apache.hadoop.fs.Path(dstDir, "_STAGED")
-    // marker stores the source's (mtime, length): a rewritten source
-    // invalidates the staged copy instead of being silently ignored
-    val srcFs = src.getFileSystem(conf)
-    val st = srcFs.getFileStatus(src)
-    val stamp = s"v2:${st.getModificationTime}:${st.getLen}"
+    val st = src.getFileSystem(conf).getFileStatus(src)
+    val stamp = s"$version:${st.getModificationTime}:${st.getLen}"
     val current =
       if (!fs.exists(marker)) None
       else {
@@ -65,14 +69,32 @@ object CdcStream {
       }
     if (!current.contains(stamp)) {
       if (fs.exists(dstDir)) fs.delete(dstDir, true)
-      fs.mkdirs(dstDir)
-      org.apache.hadoop.fs.FileUtil.copy(
-        srcFs, src, fs,
-        new org.apache.hadoop.fs.Path(dstDir, "events.parquet"), false, conf)
+      write(stagedDir)
       val out = fs.create(marker, true)
       try out.write(stamp.getBytes("UTF-8")) finally out.close()
     }
-    watchDir
+    stagedDir
+  }
+
+  /** Copy `srcPath` into `stagedDir` as a single file named `name`. */
+  private def copyFileInto(
+      spark: SparkSession, stagedDir: String, srcPath: String, name: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(srcPath)
+    val dstDir = new org.apache.hadoop.fs.Path(stagedDir)
+    val fs = dstDir.getFileSystem(conf)
+    fs.mkdirs(dstDir)
+    org.apache.hadoop.fs.FileUtil.copy(
+      src.getFileSystem(conf), src, fs,
+      new org.apache.hadoop.fs.Path(dstDir, name), false, conf)
+  }
+
+  def ensureStaged(spark: SparkSession, dir: String): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9]+", "_")
+    ensureStagedDir(spark, s"/root/repo/target/tmp/stream_events_watch/$key",
+        s"$dir/events.parquet", "v2") { staged =>
+      copyFileInto(spark, staged, s"$dir/events.parquet", "events.parquet")
+    }
   }
 
   /** Stage the ARRIVING slice of the documents table (doc_id % 5 = 0,
@@ -85,32 +107,13 @@ object CdcStream {
     */
   def ensureStagedDocBatches(spark: SparkSession, dir: String, nFiles: Int = 4): String = {
     val key = dir.replaceAll("[^A-Za-z0-9]+", "_")
-    val watchDir = s"/root/repo/target/tmp/stream_docs_watch/$key"
-    val conf = spark.sparkContext.hadoopConfiguration
-    val src = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
-    val dstDir = new org.apache.hadoop.fs.Path(watchDir)
-    val fs = dstDir.getFileSystem(conf)
-    val marker = new org.apache.hadoop.fs.Path(dstDir, "_STAGED")
-    val srcFs = src.getFileSystem(conf)
-    val st = srcFs.getFileStatus(src)
-    val stamp = s"v1:$nFiles:${st.getModificationTime}:${st.getLen}"
-    val current =
-      if (!fs.exists(marker)) None
-      else {
-        val in = fs.open(marker)
-        try Some(new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8"))
-        finally in.close()
-      }
-    if (!current.contains(stamp)) {
-      if (fs.exists(dstDir)) fs.delete(dstDir, true)
+    ensureStagedDir(spark, s"/root/repo/target/tmp/stream_docs_watch/$key",
+        s"$dir/documents.parquet", s"v1:$nFiles") { staged =>
       graft.Tables.documents(spark, dir)
         .filter(org.apache.spark.sql.functions.col("doc_id") % 5 === 0)
         .repartitionByRange(nFiles, org.apache.spark.sql.functions.col("doc_id"))
-        .write.mode("overwrite").parquet(watchDir)
-      val out = fs.create(marker, true)
-      try out.write(stamp.getBytes("UTF-8")) finally out.close()
+        .write.mode("overwrite").parquet(staged)
     }
-    watchDir
   }
 
   /** Watch dir carrying the FULL embeddings table as `nFiles`
@@ -120,31 +123,12 @@ object CdcStream {
     */
   def ensureStagedEmbBatches(spark: SparkSession, dir: String, nFiles: Int = 4): String = {
     val key = dir.replaceAll("[^A-Za-z0-9]+", "_")
-    val watchDir = s"/root/repo/target/tmp/stream_emb_watch/$key"
-    val conf = spark.sparkContext.hadoopConfiguration
-    val src = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
-    val dstDir = new org.apache.hadoop.fs.Path(watchDir)
-    val fs = dstDir.getFileSystem(conf)
-    val marker = new org.apache.hadoop.fs.Path(dstDir, "_STAGED")
-    val srcFs = src.getFileSystem(conf)
-    val st = srcFs.getFileStatus(src)
-    val stamp = s"v1:$nFiles:${st.getModificationTime}:${st.getLen}"
-    val current =
-      if (!fs.exists(marker)) None
-      else {
-        val in = fs.open(marker)
-        try Some(new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8"))
-        finally in.close()
-      }
-    if (!current.contains(stamp)) {
-      if (fs.exists(dstDir)) fs.delete(dstDir, true)
+    ensureStagedDir(spark, s"/root/repo/target/tmp/stream_emb_watch/$key",
+        s"$dir/embeddings.parquet", s"v1:$nFiles") { staged =>
       graft.Tables.embeddings(spark, dir)
         .repartitionByRange(nFiles, org.apache.spark.sql.functions.col("vec_id"))
-        .write.mode("overwrite").parquet(watchDir)
-      val out = fs.create(marker, true)
-      try out.write(stamp.getBytes("UTF-8")) finally out.close()
+        .write.mode("overwrite").parquet(staged)
     }
-    watchDir
   }
 
   /** Watch dir with a sentinel event appended 10 days past max(ts)
@@ -157,33 +141,11 @@ object CdcStream {
     */
   def ensureStagedWithSentinel(spark: SparkSession, dir: String): String = {
     val key = dir.replaceAll("[^A-Za-z0-9]+", "_")
-    val watchDir = s"/root/repo/target/tmp/stream_events_sentinel/$key"
-    val conf = spark.sparkContext.hadoopConfiguration
-    val src = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
-    val dstDir = new org.apache.hadoop.fs.Path(watchDir)
-    val fs = dstDir.getFileSystem(conf)
-    val marker = new org.apache.hadoop.fs.Path(dstDir, "_STAGED")
-    val srcFs = src.getFileSystem(conf)
-    val st = srcFs.getFileStatus(src)
-    val stamp = s"v2:${st.getModificationTime}:${st.getLen}"
-    val current =
-      if (!fs.exists(marker)) None
-      else {
-        val in = fs.open(marker)
-        try Some(new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8"))
-        finally in.close()
-      }
-    if (!current.contains(stamp)) {
-      if (fs.exists(dstDir)) fs.delete(dstDir, true)
-      fs.mkdirs(dstDir)
-      org.apache.hadoop.fs.FileUtil.copy(
-        srcFs, src, fs,
-        new org.apache.hadoop.fs.Path(dstDir, "events.parquet"), false, conf)
-      sentinelDf(spark, dir).write.mode("append").parquet(watchDir)
-      val out = fs.create(marker, true)
-      try out.write(stamp.getBytes("UTF-8")) finally out.close()
+    ensureStagedDir(spark, s"/root/repo/target/tmp/stream_events_sentinel/$key",
+        s"$dir/events.parquet", "v2") { staged =>
+      copyFileInto(spark, staged, s"$dir/events.parquet", "events.parquet")
+      sentinelDf(spark, dir).write.mode("append").parquet(staged)
     }
-    watchDir
   }
 
   /** The three-act late-data fixture, staged once (marker-guarded) per
@@ -198,33 +160,15 @@ object CdcStream {
     */
   def ensureStagedLateActs(spark: SparkSession, dir: String): Seq[String] = {
     val key = dir.replaceAll("[^A-Za-z0-9]+", "_")
-    val baseDir = s"/root/repo/target/tmp/stream_late_acts/$key"
-    val conf = spark.sparkContext.hadoopConfiguration
-    val src = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
-    val base = new org.apache.hadoop.fs.Path(baseDir)
-    val fs = base.getFileSystem(conf)
-    val marker = new org.apache.hadoop.fs.Path(base, "_STAGED")
-    val srcFs = src.getFileSystem(conf)
-    val st = srcFs.getFileStatus(src)
-    val stamp = s"v1:${st.getModificationTime}:${st.getLen}"
-    val current =
-      if (!fs.exists(marker)) None
-      else {
-        val in = fs.open(marker)
-        try Some(new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8"))
-        finally in.close()
-      }
-    val acts = Seq(s"$baseDir/act1", s"$baseDir/act2", s"$baseDir/act3")
-    if (!current.contains(stamp)) {
-      if (fs.exists(base)) fs.delete(base, true)
+    val baseDir = ensureStagedDir(spark,
+        s"/root/repo/target/tmp/stream_late_acts/$key",
+        s"$dir/events.parquet", "v1") { staged =>
       val events = spark.read.parquet(s"$dir/events.parquet")
-      events.filter(col("event_id") % 2 === 0).write.parquet(acts(0))
-      sentinelDf(spark, dir).write.parquet(acts(1))
-      events.filter(col("event_id") % 2 =!= 0).write.parquet(acts(2))
-      val out = fs.create(marker, true)
-      try out.write(stamp.getBytes("UTF-8")) finally out.close()
+      events.filter(col("event_id") % 2 === 0).write.parquet(s"$staged/act1")
+      sentinelDf(spark, dir).write.parquet(s"$staged/act2")
+      events.filter(col("event_id") % 2 =!= 0).write.parquet(s"$staged/act3")
     }
-    acts
+    Seq(s"$baseDir/act1", s"$baseDir/act2", s"$baseDir/act3")
   }
 
   /** Drive a streaming aggregation over the acts IN ORDER, one
