@@ -3444,6 +3444,88 @@ object LlmQueries {
           .select(col("lang"), col("n").as("n_docs"), col("quota"),
             coalesce(col("id_sum"), lit(0L)).as("id_sum"))
           .orderBy("lang")
+      }),
+
+    // ---------------------------------------------------------------- k-fold cross-validated classifier accuracy
+    QueryDef(
+      "q_l69_classifier_cv", "LLM-classifier-cv",
+      // the model-selection step: 5-fold cross-validation of the NB
+      // quality classifier — md5 fold assignment over the labeled
+      // docs, train on 4 folds, score the held-out fold, accuracy =
+      // (predicted accept) == (source in the positive set). Every
+      // fold's model/prior/decision is exact-decimal, so the
+      // cross-validated accuracies themselves are oracle-checked (the
+      // oracle UNROLLS all five folds). Per fold: one vocabulary-
+      // bounded model build + one broadcast-scored pass — 5× the
+      // q_l59 cost, embarrassingly parallel across folds at scale.
+      Some {
+        val folds = (0 until 5).map { f =>
+          s"""counts$f AS (SELECT t.bucket, sum(l.truth) AS n_pos_b,
+             |    sum(1 - l.truth) AS n_neg_b
+             |  FROM tok t JOIN lab l ON t.doc_id = l.doc_id AND l.fold <> $f
+             |  GROUP BY t.bucket),
+             |tot$f AS (SELECT sum(n_pos_b) AS n_pos, sum(n_neg_b) AS n_neg FROM counts$f),
+             |model$f AS (SELECT bucket,
+             |    CAST(round(ln((n_pos_b + 1.0) / (n_pos + 64.0))
+             |             - ln((n_neg_b + 1.0) / (n_neg + 64.0)), 12)
+             |         AS DECIMAL(28,12)) AS w
+             |  FROM counts$f CROSS JOIN tot$f),
+             |prior$f AS (SELECT CAST(round(ln((sum(truth) + 1.0)
+             |    / (sum(1 - truth) + 1.0)), 12) AS DECIMAL(28,12)) AS prior
+             |  FROM lab WHERE fold <> $f),
+             |scores$f AS (SELECT t.doc_id, sum(m.w) AS token_score
+             |  FROM tok t JOIN model$f m ON t.bucket = m.bucket GROUP BY t.doc_id),
+             |eval$f AS (SELECT CAST($f AS BIGINT) AS fold, count(*) AS n_eval,
+             |  CAST(sum(CASE WHEN (prior$f.prior + coalesce(s.token_score, 0) > 0)
+             |                     = (l.truth = 1) THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_correct
+             |  FROM lab l CROSS JOIN prior$f
+             |  LEFT JOIN scores$f s ON s.doc_id = l.doc_id
+             |  WHERE l.fold = $f)""".stripMargin
+        }.mkString(",\n")
+        val union = (0 until 5)
+          .map(f => s"SELECT fold, n_eval, n_correct FROM eval$f")
+          .mkString("\nUNION ALL ")
+        s"""WITH tok AS (SELECT doc_id,
+           |    CAST(('0x' || substr(md5(term), 1, 6)) AS BIGINT) % 64 AS bucket
+           |  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+           |        FROM documents)),
+           |lab AS (SELECT doc_id,
+           |    CAST(('0x' || substr(md5('fold:' || doc_id), 1, 8)) AS UBIGINT) % 5 AS fold,
+           |    CASE WHEN source IN ('src0','src1','src2','src3','src4')
+           |         THEN 1 ELSE 0 END AS truth
+           |  FROM documents WHERE $NbSeedSources),
+           |$folds
+           |SELECT fold, n_eval, n_correct,
+           |  round(CAST(n_correct AS DOUBLE) / n_eval, 6) AS accuracy
+           |FROM ($union) t ORDER BY fold""".stripMargin
+      },
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val posSet = Seq("src0", "src1", "src2", "src3", "src4")
+        val negSet = Seq("src15", "src16", "src17", "src18", "src19")
+        val labeled = docs
+          .filter(col("source").isin(posSet ++ negSet: _*))
+          .select(col("doc_id"), col("text"),
+            (conv(substring(md5(concat(lit("fold:"), col("doc_id").cast("string"))),
+              1, 8), 16, 10).cast("long") % 5).as("fold"),
+            col("source").isin(posSet: _*).cast("int").as("truth"))
+          .localCheckpoint(false) // read by all five folds' train+eval
+        val perFold = (0 until 5).map { f =>
+          val seed = labeled.filter(col("fold") =!= f).withColumn("label", col("truth"))
+          val model = Classifier.nbTrain(seed, "text", "label", buckets = 64)
+          val prior = Classifier.nbPrior(seed, "label")
+          val heldOut = labeled.filter(col("fold") === f)
+          Classifier.nbScore(heldOut, "doc_id", "text", model, prior, buckets = 64)
+            .join(heldOut.select(col("doc_id"), col("truth")), "doc_id")
+            .agg(count(lit(1)).as("n_eval"),
+              sum((col("accept") === (col("truth") === 1)).cast("long")).as("n_correct"))
+            .select(lit(f.toLong).as("fold"), col("n_eval"), col("n_correct"))
+        }
+        perFold.reduce(_ unionByName _)
+          .withColumn("accuracy",
+            round(col("n_correct").cast("double") / col("n_eval"), 6))
+          .orderBy("fold")
       })
   )
 
