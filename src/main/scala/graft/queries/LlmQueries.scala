@@ -3458,6 +3458,11 @@ object LlmQueries {
       // oracle UNROLLS all five folds). Per fold: one vocabulary-
       // bounded model build + one broadcast-scored pass — 5× the
       // q_l59 cost, embarrassingly parallel across folds at scale.
+      // On this corpus the accuracies hover at ~0.5: every source
+      // draws from the SAME 31-token vocabulary, so source labels are
+      // not learnable from text — which is precisely the verdict CV
+      // exists to deliver before a filter ships (q_l59's in-sample
+      // acceptance rates alone would not reveal it).
       Some {
         val folds = (0 until 5).map { f =>
           s"""counts$f AS (SELECT t.bucket, sum(l.truth) AS n_pos_b,
