@@ -315,6 +315,125 @@ object Corpus {
       .select(col("__id").as(idCol), col("n_tokens"), col("score"))
   }
 
+  /** Data-constrained token-budget planner — the "how many epochs of
+    * each source" allocation of the data-constrained scaling regime
+    * (Muennighoff et al. 2023: repeating good data beats more bad
+    * data, up to ~4 epochs): budget flows to sources in proportion to
+    * their available tokens, each source's allocation is capped at
+    * its `cap` (tierEpochs × avail, the caller's repetition policy),
+    * and budget freed by capped sources is re-apportioned among the
+    * uncapped over `rounds` water-filling rounds.
+    *
+    * ALL arithmetic is 64-bit integer multiply-then-floor-divide —
+    * never a float — so the plan is bit-identical in any engine and
+    * insensitive to reduction order. Allocations are monotone
+    * non-decreasing across rounds and never exceed `budget` (each
+    * round hands out at most the remaining budget).
+    *
+    * `stats` carries (source, avail BIGINT > 0, cap BIGINT); extra
+    * columns pass through. Returns stats + (alloc, epochs_micro =
+    * alloc·1e6 div avail), ordered by source.
+    *
+    * Scale shape: `stats` is |sources| rows — the caller's per-source
+    * aggregation is the only corpus pass (callers should pin it; this
+    * loop re-reads it 2× per round). Every round is one broadcast
+    * 1-row sum crossed back onto the tiny frame: no corpus work, no
+    * window, no driver loop over data.
+    */
+  def epochMixPlan(stats: DataFrame, budget: Long, rounds: Int): DataFrame = {
+    require(rounds >= 1, "epochMixPlan needs at least one round")
+    val passThrough = stats.columns.filterNot(_ == "alloc").map(col).toSeq
+    var cur = stats.withColumn("alloc", lit(0L))
+    for (_ <- 1 to rounds) {
+      val sums = cur.agg(
+        sum(when(col("alloc") < col("cap"), col("avail")).otherwise(0L))
+          .cast("long").as("__sumw"),
+        sum(col("alloc")).cast("long").as("__tot"))
+      cur = cur.crossJoin(broadcast(sums))
+        .withColumn("__give",
+          when(col("alloc") < col("cap") && col("__sumw") > 0,
+            greatest(expr(s"((${budget}L - __tot) * avail) div __sumw"), lit(0L)))
+            .otherwise(lit(0L)))
+        .select((passThrough :+
+          least(col("cap"), col("alloc") + col("__give")).as("alloc")): _*)
+    }
+    cur
+      .withColumn("epochs_micro", expr("(alloc * 1000000L) div avail"))
+      .orderBy("source")
+  }
+
+  /** Frequency-based boilerplate line removal — the CCNet/RefinedWeb
+    * "drop lines repeated across many documents of the same site"
+    * pass (headers, cookie banners, nav chrome): a line is boilerplate
+    * within a source when it occurs in at least `minDocs` documents
+    * AND in at least `pctNum/pctDen` of the source's documents. The
+    * share test is exact integer cross-multiplication (df·pctDen ≥
+    * n_docs·pctNum) — never a float — so the boilerplate set is
+    * engine-independent by construction.
+    *
+    * `lines` is the exploded (source, doc, line) frame. Returns one
+    * row per source: document count, line instances, distinct
+    * boilerplate lines, removed instances, and the removed share.
+    *
+    * Scale shape: two key-partitioned aggregations — doc-frequency on
+    * (source, line), whose cardinality grows with the corpus, then a
+    * per-source rollup of at most |sources| rows joined broadcast.
+    * No window, nothing all-pairs, no driver collect.
+    */
+  def boilerplateLines(
+      lines: DataFrame, srcCol: String, docCol: String, lineCol: String,
+      minDocs: Int, pctNum: Int, pctDen: Int): DataFrame = {
+    val src = col(srcCol); val doc = col(docCol); val line = col(lineCol)
+    val srcDocs = lines.groupBy(src.as("source"))
+      .agg(countDistinct(doc).as("n_docs"), count(lit(1)).as("n_lines"))
+    val df = lines.groupBy(src.as("source"), line.as("__line"))
+      .agg(countDistinct(doc).as("__df"), count(lit(1)).as("__inst"))
+    val boiler = df.join(broadcast(srcDocs.select(col("source"), col("n_docs"))), "source")
+      .filter(col("__df") >= minDocs &&
+        col("__df") * pctDen >= col("n_docs") * pctNum)
+      .groupBy("source")
+      .agg(count(lit(1)).as("__n_boiler"), sum("__inst").as("__n_removed"))
+    srcDocs.join(boiler, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_lines"),
+        coalesce(col("__n_boiler"), lit(0L)).as("n_boiler"),
+        coalesce(col("__n_removed"), lit(0L)).as("n_removed"),
+        round(coalesce(col("__n_removed"), lit(0L)).cast("double") / col("n_lines"), 6)
+          .as("removed_share"))
+      .orderBy("source")
+  }
+
+  /** FineWeb/RefinedWeb-style sequential filter cascade with per-rule
+    * attrition accounting: rules apply IN ORDER (a document reaches
+    * rule k only by passing rules 1..k-1), and the report says what
+    * each rule cost — the number every curation writeup publishes so a
+    * threshold change can be attributed to the stage that moved.
+    *
+    * Scale shape: the cumulative pass flags are plain boolean
+    * conjunctions computed per row in ONE projection (no join or
+    * shuffle between stages), so the whole funnel is a single corpus
+    * scan feeding one map-side-combined aggregation whose output is
+    * `rules.length` rows — at 100 TB this is exactly one pass over the
+    * data no matter how many rules the cascade carries.
+    *
+    * `docs` must already carry the columns the rule predicates read;
+    * rule names land verbatim in the `rule` output column.
+    */
+  def attritionFunnel(docs: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "attritionFunnel needs at least one rule")
+    val cumulative = rules.indices.map(i => rules.take(i + 1).map(_._2).reduce(_ && _))
+    val aggCols = count(lit(1)).as("__s0") +:
+      cumulative.zipWithIndex.map { case (c, i) =>
+        sum(when(c, 1L).otherwise(0L)).as(s"__s${i + 1}")
+      }
+    val stackArgs = rules.zipWithIndex.map { case ((name, _), i) =>
+      s"${i + 1}, '$name', __s$i, __s$i - __s${i + 1}, __s${i + 1}"
+    }.mkString(", ")
+    docs.agg(aggCols.head, aggCols.tail: _*)
+      .select(expr(
+        s"stack(${rules.length}, $stackArgs) as (stage, rule, n_in, n_drop, n_out)"))
+      .orderBy("stage")
+  }
+
   /** Corpus data-contract checks, one row per check: structural
     * integrity (empty text, metadata drift, key and content dups) plus
     * policy thresholds (short docs, non-primary-language share) — the

@@ -3531,6 +3531,309 @@ object LlmQueries {
           .withColumn("accuracy",
             round(col("n_correct").cast("double") / col("n_eval"), 6))
           .orderBy("fold")
+      }),
+
+    // ---------------------------------------------------------------- filter-cascade attrition funnel
+    QueryDef(
+      "q_l70_filter_cascade", "LLM-filter-cascade",
+      // FineWeb-style sequential filter funnel with per-rule attrition:
+      // language gate, minimum length, stopword floor, then the two
+      // Gopher repetition rules (duplicate-2gram fraction, top-2gram
+      // mass). Every per-doc measure is exact-integer arithmetic plus
+      // one correctly-rounded IEEE division in the same order on both
+      // engines, so the stage booleans — and therefore the cumulative
+      // funnel counts — are engine-independent without any rounding.
+      // Thresholds calibrated so every stage drops a nonzero share at
+      // sf0.001/0.01/0.1 (500→193→149→142→100→41 docs at sf0.001).
+      Some("""WITH d AS (SELECT doc_id, lang, trim(coalesce(text, '')) AS tt FROM documents),
+             |tok AS (SELECT doc_id, lang, string_split_regex(tt, '\s+') AS t FROM d),
+             |g AS (SELECT doc_id, tk || ' ' || t[i + 1] AS gram
+             |      FROM (SELECT doc_id, t, unnest(t) AS tk,
+             |              generate_subscripts(t, 1) AS i FROM tok)
+             |      WHERE i < len(t)),
+             |gc AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+             |gs AS (SELECT doc_id, sum(c) AS n2, count(*) AS d2, max(c) AS top2
+             |       FROM gc GROUP BY 1),
+             |per AS (SELECT tok.doc_id, lang, len(t) AS n,
+             |  CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is','for')))
+             |       AS DOUBLE) / len(t) AS stopratio,
+             |  CASE WHEN coalesce(gs.n2, 0) = 0 THEN 0.0
+             |       ELSE 1.0 - CAST(gs.d2 AS DOUBLE) / gs.n2 END AS dup2,
+             |  CASE WHEN coalesce(gs.n2, 0) = 0 THEN 0.0
+             |       ELSE CAST(gs.top2 AS DOUBLE) / gs.n2 END AS top2f
+             |  FROM tok LEFT JOIN gs ON gs.doc_id = tok.doc_id),
+             |c AS (SELECT lang = 'en' AS c1, lang = 'en' AND n >= 30 AS c2,
+             |  lang = 'en' AND n >= 30 AND stopratio >= 0.02 AS c3,
+             |  lang = 'en' AND n >= 30 AND stopratio >= 0.02 AND dup2 <= 0.05 AS c4,
+             |  lang = 'en' AND n >= 30 AND stopratio >= 0.02 AND dup2 <= 0.05
+             |    AND top2f <= 0.025 AS c5
+             |  FROM per),
+             |a AS (SELECT count(*) AS s0,
+             |  CAST(sum(CASE WHEN c1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+             |  CAST(sum(CASE WHEN c2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+             |  CAST(sum(CASE WHEN c3 THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+             |  CAST(sum(CASE WHEN c4 THEN 1 ELSE 0 END) AS BIGINT) AS s4,
+             |  CAST(sum(CASE WHEN c5 THEN 1 ELSE 0 END) AS BIGINT) AS s5 FROM c)
+             |SELECT stage, rule, n_in, n_in - n_out AS n_drop, n_out FROM (
+             |  SELECT 1 AS stage, 'lang_en' AS rule, s0 AS n_in, s1 AS n_out FROM a
+             |  UNION ALL SELECT 2, 'min_tokens', s1, s2 FROM a
+             |  UNION ALL SELECT 3, 'stopword_ratio', s2, s3 FROM a
+             |  UNION ALL SELECT 4, 'dup_bigram', s3, s4 FROM a
+             |  UNION ALL SELECT 5, 'top_bigram_mass', s4, s5 FROM a)
+             |ORDER BY stage""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        // the top-2gram mass needs a per-doc max over gram counts —
+        // the one measure the native array functions can't express;
+        // same doc_id-keyed explode+agg shape as q_l24
+        val gs = docs
+          .select(col("doc_id"),
+            explode(TextAnalysis.wordBigrams(trim(coalesce(col("text"), lit("")))))
+              .as("gram"))
+          .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id").agg(sum("c").as("n2"), max("c").as("top2"))
+        val flagged = docs
+          .join(gs, Seq("doc_id"), "left")
+          .select(col("lang"),
+            TextAnalysis.tokenCount(col("text")).as("n"),
+            TextAnalysis.stopwordRatio(col("text")).as("stopratio"),
+            TextAnalysis.dupBigramFraction(col("text")).as("dup2"),
+            when(coalesce(col("n2"), lit(0L)) === 0, lit(0.0))
+              .otherwise(col("top2").cast("double") / col("n2")).as("top2f"))
+        Corpus.attritionFunnel(flagged, Seq(
+          "lang_en" -> (col("lang") === "en"),
+          "min_tokens" -> (col("n") >= 30),
+          "stopword_ratio" -> (col("stopratio") >= 0.02),
+          "dup_bigram" -> (col("dup2") <= 0.05),
+          "top_bigram_mass" -> (col("top2f") <= 0.025)))
+      }),
+
+    // ---------------------------------------------------------------- boilerplate-line removal
+    QueryDef(
+      "q_l71_boilerplate_lines", "LLM-boilerplate-removal",
+      // CCNet-style boilerplate pass: lines repeated across ≥5 docs
+      // AND ≥20% of a source's docs are site chrome, not content.
+      // Docs are restructured into 10-token lines (q_l57's corpus has
+      // no natural newlines) and a source-specific banner line is
+      // planted on the md5-fraction<0.6 subset of each source —
+      // deterministic in both engines — so the detector has real
+      // boilerplate to find while natural lines stay below threshold.
+      // The 20% share test is integer cross-multiplication (df·5 ≥
+      // n_docs·1 is the 1/5 form), so the boilerplate set is exact.
+      Some("""WITH t AS (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS w
+             |  FROM documents),
+             |lred AS (SELECT doc_id, source, w,
+             |    unnest(generate_series(0, CAST(floor((len(w) - 1) / 10.0) AS BIGINT))) AS i
+             |  FROM t),
+             |body AS (SELECT doc_id, source,
+             |    array_to_string(list_slice(w, i*10+1, i*10+10), ' ') AS line
+             |  FROM lred),
+             |ban AS (SELECT doc_id, source,
+             |    'NOTICE ' || source || ' terms apply all rights reserved archive mirror copy'
+             |      AS line
+             |  FROM t
+             |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+             |        / 4294967296.0 < 0.6),
+             |lines AS (SELECT * FROM body UNION ALL SELECT * FROM ban),
+             |sd AS (SELECT source, count(DISTINCT doc_id) AS n_docs, count(*) AS n_lines
+             |       FROM lines GROUP BY 1),
+             |df AS (SELECT source, line, count(DISTINCT doc_id) AS df, count(*) AS inst
+             |       FROM lines GROUP BY 1, 2),
+             |boiler AS (SELECT df.source, df.inst FROM df JOIN sd ON sd.source = df.source
+             |           WHERE df.df >= 5 AND df.df * 5 >= sd.n_docs * 1),
+             |ba AS (SELECT source, count(*) AS n_boiler, CAST(sum(inst) AS BIGINT) AS n_removed
+             |       FROM boiler GROUP BY 1)
+             |SELECT sd.source, sd.n_docs, sd.n_lines,
+             |  coalesce(ba.n_boiler, 0) AS n_boiler,
+             |  coalesce(ba.n_removed, 0) AS n_removed,
+             |  round(CAST(coalesce(ba.n_removed, 0) AS DOUBLE) / sd.n_lines, 6)
+             |    AS removed_share
+             |FROM sd LEFT JOIN ba USING (source) ORDER BY source""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val w = TextAnalysis.tokens(trim(col("text")))
+        val body = transform(
+          sequence(lit(0L), floor((size(w) - 1) / 10).cast("long")),
+          i => concat_ws(" ", slice(w, (i * 10 + 1).cast("int"), lit(10))))
+        val banner = concat(lit("NOTICE "), col("source"),
+          lit(" terms apply all rights reserved archive mirror copy"))
+        val lines = docs.select(col("source"), col("doc_id"),
+          explode(when(Corpus.hashFraction(col("doc_id")) < 0.6,
+            concat(array(banner), body)).otherwise(body)).as("line"))
+        Corpus.boilerplateLines(lines, "source", "doc_id", "line",
+          minDocs = 5, pctNum = 1, pctDen = 5)
+      }),
+
+    // ---------------------------------------------------------------- data-constrained epoch/mix planner
+    QueryDef(
+      "q_l72_epoch_mix", "LLM-epoch-mix-planner",
+      // Muennighoff-style repetition plan: budget = 2× total tokens;
+      // sources ranked by curation quality (count of en docs passing
+      // the stopword floor — an exact integer, so the ranking can
+      // never flip cross-engine) into repetition tiers 4×/2×/1×; then
+      // three integer water-filling rounds apportion budget ∝ avail
+      // under each source's tier cap, re-spreading what capped
+      // sources couldn't absorb. Every step is 64-bit multiply-then-
+      // floor-divide — the whole plan is exact in both engines.
+      Some("""WITH per AS (SELECT source,
+             |    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS avail,
+             |    CAST(sum(CASE WHEN lang = 'en' AND
+             |        CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+             |             x -> x IN ('the','a','of','and','to','in','is','for'))) AS DOUBLE)
+             |          / len(string_split_regex(trim(text), '\s+')) >= 0.02
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS n_good
+             |  FROM documents GROUP BY 1),
+             |rk AS (SELECT *, CAST(row_number() OVER (ORDER BY n_good DESC, source) AS BIGINT)
+             |         AS qrank FROM per),
+             |tt AS (SELECT source, avail, n_good, qrank,
+             |    CASE WHEN qrank <= 5 THEN 4 WHEN qrank <= 15 THEN 2 ELSE 1 END AS tier,
+             |    CAST(CASE WHEN qrank <= 5 THEN 4 WHEN qrank <= 15 THEN 2 ELSE 1 END
+             |         * avail AS BIGINT) AS cap
+             |  FROM rk),
+             |b AS (SELECT CAST(2 * sum(avail) AS BIGINT) AS budget,
+             |             CAST(sum(avail) AS BIGINT) AS sumw0 FROM per),
+             |r1 AS (SELECT tt.*, least(cap, (b.budget * avail) // b.sumw0) AS alloc
+             |       FROM tt CROSS JOIN b),
+             |s2 AS (SELECT CAST(sum(CASE WHEN alloc < cap THEN avail ELSE 0 END) AS BIGINT)
+             |         AS sumw, CAST(sum(alloc) AS BIGINT) AS tot FROM r1),
+             |r2 AS (SELECT r1.source, r1.avail, r1.n_good, r1.qrank, r1.tier, r1.cap,
+             |    CASE WHEN alloc < cap AND s2.sumw > 0
+             |      THEN least(cap, alloc + greatest(((b.budget - s2.tot) * avail) // s2.sumw,
+             |                                       0))
+             |      ELSE alloc END AS alloc
+             |  FROM r1 CROSS JOIN b CROSS JOIN s2),
+             |s3 AS (SELECT CAST(sum(CASE WHEN alloc < cap THEN avail ELSE 0 END) AS BIGINT)
+             |         AS sumw, CAST(sum(alloc) AS BIGINT) AS tot FROM r2),
+             |r3 AS (SELECT r2.source, r2.avail, r2.n_good, r2.qrank, r2.tier, r2.cap,
+             |    CASE WHEN alloc < cap AND s3.sumw > 0
+             |      THEN least(cap, alloc + greatest(((b.budget - s3.tot) * avail) // s3.sumw,
+             |                                       0))
+             |      ELSE alloc END AS alloc
+             |  FROM r2 CROSS JOIN b CROSS JOIN s3)
+             |SELECT source, avail, n_good, qrank, tier, cap, alloc,
+             |  (alloc * 1000000) // avail AS epochs_micro
+             |FROM r3 ORDER BY source""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        // the only corpus pass: per-source token supply + an exact
+        // integer quality key (en docs over the stopword floor) —
+        // pinned, because the water-filling rounds re-read it
+        val per = docs.groupBy("source").agg(
+          sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("avail"),
+          sum(when(col("lang") === "en" &&
+              TextAnalysis.stopwordRatio(col("text")) >= 0.02, 1L).otherwise(0L))
+            .as("n_good"))
+          .localCheckpoint(false)
+        val budget = 2L * per.agg(sum("avail")).collect()(0).getLong(0)
+        // rank window runs over |sources| rows (20) — bounded by the
+        // source vocabulary, never by the corpus
+        val tiers = per
+          .withColumn("qrank",
+            row_number().over(Window.orderBy(col("n_good").desc, col("source"))).cast("long"))
+          .withColumn("tier",
+            when(col("qrank") <= 5, 4).when(col("qrank") <= 15, 2).otherwise(1))
+          .withColumn("cap", col("tier").cast("long") * col("avail"))
+        Corpus.epochMixPlan(tiers, budget, rounds = 3)
+          .select("source", "avail", "n_good", "qrank", "tier", "cap",
+            "alloc", "epochs_micro")
+          .orderBy("source")
+      }),
+
+    // ---------------------------------------------------------------- MMR diversified re-ranking
+    QueryDef(
+      "q_l73_mmr_diversify", "LLM-mmr-rerank",
+      // Maximal Marginal Relevance over each probe's exact-cosine
+      // top-10 pool: 4 greedy picks at λ=0.7, objective computed as
+      // 7·rel − 3·maxsim in DECIMAL(18,9) (cosines rounded to 9dp at
+      // the determinism boundary), so every pick is exact in both
+      // engines. The greedy chain is unrolled in the oracle the same
+      // way the NB cross-validation folds are (q_l69).
+      Some("""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+             |  FROM embeddings),
+             |cand0 AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             |    CAST(round(list_inner_product(q.e, c.e) /
+             |        (sqrt(list_inner_product(q.e, q.e)) * sqrt(list_inner_product(c.e, c.e))),
+             |      9) AS DECIMAL(18,9)) AS rel
+             |  FROM v q JOIN v c ON q.vec_id < 8 AND q.vec_id <> c.vec_id),
+             |cand AS (SELECT query_id, cand_id, rel FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY query_id
+             |                                 ORDER BY rel DESC, cand_id) AS r
+             |    FROM cand0) WHERE r <= 10),
+             |sims AS (SELECT a.query_id, a.cand_id AS a, b.cand_id AS b,
+             |    CAST(round(list_inner_product(va.e, vb.e) /
+             |        (sqrt(list_inner_product(va.e, va.e)) * sqrt(list_inner_product(vb.e, vb.e))),
+             |      9) AS DECIMAL(18,9)) AS sim
+             |  FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.cand_id <> b.cand_id
+             |  JOIN v va ON va.vec_id = a.cand_id JOIN v vb ON vb.vec_id = b.cand_id),
+             |p1 AS (SELECT query_id, 1 AS step, cand_id, rel,
+             |    CAST(0 AS DECIMAL(18,9)) AS max_sim,
+             |    7*rel - 3*CAST(0 AS DECIMAL(18,9)) AS score10
+             |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+             |                                     ORDER BY rel DESC, cand_id) AS r
+             |        FROM cand) WHERE r = 1),
+             |sel1 AS (SELECT query_id, cand_id FROM p1),
+             |m2 AS (SELECT s.query_id, s.a AS cand_id, max(s.sim) AS max_sim
+             |  FROM sims s JOIN sel1 t ON t.query_id = s.query_id AND t.cand_id = s.b
+             |  WHERE NOT EXISTS (SELECT 1 FROM sel1 x
+             |                    WHERE x.query_id = s.query_id AND x.cand_id = s.a)
+             |  GROUP BY 1, 2),
+             |p2 AS (SELECT query_id, 2 AS step, cand_id, rel, max_sim,
+             |    7*rel - 3*max_sim AS score10
+             |  FROM (SELECT c.query_id, c.cand_id, c.rel, m.max_sim,
+             |      row_number() OVER (PARTITION BY c.query_id
+             |        ORDER BY 7*c.rel - 3*m.max_sim DESC, c.cand_id) AS r
+             |    FROM cand c JOIN m2 m ON m.query_id = c.query_id AND m.cand_id = c.cand_id)
+             |  WHERE r = 1),
+             |sel2 AS (SELECT * FROM sel1 UNION ALL SELECT query_id, cand_id FROM p2),
+             |m3 AS (SELECT s.query_id, s.a AS cand_id, max(s.sim) AS max_sim
+             |  FROM sims s JOIN sel2 t ON t.query_id = s.query_id AND t.cand_id = s.b
+             |  WHERE NOT EXISTS (SELECT 1 FROM sel2 x
+             |                    WHERE x.query_id = s.query_id AND x.cand_id = s.a)
+             |  GROUP BY 1, 2),
+             |p3 AS (SELECT query_id, 3 AS step, cand_id, rel, max_sim,
+             |    7*rel - 3*max_sim AS score10
+             |  FROM (SELECT c.query_id, c.cand_id, c.rel, m.max_sim,
+             |      row_number() OVER (PARTITION BY c.query_id
+             |        ORDER BY 7*c.rel - 3*m.max_sim DESC, c.cand_id) AS r
+             |    FROM cand c JOIN m3 m ON m.query_id = c.query_id AND m.cand_id = c.cand_id)
+             |  WHERE r = 1),
+             |sel3 AS (SELECT * FROM sel2 UNION ALL SELECT query_id, cand_id FROM p3),
+             |m4 AS (SELECT s.query_id, s.a AS cand_id, max(s.sim) AS max_sim
+             |  FROM sims s JOIN sel3 t ON t.query_id = s.query_id AND t.cand_id = s.b
+             |  WHERE NOT EXISTS (SELECT 1 FROM sel3 x
+             |                    WHERE x.query_id = s.query_id AND x.cand_id = s.a)
+             |  GROUP BY 1, 2),
+             |p4 AS (SELECT query_id, 4 AS step, cand_id, rel, max_sim,
+             |    7*rel - 3*max_sim AS score10
+             |  FROM (SELECT c.query_id, c.cand_id, c.rel, m.max_sim,
+             |      row_number() OVER (PARTITION BY c.query_id
+             |        ORDER BY 7*c.rel - 3*m.max_sim DESC, c.cand_id) AS r
+             |    FROM cand c JOIN m4 m ON m.query_id = c.query_id AND m.cand_id = c.cand_id)
+             |  WHERE r = 1)
+             |SELECT query_id, step, cand_id, CAST(rel AS DOUBLE) AS rel,
+             |  CAST(max_sim AS DOUBLE) AS max_sim, CAST(score10 AS DOUBLE) / 10 AS mmr
+             |FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2
+             |      UNION ALL SELECT * FROM p3 UNION ALL SELECT * FROM p4)
+             |ORDER BY query_id, step""".stripMargin),
+      (s, dir) => {
+        val v = Tables.embeddings(s, dir)
+          .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("__e"))
+        // candidate pool: exact-cosine top-10 per probe — the explicit
+        // small-|Q| baseline (q_l5's shape); the 100 TB path feeds MMR
+        // from an ANN stage instead, the greedy loop is unchanged
+        val cand0 = broadcast(v.filter(col("vec_id") < 8)
+            .select(col("vec_id").as("query_id"), col("__e").as("__qe")))
+          .crossJoin(v.select(col("vec_id").as("cand_id"), col("__e").as("__ce")))
+          .filter(col("query_id") =!= col("cand_id"))
+          .withColumn("rel",
+            round(Similarity.cosine(col("__qe"), col("__ce")), 9)
+              .cast(DecimalType(18, 9)))
+        val w = Window.partitionBy("query_id").orderBy(col("rel").desc, col("cand_id"))
+        val cand = cand0.withColumn("__r", row_number().over(w))
+          .filter(col("__r") <= 10)
+          .select("query_id", "cand_id", "rel", "__ce")
+        Similarity.mmrSelect(cand, "query_id", "cand_id", "rel", "__ce",
+          steps = 4, lambdaNum = 7)
       })
   )
 

@@ -155,4 +155,70 @@ class CorpusSpec extends AnyFunSuite {
     // relative to raw-vocab ones under add-1 smoothing
     assert(got.values.toSet.size > 1)
   }
+
+  test("attritionFunnel: sequential semantics, conserved counts, one row per rule") {
+    import spark.implicits._
+    // 10 docs: 6 pass r1; of those, 4 pass r2; of those, 3 pass r3.
+    // A doc failing r1 but passing r2 (id 7-10 with ok=true) must NOT
+    // resurrect downstream — the cascade is sequential, not parallel.
+    val docs = (1 to 10).map { i =>
+      (i.toLong, i <= 6, i <= 4 || i > 6, i <= 3)
+    }.toDF("id", "a", "b", "c")
+    val out = Corpus.attritionFunnel(docs,
+        Seq("ra" -> col("a"), "rb" -> col("b"), "rc" -> col("c")))
+      .as[(Int, String, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1, "ra", 10L, 4L, 6L), (2, "rb", 6L, 2L, 4L), (3, "rc", 4L, 1L, 3L)))
+    // conservation: every stage's n_in equals the previous n_out and
+    // n_drop + n_out == n_in
+    out.foreach { case (_, _, in, drop, outN) => assert(in == drop + outN) }
+    assert(out.sliding(2).forall { case Seq(p, n) => p._5 == n._3; case _ => true })
+    intercept[IllegalArgumentException] { Corpus.attritionFunnel(docs, Seq.empty) }
+  }
+
+  test("boilerplateLines: integer share threshold, per-source isolation") {
+    import spark.implicits._
+    // source s1: 10 docs, banner line in 4 of them (df=4): fails the
+    // min-docs=3 AND 40%-of-10 test only on share when pct=1/2 (needs
+    // 5), passes at pct=2/5 (needs 4) — exercises exact integer
+    // cross-multiplication, no float ceil. source s2: same line text
+    // in only 2 docs — below minDocs, never boilerplate there.
+    val rows =
+      (1 to 10).flatMap(d => Seq(("s1", d.toLong, s"unique s1 $d"))) ++
+        (1 to 4).map(d => ("s1", d.toLong, "BANNER")) ++
+        (1 to 6).flatMap(d => Seq(("s2", d.toLong, s"unique s2 $d"))) ++
+        (1 to 2).map(d => ("s2", d.toLong, "BANNER"))
+    val lines = rows.toDF("source", "doc_id", "line")
+    def run(num: Int, den: Int) =
+      Corpus.boilerplateLines(lines, "source", "doc_id", "line",
+          minDocs = 3, pctNum = num, pctDen = den)
+        .as[(String, Long, Long, Long, Long, Double)].collect()
+        .map(r => r._1 -> r).toMap
+    val strict = run(1, 2) // 50%: df=4 of 10 docs fails
+    assert(strict("s1")._4 == 0 && strict("s2")._4 == 0)
+    val loose = run(2, 5) // 40%: df=4 of 10 docs passes exactly (4*5 >= 10*2)
+    assert(loose("s1") == (("s1", 10L, 14L, 1L, 4L, 0.285714)))
+    assert(loose("s2")._4 == 0, "df=2 < minDocs must never flag")
+    assert(loose("s2")._3 == 8L && loose("s2")._5 == 0L)
+  }
+
+  test("epochMixPlan: integer water-filling respects caps and redistributes") {
+    import spark.implicits._
+    // hand-computed: budget 600 over avail (100,100,200) with caps
+    // (400,100,400): round 1 gives (150,150→100,300); round 2 spreads
+    // the 50 freed by b over a,c ∝ avail → (166,100,333); round 3
+    // moves nothing (integer crumbs only). 1 token stays unallocated.
+    val stats = Seq(
+      ("a", 100L, 400L), ("b", 100L, 100L), ("c", 200L, 400L)
+    ).toDF("source", "avail", "cap")
+    val out = Corpus.epochMixPlan(stats, budget = 600L, rounds = 3)
+      .select("source", "alloc", "epochs_micro")
+      .as[(String, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(out == Map("a" -> (166L, 1660000L), "b" -> (100L, 1000000L),
+      "c" -> (333L, 1665000L)), out)
+    assert(out.values.map(_._1).sum <= 600L)
+    // a budget below every cap allocates proportionally, nothing capped
+    val flat = Corpus.epochMixPlan(stats, budget = 200L, rounds = 3)
+      .select("source", "alloc").as[(String, Long)].collect().toMap
+    assert(flat == Map("a" -> 50L, "b" -> 50L, "c" -> 100L), flat)
+  }
 }

@@ -158,4 +158,29 @@ class SimilaritySpec extends AnyFunSuite {
       assert(ds == ds.sorted)
     }
   }
+
+  test("mmrSelect greedily trades relevance for diversity, ties break on id") {
+    import spark.implicits._
+    // candidates for one query: c10=(1,0) rel .9; c20=(.6,.8) rel .8
+    // (cos .6 to c10, .8 to c30); c30=c31=(0,1) rel .7 (orthogonal to
+    // c10, mutual cos 1). Hand-computed greedy at λ=0.7:
+    //  step1: c10 (7·.9 = 6.3)
+    //  step2: c20 scores 7·.8−3·.6 = 3.8 < c30/c31's 4.9 → tie → c30
+    //  step3: c20 3.8 > c31's 7·.7−3·max(0,1) = 1.9 → c20
+    val cand = Seq(
+      (1L, 10L, BigDecimal("0.9"), Seq(1.0, 0.0)),
+      (1L, 20L, BigDecimal("0.8"), Seq(0.6, 0.8)),
+      (1L, 30L, BigDecimal("0.7"), Seq(0.0, 1.0)),
+      (1L, 31L, BigDecimal("0.7"), Seq(0.0, 1.0))
+    ).toDF("query_id", "cand_id", "rel", "emb")
+    val out = Similarity.mmrSelect(cand, "query_id", "cand_id", "rel", "emb",
+        steps = 3, lambdaNum = 7)
+      .select("step", "cand_id", "max_sim", "mmr").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.map(t => t._1 -> t._2).toSeq == Seq(1 -> 10L, 2 -> 30L, 3 -> 20L))
+    val byStep = out.map(t => t._1 -> t).toMap
+    assert(byStep(2)._3 == 0.0) // c30 is orthogonal to the first pick
+    assert(math.abs(byStep(3)._4 - 0.38) < 1e-9) // (7·.8 − 3·.8)/10
+    assert(math.abs(byStep(3)._3 - 0.8) < 1e-9) // c20's max sim is to c30
+  }
 }
