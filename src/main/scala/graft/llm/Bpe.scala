@@ -45,7 +45,7 @@ object Bpe {
     */
   def tokenCounts(docs: DataFrame, textCol: String, groupCol: String, merges: Int): DataFrame = {
     val seqs = trainLoop(docs, textCol, merges)._1
-    val syms = split(trim(col("seq"), "|"), "\\|\\|")
+    val syms = split(expr("trim(BOTH '|' FROM seq)"), "\\|\\|")
     val vocab = seqs.select(col("word"), size(syms).cast("long").as("n_bpe"))
     docs
       .select(col(groupCol), explode(TextAnalysis.tokens(col(textCol))).as("word"))
@@ -71,7 +71,7 @@ object Bpe {
       .select(col("word"), col("freq"),
         regexp_replace(col("word"), "(.)", "|$1|").as("seq"))
       .localCheckpoint(false) // two actions per round read this frame
-    val syms = split(trim(col("seq"), "|"), "\\|\\|")
+    val syms = split(expr("trim(BOTH '|' FROM seq)"), "\\|\\|")
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long, Long)]
     var step = 1
     while (step <= merges) {

@@ -166,7 +166,7 @@ class SimilaritySpec extends AnyFunSuite {
     // c10, mutual cos 1). Hand-computed greedy at λ=0.7:
     //  step1: c10 (7·.9 = 6.3)
     //  step2: c20 scores 7·.8−3·.6 = 3.8 < c30/c31's 4.9 → tie → c30
-    //  step3: c20 3.8 > c31's 7·.7−3·max(0,1) = 1.9 → c20
+    //  step3: c20 7·.8−3·max(.6,.8) = 3.2 > c31's 7·.7−3·max(0,1) = 1.9 → c20
     val cand = Seq(
       (1L, 10L, BigDecimal("0.9"), Seq(1.0, 0.0)),
       (1L, 20L, BigDecimal("0.8"), Seq(0.6, 0.8)),
@@ -180,7 +180,7 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.map(t => t._1 -> t._2).toSeq == Seq(1 -> 10L, 2 -> 30L, 3 -> 20L))
     val byStep = out.map(t => t._1 -> t).toMap
     assert(byStep(2)._3 == 0.0) // c30 is orthogonal to the first pick
-    assert(math.abs(byStep(3)._4 - 0.38) < 1e-9) // (7·.8 − 3·.8)/10
+    assert(math.abs(byStep(3)._4 - 0.32) < 1e-9) // (7·.8 − 3·.8)/10
     assert(math.abs(byStep(3)._3 - 0.8) < 1e-9) // c20's max sim is to c30
   }
 }
