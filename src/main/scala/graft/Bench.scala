@@ -134,7 +134,13 @@ object Bench {
       val work = passStats.map(p => f"${p._2}j/${p._3}t/${p._4}%.1fs/${p._5}%.1fcpu").mkString(",")
       System.err.println(
         f"[bench] $name passes=${passes.map(p => f"$p%.3f").mkString(",")} min=$sec%.3f work=$work $telemetry")
-      name -> sec
+      // best (min-wall) pass's counters ride into BENCH_DETAIL.json so a
+      // future wall anomaly self-adjudicates: identical jobs/tasks/cpuSec
+      // vs a prior round with divergent wall = host noise, not the plan
+      val bestWork = passStats.filter(_._1 >= 0).sortBy(_._1).headOption.map { b =>
+        f"""{"wall":${b._1}%.3f,"jobs":${b._2},"tasks":${b._3},"taskSec":${b._4}%.1f,"cpuSec":${b._5}%.1f}"""
+      }
+      (name, sec, bestWork)
     }
     // The driver captures only the LAST 2000 chars of stdout. A single
     // line with ~90 full query names is ~2.4 KB and can never fit, so:
@@ -155,21 +161,29 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.count(_._2 < 0)
     val fullJson = {
-      val qs = results.map { case (k, v) => entry(k, v, 3) }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      val qs = results.map { case (k, v, _) => entry(k, v, 3) }.mkString("{", ",", "}")
+      val wk = results.collect { case (k, _, Some(w)) => "\"" + k + "\":" + w }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"work":$wk,"sf":"$sfDir"}"""
     }
     // Two copies: target/ for local dev, and a repo-root BENCH_DETAIL
     // .json the driver's end-of-round commit picks up — the stdout
     // summary stays truncated by the driver's 2000-char tail window,
     // so this file is the only complete, diffable per-query record.
-    Seq(java.nio.file.Paths.get("target", "bench_last.json"),
-        java.nio.file.Paths.get("BENCH_DETAIL.json")).foreach { p =>
+    // a subset run (dev iteration with name args) must not clobber the
+    // repo-root full-registry record; it still writes target/ for audit
+    val auditPaths =
+      if (args.nonEmpty) Seq(java.nio.file.Paths.get("target", "bench_last.json"))
+      else Seq(java.nio.file.Paths.get("target", "bench_last.json"),
+        java.nio.file.Paths.get("BENCH_DETAIL.json"))
+    auditPaths.foreach { p =>
       try {
         if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
         java.nio.file.Files.writeString(p, fullJson + "\n")
       } catch { case e: Throwable => System.err.println(s"[bench] audit write failed ($p): $e") }
     }
-    val ascending = results.sortBy { case (_, v) => if (v < 0) Double.MaxValue else v }
+    val ascending = results.map { case (k, v, _) => k -> v }
+      .sortBy { case (_, v) => if (v < 0) Double.MaxValue else v }
     val detailLines = ascending.map { case (k, v) => entry(k, v, 2) }
       .grouped(15).zipWithIndex.map { case (chunk, i) =>
         s"""{"benchDetail":${i + 1},"q":{${chunk.mkString(",")}}}"""
