@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.llm.{Bpe, Classifier, Corpus, Dedup, Multimodal, Pca, Retrieval, Similarity, Sketches, TextAnalysis}
+import graft.llm.{Bpe, Classifier, Corpus, Dedup, Multimodal, Pca, Retrieval, Similarity, Sketches, TextAnalysis, Unigram}
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -3834,7 +3834,24 @@ object LlmQueries {
           .select("query_id", "cand_id", "rel", "__ce")
         Similarity.mmrSelect(cand, "query_id", "cand_id", "rel", "__ce",
           steps = 4, lambdaNum = 7)
-      })
+      }),
+
+    // ---------------------------------------------------------------- Unigram-LM tokenizer training (SentencePiece-style)
+    QueryDef(
+      "q_l74_unigram_train", "LLM-unigram-train",
+      // the BPE sibling (Kudo 2018): seed a piece inventory from
+      // substring frequencies, then 3 hard-EM rounds — integer
+      // micro-nat Viterbi segmentation of the word-frequency table,
+      // count re-estimation, prune multi-char pieces to the top
+      // ceil(3/4) by (count desc, piece asc). Every DP sum is exact
+      // Long arithmetic; the only float op is one ln per piece per
+      // round, quantized at the 1e-6 grid (the q_l59 NB precedent
+      // rounds ln at 1e-12 and has been green for rounds). The oracle
+      // unrolls all 3 rounds × 8 Viterbi positions as CTE chains, so
+      // a single mis-segmentation anywhere diverges the final counts.
+      Some(unigramOracleSql(maxLen = 8, pieceLen = 4, seedN = 24, rounds = 3)),
+      (s, dir) => Unigram.train(Tables.documents(s, dir), "text",
+        maxWordLen = 8, maxPieceLen = 4, seedMultis = 24, rounds = 3))
   )
 
   /** Seed-membership predicate shared by the NB classifier queries. */
@@ -3902,5 +3919,88 @@ object LlmQueries {
          |  AS BIGINT) AS n_sym FROM seq$k)""".stripMargin
     }.mkString(",\n")
     s"$head,\n$rounds"
+  }
+
+  /** Generated oracle for q_l74: the full unigram-LM hard-EM replay.
+    * Unrolls `rounds` EM rounds, each containing the `maxLen`-position
+    * Viterbi DP (per position, the min-(cost, seg) extension over the
+    * ≤ `pieceLen` pieces ending there — the same per-position greedy
+    * the Scala DP performs), count re-estimation, and the
+    * ceil(3/4)-keep prune. Costs are integer micro-nats
+    * round(-ln((cnt+1)/(T+V))·1e6), so DP sums replay exactly.
+    */
+  private def unigramOracleSql(
+      maxLen: Int, pieceLen: Int, seedN: Int, rounds: Int): String = {
+    val head =
+      s"""WITH words AS MATERIALIZED (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+         |        FROM documents)
+         |  WHERE len(word) BETWEEN 1 AND $maxLen
+         |    AND regexp_matches(word, '^[!-~]+$$') AND word NOT LIKE '%|%'
+         |  GROUP BY 1)""".stripMargin
+    val subs = (1 to pieceLen).map { l =>
+      s"""sub$l AS MATERIALIZED (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT substr(word, CAST(i AS INT), $l) AS piece, freq
+         |    FROM (SELECT word, freq, unnest(range(1, len(word) - ${l - 1} + 1)) AS i
+         |          FROM words WHERE len(word) >= $l))
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    val seedUnion = (2 to pieceLen).map(l => s"SELECT * FROM sub$l").mkString(" UNION ALL ")
+    val seed =
+      s"""seedm AS MATERIALIZED (SELECT piece, cnt FROM ($seedUnion)
+         |  ORDER BY cnt DESC, piece LIMIT $seedN),
+         |vocab0 AS MATERIALIZED (SELECT * FROM sub1 UNION ALL SELECT * FROM seedm)""".stripMargin
+    val emRounds = (1 to rounds).map { r =>
+      val p = r - 1
+      val dp = (1 to maxLen).map { i =>
+        val cases = (1 to math.min(pieceLen, i)).map { j =>
+          s"""      SELECT d.word, d.freq, d.cost + c.cost AS cost,
+             |        d.seg || '|' || c.piece AS seg
+             |      FROM dp${r}_${i - j} d JOIN cost$r c
+             |        ON c.piece = substr(d.word, ${i - j + 1}, $j)
+             |      WHERE len(d.word) >= $i""".stripMargin
+        }.mkString("\n      UNION ALL\n")
+        s"""dp${r}_$i AS MATERIALIZED (SELECT word, freq, cost, seg FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY word ORDER BY cost, seg) AS rn
+           |    FROM (
+           |$cases)) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      val segUnion = (1 to maxLen)
+        .map(i => s"SELECT word, freq, seg FROM dp${r}_$i WHERE len(word) = $i")
+        .mkString("\n    UNION ALL ")
+      s"""tot$r AS MATERIALIZED (SELECT CAST(sum(cnt) AS BIGINT) AS tt,
+         |    CAST(count(*) AS BIGINT) AS vv FROM vocab$p),
+         |cost$r AS MATERIALIZED (SELECT piece,
+         |    CAST(round(-ln((cnt + 1.0) / (tt + vv)) * 1000000) AS BIGINT) AS cost
+         |  FROM vocab$p CROSS JOIN tot$r),
+         |dp${r}_0 AS MATERIALIZED (SELECT word, freq, CAST(0 AS BIGINT) AS cost, '' AS seg FROM words),
+         |$dp,
+         |seg$r AS MATERIALIZED ($segUnion),
+         |ecnt$r AS MATERIALIZED (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT freq, unnest(string_split(substr(seg, 2), '|')) AS piece
+         |    FROM seg$r)
+         |  GROUP BY 1),
+         |vchar$r AS MATERIALIZED (SELECT c.piece, COALESCE(e.cnt, CAST(0 AS BIGINT)) AS cnt
+         |  FROM sub1 c LEFT JOIN ecnt$r e USING (piece)),
+         |vmult$r AS MATERIALIZED (SELECT v.piece, COALESCE(e.cnt, CAST(0 AS BIGINT)) AS cnt
+         |  FROM (SELECT piece FROM vocab$p WHERE len(piece) > 1) v
+         |  LEFT JOIN ecnt$r e USING (piece)),
+         |kmult$r AS MATERIALIZED (SELECT piece, cnt FROM (
+         |    SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rn,
+         |      count(*) OVER () AS nm FROM vmult$r)
+         |  WHERE rn <= (3 * nm + 3) // 4),
+         |vocab$r AS MATERIALIZED (SELECT * FROM vchar$r UNION ALL SELECT * FROM kmult$r)""".stripMargin
+    }.mkString(",\n")
+    s"""$head,
+       |$subs,
+       |$seed,
+       |$emRounds,
+       |totf AS MATERIALIZED (SELECT CAST(sum(cnt) AS BIGINT) AS tt,
+       |    CAST(count(*) AS BIGINT) AS vv FROM vocab$rounds)
+       |SELECT v.piece, v.cnt,
+       |  CAST(round(-ln((v.cnt + 1.0) / (tt + vv)) * 1000000) AS BIGINT) AS cost
+       |FROM vocab$rounds v CROSS JOIN totf
+       |ORDER BY v.cnt DESC, v.piece""".stripMargin
   }
 }
