@@ -112,6 +112,39 @@ object Corpus {
       .drop("__pid", "__mid", "__off", "__run", "__ord")
   }
 
+  /** Physically materialize the [[packShards]] plan: one parquet file
+    * per shard under `outDir/shard_id=N/`, plus a sibling
+    * `<outDir>_manifest` JSON (per shard: doc count, token total,
+    * id checksum, global token span) — the artifact a training loader
+    * actually opens. One-file-per-shard holds because the hash
+    * repartition on shard_id puts every row of a shard in exactly one
+    * task before the partitioned write; at 100 TB the shard count
+    * (total_tokens / budget) dwarfs the task count, so tasks carry
+    * many whole shards each and file sizes stay budget-bounded by
+    * construction. Returns the read-back of the written files so
+    * callers verify the roundtrip, not the plan.
+    */
+  def writeShardFiles(docs: DataFrame, idCol: String, textCol: String,
+      tokensPerShard: Long, outDir: String): DataFrame = {
+    val spark = docs.sparkSession
+    packShards(docs, idCol, textCol, tokensPerShard)
+      .repartition(col("shard_id"))
+      .write.mode("overwrite").partitionBy("shard_id").parquet(outDir)
+    // partition-dir values read back as inferred ints — restore the
+    // plan's long so downstream comparisons are type-exact
+    val back = spark.read.parquet(outDir)
+      .withColumn("shard_id", col("shard_id").cast("long"))
+    back.groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("shard_tokens"),
+        sum(col(idCol)).cast("long").as("id_sum"),
+        min(col("token_start")).cast("long").as("start_min"),
+        max(col("token_start") + col("n_tokens")).cast("long").as("end_max"))
+      .coalesce(1) // manifest is shard-count-sized metadata, one file
+      .write.mode("overwrite").json(outDir + "_manifest")
+    back
+  }
+
   // Patterns shared with the SQL oracle: RE2-safe (no backrefs, no
   // lookarounds) so Java regex and DuckDB's RE2 agree on every match.
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

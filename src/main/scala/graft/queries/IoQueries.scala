@@ -569,6 +569,66 @@ object IoQueries {
             dsum(col("o_totalprice")).as("sum_price"))
       }),
 
+    // ---------------------------------------------------------------- S24 (physical shard write-out of the packing plan)
+    QueryDef(
+      "q_s24_shard_writeout", "S4 S10 LLM-corpus-shards (physical write-out)",
+      // closes the loop q_s23_compaction closed for small files: the
+      // q_l17/q_l35 packing plan is actually WRITTEN as one parquet
+      // file per token-budget shard plus a JSON manifest, read back,
+      // and the per-shard aggregates recomputed FROM THE FILES must
+      // equal the oracle's pure-SQL replay of the packing — a layout
+      // roundtrip cannot change the assignment. manifest_ok gates the
+      // manifest against the files Spark-side (the oracle cannot see
+      // the artifact, so it asserts TRUE — any manifest drift fails
+      // the hash). One-file-per-shard mechanics are asserted in
+      // CorpusSpec.
+      Some("""WITH t AS (SELECT doc_id,
+             |  CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+             |       ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+             |  md5(CAST(doc_id AS VARCHAR)) AS ord
+             |  FROM documents),
+             |c AS (SELECT doc_id, n_tokens,
+             |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY ord, doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             |    AS token_start
+             |  FROM t)
+             |SELECT CAST(floor(token_start / 2048.0) AS BIGINT) AS shard_id,
+             |count(*) AS n_docs,
+             |CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+             |CAST(sum(doc_id) AS BIGINT) AS id_sum,
+             |CAST(min(token_start) AS BIGINT) AS start_min,
+             |CAST(max(token_start + n_tokens) AS BIGINT) AS end_max,
+             |TRUE AS manifest_ok
+             |FROM c GROUP BY 1 ORDER BY shard_id""".stripMargin),
+      (s, dir) => {
+        val out = s"$TmpBase/q_s24_shards"
+        val back = graft.llm.Corpus.writeShardFiles(
+          Tables.documents(s, dir), "doc_id", "text", 2048L, out)
+        val agg = back.groupBy("shard_id")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).cast("long").as("shard_tokens"),
+            sum(col("doc_id")).cast("long").as("id_sum"),
+            min(col("token_start")).cast("long").as("start_min"),
+            max(col("token_start") + col("n_tokens")).cast("long").as("end_max"))
+        val man = s.read.json(s"${out}_manifest").select(
+          col("shard_id").cast("long").as("shard_id"),
+          col("n_docs").cast("long").as("__m_docs"),
+          col("shard_tokens").cast("long").as("__m_tokens"),
+          col("id_sum").cast("long").as("__m_ids"),
+          col("start_min").cast("long").as("__m_start"),
+          col("end_max").cast("long").as("__m_end"))
+        agg.join(man, Seq("shard_id"), "left")
+          .withColumn("manifest_ok", coalesce(
+            col("__m_docs") === col("n_docs") &&
+              col("__m_tokens") === col("shard_tokens") &&
+              col("__m_ids") === col("id_sum") &&
+              col("__m_start") === col("start_min") &&
+              col("__m_end") === col("end_max"), lit(false)))
+          .select("shard_id", "n_docs", "shard_tokens", "id_sum",
+            "start_min", "end_max", "manifest_ok")
+          .orderBy("shard_id")
+      }),
+
     // ---------------------------------------------------------------- S22 (parquet aggregate pushdown)
     QueryDef(
       "q_s22_agg_pushdown", "S3 (footer-statistics aggregate pushdown)",

@@ -221,4 +221,31 @@ class CorpusSpec extends AnyFunSuite {
       .select("source", "alloc").as[(String, Long)].collect().toMap
     assert(flat == Map("a" -> 50L, "b" -> 50L, "c" -> 100L), flat)
   }
+
+  test("writeShardFiles lays out exactly one data file per shard plus a manifest") {
+    val docs = (1L to 400L).map(i => (i, ("tok " * 17).trim)).toDF("doc_id", "text")
+    val out = "target/tmp/corpus_spec_shards"
+    val back = Corpus.writeShardFiles(docs, "doc_id", "text", tokensPerShard = 512L, out)
+    // 400 docs × 17 tokens = 6800 tokens → ceil(6800/512) = 14 shards
+    val shardIds = back.select("shard_id").distinct()
+      .as[Long].collect().sorted.toSeq
+    assert(shardIds == (0L until 14L), shardIds)
+    val fs = new java.io.File(out)
+    val shardDirs = fs.listFiles().filter(_.getName.startsWith("shard_id="))
+    assert(shardDirs.length == 14, shardDirs.map(_.getName).toSeq)
+    shardDirs.foreach { d =>
+      val dataFiles = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(dataFiles.length == 1, s"${d.getName}: ${dataFiles.length} files")
+    }
+    // the manifest agrees with the files it describes
+    val man = spark.read.json(out + "_manifest")
+    assert(man.count() == 14)
+    val manTokens = man.agg(sum("shard_tokens")).as[Long].head()
+    assert(manTokens == 6800L, manTokens)
+    // no shard starts outside its own token window (boundary exactness)
+    val bad = back.filter(
+      col("token_start") < col("shard_id") * 512L ||
+        col("token_start") >= (col("shard_id") + 1) * 512L).count()
+    assert(bad == 0L)
+  }
 }
