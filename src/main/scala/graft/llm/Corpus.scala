@@ -413,17 +413,32 @@ object Corpus {
     * per-source rollup of at most |sources| rows joined broadcast.
     * No window, nothing all-pairs, no driver collect.
     */
-  def boilerplateLines(
+  /** The removable (source, line) set under the same rule — what the
+    * REWRITE form of the boilerplate pass anti-joins against (q_l21b's
+    * chain); [[boilerplateLines]] is the reporting rollup of this set.
+    * Returns (source, __line, __inst).
+    */
+  def boilerplateSet(
       lines: DataFrame, srcCol: String, docCol: String, lineCol: String,
       minDocs: Int, pctNum: Int, pctDen: Int): DataFrame = {
     val src = col(srcCol); val doc = col(docCol); val line = col(lineCol)
     val srcDocs = lines.groupBy(src.as("source"))
-      .agg(countDistinct(doc).as("n_docs"), count(lit(1)).as("n_lines"))
+      .agg(countDistinct(doc).as("n_docs"))
     val df = lines.groupBy(src.as("source"), line.as("__line"))
       .agg(countDistinct(doc).as("__df"), count(lit(1)).as("__inst"))
-    val boiler = df.join(broadcast(srcDocs.select(col("source"), col("n_docs"))), "source")
+    df.join(broadcast(srcDocs), "source")
       .filter(col("__df") >= minDocs &&
         col("__df") * pctDen >= col("n_docs") * pctNum)
+      .select(col("source"), col("__line"), col("__inst"))
+  }
+
+  def boilerplateLines(
+      lines: DataFrame, srcCol: String, docCol: String, lineCol: String,
+      minDocs: Int, pctNum: Int, pctDen: Int): DataFrame = {
+    val src = col(srcCol); val doc = col(docCol)
+    val srcDocs = lines.groupBy(src.as("source"))
+      .agg(countDistinct(doc).as("n_docs"), count(lit(1)).as("n_lines"))
+    val boiler = boilerplateSet(lines, srcCol, docCol, lineCol, minDocs, pctNum, pctDen)
       .groupBy("source")
       .agg(count(lit(1)).as("__n_boiler"), sum("__inst").as("__n_removed"))
     srcDocs.join(boiler, Seq("source"), "left")
