@@ -48,6 +48,60 @@ object Unigram {
       seedMultis: Int = 24, rounds: Int = 3): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val (_, vocab) =
+      trainState(docs, textCol, maxWordLen, maxPieceLen, seedMultis, rounds)
+    val cost = costs(vocab)
+    vocab.toSeq
+      .map { case (p, c) => (p, c, cost(p)) }
+      .toDF("piece", "cnt", "cost")
+      .orderBy(col("cnt").desc, col("piece"))
+  }
+
+  /** Tokenize the corpus with the just-trained vocabulary: per group,
+    * whitespace tokens vs unigram pieces — the compression the
+    * tokenizer achieves on its own training data ([[Bpe.tokenCounts]]'
+    * sibling). The final-cost Viterbi runs once per DISTINCT word;
+    * the corpus-sized token stream joins that vocabulary-sized frame
+    * by word (one key-partitioned join + one aggregation). Tokens
+    * excluded from training (too long / non-ASCII / reserved
+    * delimiter) drop from both counts via the inner join.
+    */
+  def tokenCounts(docs: DataFrame, textCol: String, groupCol: String,
+      maxWordLen: Int = 8, maxPieceLen: Int = 4,
+      seedMultis: Int = 24, rounds: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (words, vocab) =
+      trainState(docs, textCol, maxWordLen, maxPieceLen, seedMultis, rounds)
+    val bc = spark.sparkContext.broadcast(costs(vocab))
+    val nUni = words
+      .map { case (w, _) => (w, viterbi(w, bc.value, maxPieceLen).length.toLong) }
+      .toDF("word", "n_uni")
+    docs
+      .select(col(groupCol), explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .join(nUni, "word")
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("ws_tokens"), sum(col("n_uni")).as("uni_tokens"))
+  }
+
+  private def costs(v: Array[(String, Long)]): Map[String, Long] = {
+    val t = v.map(_._2).sum
+    val n = v.length.toLong
+    v.map { case (p, c) =>
+      p -> Math.round(-Math.log((c + 1).toDouble / (t + n).toDouble) * 1e6)
+    }.toMap
+  }
+
+  /** The shared training loop: returns the distinct-word table and the
+    * final (piece, expected-count) inventory after `rounds` hard-EM
+    * rounds.
+    */
+  private def trainState(docs: DataFrame, textCol: String,
+      maxWordLen: Int, maxPieceLen: Int,
+      seedMultis: Int, rounds: Int)
+      : (org.apache.spark.sql.Dataset[(String, Long)], Array[(String, Long)]) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
 
     val words = docs
       .select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
@@ -72,14 +126,6 @@ object Unigram {
       .orderBy(col("cnt").desc, col("piece")).limit(seedMultis)
       .as[(String, Long)].collect() // bounded: ≤ seedMultis rows
 
-    def costs(v: Array[(String, Long)]): Map[String, Long] = {
-      val t = v.map(_._2).sum
-      val n = v.length.toLong
-      v.map { case (p, c) =>
-        p -> Math.round(-Math.log((c + 1).toDouble / (t + n).toDouble) * 1e6)
-      }.toMap
-    }
-
     var charV = chars
     var multiV = multis
     for (_ <- 1 to rounds) {
@@ -99,12 +145,7 @@ object Unigram {
         .sortBy { case (p, c) => (-c, p) }
       multiV = rescored.take((3 * rescored.length + 3) / 4)
     }
-
-    val cost = costs(charV ++ multiV)
-    (charV ++ multiV).toSeq
-      .map { case (p, c) => (p, c, cost(p)) }
-      .toDF("piece", "cnt", "cost")
-      .orderBy(col("cnt").desc, col("piece"))
+    (words, charV ++ multiV)
   }
 
   /** Min-cost segmentation of one word under integer piece costs; ties

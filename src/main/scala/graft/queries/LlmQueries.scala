@@ -4083,7 +4083,21 @@ object LlmQueries {
       // a single mis-segmentation anywhere diverges the final counts.
       Some(unigramOracleSql(maxLen = 8, pieceLen = 4, seedN = 24, rounds = 3)),
       (s, dir) => Unigram.train(Tables.documents(s, dir), "text",
-        maxWordLen = 8, maxPieceLen = 4, seedMultis = 24, rounds = 3))
+        maxWordLen = 8, maxPieceLen = 4, seedMultis = 24, rounds = 3)),
+
+    // ---------------------------------------------------------------- Unigram apply: corpus compression per source
+    QueryDef(
+      "q_l74b_unigram_apply", "LLM-unigram-apply",
+      // tokenize the corpus with the just-trained unigram LM: per
+      // source, whitespace tokens vs unigram pieces — q_l61b's
+      // compression query for the other tokenizer family. The oracle
+      // replays the full 3-round EM chain, runs ONE more final-cost
+      // Viterbi pass over the word table, and joins the token stream
+      // by word — so every per-word segmentation length is pinned.
+      Some(unigramApplySql(maxLen = 8, pieceLen = 4, seedN = 24, rounds = 3)),
+      (s, dir) => Unigram.tokenCounts(Tables.documents(s, dir), "text", "source",
+          maxWordLen = 8, maxPieceLen = 4, seedMultis = 24, rounds = 3)
+        .orderBy("source"))
   )
 
   /** Seed-membership predicate shared by the NB classifier queries. */
@@ -4161,7 +4175,41 @@ object LlmQueries {
     * ceil(3/4)-keep prune. Costs are integer micro-nats
     * round(-ln((cnt+1)/(T+V))·1e6), so DP sums replay exactly.
     */
-  private def unigramOracleSql(
+  /** The tot/cost + Viterbi-DP + best-segmentation CTEs for one pass
+    * over vocab${r-1} — shared by the EM rounds and the final apply.
+    */
+  private def unigramDpCtes(r: Int, maxLen: Int, pieceLen: Int): String = {
+    val p = r - 1
+    val dp = (1 to maxLen).map { i =>
+      val cases = (1 to math.min(pieceLen, i)).map { j =>
+        s"""      SELECT d.word, d.freq, d.cost + c.cost AS cost,
+           |        d.seg || '|' || c.piece AS seg
+           |      FROM dp${r}_${i - j} d JOIN cost$r c
+           |        ON c.piece = substr(d.word, ${i - j + 1}, $j)
+           |      WHERE len(d.word) >= $i""".stripMargin
+      }.mkString("\n      UNION ALL\n")
+      s"""dp${r}_$i AS MATERIALIZED (SELECT word, freq, cost, seg FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY word ORDER BY cost, seg) AS rn
+         |    FROM (
+         |$cases)) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val segUnion = (1 to maxLen)
+      .map(i => s"SELECT word, freq, seg FROM dp${r}_$i WHERE len(word) = $i")
+      .mkString("\n    UNION ALL ")
+    s"""tot$r AS MATERIALIZED (SELECT CAST(sum(cnt) AS BIGINT) AS tt,
+       |    CAST(count(*) AS BIGINT) AS vv FROM vocab$p),
+       |cost$r AS MATERIALIZED (SELECT piece,
+       |    CAST(round(-ln((cnt + 1.0) / (tt + vv)) * 1000000) AS BIGINT) AS cost
+       |  FROM vocab$p CROSS JOIN tot$r),
+       |dp${r}_0 AS MATERIALIZED (SELECT word, freq, CAST(0 AS BIGINT) AS cost, '' AS seg FROM words),
+       |$dp,
+       |seg$r AS MATERIALIZED ($segUnion)""".stripMargin
+  }
+
+  /** The shared unigram-LM training replay: words/seed CTEs plus
+    * `rounds` unrolled hard-EM rounds, ending at vocab$rounds.
+    */
+  private def unigramOracleCtes(
       maxLen: Int, pieceLen: Int, seedN: Int, rounds: Int): String = {
     val head =
       s"""WITH words AS MATERIALIZED (
@@ -4185,30 +4233,7 @@ object LlmQueries {
          |vocab0 AS MATERIALIZED (SELECT * FROM sub1 UNION ALL SELECT * FROM seedm)""".stripMargin
     val emRounds = (1 to rounds).map { r =>
       val p = r - 1
-      val dp = (1 to maxLen).map { i =>
-        val cases = (1 to math.min(pieceLen, i)).map { j =>
-          s"""      SELECT d.word, d.freq, d.cost + c.cost AS cost,
-             |        d.seg || '|' || c.piece AS seg
-             |      FROM dp${r}_${i - j} d JOIN cost$r c
-             |        ON c.piece = substr(d.word, ${i - j + 1}, $j)
-             |      WHERE len(d.word) >= $i""".stripMargin
-        }.mkString("\n      UNION ALL\n")
-        s"""dp${r}_$i AS MATERIALIZED (SELECT word, freq, cost, seg FROM (
-           |    SELECT *, row_number() OVER (PARTITION BY word ORDER BY cost, seg) AS rn
-           |    FROM (
-           |$cases)) WHERE rn = 1)""".stripMargin
-      }.mkString(",\n")
-      val segUnion = (1 to maxLen)
-        .map(i => s"SELECT word, freq, seg FROM dp${r}_$i WHERE len(word) = $i")
-        .mkString("\n    UNION ALL ")
-      s"""tot$r AS MATERIALIZED (SELECT CAST(sum(cnt) AS BIGINT) AS tt,
-         |    CAST(count(*) AS BIGINT) AS vv FROM vocab$p),
-         |cost$r AS MATERIALIZED (SELECT piece,
-         |    CAST(round(-ln((cnt + 1.0) / (tt + vv)) * 1000000) AS BIGINT) AS cost
-         |  FROM vocab$p CROSS JOIN tot$r),
-         |dp${r}_0 AS MATERIALIZED (SELECT word, freq, CAST(0 AS BIGINT) AS cost, '' AS seg FROM words),
-         |$dp,
-         |seg$r AS MATERIALIZED ($segUnion),
+      s"""${unigramDpCtes(r, maxLen, pieceLen)},
          |ecnt$r AS MATERIALIZED (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
          |    SELECT freq, unnest(string_split(substr(seg, 2), '|')) AS piece
          |    FROM seg$r)
@@ -4227,12 +4252,37 @@ object LlmQueries {
     s"""$head,
        |$subs,
        |$seed,
-       |$emRounds,
+       |$emRounds""".stripMargin
+  }
+
+  private def unigramOracleSql(
+      maxLen: Int, pieceLen: Int, seedN: Int, rounds: Int): String =
+    s"""${unigramOracleCtes(maxLen, pieceLen, seedN, rounds)},
        |totf AS MATERIALIZED (SELECT CAST(sum(cnt) AS BIGINT) AS tt,
        |    CAST(count(*) AS BIGINT) AS vv FROM vocab$rounds)
        |SELECT v.piece, v.cnt,
        |  CAST(round(-ln((v.cnt + 1.0) / (tt + vv)) * 1000000) AS BIGINT) AS cost
        |FROM vocab$rounds v CROSS JOIN totf
        |ORDER BY v.cnt DESC, v.piece""".stripMargin
+
+  /** q_l74b: one more final-cost Viterbi pass over the word table,
+    * then the corpus token stream joins the per-word piece counts —
+    * the apply/compression query of the trained unigram tokenizer.
+    */
+  private def unigramApplySql(
+      maxLen: Int, pieceLen: Int, seedN: Int, rounds: Int): String = {
+    val f = rounds + 1
+    s"""${unigramOracleCtes(maxLen, pieceLen, seedN, rounds)},
+       |${unigramDpCtes(f, maxLen, pieceLen)},
+       |nuni AS MATERIALIZED (SELECT word,
+       |    CAST(len(string_split(substr(seg, 2), '|')) AS BIGINT) AS n_uni
+       |  FROM seg$f),
+       |tok2 AS (SELECT source,
+       |    unnest(string_split_regex(trim(text), '\\s+')) AS term
+       |  FROM documents)
+       |SELECT source, CAST(count(*) AS BIGINT) AS ws_tokens,
+       |  CAST(sum(n.n_uni) AS BIGINT) AS uni_tokens
+       |FROM tok2 JOIN nuni n ON tok2.term = n.word
+       |GROUP BY source ORDER BY source""".stripMargin
   }
 }

@@ -46,6 +46,21 @@ class UnigramSpec extends AnyFunSuite {
     assert(out == Seq(("ab", 2L, 693147L), ("b", 1L, 1098612L), ("a", 0L, 1791759L)))
   }
 
+  test("tokenCounts reports whitespace vs unigram piece totals") {
+    import spark.implicits._
+    // train on "abc abc c" (1 round, pieces ≤ 2, 2 seed multis):
+    // seed {a:2,b:2,c:3,ab:2,bc:2}; 'abc' Viterbi ties ab|c vs a|bc on
+    // cost and the seg tie-break picks '|ab|c'. Final counts
+    // {a:0,b:0,c:3,ab:2,bc:0}, T=5 V=5 → final costs make 'abc'
+    // segment ab|c again (2 pieces), 'c' → 1 piece.
+    // ws = 3 tokens; unigram = 2+2+1 = 5 pieces.
+    val docs = Seq(("s", "abc abc c")).toDF("source", "text")
+    val out = Unigram.tokenCounts(docs, "text", "source",
+        maxWordLen = 8, maxPieceLen = 2, seedMultis = 2, rounds = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq(("s", 3L, 5L)))
+  }
+
   test("single-char pieces survive pruning and words stay segmentable") {
     import spark.implicits._
     val docs = Seq((1L, "xyz xy yz x zzz")).toDF("doc_id", "text")
