@@ -349,4 +349,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"band join must stay an equi-join:\n$p")
   }
+
+  test("shard readback prunes to ONE file on a shard_id filter (training loader path)") {
+    // the point of the physical shard layout: a loader resuming at
+    // shard N must open shard N's file, not scan the corpus — the
+    // shard_id partition filter has to prune at the source
+    import spark.implicits._
+    val tmp = "/root/repo/target/tmp/planspec_shards"
+    val docs = (1L to 300L).map(i => (i, ("tok " * 17).trim)).toDF("doc_id", "text")
+    graft.llm.Corpus.writeShardFiles(docs, "doc_id", "text", 512L, tmp)
+    val pruned = spark.read.parquet(tmp).filter(col("shard_id") === 3)
+    val p = plan(pruned)
+    assert(p.contains("PartitionFilters") && p.contains("shard_id"), p)
+    val files = pruned.select(input_file_name()).distinct().count()
+    assert(files == 1L, s"one-shard read touched $files files")
+  }
 }
