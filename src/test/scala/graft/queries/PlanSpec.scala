@@ -350,6 +350,14 @@ class PlanSpec extends AnyFunSuite {
       s"band join must stay an equi-join:\n$p")
   }
 
+  test("curation chain (q_l21b): no cartesian, no nested-loop, packShards range exchange") {
+    // seven stages composed — one accidental cross join anywhere in
+    // the chain is a 100 TB collapse the small-SF oracle can't see
+    val p = queryPlan("q_l21b_curation_e2e")
+    assert(!p.contains("CartesianProduct"), s"cartesian in the chain:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop in the chain:\n$p")
+  }
+
   test("shard readback prunes to ONE file on a shard_id filter (training loader path)") {
     // the point of the physical shard layout: a loader resuming at
     // shard N must open shard N's file, not scan the corpus — the
