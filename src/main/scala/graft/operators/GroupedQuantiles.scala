@@ -121,21 +121,27 @@ object GroupedQuantiles {
     val cumW2 = Window.partitionBy("__g", "__q").orderBy("__b2")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum2 = h2.withColumn("__cum", sum("__c").over(cumW2))
-    val sel2 = cum2.join(sel1.select("__g", "__q", "__r1", "__vmin", "__vmax"), Seq("__g", "__q"))
+    val sel2 = cum2.join(
+        sel1.select("__g", "__q", "__b1", "__r1", "__vmin", "__vmax"), Seq("__g", "__q"))
       .filter(col("__cum") - col("__c") < col("__r1") && col("__r1") <= col("__cum"))
-      .select(col("__g"), col("__q"), col("__b2"),
+      .select(col("__g"), col("__q"), col("__b1"), col("__b2"),
         (col("__r1") - (col("__cum") - col("__c"))).as("__r2"),
         col("__bmin"), col("__bmax"), col("__vmin"), col("__vmax"))
       .localCheckpoint(false)
     val resolved = sel2.filter(col("__bmin") === col("__bmax"))
       .select(col("__g"), col("__q"), col("__bmin").as("__val"))
 
-    // Pass D: residual order statistic over ~n/B² rows per (group, q)
+    // Pass D: residual order statistic over ~n/B² rows per (group, q).
+    // The candidate filter MUST constrain BOTH bucket levels: __b2 is
+    // an index WITHIN the selected level-1 bucket, and rows of other
+    // level-1 buckets reuse the same level-2 indices — filtering on
+    // __b2 alone admits them and corrupts the residual rank (surfaced
+    // at sf0.1, where pass C first left sub-buckets unresolved).
     val open = sel2.filter(col("__bmin") =!= col("__bmax"))
-      .select("__g", "__q", "__b2", "__r2", "__vmin", "__vmax")
+      .select("__g", "__q", "__b1", "__b2", "__r2", "__vmin", "__vmax")
     val rankW = Window.partitionBy("__g", "__q").orderBy("__v")
     val fromSort = rows.join(open, Seq("__g"))
-      .filter(b2Of(lo, hi) === col("__b2"))
+      .filter(b1Of(lo, hi) === col("__b1") && b2Of(lo, hi) === col("__b2"))
       .withColumn("__rn", row_number().over(rankW))
       .filter(col("__rn") === col("__r2"))
       .select(col("__g"), col("__q"), col("__v").as("__val"))

@@ -47,6 +47,21 @@ class GroupedQuantilesSpec extends AnyFunSuite {
     assert(run(df) == reference(df))
   }
 
+  test("pass D constrains both bucket levels (cross-bucket b2 collision)") {
+    // sentinels pin [vmin, vmax] = [0, 1024], so pos == v: every
+    // level-1 bucket m then holds 7 distinct values inside its OWN
+    // b2=512 sub-cell (offsets ~1e-9 ≪ the 1/1024² cell width). Pass C
+    // can never resolve (bmin ≠ bmax) and every level-1 bucket shares
+    // the same level-2 index — the residual sort must rank only the
+    // selected (b1, b2) cell's rows, not every b2=512 row of the
+    // group (the sf0.1 q_a32/q_a40 regression).
+    val rows = (0 until 1024).flatMap(m =>
+      (0 until 7).map(k => ("g0", m + 0.5 + k * 1e-9))) ++
+      Seq(("g0", 0.0), ("g0", 1024.0))
+    val df = rows.toDF("g", "v").repartition(16)
+    assert(run(df) == reference(df))
+  }
+
   test("single-value and tiny groups answer directly") {
     val df = Seq(("a", 5.0), ("a", 5.0), ("a", 5.0), ("b", 1.0), ("c", 2.0), ("c", 9.0))
       .toDF("g", "v")
