@@ -125,11 +125,17 @@ object Corpus {
     * callers verify the roundtrip, not the plan.
     */
   def writeShardFiles(docs: DataFrame, idCol: String, textCol: String,
-      tokensPerShard: Long, outDir: String): DataFrame = {
+      tokensPerShard: Long, outDir: String,
+      checksumCol: Option[String] = None): DataFrame = {
     val spark = docs.sparkSession
     packShards(docs, idCol, textCol, tokensPerShard)
       .repartition(col("shard_id"))
-      .write.mode("overwrite").partitionBy("shard_id").parquet(outDir)
+      // the shard layout is a full-replace snapshot: under the
+      // session's dynamic partition-overwrite mode a re-pack with a
+      // larger budget (fewer shards) would leave STALE shard dirs a
+      // loader would happily read — force static (truncate-all) here
+      .write.mode("overwrite").option("partitionOverwriteMode", "static")
+      .partitionBy("shard_id").parquet(outDir)
     // partition-dir values read back as inferred ints — restore the
     // plan's long so downstream comparisons are type-exact
     val back = spark.read.parquet(outDir)
@@ -137,7 +143,9 @@ object Corpus {
     back.groupBy("shard_id")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).cast("long").as("shard_tokens"),
-        sum(col(idCol)).cast("long").as("id_sum"),
+        // manifests checksum a numeric column; callers whose pack id
+        // is a composite string pass the underlying numeric id here
+        sum(col(checksumCol.getOrElse(idCol))).cast("long").as("id_sum"),
         min(col("token_start")).cast("long").as("start_min"),
         max(col("token_start") + col("n_tokens")).cast("long").as("end_max"))
       .coalesce(1) // manifest is shard-count-sized metadata, one file

@@ -629,6 +629,57 @@ object IoQueries {
           .orderBy("shard_id")
       }),
 
+    // ---------------------------------------------------------------- S25 (curated-corpus shard write-out)
+    QueryDef(
+      "q_s25_curated_shard_writeout", "S4 S10 LLM-corpus-e2e (curated physical write-out)",
+      // the end of the modern recipe: q_l21b's fully curated item
+      // stream (cascade → boilerplate rewrite → dedup → decontaminate
+      // → mix → epoch repetition) is physically WRITTEN as one parquet
+      // file per token-budget shard + manifest, read back, and the
+      // per-shard aggregates recomputed from the files must equal the
+      // oracle's CTE-for-CTE replay of the whole chain AND packing —
+      // the loader-ready artifact provably carries the curated corpus.
+      // manifest_ok gates the manifest against the files Spark-side.
+      Some(s"""${LlmQueries.curationOracleCtes}
+              |SELECT shard_id, count(*) AS n_items,
+              |count(DISTINCT doc_id) AS n_docs,
+              |CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+              |CAST(sum(doc_id) AS BIGINT) AS id_sum,
+              |CAST(min(token_start) AS BIGINT) AS start_min,
+              |CAST(max(token_start + n_tokens) AS BIGINT) AS end_max,
+              |TRUE AS manifest_ok
+              |FROM c2 GROUP BY shard_id ORDER BY shard_id""".stripMargin),
+      (s, dir) => {
+        val out = s"$TmpBase/q_s25_curated_shards"
+        val back = graft.llm.Corpus.writeShardFiles(
+          LlmQueries.curationItems(s, dir), "rep_id", "text", 2048L, out,
+          checksumCol = Some("doc_id"))
+        val agg = back.groupBy("shard_id")
+          .agg(count(lit(1)).as("n_items"),
+            countDistinct(col("doc_id")).as("n_docs"),
+            sum(col("n_tokens")).cast("long").as("shard_tokens"),
+            sum(col("doc_id")).cast("long").as("id_sum"),
+            min(col("token_start")).cast("long").as("start_min"),
+            max(col("token_start") + col("n_tokens")).cast("long").as("end_max"))
+        val man = s.read.json(s"${out}_manifest").select(
+          col("shard_id").cast("long").as("shard_id"),
+          col("n_docs").cast("long").as("__m_items"),
+          col("shard_tokens").cast("long").as("__m_tokens"),
+          col("id_sum").cast("long").as("__m_ids"),
+          col("start_min").cast("long").as("__m_start"),
+          col("end_max").cast("long").as("__m_end"))
+        agg.join(man, Seq("shard_id"), "left")
+          .withColumn("manifest_ok", coalesce(
+            col("__m_items") === col("n_items") &&
+              col("__m_tokens") === col("shard_tokens") &&
+              col("__m_ids") === col("id_sum") &&
+              col("__m_start") === col("start_min") &&
+              col("__m_end") === col("end_max"), lit(false)))
+          .select("shard_id", "n_items", "n_docs", "shard_tokens", "id_sum",
+            "start_min", "end_max", "manifest_ok")
+          .orderBy("shard_id")
+      }),
+
     // ---------------------------------------------------------------- S22 (parquet aggregate pushdown)
     QueryDef(
       "q_s22_agg_pushdown", "S3 (footer-statistics aggregate pushdown)",

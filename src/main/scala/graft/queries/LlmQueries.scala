@@ -1605,219 +1605,19 @@ object LlmQueries {
       // packing. Replayed CTE-for-CTE; per-shard item/doc/token/id
       // sums pin every stage's survivors, rewrites and copy counts at
       // once.
-      Some("""WITH d0 AS (SELECT doc_id, source, lang, trim(coalesce(text, '')) AS tt
-             |  FROM documents),
-             |tok0 AS (SELECT doc_id, source, lang, string_split_regex(tt, '\s+') AS t
-             |  FROM d0),
-             |g AS (SELECT doc_id, tk || ' ' || t[i + 1] AS gram
-             |      FROM (SELECT doc_id, t, unnest(t) AS tk,
-             |              generate_subscripts(t, 1) AS i FROM tok0)
-             |      WHERE i < len(t)),
-             |gc AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
-             |gsum AS (SELECT doc_id, sum(c) AS n2, count(*) AS d2, max(c) AS top2
-             |         FROM gc GROUP BY 1),
-             |pass AS (SELECT tok0.doc_id, source, lang, t
-             |  FROM tok0 LEFT JOIN gsum ON gsum.doc_id = tok0.doc_id
-             |  WHERE len(t) >= 30
-             |    AND (CASE WHEN coalesce(n2, 0) = 0 THEN 0.0
-             |              ELSE 1.0 - CAST(d2 AS DOUBLE) / n2 END) <= 0.05
-             |    AND (CASE WHEN coalesce(n2, 0) = 0 THEN 0.0
-             |              ELSE CAST(top2 AS DOUBLE) / n2 END) <= 0.025),
-             |lred AS (SELECT doc_id, source, lang, t,
-             |    unnest(generate_series(0, CAST(floor((len(t) - 1) / 10.0) AS BIGINT))) AS i
-             |  FROM pass),
-             |body AS (SELECT doc_id, source, lang, i,
-             |    array_to_string(list_slice(t, i*10+1, i*10+10), ' ') AS line
-             |  FROM lred),
-             |ban AS (SELECT doc_id, source, lang, CAST(-1 AS BIGINT) AS i,
-             |    'NOTICE ' || source || ' terms apply all rights reserved archive mirror copy'
-             |      AS line
-             |  FROM pass
-             |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
-             |        / 4294967296.0 < 0.6),
-             |lines AS (SELECT * FROM body UNION ALL SELECT * FROM ban),
-             |sd AS (SELECT source, count(DISTINCT doc_id) AS n_docs FROM lines GROUP BY 1),
-             |bdf AS (SELECT source, line, count(DISTINCT doc_id) AS df
-             |        FROM lines GROUP BY 1, 2),
-             |boiler AS (SELECT bdf.source, bdf.line FROM bdf JOIN sd USING (source)
-             |           WHERE df >= 5 AND df * 5 >= n_docs * 1),
-             |keptl AS (SELECT * FROM lines l WHERE NOT EXISTS (
-             |  SELECT 1 FROM boiler b WHERE b.source = l.source AND b.line = l.line)),
-             |cleaned AS (SELECT doc_id, source, lang,
-             |    string_agg(line, ' ' ORDER BY i) AS text
-             |  FROM keptl GROUP BY 1, 2, 3),
-             |fp AS (SELECT *, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f
-             |  FROM cleaned),
-             |ded AS (SELECT doc_id, source, lang, text FROM fp
-             |        QUALIFY doc_id = min(doc_id) OVER (PARTITION BY f)),
-             |corp AS (SELECT * FROM ded WHERE doc_id % 97 <> 0),
-             |ctoks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM corp),
-             |csh AS (SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+4], ' ')
-             |                                             for i in generate_series(1, len(w)-4)])) AS s
-             |        FROM ctoks WHERE len(w) >= 5),
-             |etoks AS (SELECT string_split_regex(trim(text), '\s+') AS w FROM documents
-             |          WHERE doc_id % 97 = 0),
-             |esh AS (SELECT DISTINCT unnest([array_to_string(w[i:i+4], ' ')
-             |                                for i in generate_series(1, len(w)-4)]) AS s
-             |        FROM etoks WHERE len(w) >= 5),
-             |bad AS (SELECT DISTINCT doc_id FROM csh WHERE s IN (SELECT s FROM esh)),
-             |clean2 AS (SELECT * FROM corp
-             |           WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
-             |mx0 AS (SELECT doc_id, source, text,
-             |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
-             |    / 4294967296.0 AS frac,
-             |  CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 2.5
-             |            WHEN 'fr' THEN 1.25 WHEN 'es' THEN 0.75 ELSE 1.0 END AS mr
-             |  FROM clean2),
-             |mcnt AS (SELECT doc_id, source, text,
-             |  CAST(floor(mr) + CASE WHEN frac < mr - floor(mr) THEN 1 ELSE 0 END
-             |       AS BIGINT) AS n
-             |  FROM mx0),
-             |mix AS (SELECT doc_id, source, text,
-             |    CAST(doc_id AS VARCHAR) || '#' || CAST(copy_id AS VARCHAR) AS item
-             |  FROM (SELECT doc_id, source, text,
-             |          unnest(generate_series(1, n)) AS copy_id
-             |        FROM mcnt WHERE n > 0)),
-             |per AS (SELECT source,
-             |    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS avail
-             |  FROM mix GROUP BY 1),
-             |rk AS (SELECT source, avail,
-             |    CAST(row_number() OVER (ORDER BY avail DESC, source) AS BIGINT) AS qrank
-             |  FROM per),
-             |tt AS (SELECT source, avail,
-             |    CAST(CASE WHEN qrank <= 5 THEN 4 WHEN qrank <= 15 THEN 2 ELSE 1 END
-             |         * avail AS BIGINT) AS cap
-             |  FROM rk),
-             |b AS (SELECT CAST(2 * sum(avail) AS BIGINT) AS budget,
-             |             CAST(sum(avail) AS BIGINT) AS sumw0 FROM per),
-             |r1 AS (SELECT tt.*, least(cap, (b.budget * avail) // b.sumw0) AS alloc
-             |       FROM tt CROSS JOIN b),
-             |s2 AS (SELECT CAST(sum(CASE WHEN alloc < cap THEN avail ELSE 0 END) AS BIGINT)
-             |         AS sumw, CAST(sum(alloc) AS BIGINT) AS tot FROM r1),
-             |r2 AS (SELECT r1.source, r1.avail, r1.cap,
-             |    CASE WHEN alloc < cap AND s2.sumw > 0
-             |      THEN least(cap, alloc + greatest(((b.budget - s2.tot) * avail) // s2.sumw,
-             |                                       0))
-             |      ELSE alloc END AS alloc
-             |  FROM r1 CROSS JOIN b CROSS JOIN s2),
-             |s3 AS (SELECT CAST(sum(CASE WHEN alloc < cap THEN avail ELSE 0 END) AS BIGINT)
-             |         AS sumw, CAST(sum(alloc) AS BIGINT) AS tot FROM r2),
-             |r3 AS (SELECT r2.source, r2.avail, r2.cap,
-             |    CASE WHEN alloc < cap AND s3.sumw > 0
-             |      THEN least(cap, alloc + greatest(((b.budget - s3.tot) * avail) // s3.sumw,
-             |                                       0))
-             |      ELSE alloc END AS alloc
-             |  FROM r2 CROSS JOIN b CROSS JOIN s3),
-             |rt AS (SELECT source, CAST(alloc AS DOUBLE) / avail AS rate FROM r3),
-             |rep AS (SELECT m.doc_id, m.item, m.text,
-             |    CAST(floor(rate) + CASE WHEN
-             |        CAST(('0x' || substr(md5(m.item), 1, 8)) AS UBIGINT) / 4294967296.0
-             |          < rate - floor(rate)
-             |      THEN 1 ELSE 0 END AS BIGINT) AS n
-             |  FROM mix m JOIN rt USING (source)),
-             |repe AS (SELECT doc_id, item, text, unnest(generate_series(1, n)) AS rep_copy
-             |  FROM rep WHERE n > 0),
-             |p AS (SELECT doc_id,
-             |  CASE WHEN text IS NULL OR trim(text) = '' THEN 0
-             |       ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
-             |  md5(item || '#' || CAST(rep_copy AS VARCHAR)) AS ord,
-             |  item || '#' || CAST(rep_copy AS VARCHAR) AS rid
-             |  FROM repe),
-             |c2 AS (SELECT doc_id, n_tokens,
-             |  CAST(floor(coalesce(sum(n_tokens) OVER (ORDER BY ord, rid
-             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048.0) AS BIGINT)
-             |    AS shard_id
-             |  FROM p)
+      Some(s"""$curationOracleCtes
              |SELECT shard_id, count(*) AS n_items, count(DISTINCT doc_id) AS n_docs,
              |CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
              |CAST(sum(doc_id) AS BIGINT) AS id_sum
              |FROM c2 GROUP BY shard_id ORDER BY shard_id""".stripMargin),
-      (s, dir) => {
-        val docs = Tables.documents(s, dir)
-        // stage 1 — cascade (q_l70's language-agnostic rules)
-        val gs = docs
-          .select(col("doc_id"),
-            explode(TextAnalysis.wordBigrams(trim(coalesce(col("text"), lit("")))))
-              .as("gram"))
-          .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
-          .groupBy("doc_id").agg(sum("c").as("n2"), max("c").as("top2"))
-        val pass = docs.join(gs, Seq("doc_id"), "left")
-          .filter(TextAnalysis.tokenCount(col("text")) >= 30 &&
-            TextAnalysis.dupBigramFraction(col("text")) <= 0.05 &&
-            when(coalesce(col("n2"), lit(0L)) === 0, lit(0.0))
-              .otherwise(col("top2").cast("double") / col("n2")) <= 0.025)
-          .select("doc_id", "source", "lang", "text")
-        // stage 2 — boilerplate removal with reassembly (q_l71 as a
-        // rewrite: strip the planted banner + any natural chrome,
-        // rebuild text from surviving 10-token lines in line order;
-        // a doc whose every line is chrome drops out entirely)
-        val w = TextAnalysis.tokens(trim(col("text")))
-        val bodyArr = transform(
-          sequence(lit(0L), floor((size(w) - 1) / 10).cast("long")),
-          i => concat_ws(" ", slice(w, (i * 10 + 1).cast("int"), lit(10))))
-        val bodyLines = pass
-          .select(col("doc_id"), col("source"), col("lang"), posexplode(bodyArr))
-          .select(col("doc_id"), col("source"), col("lang"),
-            col("pos").cast("long").as("i"), col("col").as("line"))
-        val bannerLines = pass
-          .filter(Corpus.hashFraction(col("doc_id")) < 0.6)
-          .select(col("doc_id"), col("source"), col("lang"), lit(-1L).as("i"),
-            concat(lit("NOTICE "), col("source"),
-              lit(" terms apply all rights reserved archive mirror copy")).as("line"))
-        val lines = bodyLines.unionByName(bannerLines)
-        val boiler = Corpus.boilerplateSet(lines, "source", "doc_id", "line",
-            minDocs = 5, pctNum = 1, pctDen = 5)
-          .select(col("source"), col("__line").as("line"))
-        val cleaned = lines.join(boiler, Seq("source", "line"), "left_anti")
-          .groupBy("doc_id", "source", "lang")
-          .agg(array_join(
-            transform(array_sort(collect_list(struct(col("i"), col("line")))),
-              x => x.getField("line")), " ").as("text"))
-        // stage 3 — exact dedup on the CLEANED text, keep min doc_id
-        val fp = cleaned.withColumn("__f", Dedup.exactFingerprint(col("text")))
-        val ded = fp.join(
-            fp.groupBy(col("__f")).agg(min(col("doc_id")).as("doc_id")),
-            Seq("__f", "doc_id"), "left_semi")
-          .drop("__f")
-        // stage 4 — decontaminate vs the RAW eval suite
-        val corp = ded.filter(col("doc_id") % 97 =!= 0)
-        val bad = Corpus.contaminatedIds(corp, "doc_id", "text",
-          docs.filter(col("doc_id") % 97 === 0), "text", 5)
-        val clean = corp.join(bad, Seq("doc_id"), "left_anti")
-        // stage 5 — language mixing (q_l21's rates)
-        val mixed = Corpus.resampleStrata(clean, "doc_id", "lang",
-            Map("en" -> 0.5, "zh" -> 2.5, "fr" -> 1.25, "es" -> 0.75))
-          .withColumn("item_id", concat(col("doc_id").cast("string"),
-            lit("#"), col("copy_id").cast("string")))
-          .drop("copy_id", "lang")
-          .localCheckpoint(false) // read by the plan AND the apply pass
-        // stage 6 — epoch plan on the mixed corpus (tiers by supply)
-        val per = mixed.groupBy("source")
-          .agg(sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("avail"))
-          .localCheckpoint(false) // re-read per water-filling round
-        // 1-row and |sources|-row collects: bounded driver control flow
-        val budget = 2L * per.agg(sum("avail")).collect()(0).getLong(0)
-        val tiers = per
-          .withColumn("qrank", row_number()
-            .over(Window.orderBy(col("avail").desc, col("source"))).cast("long"))
-          .withColumn("tier",
-            when(col("qrank") <= 5, 4).when(col("qrank") <= 15, 2).otherwise(1))
-          .withColumn("cap", col("tier").cast("long") * col("avail"))
-        val rates = Corpus.epochMixPlan(tiers, budget, rounds = 3)
-          .select("source", "alloc", "avail").collect()
-          .map(r => r.getString(0) -> r.getLong(1).toDouble / r.getLong(2)).toMap
-        // stage 7 — apply repetition per item, then pack
-        val repeated = Corpus.resampleStrata(mixed, "item_id", "source", rates)
-          .withColumn("rep_id",
-            concat(col("item_id"), lit("#"), col("copy_id").cast("string")))
-        Corpus.packShards(repeated, "rep_id", "text", 2048L)
+      (s, dir) =>
+        Corpus.packShards(curationItems(s, dir), "rep_id", "text", 2048L)
           .groupBy("shard_id")
           .agg(count(lit(1)).as("n_items"),
             countDistinct(col("doc_id")).as("n_docs"),
             sum(col("n_tokens")).cast("long").as("shard_tokens"),
             sum(col("doc_id")).cast("long").as("id_sum"))
-          .orderBy("shard_id")
-      }),
+          .orderBy("shard_id")),
 
     // ---------------------------------------------------------------- benchmark decontamination
     QueryDef(
@@ -4175,6 +3975,223 @@ object LlmQueries {
     * ceil(3/4)-keep prune. Costs are integer micro-nats
     * round(-ln((cnt+1)/(T+V))·1e6), so DP sums replay exactly.
     */
+  /** The q_l21b modern-recipe chain, stages 1-7, ending at the
+    * repeated item frame (rep_id, doc_id, source, text, ...) ready
+    * for shard packing - shared by the aggregate gate (q_l21b) and
+    * the physical shard write-out (q_s25, IoQueries).
+    */
+  private[queries] def curationItems(
+      s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(s, dir)
+    // stage 1 — cascade (q_l70's language-agnostic rules)
+    val gs = docs
+      .select(col("doc_id"),
+        explode(TextAnalysis.wordBigrams(trim(coalesce(col("text"), lit("")))))
+          .as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(sum("c").as("n2"), max("c").as("top2"))
+    val pass = docs.join(gs, Seq("doc_id"), "left")
+      .filter(TextAnalysis.tokenCount(col("text")) >= 30 &&
+        TextAnalysis.dupBigramFraction(col("text")) <= 0.05 &&
+        when(coalesce(col("n2"), lit(0L)) === 0, lit(0.0))
+          .otherwise(col("top2").cast("double") / col("n2")) <= 0.025)
+      .select("doc_id", "source", "lang", "text")
+    // stage 2 — boilerplate removal with reassembly (q_l71 as a
+    // rewrite: strip the planted banner + any natural chrome,
+    // rebuild text from surviving 10-token lines in line order;
+    // a doc whose every line is chrome drops out entirely)
+    val w = TextAnalysis.tokens(trim(col("text")))
+    val bodyArr = transform(
+      sequence(lit(0L), floor((size(w) - 1) / 10).cast("long")),
+      i => concat_ws(" ", slice(w, (i * 10 + 1).cast("int"), lit(10))))
+    val bodyLines = pass
+      .select(col("doc_id"), col("source"), col("lang"), posexplode(bodyArr))
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("pos").cast("long").as("i"), col("col").as("line"))
+    val bannerLines = pass
+      .filter(Corpus.hashFraction(col("doc_id")) < 0.6)
+      .select(col("doc_id"), col("source"), col("lang"), lit(-1L).as("i"),
+        concat(lit("NOTICE "), col("source"),
+          lit(" terms apply all rights reserved archive mirror copy")).as("line"))
+    val lines = bodyLines.unionByName(bannerLines)
+    val boiler = Corpus.boilerplateSet(lines, "source", "doc_id", "line",
+        minDocs = 5, pctNum = 1, pctDen = 5)
+      .select(col("source"), col("__line").as("line"))
+    val cleaned = lines.join(boiler, Seq("source", "line"), "left_anti")
+      .groupBy("doc_id", "source", "lang")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("i"), col("line")))),
+          x => x.getField("line")), " ").as("text"))
+    // stage 3 — exact dedup on the CLEANED text, keep min doc_id
+    val fp = cleaned.withColumn("__f", Dedup.exactFingerprint(col("text")))
+    val ded = fp.join(
+        fp.groupBy(col("__f")).agg(min(col("doc_id")).as("doc_id")),
+        Seq("__f", "doc_id"), "left_semi")
+      .drop("__f")
+    // stage 4 — decontaminate vs the RAW eval suite
+    val corp = ded.filter(col("doc_id") % 97 =!= 0)
+    val bad = Corpus.contaminatedIds(corp, "doc_id", "text",
+      docs.filter(col("doc_id") % 97 === 0), "text", 5)
+    val clean = corp.join(bad, Seq("doc_id"), "left_anti")
+    // stage 5 — language mixing (q_l21's rates)
+    val mixed = Corpus.resampleStrata(clean, "doc_id", "lang",
+        Map("en" -> 0.5, "zh" -> 2.5, "fr" -> 1.25, "es" -> 0.75))
+      .withColumn("item_id", concat(col("doc_id").cast("string"),
+        lit("#"), col("copy_id").cast("string")))
+      .drop("copy_id", "lang")
+      .localCheckpoint(false) // read by the plan AND the apply pass
+    // stage 6 — epoch plan on the mixed corpus (tiers by supply)
+    val per = mixed.groupBy("source")
+      .agg(sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("avail"))
+      .localCheckpoint(false) // re-read per water-filling round
+    // 1-row and |sources|-row collects: bounded driver control flow
+    val budget = 2L * per.agg(sum("avail")).collect()(0).getLong(0)
+    val tiers = per
+      .withColumn("qrank", row_number()
+        .over(Window.orderBy(col("avail").desc, col("source"))).cast("long"))
+      .withColumn("tier",
+        when(col("qrank") <= 5, 4).when(col("qrank") <= 15, 2).otherwise(1))
+      .withColumn("cap", col("tier").cast("long") * col("avail"))
+    val rates = Corpus.epochMixPlan(tiers, budget, rounds = 3)
+      .select("source", "alloc", "avail").collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble / r.getLong(2)).toMap
+    // stage 7 — apply repetition per item (packing is the caller's)
+    Corpus.resampleStrata(mixed, "item_id", "source", rates)
+      .withColumn("rep_id",
+        concat(col("item_id"), lit("#"), col("copy_id").cast("string")))
+  }
+
+  /** The q_l21b modern-recipe chain, CTE-for-CTE, ending at c2
+    * (doc_id, n_tokens, token_start, shard_id) - shared by the
+    * aggregate gate (q_l21b) and the physical shard write-out
+    * (q_s25, IoQueries).
+    */
+  private[queries] def curationOracleCtes: String =
+    """WITH d0 AS (SELECT doc_id, source, lang, trim(coalesce(text, '')) AS tt
+      |  FROM documents),
+      |tok0 AS (SELECT doc_id, source, lang, string_split_regex(tt, '\s+') AS t
+      |  FROM d0),
+      |g AS (SELECT doc_id, tk || ' ' || t[i + 1] AS gram
+      |      FROM (SELECT doc_id, t, unnest(t) AS tk,
+      |              generate_subscripts(t, 1) AS i FROM tok0)
+      |      WHERE i < len(t)),
+      |gc AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+      |gsum AS (SELECT doc_id, sum(c) AS n2, count(*) AS d2, max(c) AS top2
+      |         FROM gc GROUP BY 1),
+      |pass AS (SELECT tok0.doc_id, source, lang, t
+      |  FROM tok0 LEFT JOIN gsum ON gsum.doc_id = tok0.doc_id
+      |  WHERE len(t) >= 30
+      |    AND (CASE WHEN coalesce(n2, 0) = 0 THEN 0.0
+      |              ELSE 1.0 - CAST(d2 AS DOUBLE) / n2 END) <= 0.05
+      |    AND (CASE WHEN coalesce(n2, 0) = 0 THEN 0.0
+      |              ELSE CAST(top2 AS DOUBLE) / n2 END) <= 0.025),
+      |lred AS (SELECT doc_id, source, lang, t,
+      |    unnest(generate_series(0, CAST(floor((len(t) - 1) / 10.0) AS BIGINT))) AS i
+      |  FROM pass),
+      |body AS (SELECT doc_id, source, lang, i,
+      |    array_to_string(list_slice(t, i*10+1, i*10+10), ' ') AS line
+      |  FROM lred),
+      |ban AS (SELECT doc_id, source, lang, CAST(-1 AS BIGINT) AS i,
+      |    'NOTICE ' || source || ' terms apply all rights reserved archive mirror copy'
+      |      AS line
+      |  FROM pass
+      |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+      |        / 4294967296.0 < 0.6),
+      |lines AS (SELECT * FROM body UNION ALL SELECT * FROM ban),
+      |sd AS (SELECT source, count(DISTINCT doc_id) AS n_docs FROM lines GROUP BY 1),
+      |bdf AS (SELECT source, line, count(DISTINCT doc_id) AS df
+      |        FROM lines GROUP BY 1, 2),
+      |boiler AS (SELECT bdf.source, bdf.line FROM bdf JOIN sd USING (source)
+      |           WHERE df >= 5 AND df * 5 >= n_docs * 1),
+      |keptl AS (SELECT * FROM lines l WHERE NOT EXISTS (
+      |  SELECT 1 FROM boiler b WHERE b.source = l.source AND b.line = l.line)),
+      |cleaned AS (SELECT doc_id, source, lang,
+      |    string_agg(line, ' ' ORDER BY i) AS text
+      |  FROM keptl GROUP BY 1, 2, 3),
+      |fp AS (SELECT *, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f
+      |  FROM cleaned),
+      |ded AS (SELECT doc_id, source, lang, text FROM fp
+      |        QUALIFY doc_id = min(doc_id) OVER (PARTITION BY f)),
+      |corp AS (SELECT * FROM ded WHERE doc_id % 97 <> 0),
+      |ctoks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM corp),
+      |csh AS (SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+4], ' ')
+      |                                             for i in generate_series(1, len(w)-4)])) AS s
+      |        FROM ctoks WHERE len(w) >= 5),
+      |etoks AS (SELECT string_split_regex(trim(text), '\s+') AS w FROM documents
+      |          WHERE doc_id % 97 = 0),
+      |esh AS (SELECT DISTINCT unnest([array_to_string(w[i:i+4], ' ')
+      |                                for i in generate_series(1, len(w)-4)]) AS s
+      |        FROM etoks WHERE len(w) >= 5),
+      |bad AS (SELECT DISTINCT doc_id FROM csh WHERE s IN (SELECT s FROM esh)),
+      |clean2 AS (SELECT * FROM corp
+      |           WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+      |mx0 AS (SELECT doc_id, source, text,
+      |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+      |    / 4294967296.0 AS frac,
+      |  CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 2.5
+      |            WHEN 'fr' THEN 1.25 WHEN 'es' THEN 0.75 ELSE 1.0 END AS mr
+      |  FROM clean2),
+      |mcnt AS (SELECT doc_id, source, text,
+      |  CAST(floor(mr) + CASE WHEN frac < mr - floor(mr) THEN 1 ELSE 0 END
+      |       AS BIGINT) AS n
+      |  FROM mx0),
+      |mix AS (SELECT doc_id, source, text,
+      |    CAST(doc_id AS VARCHAR) || '#' || CAST(copy_id AS VARCHAR) AS item
+      |  FROM (SELECT doc_id, source, text,
+      |          unnest(generate_series(1, n)) AS copy_id
+      |        FROM mcnt WHERE n > 0)),
+      |per AS (SELECT source,
+      |    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS avail
+      |  FROM mix GROUP BY 1),
+      |rk AS (SELECT source, avail,
+      |    CAST(row_number() OVER (ORDER BY avail DESC, source) AS BIGINT) AS qrank
+      |  FROM per),
+      |tt AS (SELECT source, avail,
+      |    CAST(CASE WHEN qrank <= 5 THEN 4 WHEN qrank <= 15 THEN 2 ELSE 1 END
+      |         * avail AS BIGINT) AS cap
+      |  FROM rk),
+      |b AS (SELECT CAST(2 * sum(avail) AS BIGINT) AS budget,
+      |             CAST(sum(avail) AS BIGINT) AS sumw0 FROM per),
+      |r1 AS (SELECT tt.*, least(cap, (b.budget * avail) // b.sumw0) AS alloc
+      |       FROM tt CROSS JOIN b),
+      |s2 AS (SELECT CAST(sum(CASE WHEN alloc < cap THEN avail ELSE 0 END) AS BIGINT)
+      |         AS sumw, CAST(sum(alloc) AS BIGINT) AS tot FROM r1),
+      |r2 AS (SELECT r1.source, r1.avail, r1.cap,
+      |    CASE WHEN alloc < cap AND s2.sumw > 0
+      |      THEN least(cap, alloc + greatest(((b.budget - s2.tot) * avail) // s2.sumw,
+      |                                       0))
+      |      ELSE alloc END AS alloc
+      |  FROM r1 CROSS JOIN b CROSS JOIN s2),
+      |s3 AS (SELECT CAST(sum(CASE WHEN alloc < cap THEN avail ELSE 0 END) AS BIGINT)
+      |         AS sumw, CAST(sum(alloc) AS BIGINT) AS tot FROM r2),
+      |r3 AS (SELECT r2.source, r2.avail, r2.cap,
+      |    CASE WHEN alloc < cap AND s3.sumw > 0
+      |      THEN least(cap, alloc + greatest(((b.budget - s3.tot) * avail) // s3.sumw,
+      |                                       0))
+      |      ELSE alloc END AS alloc
+      |  FROM r2 CROSS JOIN b CROSS JOIN s3),
+      |rt AS (SELECT source, CAST(alloc AS DOUBLE) / avail AS rate FROM r3),
+      |rep AS (SELECT m.doc_id, m.item, m.text,
+      |    CAST(floor(rate) + CASE WHEN
+      |        CAST(('0x' || substr(md5(m.item), 1, 8)) AS UBIGINT) / 4294967296.0
+      |          < rate - floor(rate)
+      |      THEN 1 ELSE 0 END AS BIGINT) AS n
+      |  FROM mix m JOIN rt USING (source)),
+      |repe AS (SELECT doc_id, item, text, unnest(generate_series(1, n)) AS rep_copy
+      |  FROM rep WHERE n > 0),
+      |p AS (SELECT doc_id,
+      |  CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+      |       ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+      |  md5(item || '#' || CAST(rep_copy AS VARCHAR)) AS ord,
+      |  item || '#' || CAST(rep_copy AS VARCHAR) AS rid
+      |  FROM repe),
+      |c2 AS (SELECT doc_id, n_tokens, token_start,
+      |  CAST(floor(token_start / 2048.0) AS BIGINT) AS shard_id
+      |  FROM (SELECT doc_id, n_tokens,
+      |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY ord, rid
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS token_start
+      |    FROM p))""".stripMargin
+
   /** The tot/cost + Viterbi-DP + best-segmentation CTEs for one pass
     * over vocab${r-1} — shared by the EM rounds and the final apply.
     */

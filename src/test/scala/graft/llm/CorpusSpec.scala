@@ -248,4 +248,19 @@ class CorpusSpec extends AnyFunSuite {
         col("token_start") >= (col("shard_id") + 1) * 512L).count()
     assert(bad == 0L)
   }
+
+  test("re-packing with a larger budget leaves NO stale shard dirs") {
+    // under the session's dynamic partition-overwrite mode a shrink
+    // rerun (fewer shards) would keep the old tail dirs — and a
+    // loader would read a corrupted mixed layout; writeShardFiles
+    // must force a full-replace snapshot
+    val docs = (1L to 400L).map(i => (i, ("tok " * 17).trim)).toDF("doc_id", "text")
+    val out = "target/tmp/corpus_spec_shards_rerun"
+    Corpus.writeShardFiles(docs, "doc_id", "text", tokensPerShard = 512L, out)
+    val back2 = Corpus.writeShardFiles(docs, "doc_id", "text", tokensPerShard = 4096L, out)
+    val expected = back2.select("shard_id").distinct().count()
+    val dirs = new java.io.File(out).listFiles()
+      .count(_.getName.startsWith("shard_id="))
+    assert(dirs.toLong == expected, s"stale shard dirs survived: $dirs vs $expected")
+  }
 }
