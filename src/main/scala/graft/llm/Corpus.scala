@@ -381,6 +381,37 @@ object Corpus {
     * 1-row sum crossed back onto the tiny frame: no corpus work, no
     * window, no driver loop over data.
     */
+  /** Driver-side mirror of [[epochMixPlan]] for callers that already
+    * hold the |sources|-row stats in hand (bounded control flow — the
+    * planner input is one row per source by construction): identical
+    * 64-bit multiply-then-floor-divide water-filling, so allocations
+    * are bit-identical to the distributed form (Scala `Long./` and
+    * Spark `div` both truncate toward zero). The q_l21b curation
+    * chain uses this to collapse 3 rounds of agg+broadcast jobs on a
+    * ~30-row frame into zero jobs — at any corpus scale the stats
+    * frame stays |sources| rows, so this is never a driver bottleneck.
+    *
+    * `stats` rows are (source, avail > 0, cap); returns
+    * (source, avail, alloc) in input order.
+    */
+  def epochMixPlanLocal(stats: Seq[(String, Long, Long)], budget: Long,
+      rounds: Int): Seq[(String, Long, Long)] = {
+    require(rounds >= 1, "epochMixPlan needs at least one round")
+    var alloc = stats.map(_ => 0L)
+    for (_ <- 1 to rounds) {
+      val sumw = stats.zip(alloc)
+        .map { case ((_, av, cap), a) => if (a < cap) av else 0L }.sum
+      val tot = alloc.sum
+      alloc = stats.zip(alloc).map { case ((_, av, cap), a) =>
+        val give =
+          if (a < cap && sumw > 0) math.max((budget - tot) * av / sumw, 0L)
+          else 0L
+        math.min(cap, a + give)
+      }
+    }
+    stats.zip(alloc).map { case ((src, av, _), a) => (src, av, a) }
+  }
+
   def epochMixPlan(stats: DataFrame, budget: Long, rounds: Int): DataFrame = {
     require(rounds >= 1, "epochMixPlan needs at least one round")
     val passThrough = stats.columns.filterNot(_ == "alloc").map(col).toSeq

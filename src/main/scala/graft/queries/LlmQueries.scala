@@ -4040,21 +4040,23 @@ object LlmQueries {
         lit("#"), col("copy_id").cast("string")))
       .drop("copy_id", "lang")
       .localCheckpoint(false) // read by the plan AND the apply pass
-    // stage 6 — epoch plan on the mixed corpus (tiers by supply)
-    val per = mixed.groupBy("source")
+    // stage 6 — epoch plan on the mixed corpus (tiers by supply).
+    // ONE |sources|-row collect (bounded driver control flow: the
+    // planner input is one row per source by construction); budget,
+    // tiering and the 3 water-filling rounds then run driver-side via
+    // epochMixPlanLocal — bit-identical integer arithmetic to the
+    // distributed q_l72 planner, minus ~8 agg/broadcast job floors.
+    val perRows = mixed.groupBy("source")
       .agg(sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("avail"))
-      .localCheckpoint(false) // re-read per water-filling round
-    // 1-row and |sources|-row collects: bounded driver control flow
-    val budget = 2L * per.agg(sum("avail")).collect()(0).getLong(0)
-    val tiers = per
-      .withColumn("qrank", row_number()
-        .over(Window.orderBy(col("avail").desc, col("source"))).cast("long"))
-      .withColumn("tier",
-        when(col("qrank") <= 5, 4).when(col("qrank") <= 15, 2).otherwise(1))
-      .withColumn("cap", col("tier").cast("long") * col("avail"))
-    val rates = Corpus.epochMixPlan(tiers, budget, rounds = 3)
-      .select("source", "alloc", "avail").collect()
-      .map(r => r.getString(0) -> r.getLong(1).toDouble / r.getLong(2)).toMap
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val budget = 2L * perRows.map(_._2).sum
+    val tiers = perRows.sortBy { case (src, av) => (-av, src) }.zipWithIndex
+      .map { case ((src, av), i) =>
+        val tier = if (i < 5) 4L else if (i < 15) 2L else 1L
+        (src, av, tier * av)
+      }
+    val rates = Corpus.epochMixPlanLocal(tiers.toSeq, budget, rounds = 3)
+      .map { case (src, av, alloc) => src -> alloc.toDouble / av }.toMap
     // stage 7 — apply repetition per item (packing is the caller's)
     Corpus.resampleStrata(mixed, "item_id", "source", rates)
       .withColumn("rep_id",

@@ -222,6 +222,26 @@ class CorpusSpec extends AnyFunSuite {
     assert(flat == Map("a" -> 50L, "b" -> 50L, "c" -> 100L), flat)
   }
 
+  test("epochMixPlanLocal is bit-identical to the distributed planner") {
+    import spark.implicits._
+    // same fixtures as above plus a skew case with crumb-level
+    // redistribution; every (budget, rounds) cell must match the
+    // distributed engine allocation exactly — the q_l21b chain relies
+    // on this equivalence to run the planner driver-side.
+    val cases = Seq(
+      (Seq(("a", 100L, 400L), ("b", 100L, 100L), ("c", 200L, 400L)), 600L),
+      (Seq(("a", 100L, 400L), ("b", 100L, 100L), ("c", 200L, 400L)), 200L),
+      (Seq(("w", 7L, 28L), ("x", 1000L, 1000L), ("y", 13L, 13L), ("z", 3L, 12L)), 1500L))
+    for ((stats, budget) <- cases; rounds <- 1 to 4) {
+      val dist = Corpus.epochMixPlan(
+          stats.toDF("source", "avail", "cap"), budget, rounds)
+        .select("source", "alloc").as[(String, Long)].collect().toMap
+      val local = Corpus.epochMixPlanLocal(stats, budget, rounds)
+        .map { case (s, _, a) => s -> a }.toMap
+      assert(local == dist, s"budget=$budget rounds=$rounds: $local vs $dist")
+    }
+  }
+
   test("writeShardFiles lays out exactly one data file per shard plus a manifest") {
     val docs = (1L to 400L).map(i => (i, ("tok " * 17).trim)).toDF("doc_id", "text")
     val out = "target/tmp/corpus_spec_shards"
