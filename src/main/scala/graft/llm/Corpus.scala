@@ -73,6 +73,34 @@ object Corpus {
     * production choice when global determinism doesn't matter; this
     * one is deterministic AND replayable by the SQL oracle.)
     */
+  /** Deterministic seeded global shuffle of a corpus into training
+    * loader files — the "shuffle once, stream sequentially" step an
+    * epoch-based trainer needs (random access over a 100 TB corpus is
+    * not an option, so the seeded hash order IS the permutation, and
+    * re-keying the seed per epoch gives a fresh one without any state).
+    * Each item's file is the low 32 md5 bits of `seed:id` mod
+    * `nFiles`; its position inside the file follows the full md5 hex
+    * order (id tiebreak) — reproducible from the seed alone in any
+    * engine, no RNG state anywhere.
+    *
+    * Scale shape: one hash bucket exchange + a per-file window.
+    * `nFiles` here is the test-scale stand-in for a deployment's
+    * loader-file count, which grows with the corpus
+    * (total_bytes / file_size), so per-file windows keep their
+    * parallelism at 100 TB; nothing is globally ordered.
+    */
+  def globalShuffle(docs: DataFrame, idCol: String, seed: String,
+      nFiles: Int): DataFrame = {
+    require(nFiles > 0, s"globalShuffle: nFiles must be positive, got $nFiles")
+    val withFile = docs
+      .withColumn("__h", md5(concat(lit(seed + ":"), col(idCol).cast("string"))))
+      .withColumn("file_id",
+        pmod(conv(substring(col("__h"), 1, 8), 16, 10).cast("long"),
+          lit(nFiles.toLong)))
+    val w = Window.partitionBy(col("file_id")).orderBy(col("__h"), col(idCol))
+    withFile.withColumn("pos", row_number().over(w).cast("long")).drop("__h")
+  }
+
   /** The pre-checkpoint arranged stage of `packShards` — split out so
     * PlanSpec can assert the one-range-exchange shape (the lazy
     * checkpoint hides it from the downstream executed plan, same as

@@ -3897,8 +3897,251 @@ object LlmQueries {
       Some(unigramApplySql(maxLen = 8, pieceLen = 4, seedN = 24, rounds = 3)),
       (s, dir) => Unigram.tokenCounts(Tables.documents(s, dir), "text", "source",
           maxWordLen = 8, maxPieceLen = 4, seedMultis = 24, rounds = 3)
-        .orderBy("source"))
+        .orderBy("source")),
+
+    // ---------------------------------------------------------------- deterministic global training shuffle
+    QueryDef(
+      "q_l75_global_shuffle", "LLM-global-shuffle",
+      // the "shuffle once, stream sequentially" permutation an epoch-
+      // based trainer consumes: file = low-32 md5 bits of seed:id mod
+      // nFiles, within-file order = full md5 hex (id tiebreak). The
+      // position-weighted checksum Σ pos·doc_id pins the ENTIRE
+      // permutation — any single transposition anywhere changes it.
+      Some("""WITH h AS (SELECT doc_id,
+             |    md5('shuf42:' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
+             |f AS (SELECT doc_id, h,
+             |    CAST(CAST(('0x' || substr(h, 1, 8)) AS UBIGINT) % 8 AS BIGINT) AS file_id
+             |  FROM h),
+             |p AS (SELECT file_id, doc_id,
+             |    CAST(row_number() OVER (PARTITION BY file_id ORDER BY h, doc_id)
+             |         AS BIGINT) AS pos
+             |  FROM f)
+             |SELECT file_id, count(*) AS n_items, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+             |  CAST(sum(pos * doc_id) AS BIGINT) AS ord_checksum
+             |FROM p GROUP BY file_id ORDER BY file_id""".stripMargin),
+      (s, dir) =>
+        Corpus.globalShuffle(
+            Tables.documents(s, dir).select("doc_id"), "doc_id", "shuf42", 8)
+          .groupBy("file_id")
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("doc_id")).cast("long").as("id_sum"),
+            sum(col("pos") * col("doc_id")).cast("long").as("ord_checksum"))
+          .orderBy("file_id")),
+
+    // ---------------------------------------------------------------- soft dedup: downweight, don't drop
+    QueryDef(
+      "q_l76_soft_dedup", "LLM-soft-dedup",
+      // the alternative to removal (SlimPajama-style hard dedup vs
+      // soft downweighting): every member of a duplicate cluster
+      // (q_l50's near+exact edge set, connected components) keeps a
+      // sampling weight of 1/cluster_size, so the cluster contributes
+      // ONE document's worth of probability mass. Per-source effective
+      // token mass is Σ ntok·(1e6 div csize) — pure 64-bit integer, so
+      // the weighted accounting is bit-identical in any engine. The
+      // oracle recomputes components via the recursive CTE.
+      Some("""WITH RECURSIVE
+             |toks AS (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS w
+             |         FROM documents),
+             |sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+             |                                            for i in generate_series(1, len(w)-2)])) AS s
+             |       FROM toks WHERE len(w) >= 3),
+             |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+             |np AS (SELECT id_a, id_b FROM
+             |         (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+             |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |          GROUP BY 1, 2) p
+             |       JOIN sizes sa ON sa.doc_id = p.id_a
+             |       JOIN sizes sb ON sb.doc_id = p.id_b
+             |       WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8),
+             |fp AS (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f
+             |       FROM documents),
+             |ep AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |       FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id),
+             |edges AS (SELECT id_a, id_b FROM np UNION SELECT id_a, id_b FROM ep),
+             |sym AS (SELECT id_a AS src, id_b AS dst FROM edges
+             |        UNION SELECT id_b, id_a FROM edges),
+             |reach(id, r) AS (
+             |  SELECT src, src FROM (SELECT DISTINCT src FROM sym) t
+             |  UNION
+             |  SELECT s.src, q.r FROM sym s JOIN reach q ON q.id = s.dst),
+             |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+             |cs AS (SELECT cluster_id, count(*) AS csize FROM comp GROUP BY 1),
+             |mem AS (SELECT comp.id AS doc_id, cs.csize FROM comp JOIN cs USING (cluster_id)),
+             |d AS (SELECT t.doc_id, t.source, CAST(len(w) AS BIGINT) AS ntok,
+             |        coalesce(mem.csize, 1) AS csize
+             |      FROM toks t LEFT JOIN mem ON mem.doc_id = t.doc_id)
+             |SELECT source, count(*) AS n_docs,
+             |  CAST(sum(CASE WHEN csize > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+             |  CAST(sum(ntok) AS BIGINT) AS raw_tokens,
+             |  CAST(sum(ntok * (1000000 // csize)) AS BIGINT) AS eff_tokens_micro
+             |FROM d GROUP BY source ORDER BY source""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val near = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+            shingleN = 3, perms = 128, bands = 32, threshold = 0.8)
+          .select("id_a", "id_b")
+        val fp = docs.select(col("doc_id"), Dedup.exactFingerprint(col("text")).as("f"))
+        val exact = fp.as("a")
+          .join(fp.as("b"), col("a.f") === col("b.f") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        val cc = Dedup.connectedComponents(near.unionByName(exact).distinct(), "id_a", "id_b")
+        val mem = cc.join(cc.groupBy("comp").agg(count(lit(1)).as("csize")), "comp")
+          .select(col("id").as("doc_id"), col("csize"))
+        docs.join(mem, Seq("doc_id"), "left")
+          .select(col("source"),
+            coalesce(col("csize"), lit(1L)).as("csize"),
+            TextAnalysis.tokenCount(col("text")).cast("long").as("ntok"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("csize") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+            sum(col("ntok")).cast("long").as("raw_tokens"),
+            sum(col("ntok") * expr("CAST(1000000 AS BIGINT) div csize"))
+              .cast("long").as("eff_tokens_micro"))
+          .orderBy("source")
+      }),
+
+    // ---------------------------------------------------------------- domain-level quality gate
+    QueryDef(
+      "q_l77_domain_filter", "LLM-domain-filter",
+      // the UT1-blocklist-style decision at corpus build time: sources
+      // (domains) are admitted or dropped WHOLE on aggregate quality —
+      // mean_q_micro = Σ floor(quality·1e6) div n_docs, exact integer
+      // end-to-end, so the per-source verdict can never flip
+      // cross-engine. Threshold 663000 splits the synthetic sources at
+      // every SF. Scale shape: one scan + a per-source agg — the
+      // verdict frame is |sources| rows, broadcast back wherever the
+      // survivor corpus is consumed.
+      Some("""WITH toks AS (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS w
+             |              FROM documents),
+             |q AS (SELECT source, CAST(len(w) AS BIGINT) AS ntok,
+             |  CAST(floor((least(len(w) / 100.0, 1.0) * 0.4 +
+             |    (1.0 - CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','for')))
+             |           AS DOUBLE) / len(w)) * 0.3 +
+             |    least((CAST(CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS DOUBLE)
+             |           / len(w)) / 8.0, 1.0) * 0.3) * 1e6) AS BIGINT) AS qm
+             |  FROM toks),
+             |per AS (SELECT source, count(*) AS n_docs, CAST(sum(qm) AS BIGINT) AS q_sum,
+             |          CAST(sum(ntok) AS BIGINT) AS tokens
+             |        FROM q GROUP BY 1),
+             |v AS (SELECT source, n_docs, q_sum // n_docs AS mean_q_micro, tokens FROM per)
+             |SELECT source, n_docs, mean_q_micro, mean_q_micro >= 663000 AS kept,
+             |  CASE WHEN mean_q_micro >= 663000 THEN n_docs ELSE 0 END AS kept_docs,
+             |  CASE WHEN mean_q_micro >= 663000 THEN tokens ELSE CAST(0 AS BIGINT) END
+             |    AS kept_tokens
+             |FROM v ORDER BY source""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        docs.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(floor(TextAnalysis.qualityScoreRaw(col("text")) * 1e6).cast("long"))
+              .cast("long").as("q_sum"),
+            sum(TextAnalysis.tokenCount(col("text")).cast("long"))
+              .cast("long").as("tokens"))
+          .withColumn("mean_q_micro", expr("q_sum div n_docs"))
+          .withColumn("kept", col("mean_q_micro") >= 663000L)
+          .select(col("source"), col("n_docs"), col("mean_q_micro"), col("kept"),
+            when(col("kept"), col("n_docs")).otherwise(0L).as("kept_docs"),
+            when(col("kept"), col("tokens")).otherwise(0L).as("kept_tokens"))
+          .orderBy("source")
+      }),
+
+    // ---------------------------------------------------------------- filter-rule attribution matrix
+    QueryDef(
+      "q_l78_rule_attribution", "LLM-rule-attribution",
+      // the ablation a pipeline owner reads before reordering or
+      // retiring filters: q_l70's five rules evaluated INDEPENDENTLY
+      // (not as a funnel) — for every rule pair the count of docs
+      // failing both, and on the diagonal each rule's total hits plus
+      // its UNIQUE hits (docs no other rule would catch — the rule's
+      // marginal value). One scan, one 20-sum aggregate, a 15-row
+      // stack: trivially scale-safe at any corpus size.
+      Some(ruleMatrixOracleSql),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val gs = docs
+          .select(col("doc_id"),
+            explode(TextAnalysis.wordBigrams(trim(coalesce(col("text"), lit("")))))
+              .as("gram"))
+          .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id").agg(sum("c").as("n2"), max("c").as("top2"))
+        val flags = docs.join(gs, Seq("doc_id"), "left")
+          .select(
+            (col("lang") =!= "en").cast("long").as("f1"),
+            (TextAnalysis.tokenCount(col("text")) < 30).cast("long").as("f2"),
+            (TextAnalysis.stopwordRatio(col("text")) < 0.02).cast("long").as("f3"),
+            (TextAnalysis.dupBigramFraction(col("text")) > 0.05).cast("long").as("f4"),
+            (when(coalesce(col("n2"), lit(0L)) === 0, lit(0.0))
+              .otherwise(col("top2").cast("double") / col("n2")) > 0.025)
+              .cast("long").as("f5"))
+        val n = RuleNames.length
+        val pairAggs = for (i <- 1 to n; j <- i to n)
+          yield sum(col(s"f$i") * col(s"f$j")).as(s"h${i}_$j")
+        val onlyAggs = (1 to n).map { i =>
+          val others = (1 to n).filter(_ != i).map(j => col(s"f$j")).reduce(_ + _)
+          sum(when(col(s"f$i") === 1 && others === 0, 1L).otherwise(0L)).as(s"u$i")
+        }
+        val stackArgs = (for (i <- 1 to n; j <- i to n) yield
+          s"'${RuleNames(i - 1)}', '${RuleNames(j - 1)}', h${i}_$j, " +
+            (if (i == j) s"u$i" else "CAST(0 AS BIGINT)")).mkString(", ")
+        flags.agg(pairAggs.head, (pairAggs.tail ++ onlyAggs): _*)
+          .select(expr(s"stack(${n * (n + 1) / 2}, $stackArgs) " +
+            "as (rule_a, rule_b, n_both, n_only)"))
+          .orderBy("rule_a", "rule_b")
+      })
   )
+
+  /** q_l70/q_l78's rule vocabulary, in funnel order. (lazy: referenced
+    * from the query-list initializer above its declaration)
+    */
+  private lazy val RuleNames =
+    Seq("lang_en", "min_tokens", "stopword_ratio", "dup_bigram", "top_bigram_mass")
+
+  /** Generated oracle for q_l78: the same five independent fail flags,
+    * all pairwise co-failure counts, and per-rule unique hits.
+    */
+  private def ruleMatrixOracleSql: String = {
+    val n = RuleNames.length
+    val pairSums = (for (i <- 1 to n; j <- i to n)
+      yield s"CAST(sum(f$i * f$j) AS BIGINT) AS h${i}_$j").mkString(",\n  ")
+    val onlySums = (1 to n).map { i =>
+      val others = (1 to n).filter(_ != i).map(j => s"f$j").mkString(" + ")
+      s"CAST(sum(CASE WHEN f$i = 1 AND $others = 0 THEN 1 ELSE 0 END) AS BIGINT) AS u$i"
+    }.mkString(",\n  ")
+    val rows = (for (i <- 1 to n; j <- i to n) yield
+      s"SELECT '${RuleNames(i - 1)}' AS rule_a, '${RuleNames(j - 1)}' AS rule_b, " +
+        s"h${i}_$j AS n_both, ${if (i == j) s"u$i" else "CAST(0 AS BIGINT)"} AS n_only FROM a")
+      .mkString("\n  UNION ALL ")
+    s"""WITH d AS (SELECT doc_id, lang, trim(coalesce(text, '')) AS tt FROM documents),
+       |tok AS (SELECT doc_id, lang, string_split_regex(tt, '\\s+') AS t FROM d),
+       |g AS (SELECT doc_id, tk || ' ' || t[i + 1] AS gram
+       |      FROM (SELECT doc_id, t, unnest(t) AS tk,
+       |              generate_subscripts(t, 1) AS i FROM tok)
+       |      WHERE i < len(t)),
+       |gc AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+       |gs AS (SELECT doc_id, sum(c) AS n2, count(*) AS d2, max(c) AS top2
+       |       FROM gc GROUP BY 1),
+       |per AS (SELECT tok.doc_id, lang, len(t) AS n,
+       |  CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is','for')))
+       |       AS DOUBLE) / len(t) AS stopratio,
+       |  CASE WHEN coalesce(gs.n2, 0) = 0 THEN 0.0
+       |       ELSE 1.0 - CAST(gs.d2 AS DOUBLE) / gs.n2 END AS dup2,
+       |  CASE WHEN coalesce(gs.n2, 0) = 0 THEN 0.0
+       |       ELSE CAST(gs.top2 AS DOUBLE) / gs.n2 END AS top2f
+       |  FROM tok LEFT JOIN gs ON gs.doc_id = tok.doc_id),
+       |fl AS (SELECT CASE WHEN lang <> 'en' THEN 1 ELSE 0 END AS f1,
+       |  CASE WHEN n < 30 THEN 1 ELSE 0 END AS f2,
+       |  CASE WHEN stopratio < 0.02 THEN 1 ELSE 0 END AS f3,
+       |  CASE WHEN dup2 > 0.05 THEN 1 ELSE 0 END AS f4,
+       |  CASE WHEN top2f > 0.025 THEN 1 ELSE 0 END AS f5
+       |  FROM per),
+       |a AS (SELECT
+       |  $pairSums,
+       |  $onlySums
+       |  FROM fl)
+       |SELECT * FROM (
+       |  $rows)
+       |ORDER BY rule_a, rule_b""".stripMargin
+  }
 
   /** Seed-membership predicate shared by the NB classifier queries. */
   private[queries] def NbSeedSources: String =

@@ -222,6 +222,23 @@ class CorpusSpec extends AnyFunSuite {
     assert(flat == Map("a" -> 50L, "b" -> 50L, "c" -> 100L), flat)
   }
 
+  test("globalShuffle: seeded permutation is complete, reproducible, seed-sensitive") {
+    val docs = (1L to 500L).toDF("id")
+    def perm(seed: String) = Corpus.globalShuffle(docs, "id", seed, 4)
+      .select("id", "file_id", "pos").as[(Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    val a = perm("s1")
+    assert(a == perm("s1"), "same seed must reproduce the permutation")
+    assert(a.map(_._1).distinct.size == 500, "every id appears exactly once")
+    // within each file, positions are a contiguous 1..n_f ranking
+    a.groupBy(_._2).foreach { case (f, rows) =>
+      assert(rows.map(_._3).sorted == (1L to rows.size), s"file $f positions")
+    }
+    val b = perm("s2")
+    assert(a != b, "a different seed must yield a different permutation")
+    intercept[IllegalArgumentException] { Corpus.globalShuffle(docs, "id", "s", 0) }
+  }
+
   test("epochMixPlanLocal is bit-identical to the distributed planner") {
     import spark.implicits._
     // same fixtures as above plus a skew case with crumb-level
