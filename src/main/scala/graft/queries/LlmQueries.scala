@@ -3899,6 +3899,25 @@ object LlmQueries {
           maxWordLen = 8, maxPieceLen = 4, seedMultis = 24, rounds = 3)
         .orderBy("source")),
 
+    // ---------------------------------------------------------------- tokenizer fertility per language
+    QueryDef(
+      "q_l79_fertility", "LLM-tokenizer-fertility",
+      // the per-language equity metric of a trained tokenizer:
+      // fertility = pieces emitted per whitespace word. A vocabulary
+      // trained on a language mix penalizes under-represented
+      // languages with higher fertility (more pieces = fewer effective
+      // context tokens) — THE number a multilingual pipeline reviews
+      // before freezing a tokenizer. Reuses the q_l74 unigram training
+      // verbatim, grouped by lang; the ratio is integer micro-scaled
+      // so it is bit-identical cross-engine.
+      Some(unigramApplySql(maxLen = 8, pieceLen = 4, seedN = 24, rounds = 3,
+        groupCol = "lang", fertility = true)),
+      (s, dir) => Unigram.tokenCounts(Tables.documents(s, dir), "text", "lang",
+          maxWordLen = 8, maxPieceLen = 4, seedMultis = 24, rounds = 3)
+        .withColumn("fertility_micro",
+          expr("uni_tokens * CAST(1000000 AS BIGINT) div ws_tokens"))
+        .orderBy("lang")),
+
     // ---------------------------------------------------------------- deterministic global training shuffle
     QueryDef(
       "q_l75_global_shuffle", "LLM-global-shuffle",
@@ -4532,19 +4551,25 @@ object LlmQueries {
     * the apply/compression query of the trained unigram tokenizer.
     */
   private def unigramApplySql(
-      maxLen: Int, pieceLen: Int, seedN: Int, rounds: Int): String = {
+      maxLen: Int, pieceLen: Int, seedN: Int, rounds: Int,
+      groupCol: String = "source", fertility: Boolean = false): String = {
     val f = rounds + 1
+    val fert =
+      if (fertility)
+        ",\n  (CAST(sum(n.n_uni) AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT)" +
+          " AS fertility_micro"
+      else ""
     s"""${unigramOracleCtes(maxLen, pieceLen, seedN, rounds)},
        |${unigramDpCtes(f, maxLen, pieceLen)},
        |nuni AS MATERIALIZED (SELECT word,
        |    CAST(len(string_split(substr(seg, 2), '|')) AS BIGINT) AS n_uni
        |  FROM seg$f),
-       |tok2 AS (SELECT source,
+       |tok2 AS (SELECT $groupCol,
        |    unnest(string_split_regex(trim(text), '\\s+')) AS term
        |  FROM documents)
-       |SELECT source, CAST(count(*) AS BIGINT) AS ws_tokens,
-       |  CAST(sum(n.n_uni) AS BIGINT) AS uni_tokens
+       |SELECT $groupCol, CAST(count(*) AS BIGINT) AS ws_tokens,
+       |  CAST(sum(n.n_uni) AS BIGINT) AS uni_tokens$fert
        |FROM tok2 JOIN nuni n ON tok2.term = n.word
-       |GROUP BY source ORDER BY source""".stripMargin
+       |GROUP BY $groupCol ORDER BY $groupCol""".stripMargin
   }
 }
