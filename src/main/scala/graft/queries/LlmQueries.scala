@@ -3899,6 +3899,147 @@ object LlmQueries {
           maxWordLen = 8, maxPieceLen = 4, seedMultis = 24, rounds = 3)
         .orderBy("source")),
 
+    // ---------------------------------------------------------------- classifier calibration curve
+    QueryDef(
+      "q_l80_calibration", "LLM-classifier-calibration",
+      // reliability diagram for the q_l59 quality classifier: seed
+      // docs bucketed by their exact-decimal LLR score (width-2 bins
+      // spanning [-18, 18]), per bin the observed positive rate vs
+      // the accept decision. The bin index is a COUNT OF BOUNDARY
+      // COMPARISONS (Σ score ≥ 2k) — no decimal arithmetic at all, so
+      // it cannot diverge cross-engine (score·1e12 would overflow
+      // DECIMAL(38) and invite engine-specific rescaling). One scan +
+      // tiny agg.
+      Some(s"""${nbOracleCtes(seedWhere = NbSeedSources)},
+              |sc AS (SELECT d.doc_id, d.source,
+              |    prior.prior + coalesce(s.token_score, 0) AS score
+              |  FROM documents d CROSS JOIN prior
+              |  LEFT JOIN scores s ON s.doc_id = d.doc_id
+              |  WHERE $NbSeedSources),
+              |cal AS (SELECT ($calBinSqlExpr) AS bin,
+              |    CASE WHEN source IN ('src0','src1','src2','src3','src4')
+              |         THEN 1 ELSE 0 END AS truth,
+              |    CASE WHEN score > 0 THEN 1 ELSE 0 END AS pred
+              |  FROM sc)
+              |SELECT bin, count(*) AS n_docs, CAST(sum(truth) AS BIGINT) AS n_pos,
+              |  CAST(sum(pred) AS BIGINT) AS n_pred_pos,
+              |  (CAST(sum(truth) AS BIGINT) * 1000000) // count(*) AS obs_pos_micro
+              |FROM cal GROUP BY bin ORDER BY bin""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val posSet = Seq("src0", "src1", "src2", "src3", "src4")
+        val negSet = Seq("src15", "src16", "src17", "src18", "src19")
+        val seed = docs
+          .filter(col("source").isin(posSet ++ negSet: _*))
+          .withColumn("label", col("source").isin(posSet: _*).cast("int"))
+        val model = Classifier.nbTrain(seed, "text", "label", buckets = 64)
+        val prior = Classifier.nbPrior(seed, "label")
+        Classifier.nbScore(seed, "doc_id", "text", model, prior, buckets = 64)
+          .join(seed.select(col("doc_id"),
+            col("source").isin(posSet: _*).cast("long").as("truth")), "doc_id")
+          .select(
+            CalBinBoundaries
+              .map(b => when(col("score") >= b, 1L).otherwise(0L))
+              .reduce(_ + _).as("bin"),
+            col("truth"),
+            col("accept").cast("long").as("pred"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("truth")).cast("long").as("n_pos"),
+            sum(col("pred")).cast("long").as("n_pred_pos"))
+          .withColumn("obs_pos_micro", expr("n_pos * 1000000L div n_docs"))
+          .orderBy("bin")
+      }),
+
+    // ---------------------------------------------------------------- vocabulary drift (PSI over top tokens)
+    QueryDef(
+      "q_l81_vocab_drift", "LLM-vocab-drift",
+      // corpus-monitoring twin of the numeric PSI family (q_a47): the
+      // population-stability index of the token distribution between
+      // two corpus snapshots (doc_id parity halves stand in for
+      // arrival windows). Buckets are the global top-32 tokens
+      // (count desc, token asc — exact tie-break), Laplace-1 smoothed
+      // shares over each half's FULL token total, per-token PSI
+      // contribution as floor(x·1e9) of the bit-identical double (the
+      // q_l50 micro-int precedent). A drifting source shows up as mass
+      // moving between rows before any model downstream degrades.
+      Some("""WITH tok AS (SELECT doc_id % 2 AS half,
+             |    unnest(string_split_regex(trim(text), '\s+')) AS term
+             |  FROM documents),
+             |tc AS (SELECT term, count(*) AS c,
+             |    CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+             |    CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+             |  FROM tok GROUP BY term),
+             |tot AS (SELECT CAST(sum(c_a) AS BIGINT) AS ta,
+             |               CAST(sum(c_b) AS BIGINT) AS tb FROM tc),
+             |top AS (SELECT term, c_a, c_b FROM tc ORDER BY c DESC, term LIMIT 32)
+             |SELECT term, c_a, c_b,
+             |  CAST(floor((((c_a + 1.0) / (ta + 32)) - ((c_b + 1.0) / (tb + 32)))
+             |    * ln(((c_a + 1.0) / (ta + 32)) / ((c_b + 1.0) / (tb + 32))) * 1e9)
+             |    AS BIGINT) AS psi_nano
+             |FROM top CROSS JOIN tot ORDER BY term""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val tok = docs.select((col("doc_id") % 2).as("half"),
+          explode(TextAnalysis.tokens(trim(col("text")))).as("term"))
+        val tc = tok.groupBy("term").agg(
+          count(lit(1)).as("c"),
+          sum(when(col("half") === 0, 1L).otherwise(0L)).as("c_a"),
+          sum(when(col("half") === 1, 1L).otherwise(0L)).as("c_b"))
+          .localCheckpoint(false) // consumed by the totals agg AND the top-k
+        val tot = tc.agg(sum("c_a").cast("long").as("ta"),
+          sum("c_b").cast("long").as("tb"))
+        tc.orderBy(col("c").desc, col("term")).limit(32)
+          .crossJoin(broadcast(tot)) // 1-row totals frame
+          .select(col("term"), col("c_a"), col("c_b"),
+            // floor of a bit-identical double is engine-independent
+            // (the q_l50 keeper_q_micro pattern)
+            floor(
+              ((((col("c_a") + 1.0) / (col("ta") + 32)) -
+                ((col("c_b") + 1.0) / (col("tb") + 32))) *
+                log(((col("c_a") + 1.0) / (col("ta") + 32)) /
+                  ((col("c_b") + 1.0) / (col("tb") + 32)))) * 1e9)
+              .cast("long").as("psi_nano"))
+          .orderBy("term")
+      }),
+
+    // ---------------------------------------------------------------- length-bucketed batching planner
+    QueryDef(
+      "q_l82_padding_plan", "LLM-padding-planner",
+      // the batching-efficiency ledger: docs bucketed by token length
+      // into doubling ranges under a 512-token context; per bucket,
+      // the padding a naive pad-everything-to-512 batcher wastes vs
+      // padding to the bucket ceiling — the number that justifies
+      // length-bucketed batching in the data loader. Pure integer
+      // arithmetic on one scan.
+      Some("""WITH d AS (SELECT least(CAST(len(string_split_regex(trim(text), '\s+'))
+             |                            AS BIGINT), 512) AS n
+             |           FROM documents),
+             |b AS (SELECT n,
+             |    CASE WHEN n < 64 THEN 64 WHEN n < 128 THEN 128
+             |         WHEN n < 256 THEN 256 ELSE 512 END AS bucket_cap
+             |  FROM d)
+             |SELECT bucket_cap, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS tokens,
+             |  CAST(sum(512 - n) AS BIGINT) AS naive_pad,
+             |  CAST(sum(bucket_cap - n) AS BIGINT) AS bucket_pad,
+             |  CAST(sum(512 - n) - sum(bucket_cap - n) AS BIGINT) AS saved
+             |FROM b GROUP BY bucket_cap ORDER BY bucket_cap""".stripMargin),
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(least(TextAnalysis.tokenCount(col("text")).cast("long"), lit(512L))
+            .as("n"))
+          .withColumn("bucket_cap",
+            when(col("n") < 64, 64L).when(col("n") < 128, 128L)
+              .when(col("n") < 256, 256L).otherwise(512L))
+          .groupBy("bucket_cap")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n")).cast("long").as("tokens"),
+            sum(lit(512L) - col("n")).cast("long").as("naive_pad"),
+            sum(col("bucket_cap") - col("n")).cast("long").as("bucket_pad"),
+            (sum(lit(512L) - col("n")) - sum(col("bucket_cap") - col("n")))
+              .cast("long").as("saved"))
+          .orderBy("bucket_cap")),
+
     // ---------------------------------------------------------------- tokenizer fertility per language
     QueryDef(
       "q_l79_fertility", "LLM-tokenizer-fertility",
@@ -4108,6 +4249,18 @@ object LlmQueries {
           .orderBy("rule_a", "rule_b")
       })
   )
+
+  /** q_l80's score-bin boundaries: width-2 bins over [-18, 18]; the
+    * bin index is the count of boundaries at or below the score —
+    * pure comparisons, no decimal arithmetic. (lazy: referenced from
+    * the query-list initializer above the declaration)
+    */
+  private lazy val CalBinBoundaries: Seq[Int] = (-9 to 9).map(_ * 2)
+
+  private def calBinSqlExpr: String =
+    CalBinBoundaries
+      .map(b => s"(CASE WHEN score >= $b THEN 1 ELSE 0 END)")
+      .mkString(" + ")
 
   /** q_l70/q_l78's rule vocabulary, in funnel order. (lazy: referenced
     * from the query-list initializer above its declaration)
