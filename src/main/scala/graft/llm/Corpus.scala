@@ -101,6 +101,54 @@ object Corpus {
     withFile.withColumn("pos", row_number().over(w).cast("long")).drop("__h")
   }
 
+  /** GDPR-style delete propagation through a packed corpus: given the
+    * deterministic packing plan and a delete set, identify the shards
+    * holding any deleted document and account ONLY those shards as
+    * rebuilt (survivors keep their order and shard assignment; the
+    * boundaries of untouched shards never move) — at 100 TB you
+    * rewrite the affected shard FILES, never repack the corpus, so
+    * the cost is |affected shards|, not |corpus|. A shard whose every
+    * member is deleted stays in the ledger with zero counts (its file
+    * is emptied, not renumbered — downstream loaders keep stable
+    * shard ids).
+    *
+    * Returns one row per shard: (shard_id, status kept|rebuilt,
+    * n_items, shard_tokens, id_sum).
+    *
+    * Scale shape: the plan is the one packShards range exchange; the
+    * delete set joins as a broadcast/semi-join; the affected-shard
+    * list (typically tiny) broadcasts back. Nothing rescans untouched
+    * shards beyond the one aggregation pass.
+    */
+  def repackAfterDelete(
+      docs: DataFrame, idCol: String, textCol: String,
+      tokensPerShard: Long, deletes: DataFrame): DataFrame = {
+    val plan = packShards(docs, idCol, textCol, tokensPerShard)
+      .localCheckpoint(false) // consumed by the kept AND rebuilt branches
+    val del = deletes.select(col(idCol)).distinct()
+    val affected = plan.join(del, Seq(idCol), "left_semi")
+      .select("shard_id").distinct()
+      .localCheckpoint(false) // tiny: |affected shards| rows, read 2x
+    def ledger(rows: DataFrame) = rows.groupBy("shard_id")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("n_tokens")).cast("long").as("shard_tokens"),
+        sum(col(idCol)).cast("long").as("id_sum"))
+    val kept = ledger(plan.join(broadcast(affected), Seq("shard_id"), "left_anti"))
+      .withColumn("status", lit("kept"))
+    val rebuilt = affected
+      .join(ledger(plan.join(broadcast(affected), Seq("shard_id"), "left_semi")
+          .join(del, Seq(idCol), "left_anti")),
+        Seq("shard_id"), "left")
+      .select(col("shard_id"),
+        coalesce(col("n_items"), lit(0L)).as("n_items"),
+        coalesce(col("shard_tokens"), lit(0L)).as("shard_tokens"),
+        coalesce(col("id_sum"), lit(0L)).as("id_sum"))
+      .withColumn("status", lit("rebuilt"))
+    kept.unionByName(rebuilt)
+      .select("shard_id", "status", "n_items", "shard_tokens", "id_sum")
+      .orderBy("shard_id")
+  }
+
   /** The pre-checkpoint arranged stage of `packShards` — split out so
     * PlanSpec can assert the one-range-exchange shape (the lazy
     * checkpoint hides it from the downstream executed plan, same as

@@ -4040,6 +4040,53 @@ object LlmQueries {
               .cast("long").as("saved"))
           .orderBy("bucket_cap")),
 
+    // ---------------------------------------------------------------- delete propagation (right-to-be-forgotten)
+    QueryDef(
+      "q_l83_delete_propagation", "LLM-delete-propagation",
+      // the takedown/right-to-be-forgotten ledger: given the packed
+      // corpus (q_l17's deterministic plan) and a delete set (every
+      // 101st doc), shards holding any deleted doc are REBUILT in
+      // place (survivors keep order and shard id; a fully-deleted
+      // shard stays at zero counts so loader shard ids never
+      // renumber), every other shard is untouched — the cost is
+      // |affected shards|, never a corpus repack. Oracle replays the
+      // pack prefix sum and both ledger branches.
+      Some("""WITH t AS (SELECT doc_id,
+             |  CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+             |       ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+             |  md5(CAST(doc_id AS VARCHAR)) AS ord
+             |  FROM documents),
+             |c AS (SELECT doc_id, n_tokens,
+             |  CAST(floor(coalesce(sum(n_tokens) OVER (ORDER BY ord, doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048.0) AS BIGINT)
+             |    AS shard_id
+             |  FROM t),
+             |aff AS (SELECT DISTINCT shard_id FROM c WHERE doc_id % 101 = 0),
+             |k AS (SELECT shard_id, 'kept' AS status, count(*) AS n_items,
+             |        CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+             |        CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |      FROM c WHERE shard_id NOT IN (SELECT shard_id FROM aff)
+             |      GROUP BY shard_id),
+             |s AS (SELECT shard_id, count(*) AS n_items,
+             |        CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+             |        CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |      FROM c WHERE doc_id % 101 <> 0
+             |        AND shard_id IN (SELECT shard_id FROM aff)
+             |      GROUP BY shard_id),
+             |r AS (SELECT aff.shard_id, 'rebuilt' AS status,
+             |        coalesce(s.n_items, 0) AS n_items,
+             |        coalesce(s.shard_tokens, 0) AS shard_tokens,
+             |        coalesce(s.id_sum, 0) AS id_sum
+             |      FROM aff LEFT JOIN s USING (shard_id))
+             |SELECT shard_id, status, n_items, shard_tokens, id_sum FROM k
+             |UNION ALL SELECT shard_id, status, n_items, shard_tokens, id_sum FROM r
+             |ORDER BY shard_id""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Corpus.repackAfterDelete(docs, "doc_id", "text", 2048L,
+          docs.filter(col("doc_id") % 101 === 0).select("doc_id"))
+      }),
+
     // ---------------------------------------------------------------- tokenizer fertility per language
     QueryDef(
       "q_l79_fertility", "LLM-tokenizer-fertility",

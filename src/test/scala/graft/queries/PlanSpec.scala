@@ -372,4 +372,11 @@ class PlanSpec extends AnyFunSuite {
     val files = pruned.select(input_file_name()).distinct().count()
     assert(files == 1L, s"one-shard read touched $files files")
   }
+
+  test("global shuffle ranks within loader files — the permutation window is never global") {
+    val p = queryPlan("q_l75_global_shuffle")
+    assert(p.contains("windowspecdefinition(file_id"),
+      s"pos must be partitioned by file_id:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
 }
