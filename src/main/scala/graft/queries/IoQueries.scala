@@ -987,6 +987,45 @@ object IoQueries {
           .orderBy("last_type")
       }),
 
+    // ---------------------------------------------------------------- ST: CDC tombstones + watermark-gated compaction
+    QueryDef(
+      "q_st18_stream_tombstones", "ST CDC delete tombstones (S13/S14 retract semantics)",
+      // q_st9's continuous last-wins state with DELETES: 'error' is
+      // the account-deletion tombstone. Tombstones stay IN the merged
+      // state across batches (dropping one would let a later-arriving
+      // OLDER event resurrect the user — last-wins is associative only
+      // with the tombstone in place); physical compaction applies only
+      // past the watermark horizon (2024-01-16 UTC here), which a
+      // bounded source reaches at stream end. The ledger pins both
+      // the retained state (n_state) and the visible view (n_visible
+      // masks the tombstone type entirely).
+      Some("""WITH last AS (SELECT user_id, ts, event_type, event_id,
+             |  row_number() OVER (PARTITION BY user_id
+             |    ORDER BY ts DESC, event_id DESC) AS rn FROM events),
+             |st AS (SELECT user_id, ts, event_type, event_id FROM last WHERE rn = 1),
+             |kept AS (SELECT * FROM st
+             |  WHERE event_type <> 'error' OR epoch_us(ts) >= 1705363200000000)
+             |SELECT event_type AS last_type, count(*) AS n_state,
+             |  CAST(sum(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_visible,
+             |  CAST(sum(event_id) AS BIGINT) AS id_sum
+             |FROM kept GROUP BY 1 ORDER BY last_type""".stripMargin),
+      (s, dir) => {
+        val watch = CdcStream.ensureStaged(s, dir)
+        val state = CdcStream.runMergeToStateTable(
+          s, CdcStream.readEvents(s, watch),
+          s"$TmpBase/st18_state/${dir.replaceAll("[^A-Za-z0-9]+", "_")}")
+        val compacted = CdcStream.compactTombstones(
+          s.read.parquet(state), "error", horizonUs = 1705363200000000L)
+        compacted
+          .groupBy(col("last_type"))
+          .agg(count(lit(1)).as("n_state"),
+            sum(when(col("last_type") =!= "error", 1L).otherwise(0L))
+              .cast("long").as("n_visible"),
+            sum(col("last_id")).cast("long").as("id_sum"))
+          .orderBy("last_type")
+      }),
+
     // ---------------------------------------------------------------- ST: streaming HLL distinct sketch
     QueryDef(
       "q_st10_stream_hll", "ST HLL distinct (bounded streaming state)",

@@ -460,6 +460,23 @@ object CdcStream {
     new org.apache.hadoop.fs.Path(base, v).toString
   }
 
+  /** CDC delete handling over the last-wins state table: a designated
+    * event type is a TOMBSTONE (account deletion). Tombstones must be
+    * RETAINED in the state across batches — physically dropping one
+    * would let a later-arriving OLDER event resurrect the user, so
+    * last-wins stays associative only with the tombstone in place.
+    * Physical removal (compaction) is safe exactly when the watermark
+    * has passed the tombstone's timestamp (no older data can still
+    * arrive); with a bounded source that is stream end, which is when
+    * this runs. Tombstones newer than `horizonUs` survive compaction
+    * and keep masking their user; visible readers filter the type out
+    * regardless.
+    */
+  def compactTombstones(
+      state: DataFrame, tombstoneType: String, horizonUs: Long): DataFrame =
+    state.filter(col("last_type") =!= tombstoneType ||
+      unix_micros(col("last_ts")) >= horizonUs)
+
   /** Run a streaming aggregation to completion over the (bounded) file
     * source via a memory sink and return the result table — lets batch
     * oracles check streaming semantics.
