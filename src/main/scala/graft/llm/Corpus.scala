@@ -101,6 +101,27 @@ object Corpus {
     withFile.withColumn("pos", row_number().over(w).cast("long")).drop("__h")
   }
 
+  /** Incremental pack-append: new arrivals extend the packed corpus
+    * WITHOUT touching the standing shards (the q_l22
+    * never-reshuffle-the-corpus rule, applied to packing). The caller
+    * passes the standing corpus's total token count; arrivals are
+    * arranged by the same seeded md5 order among themselves and their
+    * global offsets continue from `baseTokens`, so the first arrivals
+    * fill the tail of the last partial shard and numbering proceeds
+    * from there — a training loader sees one continuous shard
+    * sequence across any number of append batches. At 100 TB the
+    * append cost is |arrivals|, never |corpus|.
+    */
+  def packShardsAppend(
+      docs: DataFrame, idCol: String, textCol: String,
+      tokensPerShard: Long, baseTokens: Long): DataFrame = {
+    require(baseTokens >= 0, s"packShardsAppend: baseTokens must be >= 0, got $baseTokens")
+    packShards(docs, idCol, textCol, tokensPerShard)
+      .withColumn("token_start", col("token_start") + lit(baseTokens))
+      .withColumn("shard_id",
+        floor(col("token_start") / lit(tokensPerShard.toDouble)))
+  }
+
   /** GDPR-style delete propagation through a packed corpus: given the
     * deterministic packing plan and a delete set, identify the shards
     * holding any deleted document and account ONLY those shards as

@@ -4087,6 +4087,49 @@ object LlmQueries {
           docs.filter(col("doc_id") % 101 === 0).select("doc_id"))
       }),
 
+    // ---------------------------------------------------------------- incremental pack-append
+    QueryDef(
+      "q_l84_incremental_pack", "LLM-pack-append",
+      // the arrival path of the corpus lifecycle (q_l83 is the
+      // departure path): every 5th doc arrives against the standing
+      // corpus of the rest. Arrivals pack among themselves in the
+      // same seeded md5 order with global offsets CONTINUING from the
+      // standing corpus's token total — the first arrivals fill the
+      // last partial shard's tail, numbering proceeds, and no standing
+      // shard is touched or renumbered. The oracle replays the offset
+      // continuation; shard ids + per-shard sums pin the whole append.
+      Some("""WITH t AS (SELECT doc_id,
+             |  CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+             |       ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+             |  md5(CAST(doc_id AS VARCHAR)) AS ord
+             |  FROM documents),
+             |base AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS bt FROM t
+             |         WHERE doc_id % 5 <> 0),
+             |c AS (SELECT doc_id, n_tokens,
+             |  CAST(floor((coalesce(sum(n_tokens) OVER (ORDER BY ord, doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + base.bt)
+             |    / 2048.0) AS BIGINT) AS shard_id
+             |  FROM t CROSS JOIN base WHERE doc_id % 5 = 0)
+             |SELECT shard_id, count(*) AS n_docs,
+             |CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+             |CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM c GROUP BY shard_id ORDER BY shard_id""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        // 1-row collect: the standing corpus's token total (bounded
+        // driver control flow — the append parameter, not data)
+        val baseTokens = docs.filter(col("doc_id") % 5 =!= 0)
+          .agg(sum(TextAnalysis.tokenCount(col("text")).cast("long")))
+          .collect()(0).getLong(0)
+        Corpus.packShardsAppend(docs.filter(col("doc_id") % 5 === 0),
+            "doc_id", "text", 2048L, baseTokens)
+          .groupBy("shard_id")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).cast("long").as("shard_tokens"),
+            sum(col("doc_id")).cast("long").as("id_sum"))
+          .orderBy("shard_id")
+      }),
+
     // ---------------------------------------------------------------- tokenizer fertility per language
     QueryDef(
       "q_l79_fertility", "LLM-tokenizer-fertility",

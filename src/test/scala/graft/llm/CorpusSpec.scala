@@ -239,6 +239,22 @@ class CorpusSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Corpus.globalShuffle(docs, "id", "s", 0) }
   }
 
+  test("packShardsAppend continues offsets from the standing corpus") {
+    val arrivals = (1L to 100L).map(i => (i, ("tok " * 17).trim)).toDF("doc_id", "text")
+    val rows = Corpus.packShardsAppend(arrivals, "doc_id", "text", 512L, baseTokens = 1000L)
+      .select("token_start", "n_tokens", "shard_id").as[(Long, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(rows.head._1 == 1000L, "first arrival starts at the standing total")
+    rows.sliding(2).foreach {
+      case Array((s1, n1, _), (s2, _, _)) => assert(s2 == s1 + n1, "contiguous offsets")
+      case _ =>
+    }
+    rows.foreach { case (s, _, sid) => assert(sid == s / 512, "shard = global floor") }
+    intercept[IllegalArgumentException] {
+      Corpus.packShardsAppend(arrivals, "doc_id", "text", 512L, -1L)
+    }
+  }
+
   test("epochMixPlanLocal is bit-identical to the distributed planner") {
     import spark.implicits._
     // same fixtures as above plus a skew case with crumb-level
