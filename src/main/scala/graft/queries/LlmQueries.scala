@@ -3547,19 +3547,12 @@ object LlmQueries {
             (conv(substring(md5(concat(lit("fold:"), col("doc_id").cast("string"))),
               1, 8), 16, 10).cast("long") % 5).as("fold"),
             col("source").isin(posSet: _*).cast("int").as("truth"))
-          .localCheckpoint(false) // read by all five folds' train+eval
-        val perFold = (0 until 5).map { f =>
-          val seed = labeled.filter(col("fold") =!= f).withColumn("label", col("truth"))
-          val model = Classifier.nbTrain(seed, "text", "label", buckets = 64)
-          val prior = Classifier.nbPrior(seed, "label")
-          val heldOut = labeled.filter(col("fold") === f)
-          Classifier.nbScore(heldOut, "doc_id", "text", model, prior, buckets = 64)
-            .join(heldOut.select(col("doc_id"), col("truth")), "doc_id")
-            .agg(count(lit(1)).as("n_eval"),
-              sum((col("accept") === (col("truth") === 1)).cast("long")).as("n_correct"))
-            .select(lit(f.toLong).as("fold"), col("n_eval"), col("n_correct"))
-        }
-        perFold.reduce(_ unionByName _)
+        // fold-as-data: ONE token pass, all five train-set models by
+        // total-minus-fold subtraction (bit-identical to the looped
+        // nbTrain/nbScore per fold — see Classifier.nbCrossVal; the
+        // loop's 5 plan branches cost 62 jobs, this shape ~15)
+        Classifier.nbCrossVal(labeled, "doc_id", "text", "fold", "truth",
+            nFolds = 5, buckets = 64)
           .withColumn("accuracy",
             round(col("n_correct").cast("double") / col("n_eval"), 6))
           .orderBy("fold")
