@@ -255,6 +255,35 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("epochMixPlanLocal invariants hold on generated inputs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // property sweep (seeded generator, offline-classpath style of
+    // PropertySpec): alloc never exceeds its cap, the total never
+    // exceeds the budget, and allocations grow monotonically in rounds
+    val statsGen = Gen.nonEmptyListOf(for {
+      av <- Gen.chooseNum(1L, 1000000L)
+      tier <- Gen.oneOf(1L, 2L, 4L)
+      name <- Gen.identifier
+    } yield (name.take(8), av, tier * av))
+    val cases = Gen.listOfN(60, for {
+      st <- statsGen
+      b <- Gen.chooseNum(0L, 10000000L)
+    } yield (st, b)).apply(Gen.Parameters.default, Seed(7L)).get
+    for ((st, budget) <- cases) {
+      var prev: Seq[Long] = st.map(_ => 0L)
+      for (rounds <- 1 to 4) {
+        val alloc = Corpus.epochMixPlanLocal(st, budget, rounds).map(_._3)
+        alloc.zip(st).foreach { case (a, (_, _, cap)) =>
+          assert(a >= 0 && a <= cap, s"alloc $a out of [0, $cap]")
+        }
+        assert(alloc.sum <= budget || budget < 0, s"over budget: ${alloc.sum} > $budget")
+        alloc.zip(prev).foreach { case (a, p) => assert(a >= p, "monotone in rounds") }
+        prev = alloc
+      }
+    }
+  }
+
   test("epochMixPlanLocal is bit-identical to the distributed planner") {
     import spark.implicits._
     // same fixtures as above plus a skew case with crumb-level
