@@ -114,6 +114,47 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(afterFirst == 2 && got.size == 4)
   }
 
+  test("tombstones retained in state mask the user even when an older event arrives later") {
+    import spark.implicits._
+    // the resurrect hazard: if the merge physically DROPPED the
+    // deletion tombstone, a later-arriving OLDER event would bring the
+    // user back. Retention keeps last-wins associative across any
+    // batch split, so the tombstone stays the user's state row; only
+    // watermark-gated compaction may remove it physically.
+    val src = "target/tmp/cdcspec_tomb_src"
+    val stDir = "target/tmp/cdcspec_tomb_state"
+    val fs = new java.io.File(src)
+    if (fs.exists()) { def rm(f: java.io.File): Unit = { Option(f.listFiles).foreach(_.foreach(rm)); f.delete() }; rm(fs) }
+    val t = (s: String) => java.sql.Timestamp.valueOf(s)
+    // file 1: user 1's DELETION (their latest event) + user 2 activity
+    Seq((10L, t("2024-01-20 10:00:00"), 1L, "error"),
+      (11L, t("2024-01-20 10:00:00"), 2L, "click"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .coalesce(1).write.mode("append").parquet(src)
+    // file 2: an OLDER event for user 1 (late redelivery)
+    Seq((9L, t("2024-01-10 09:00:00"), 1L, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .coalesce(1).write.mode("append").parquet(src)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1) // force separate micro-batches
+      .parquet(src)
+    val state = spark.read.parquet(
+      CdcStream.runMergeToStateTable(spark, stream, stDir))
+    // the tombstone IS user 1's state row — no resurrect
+    val u1 = state.filter(col("user_id") === 1L).collect()
+    assert(u1.length == 1 && u1(0).getAs[String]("last_type") == "error", u1.toSeq)
+    // compaction horizon AFTER the tombstone removes it physically...
+    val after = CdcStream.compactTombstones(state, "error",
+      t("2024-01-25 00:00:00").getTime * 1000L)
+    assert(after.filter(col("user_id") === 1L).count() == 0)
+    // ...a horizon BEFORE it keeps masking (still inside the watermark)
+    val before = CdcStream.compactTombstones(state, "error",
+      t("2024-01-15 00:00:00").getTime * 1000L)
+    assert(before.filter(col("user_id") === 1L).count() == 1)
+    assert(before.filter(col("user_id") === 2L).count() == 1, "other users untouched")
+  }
+
   test("salted join equals plain join (skew utility semantics)") {
     val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
     val o = Tables.orders(spark, sf).select("o_orderkey", "o_orderstatus")
