@@ -121,6 +121,35 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "score")
   }
 
+  /** Hard-negative mining for contrastive/retrieval training: for each
+    * probe vector, the k most-similar corpus vectors with a DIFFERENT
+    * label — the "hard negatives live near the decision boundary"
+    * sampling step that turns an embedding table into training pairs.
+    * Same replayable md5-hyperplane LSH shape as [[lshTopK]] (bucketed
+    * equi-join, never all-pairs); the label inequality rides the
+    * pairing join, so same-label neighbors never rank.
+    */
+  def hardNegatives(
+      queries: DataFrame, corpus: DataFrame, idCol: String, embCol: String,
+      labelCol: String, k: Int, nPlanes: Int = 4, dim: Int = 64,
+      scale: Int = 3): DataFrame = {
+    val planes = hyperplanes(dim, nPlanes)
+    val bucketUdf = udf((e: Seq[Float]) => bucketOf(e, planes))
+    val q = queries.select(col(idCol).as("query_id"), col(labelCol).as("__ql"),
+      asDouble(col(embCol)).as("__qe"), bucketUdf(col(embCol)).as("__bucket"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(labelCol).as("__cl"),
+      asDouble(col(embCol)).as("__ce"), bucketUdf(col(embCol)).as("__bucket"))
+    val scored = q.join(c, Seq("__bucket"))
+      .filter(col("query_id") =!= col("neighbor_id") && col("__ql") =!= col("__cl"))
+      .withColumn("score", round(cosine(col("__qe"), col("__ce")), scale))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("__cl").as("neighbor_label"), col("score"))
+  }
+
   /** Multi-probe LSH ANN: each query scans its own sign-bit bucket AND
     * every bucket at Hamming distance 1 (nPlanes+1 probes) — the
     * standard recall lever when the bucket count is small relative to

@@ -4033,6 +4033,53 @@ object LlmQueries {
               .cast("long").as("saved"))
           .orderBy("bucket_cap")),
 
+    // ---------------------------------------------------------------- hard-negative mining
+    QueryDef(
+      "q_l85_hard_negatives", "LLM-hard-negatives",
+      // contrastive-training data prep: for each probe (every 10th
+      // vector), the 3 most-similar vectors with a DIFFERENT label —
+      // hard negatives from the decision boundary, mined inside the
+      // q_l23 hyperplane buckets (never all-pairs; the label
+      // inequality rides the pairing join). The oracle replays the
+      // md5 hyperplanes, the bucket join, the label filter and the
+      // rank exactly.
+      Some("""WITH planes AS (
+             |  SELECT i, j, CAST(('0x' || substr(md5(i || ':' || j), 1, 16)) AS UBIGINT)
+             |               / 9223372036854775808.0 - 1.0 AS w
+             |  FROM generate_series(0, 3) a(i) CROSS JOIN generate_series(0, 63) b(j)),
+             |pl AS (SELECT i, list(w ORDER BY j) AS pw FROM planes GROUP BY i),
+             |dots AS (SELECT e.vec_id, pl.i,
+             |           list_inner_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+             |                              pl.pw) AS d
+             |         FROM embeddings e CROSS JOIN pl),
+             |vb AS (SELECT vec_id,
+             |         bit_or(CASE WHEN d > 0 THEN (1::UBIGINT << i) ELSE 0::UBIGINT END) AS bucket
+             |       FROM dots GROUP BY vec_id),
+             |v AS (SELECT e.vec_id, e.label,
+             |             list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS e,
+             |             vb.bucket
+             |      FROM embeddings e JOIN vb ON vb.vec_id = e.vec_id),
+             |scored AS (
+             |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |         c.label AS neighbor_label,
+             |         round(list_inner_product(q.e, c.e) /
+             |               (sqrt(list_inner_product(q.e, q.e)) * sqrt(list_inner_product(c.e, c.e))),
+             |               3) AS score
+             |  FROM v q JOIN v c ON q.bucket = c.bucket
+             |  WHERE q.vec_id % 10 = 0 AND c.vec_id <> q.vec_id AND c.label <> q.label)
+             |SELECT query_id, rank, neighbor_id, neighbor_label, score FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY query_id
+             |                               ORDER BY score DESC, neighbor_id) AS rank
+             |  FROM scored) t
+             |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.hardNegatives(
+            emb.filter(col("vec_id") % 10 === 0), emb,
+            "vec_id", "embedding", "label", k = 3, nPlanes = 4)
+          .orderBy("query_id", "rank")
+      }),
+
     // ---------------------------------------------------------------- delete propagation (right-to-be-forgotten)
     QueryDef(
       "q_l83_delete_propagation", "LLM-delete-propagation",
