@@ -159,6 +159,28 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("hardNegatives returns only different-label neighbors, capped at k") {
+    val emb = Tables.embeddings(spark, sf)
+    val out = Similarity.hardNegatives(
+      emb.filter(col("vec_id") % 10 === 0), emb,
+      "vec_id", "embedding", "label", k = 3, nPlanes = 4)
+    val labels = emb.select(col("vec_id"), col("label").as("query_label"))
+    // every mined pair crosses the label boundary
+    val sameLabel = out.join(labels, out("query_id") === labels("vec_id"))
+      .filter(col("neighbor_label") === col("query_label")).count()
+    assert(sameLabel == 0L, "a hard negative must carry a DIFFERENT label")
+    // never a self-pair, at most k rows per query, ranks are 1..n
+    assert(out.filter(col("query_id") === col("neighbor_id")).count() == 0L)
+    val perQ = out.groupBy("query_id")
+      .agg(count(lit(1)).as("n"), max("rank").as("mx"), min("rank").as("mn"))
+      .collect()
+    perQ.foreach { r =>
+      assert(r.getAs[Long]("n") <= 3 && r.getAs[Int]("mn") == 1 &&
+        r.getAs[Int]("mx").toLong == r.getAs[Long]("n"), r.toString)
+    }
+    assert(perQ.nonEmpty, "probes must find negatives in their buckets at this SF")
+  }
+
   test("mmrSelect greedily trades relevance for diversity, ties break on id") {
     import spark.implicits._
     // candidates for one query: c10=(1,0) rel .9; c20=(.6,.8) rel .8
