@@ -51,28 +51,6 @@ object Corpus {
     docs.withColumn("split", expr)
   }
 
-  /** Pack documents into training shards of ~`tokensPerShard`
-    * whitespace tokens: documents are laid out in a deterministic
-    * pseudo-random global order (md5 of the id — co-locating a
-    * source's docs in one shard would bias training batches), and
-    * shard_id = floor(exclusive-prefix-sum(tokens) / budget). Every
-    * shard except the last then holds ≥ budget tokens' worth of docs
-    * (a doc straddling a boundary lands in the shard its first token
-    * falls in), and the assignment is a pure function of the corpus —
-    * independent of cluster layout, reproducible across runs, the
-    * property that makes training resumable.
-    *
-    * Scale shape: the global prefix sum is the StableId pattern — one
-    * range shuffle into contiguous hash-order partitions (pinned by a
-    * lazy localCheckpoint so the boundaries cannot re-sample), a
-    * per-partition token-total aggregate whose cumulative window runs
-    * over ≤ #partitions rows, and one partition-preserving hash
-    * exchange for the within-partition running sum. Nothing windows
-    * over the full data in one task. (A zero-extra-shuffle variant —
-    * greedy per-partition packing with pid-prefixed shard ids — is the
-    * production choice when global determinism doesn't matter; this
-    * one is deterministic AND replayable by the SQL oracle.)
-    */
   /** Deterministic seeded global shuffle of a corpus into training
     * loader files — the "shuffle once, stream sequentially" step an
     * epoch-based trainer needs (random access over a 100 TB corpus is
@@ -183,6 +161,28 @@ object Corpus {
       .repartitionByRange(col("__ord"), col(idCol))
       .sortWithinPartitions(col("__ord"), col(idCol))
 
+  /** Pack documents into training shards of ~`tokensPerShard`
+    * whitespace tokens: documents are laid out in a deterministic
+    * pseudo-random global order (md5 of the id — co-locating a
+    * source's docs in one shard would bias training batches), and
+    * shard_id = floor(exclusive-prefix-sum(tokens) / budget). Every
+    * shard except the last then holds ≥ budget tokens' worth of docs
+    * (a doc straddling a boundary lands in the shard its first token
+    * falls in), and the assignment is a pure function of the corpus —
+    * independent of cluster layout, reproducible across runs, the
+    * property that makes training resumable.
+    *
+    * Scale shape: the global prefix sum is the StableId pattern — one
+    * range shuffle into contiguous hash-order partitions (pinned by a
+    * lazy localCheckpoint so the boundaries cannot re-sample), a
+    * per-partition token-total aggregate whose cumulative window runs
+    * over ≤ #partitions rows, and one partition-preserving hash
+    * exchange for the within-partition running sum. Nothing windows
+    * over the full data in one task. (A zero-extra-shuffle variant —
+    * greedy per-partition packing with pid-prefixed shard ids — is the
+    * production choice when global determinism doesn't matter; this
+    * one is deterministic AND replayable by the SQL oracle.)
+    */
   def packShards(
       docs: DataFrame, idCol: String, textCol: String,
       tokensPerShard: Long): DataFrame = {
@@ -453,31 +453,6 @@ object Corpus {
       .select(col("__id").as(idCol), col("n_tokens"), col("score"))
   }
 
-  /** Data-constrained token-budget planner — the "how many epochs of
-    * each source" allocation of the data-constrained scaling regime
-    * (Muennighoff et al. 2023: repeating good data beats more bad
-    * data, up to ~4 epochs): budget flows to sources in proportion to
-    * their available tokens, each source's allocation is capped at
-    * its `cap` (tierEpochs × avail, the caller's repetition policy),
-    * and budget freed by capped sources is re-apportioned among the
-    * uncapped over `rounds` water-filling rounds.
-    *
-    * ALL arithmetic is 64-bit integer multiply-then-floor-divide —
-    * never a float — so the plan is bit-identical in any engine and
-    * insensitive to reduction order. Allocations are monotone
-    * non-decreasing across rounds and never exceed `budget` (each
-    * round hands out at most the remaining budget).
-    *
-    * `stats` carries (source, avail BIGINT > 0, cap BIGINT); extra
-    * columns pass through. Returns stats + (alloc, epochs_micro =
-    * alloc·1e6 div avail), ordered by source.
-    *
-    * Scale shape: `stats` is |sources| rows — the caller's per-source
-    * aggregation is the only corpus pass (callers should pin it; this
-    * loop re-reads it 2× per round). Every round is one broadcast
-    * 1-row sum crossed back onto the tiny frame: no corpus work, no
-    * window, no driver loop over data.
-    */
   /** Driver-side mirror of [[epochMixPlan]] for callers that already
     * hold the |sources|-row stats in hand (bounded control flow — the
     * planner input is one row per source by construction): identical
@@ -509,6 +484,31 @@ object Corpus {
     stats.zip(alloc).map { case ((src, av, _), a) => (src, av, a) }
   }
 
+  /** Data-constrained token-budget planner — the "how many epochs of
+    * each source" allocation of the data-constrained scaling regime
+    * (Muennighoff et al. 2023: repeating good data beats more bad
+    * data, up to ~4 epochs): budget flows to sources in proportion to
+    * their available tokens, each source's allocation is capped at
+    * its `cap` (tierEpochs × avail, the caller's repetition policy),
+    * and budget freed by capped sources is re-apportioned among the
+    * uncapped over `rounds` water-filling rounds.
+    *
+    * ALL arithmetic is 64-bit integer multiply-then-floor-divide —
+    * never a float — so the plan is bit-identical in any engine and
+    * insensitive to reduction order. Allocations are monotone
+    * non-decreasing across rounds and never exceed `budget` (each
+    * round hands out at most the remaining budget).
+    *
+    * `stats` carries (source, avail BIGINT > 0, cap BIGINT); extra
+    * columns pass through. Returns stats + (alloc, epochs_micro =
+    * alloc·1e6 div avail), ordered by source.
+    *
+    * Scale shape: `stats` is |sources| rows — the caller's per-source
+    * aggregation is the only corpus pass (callers should pin it; this
+    * loop re-reads it 2× per round). Every round is one broadcast
+    * 1-row sum crossed back onto the tiny frame: no corpus work, no
+    * window, no driver loop over data.
+    */
   def epochMixPlan(stats: DataFrame, budget: Long, rounds: Int): DataFrame = {
     require(rounds >= 1, "epochMixPlan needs at least one round")
     val passThrough = stats.columns.filterNot(_ == "alloc").map(col).toSeq

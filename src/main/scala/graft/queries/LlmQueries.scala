@@ -4157,9 +4157,12 @@ object LlmQueries {
       (s, dir) => {
         val docs = Tables.documents(s, dir)
         // 1-row collect: the standing corpus's token total (bounded
-        // driver control flow — the append parameter, not data)
+        // driver control flow — the append parameter, not data).
+        // coalesce: an empty standing corpus sums to NULL and the
+        // append must then start at offset 0, not NPE
         val baseTokens = docs.filter(col("doc_id") % 5 =!= 0)
-          .agg(sum(TextAnalysis.tokenCount(col("text")).cast("long")))
+          .agg(coalesce(sum(TextAnalysis.tokenCount(col("text")).cast("long")),
+            lit(0L)))
           .collect()(0).getLong(0)
         Corpus.packShardsAppend(docs.filter(col("doc_id") % 5 === 0),
             "doc_id", "text", 2048L, baseTokens)
@@ -4357,9 +4360,16 @@ object LlmQueries {
         val flags = docs.join(gs, Seq("doc_id"), "left")
           .select(
             (col("lang") =!= "en").cast("long").as("f1"),
-            (TextAnalysis.tokenCount(col("text")) < 30).cast("long").as("f2"),
-            (TextAnalysis.stopwordRatio(col("text")) < 0.02).cast("long").as("f3"),
-            (TextAnalysis.dupBigramFraction(col("text")) > 0.05).cast("long").as("f4"),
+            // NULL-text hygiene: flags run on trim(coalesce(text,''))
+            // exactly like the gs branch and the oracle — a NULL text
+            // must flag, not evaluate to NULL and silently drop the
+            // doc from every pair sum
+            (TextAnalysis.tokenCount(trim(coalesce(col("text"), lit("")))) < 30)
+              .cast("long").as("f2"),
+            (TextAnalysis.stopwordRatio(trim(coalesce(col("text"), lit("")))) < 0.02)
+              .cast("long").as("f3"),
+            (TextAnalysis.dupBigramFraction(trim(coalesce(col("text"), lit("")))) > 0.05)
+              .cast("long").as("f4"),
             (when(coalesce(col("n2"), lit(0L)) === 0, lit(0.0))
               .otherwise(col("top2").cast("double") / col("n2")) > 0.025)
               .cast("long").as("f5"))
