@@ -94,6 +94,32 @@ object Bench {
       val storage = sc.getRDDStorageInfo.map(_.memSize).sum / (1 << 20)
       s"heapMB=$heap storageMB=$storage cachedRdds=${sc.getPersistentRDDs.size}"
     }
+    // Per-query DuckDB oracle walls (tools/oracle_walls.py, committed
+    // as repo-root ORACLE_WALLS.json): when present, each query's
+    // BENCH_DETAIL work row also carries {oracleWall, ratio, floor} so
+    // the BASELINE <=2x contract is per-query auditable from one
+    // artifact. floor=true marks sub-1.5s Spark walls — at toy SF
+    // those are per-job scheduling floor, not data work, so their
+    // ratio must not be read as engine speed (DuckDB's per-query floor
+    // is ~5 ms; Spark's is ~0.3-1 s regardless of data volume).
+    val oracleWalls: Map[String, Double] = try {
+      val p = java.nio.file.Paths.get("ORACLE_WALLS.json")
+      if (java.nio.file.Files.exists(p)) {
+        val s = java.nio.file.Files.readString(p)
+        val i = s.indexOf("\"walls\"")
+        if (i < 0) Map.empty
+        else {
+          val m = java.util.regex.Pattern
+            .compile("\"([A-Za-z0-9_]+)\"\\s*:\\s*(-?[0-9.]+)")
+            .matcher(s.substring(i))
+          val b = Map.newBuilder[String, Double]
+          while (m.find()) b += (m.group(1) -> m.group(2).toDouble)
+          b.result()
+        }
+      } else Map.empty
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] ORACLE_WALLS.json unreadable: $e"); Map.empty
+    }
     // Optional name args restrict the run (dev iteration on a subset);
     // the driver passes none and always benches the full registry.
     val names =
@@ -138,7 +164,10 @@ object Bench {
       // future wall anomaly self-adjudicates: identical jobs/tasks/cpuSec
       // vs a prior round with divergent wall = host noise, not the plan
       val bestWork = passStats.filter(_._1 >= 0).sortBy(_._1).headOption.map { b =>
-        f"""{"wall":${b._1}%.3f,"jobs":${b._2},"tasks":${b._3},"taskSec":${b._4}%.1f,"cpuSec":${b._5}%.1f}"""
+        val ow = oracleWalls.get(name).filter(_ > 0).map { o =>
+          f""","oracleWall":$o%.3f,"ratio":${b._1 / o}%.2f,"floor":${b._1 < 1.5}"""
+        }.getOrElse("")
+        f"""{"wall":${b._1}%.3f,"jobs":${b._2},"tasks":${b._3},"taskSec":${b._4}%.1f,"cpuSec":${b._5}%.1f$ow}"""
       }
       (name, sec, bestWork)
     }

@@ -8,6 +8,25 @@ import java.nio.file.{Files, Paths}
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
+    // dump-oracles <outFile>: write the full registry's oracle_sql.json
+    // WITHOUT running any query — feeds tools/oracle_walls.py, which
+    // times each oracle in DuckDB for BENCH_DETAIL's per-query ratios.
+    if (args.headOption.contains("dump-oracles")) {
+      def q(s: String): String = "\"" + s.flatMap {
+        case '"'  => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+      val json = SparkEntry.oracleSql
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      Files.writeString(Paths.get(args(1)), json)
+      println(s"[scratch] wrote ${SparkEntry.oracleSql.size} oracles to ${args(1)}")
+      return
+    }
     val spark = SparkUtil.local()
     if (args.length >= 3 && !args(0).startsWith("profile-")) {
       val sfDir = args(0); val outDir = args(1); val names = args.drop(2).toSet

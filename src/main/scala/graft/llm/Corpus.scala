@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -224,6 +224,41 @@ object Corpus {
   def writeShardFiles(docs: DataFrame, idCol: String, textCol: String,
       tokensPerShard: Long, outDir: String,
       checksumCol: Option[String] = None): DataFrame = {
+    writeShardFilesLedger(docs, idCol, textCol, tokensPerShard, outDir,
+      checksumCol)
+    // partition-dir values read back as inferred ints — restore the
+    // plan's long so downstream comparisons are type-exact
+    docs.sparkSession.read.parquet(outDir)
+      .withColumn("shard_id", col("shard_id").cast("long"))
+  }
+
+  /** Schema of the manifest JSON written next to the shard files —
+    * manifest READS must pass it explicitly: schema inference over
+    * JSON is a full extra Spark job per read, pure floor at any scale.
+    */
+  val ManifestSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      Seq("shard_id", "n_docs", "shard_tokens", "id_sum", "start_min",
+        "end_max").map(n =>
+        org.apache.spark.sql.types.StructField(n,
+          org.apache.spark.sql.types.LongType)))
+
+  /** [[writeShardFiles]] variant returning the files-recomputed
+    * LEDGER instead of the row-level readback: one aggregation pass
+    * over the written files serves both the manifest write and the
+    * caller's verification (q_s24/q_s25 previously re-aggregated the
+    * readback a second time — a duplicate full-scan action, pure
+    * sequential-job floor). The ledger is localCheckpoint-pinned: the
+    * manifest write materializes it, the caller's verify re-reads the
+    * checkpoint, and the files are scanned exactly once.
+    *
+    * Ledger columns: shard_id, n_items (row count), n_ids (distinct
+    * checksum ids — equals n_items when ids are unique per row),
+    * shard_tokens, id_sum, start_min, end_max.
+    */
+  def writeShardFilesLedger(docs: DataFrame, idCol: String,
+      textCol: String, tokensPerShard: Long, outDir: String,
+      checksumCol: Option[String] = None): DataFrame = {
     val spark = docs.sparkSession
     packShards(docs, idCol, textCol, tokensPerShard)
       .repartition(col("shard_id"))
@@ -233,21 +268,80 @@ object Corpus {
       // loader would happily read — force static (truncate-all) here
       .write.mode("overwrite").option("partitionOverwriteMode", "static")
       .partitionBy("shard_id").parquet(outDir)
-    // partition-dir values read back as inferred ints — restore the
-    // plan's long so downstream comparisons are type-exact
-    val back = spark.read.parquet(outDir)
-      .withColumn("shard_id", col("shard_id").cast("long"))
-    back.groupBy("shard_id")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_tokens")).cast("long").as("shard_tokens"),
-        // manifests checksum a numeric column; callers whose pack id
-        // is a composite string pass the underlying numeric id here
-        sum(col(checksumCol.getOrElse(idCol))).cast("long").as("id_sum"),
-        min(col("token_start")).cast("long").as("start_min"),
-        max(col("token_start") + col("n_tokens")).cast("long").as("end_max"))
+    val ledger = ledgerOfFiles(spark, outDir, checksumCol.getOrElse(idCol))
+      .localCheckpoint(false) // scanned once; manifest + verify reuse
+    ledger
+      .select(col("shard_id"), col("n_items").as("n_docs"),
+        col("shard_tokens"), col("id_sum"), col("start_min"),
+        col("end_max"))
       .coalesce(1) // manifest is shard-count-sized metadata, one file
       .write.mode("overwrite").json(outDir + "_manifest")
-    back
+    ledger
+  }
+
+  /** The per-shard aggregate recomputed FROM THE FILES of a shard
+    * layout — the "what is actually on disk" side of every manifest
+    * check. One scan, shard-keyed partial aggregation.
+    * `ck` is the manifest checksum column (see [[writeShardFiles]]).
+    */
+  def ledgerOfFiles(spark: SparkSession, outDir: String,
+      ck: String): DataFrame =
+    // partition-dir values read back as inferred ints — restore the
+    // plan's long so downstream comparisons are type-exact
+    spark.read.parquet(outDir)
+      .withColumn("shard_id", col("shard_id").cast("long"))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_items"),
+        countDistinct(col(ck)).as("n_ids"),
+        sum(col("n_tokens")).cast("long").as("shard_tokens"),
+        sum(col(ck)).cast("long").as("id_sum"),
+        min(col("token_start")).cast("long").as("start_min"),
+        max(col("token_start") + col("n_tokens")).cast("long").as("end_max"))
+
+  /** Shards whose on-disk files no longer match the manifest — lost
+    * or corrupted shard files (missing rows), as well as shards the
+    * manifest never heard of. Full-outer join of the files ledger and
+    * the manifest on shard_id; any side-null or any field mismatch
+    * marks the shard damaged. Returns the damaged shard_ids (tiny:
+    * |damage| rows — the caller collects them to drive a targeted
+    * [[rebuildShards]], bounded driver control flow).
+    */
+  def detectDamagedShards(spark: SparkSession, outDir: String,
+      ck: String): DataFrame = {
+    val files = ledgerOfFiles(spark, outDir, ck)
+    val man = spark.read.schema(ManifestSchema).json(outDir + "_manifest")
+      .select(col("shard_id"), col("n_docs").as("__m_items"),
+        col("shard_tokens").as("__m_tokens"), col("id_sum").as("__m_ids"),
+        col("start_min").as("__m_start"), col("end_max").as("__m_end"))
+    files.join(man, Seq("shard_id"), "full_outer")
+      .filter(not(coalesce(
+        col("n_items") === col("__m_items") &&
+          col("shard_tokens") === col("__m_tokens") &&
+          col("id_sum") === col("__m_ids") &&
+          col("start_min") === col("__m_start") &&
+          col("end_max") === col("__m_end"), lit(false))))
+      .select("shard_id")
+  }
+
+  /** Targeted shard rebuild — the repair half of the manifest check:
+    * re-derive the deterministic packing plan from the source corpus
+    * (the assignment is a pure function of the corpus, so the damaged
+    * shards' contents are exactly recomputable), keep ONLY the
+    * damaged shard_ids, and dynamic-partition-overwrite just those
+    * dirs. Untouched shards are never rewritten — at 100 TB the
+    * repair cost is |damaged shards|, the same bound
+    * [[repackAfterDelete]] gives delete propagation. The manifest is
+    * NOT rewritten: the layout must converge back to it.
+    */
+  def rebuildShards(docs: DataFrame, idCol: String, textCol: String,
+      tokensPerShard: Long, outDir: String,
+      shardIds: Seq[Long]): Unit = {
+    require(shardIds.nonEmpty, "rebuildShards: empty damage set — nothing to rebuild")
+    packShards(docs, idCol, textCol, tokensPerShard)
+      .filter(col("shard_id").isin(shardIds: _*))
+      .repartition(col("shard_id"))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("shard_id").parquet(outDir)
   }
 
   // Patterns shared with the SQL oracle: RE2-safe (no backrefs, no

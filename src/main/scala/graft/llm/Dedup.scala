@@ -825,6 +825,78 @@ object Dedup {
         coalesce(col("covered"), lit(0L)).as("covered"))
   }
 
+  /** Maximal duplicated spans ≥ `minSpan` tokens — the span-CUTTING
+    * form of the Lee et al. 2022 exact-substring signal
+    * ([[duplicateSpanStats]] measures coverage; this one extracts the
+    * spans a curation pass would actually excise), with the shuffle
+    * fingerprinted: gram STRINGS never leave the executor. Each
+    * position's n-gram is reduced to a 60-bit md5 fingerprint
+    * in-place, so the duplicated-seed aggregate shuffles an 8-byte
+    * key instead of an n-word string — the suffix-array pass's role
+    * (find cross-doc repeated seeds in one global order) done as a
+    * hash-keyed partial aggregate, which is the Spark-native way to
+    * get that global grouping. At 100 TB this is the difference
+    * between shuffling ~n× the corpus text and shuffling one long per
+    * token position.
+    *
+    * Span assembly is the doc-bounded islands pass: duplicated seed
+    * positions sorted per doc chain into maximal runs (a gap > n
+    * breaks the chain — the spans [pos, pos+n) no longer overlap or
+    * touch), each run covering [first, last + n). Exactly the union
+    * [[duplicateSpanStats]] measures — `sum(span_len)` per doc equals
+    * its `covered` (DedupSpec pins the parity) — but materialized as
+    * cuttable spans with lengths.
+    *
+    * Fingerprint collisions: a cross-doc collision of DIFFERENT grams
+    * would merge two seeds; the oracle replays the identical md5
+    * fingerprint, so both engines see the same (astronomically
+    * unlikely, ~2⁻⁶⁰·pairs) event and the gate stays exact.
+    *
+    * Returns one row per maximal span of length ≥ minSpan:
+    * (idCol, span_start, span_len).
+    */
+  def duplicateSpans(
+      docs: DataFrame, idCol: String, textCol: String, n: Int,
+      minSpan: Int): DataFrame = {
+    require(n >= 2, s"duplicateSpans: n must be >= 2, got $n")
+    require(minSpan >= n,
+      s"duplicateSpans: minSpan must be >= n ($n), got $minSpan")
+    val toks = spread(docs)
+      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(col(idCol).as("__id"),
+        split(trim(col(textCol)), "\\s+").as("__w"))
+      .filter(size(col("__w")) >= n)
+    // positional fingerprints: the gram string exists only inside the
+    // projection — 60 bits of its md5 (15 hex chars, fits a signed
+    // long) is what shuffles
+    val seeds = toks.select(col("__id"),
+      posexplode(transform(
+        sequence(lit(0), size(col("__w")) - n),
+        i => conv(substring(md5(
+          concat_ws(" ", slice(col("__w"), i + 1, lit(n)))), 1, 15), 16, 10)
+          .cast("long"))).as(Seq("pos", "fp")))
+    val dup = seeds.groupBy("fp")
+      .agg(min("__id").as("__lo"), max("__id").as("__hi"))
+      .filter(col("__lo") =!= col("__hi"))
+      .select("fp")
+    val hits = seeds.join(dup, Seq("fp"), "left_semi")
+    // islands over seed positions, per doc (window width bounded by
+    // document length, never corpus size)
+    val wDoc = Window.partitionBy("__id").orderBy("pos")
+    val spans = hits
+      .withColumn("__prev", lag("pos", 1).over(wDoc))
+      .withColumn("__brk",
+        when(col("__prev").isNull || col("pos") - col("__prev") > n, 1L)
+          .otherwise(0L))
+      .withColumn("__run", sum(col("__brk")).over(wDoc))
+      .groupBy(col("__id"), col("__run"))
+      .agg(min("pos").as("span_start"),
+        (max(col("pos")) - min(col("pos")) + n).cast("long").as("span_len"))
+      .filter(col("span_len") >= minSpan)
+    spans.select(col("__id").as(idCol), col("span_start").cast("long"),
+      col("span_len"))
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     * deduplication scoped to k-means clusters. The published recipe:
     * cluster the embedding space, compute pairwise cosine only WITHIN

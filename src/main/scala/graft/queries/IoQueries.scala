@@ -602,22 +602,21 @@ object IoQueries {
              |FROM c GROUP BY 1 ORDER BY shard_id""".stripMargin),
       (s, dir) => {
         val out = s"$TmpBase/q_s24_shards"
-        val back = graft.llm.Corpus.writeShardFiles(
+        // the ledger IS the files-recomputed aggregate (one scan serves
+        // manifest write + this verify — the old second full-readback
+        // aggregation was a duplicate action, pure job floor)
+        val ledger = graft.llm.Corpus.writeShardFilesLedger(
           Tables.documents(s, dir), "doc_id", "text", 2048L, out)
-        val agg = back.groupBy("shard_id")
-          .agg(count(lit(1)).as("n_docs"),
-            sum(col("n_tokens")).cast("long").as("shard_tokens"),
-            sum(col("doc_id")).cast("long").as("id_sum"),
-            min(col("token_start")).cast("long").as("start_min"),
-            max(col("token_start") + col("n_tokens")).cast("long").as("end_max"))
-        val man = s.read.json(s"${out}_manifest").select(
-          col("shard_id").cast("long").as("shard_id"),
-          col("n_docs").cast("long").as("__m_docs"),
-          col("shard_tokens").cast("long").as("__m_tokens"),
-          col("id_sum").cast("long").as("__m_ids"),
-          col("start_min").cast("long").as("__m_start"),
-          col("end_max").cast("long").as("__m_end"))
-        agg.join(man, Seq("shard_id"), "left")
+        val man = s.read.schema(graft.llm.Corpus.ManifestSchema)
+          .json(s"${out}_manifest").select(
+            col("shard_id"),
+            col("n_docs").as("__m_docs"),
+            col("shard_tokens").as("__m_tokens"),
+            col("id_sum").as("__m_ids"),
+            col("start_min").as("__m_start"),
+            col("end_max").as("__m_end"))
+        ledger.withColumn("n_docs", col("n_items"))
+          .join(man, Seq("shard_id"), "left")
           .withColumn("manifest_ok", coalesce(
             col("__m_docs") === col("n_docs") &&
               col("__m_tokens") === col("shard_tokens") &&
@@ -651,24 +650,22 @@ object IoQueries {
               |FROM c2 GROUP BY shard_id ORDER BY shard_id""".stripMargin),
       (s, dir) => {
         val out = s"$TmpBase/q_s25_curated_shards"
-        val back = graft.llm.Corpus.writeShardFiles(
+        // ledger = one files-scan aggregation shared by manifest write
+        // and this verify (n_ids = distinct underlying doc_ids — the
+        // pack id rep_id is composite, so n_items counts repetitions)
+        val ledger = graft.llm.Corpus.writeShardFilesLedger(
           LlmQueries.curationItems(s, dir), "rep_id", "text", 2048L, out,
           checksumCol = Some("doc_id"))
-        val agg = back.groupBy("shard_id")
-          .agg(count(lit(1)).as("n_items"),
-            countDistinct(col("doc_id")).as("n_docs"),
-            sum(col("n_tokens")).cast("long").as("shard_tokens"),
-            sum(col("doc_id")).cast("long").as("id_sum"),
-            min(col("token_start")).cast("long").as("start_min"),
-            max(col("token_start") + col("n_tokens")).cast("long").as("end_max"))
-        val man = s.read.json(s"${out}_manifest").select(
-          col("shard_id").cast("long").as("shard_id"),
-          col("n_docs").cast("long").as("__m_items"),
-          col("shard_tokens").cast("long").as("__m_tokens"),
-          col("id_sum").cast("long").as("__m_ids"),
-          col("start_min").cast("long").as("__m_start"),
-          col("end_max").cast("long").as("__m_end"))
-        agg.join(man, Seq("shard_id"), "left")
+        val man = s.read.schema(graft.llm.Corpus.ManifestSchema)
+          .json(s"${out}_manifest").select(
+            col("shard_id"),
+            col("n_docs").as("__m_items"),
+            col("shard_tokens").as("__m_tokens"),
+            col("id_sum").as("__m_ids"),
+            col("start_min").as("__m_start"),
+            col("end_max").as("__m_end"))
+        ledger.withColumn("n_docs", col("n_ids"))
+          .join(man, Seq("shard_id"), "left")
           .withColumn("manifest_ok", coalesce(
             col("__m_items") === col("n_items") &&
               col("__m_tokens") === col("shard_tokens") &&
@@ -677,6 +674,78 @@ object IoQueries {
               col("__m_end") === col("end_max"), lit(false)))
           .select("shard_id", "n_items", "n_docs", "shard_tokens", "id_sum",
             "start_min", "end_max", "manifest_ok")
+          .orderBy("shard_id")
+      }),
+
+    // ---------------------------------------------------------------- S26 (shard damage detection + targeted rebuild)
+    QueryDef(
+      "q_s26_shard_restore", "S4 S10 S15 LLM-corpus-shards (damage detect + targeted rebuild)",
+      // the negative path q_s24 leaves open: a shard FILE is lost
+      // out-of-band (shard_id=1's dir deleted), the manifest check
+      // must DETECT exactly that shard (files-ledger vs manifest
+      // full-outer mismatch), and the repair must rebuild ONLY it —
+      // the packing plan is a pure function of the corpus, so the
+      // lost shard's contents recompute exactly, via a dynamic
+      // partition overwrite that never touches surviving shards
+      // (|damage|-bounded repair, the restore twin of q_l83's delete
+      // propagation). The oracle replays the packing: the post-
+      // rebuild ledger must equal the original layout shard-for-shard
+      // with manifest_ok true — a repair that renumbered, dropped, or
+      // double-wrote anything hash-fails.
+      Some("""WITH t AS (SELECT doc_id,
+             |  CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+             |       ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+             |  md5(CAST(doc_id AS VARCHAR)) AS ord
+             |  FROM documents),
+             |c AS (SELECT doc_id, n_tokens,
+             |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY ord, doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             |    AS token_start
+             |  FROM t)
+             |SELECT CAST(floor(token_start / 2048.0) AS BIGINT) AS shard_id,
+             |CASE WHEN CAST(floor(token_start / 2048.0) AS BIGINT) = 1
+             |     THEN 'rebuilt' ELSE 'kept' END AS status,
+             |count(*) AS n_docs,
+             |CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+             |CAST(sum(doc_id) AS BIGINT) AS id_sum,
+             |TRUE AS manifest_ok
+             |FROM c GROUP BY 1, 2 ORDER BY shard_id""".stripMargin),
+      (s, dir) => {
+        val out = s"$TmpBase/q_s26_shards"
+        val docs = Tables.documents(s, dir)
+        graft.llm.Corpus.writeShardFilesLedger(docs, "doc_id", "text", 2048L, out)
+        // simulate out-of-band loss of one shard file
+        val conf = s.sparkContext.hadoopConfiguration
+        val lost = new org.apache.hadoop.fs.Path(out, "shard_id=1")
+        lost.getFileSystem(conf).delete(lost, true)
+        // |damage| rows — bounded driver control flow driving the repair
+        val damaged = graft.llm.Corpus.detectDamagedShards(s, out, "doc_id")
+          .collect().map(_.getLong(0)).toSeq.sorted
+        require(damaged == Seq(1L),
+          s"damage detection must find exactly the lost shard, got $damaged")
+        graft.llm.Corpus.rebuildShards(docs, "doc_id", "text", 2048L, out, damaged)
+        val man = s.read.schema(graft.llm.Corpus.ManifestSchema)
+          .json(s"${out}_manifest").select(
+            col("shard_id"),
+            col("n_docs").as("__m_docs"),
+            col("shard_tokens").as("__m_tokens"),
+            col("id_sum").as("__m_ids"),
+            col("start_min").as("__m_start"),
+            col("end_max").as("__m_end"))
+        graft.llm.Corpus.ledgerOfFiles(s, out, "doc_id")
+          .join(man, Seq("shard_id"), "full_outer")
+          .withColumn("status",
+            when(col("shard_id").isin(damaged: _*), lit("rebuilt"))
+              .otherwise(lit("kept")))
+          .withColumn("manifest_ok", coalesce(
+            col("__m_docs") === col("n_items") &&
+              col("__m_tokens") === col("shard_tokens") &&
+              col("__m_ids") === col("id_sum") &&
+              col("__m_start") === col("start_min") &&
+              col("__m_end") === col("end_max"), lit(false)))
+          .select(col("shard_id"), col("status"),
+            col("n_items").as("n_docs"), col("shard_tokens"),
+            col("id_sum"), col("manifest_ok"))
           .orderBy("shard_id")
       }),
 
@@ -1024,6 +1093,85 @@ object IoQueries {
               .cast("long").as("n_visible"),
             sum(col("last_id")).cast("long").as("id_sum"))
           .orderBy("last_type")
+      }),
+
+    // ---------------------------------------------------------------- ST: streaming pack-append (shard sequence continuity)
+    QueryDef(
+      "q_st19_stream_pack_append", "ST LLM-pack-append",
+      // q_l84's arrival path run CONTINUOUSLY: new docs stream in 4
+      // deterministic micro-batches (explicit (doc_id div 5) % 4
+      // split, mtime-ordered files) and each batch extends the
+      // standing shard sequence via packShardsAppend with the
+      // cumulative token base — batch k's first doc continues the
+      // partial tail shard batch k-1 left, so a training loader sees
+      // ONE gap-free shard numbering across any number of appends.
+      // The base ledger is keyed by batch id (a retried batch cannot
+      // advance it twice — the offset twin of q_st8's idempotent
+      // sink). The oracle replays the whole arrival history in one
+      // window ordered by (batch, md5): per-shard sums match only if
+      // every batch packed at exactly the right offset, which is the
+      // continuity invariant stated as SQL. Shards that straddle a
+      // batch boundary are merged by the final ledger groupBy.
+      Some("""WITH t AS (SELECT doc_id,
+             |  CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+             |       ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+             |  md5(CAST(doc_id AS VARCHAR)) AS ord,
+             |  (doc_id // 5) % 4 AS batch_idx
+             |  FROM documents),
+             |base AS (SELECT CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS bt
+             |         FROM t WHERE doc_id % 5 <> 0),
+             |c AS (SELECT doc_id, n_tokens,
+             |  CAST(floor((coalesce(sum(n_tokens) OVER (ORDER BY batch_idx, ord, doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + base.bt)
+             |    / 2048.0) AS BIGINT) AS shard_id
+             |  FROM t CROSS JOIN base WHERE doc_id % 5 = 0)
+             |SELECT shard_id, count(*) AS n_docs,
+             |CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+             |CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM c GROUP BY shard_id ORDER BY shard_id""".stripMargin),
+      (s, dir) => {
+        val watch = CdcStream.ensureStagedDocBatchesIndexed(s, dir, nFiles = 4)
+        // 1-row collect: the standing corpus's token total — the
+        // stream's initial append base, not data
+        val base = Tables.documents(s, dir)
+          .filter(col("doc_id") % 5 =!= 0)
+          .agg(coalesce(
+            sum(graft.llm.TextAnalysis.tokenCount(col("text")).cast("long")),
+            lit(0L)))
+          .collect()(0).getLong(0)
+        val stream = s.readStream
+          .schema(s.read.parquet(watch).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(watch)
+        val outDir = s"$TmpBase/q_st19_out"
+        // cumulative appended-token ledger, keyed by batch id so a
+        // retried micro-batch is a no-op on the base (pairs with the
+        // overwrite-own-partition sink's idempotence). Restart-safe
+        // deployments persist this ledger next to the checkpoint.
+        val applied = new java.util.concurrent.ConcurrentHashMap[java.lang.Long, java.lang.Long]()
+        val cum = new java.util.concurrent.atomic.AtomicLong(base)
+        CdcStream.runForeachBatchTransformWithId(s, stream, outDir) { (b, batchId) =>
+          val packed = graft.llm.Corpus.packShardsAppend(
+              b.select(col("doc_id"), col("text")),
+              "doc_id", "text", 2048L, cum.get)
+            .localCheckpoint(false) // read twice: token total + ledger
+          val btok = packed
+            .agg(coalesce(sum(col("n_tokens")), lit(0L)))
+            .collect()(0).getLong(0)
+          if (applied.putIfAbsent(batchId, btok) == null) cum.addAndGet(btok)
+          packed.groupBy("shard_id")
+            .agg(count(lit(1)).as("n_docs"),
+              sum(col("n_tokens")).cast("long").as("shard_tokens"),
+              sum(col("doc_id")).cast("long").as("id_sum"))
+        }
+        // a shard straddling a batch boundary appears in two batch
+        // partitions — the ledger merge is the continuity proof
+        s.read.parquet(outDir)
+          .groupBy("shard_id")
+          .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+            sum(col("shard_tokens")).cast("long").as("shard_tokens"),
+            sum(col("id_sum")).cast("long").as("id_sum"))
+          .orderBy("shard_id")
       }),
 
     // ---------------------------------------------------------------- ST: streaming HLL distinct sketch

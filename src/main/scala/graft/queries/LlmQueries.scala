@@ -1090,6 +1090,62 @@ object LlmQueries {
           .orderBy("source")
       }),
 
+    // ---------------------------------------------------------------- exact-substring dedup: maximal spans, fingerprinted shuffle
+    QueryDef(
+      "q_l51b_dup_span_cut", "LLM-dedup-substring (maximal spans, fingerprint path)",
+      // q_l51's scale upgrade (the NormalizeSalaryExpr pattern: new
+      // fast path, old form stays as the executable spec — DedupSpec
+      // pins sum(span_len) per doc == duplicateSpanStats.covered):
+      // gram strings never shuffle — each position ships a 60-bit md5
+      // fingerprint, and duplicated seeds chain into MAXIMAL spans
+      // >= 8 tokens per doc (gaps-and-islands, window bounded by doc
+      // length). These are the spans a Lee et al. curation pass
+      // excises, not just a coverage ratio. The oracle replays the
+      // identical fingerprints, islands, and length filter.
+      Some("""WITH toks AS (SELECT doc_id, source,
+             |         string_split_regex(trim(text), '\s+') AS w
+             |       FROM documents WHERE text IS NOT NULL),
+             |g AS (SELECT t.doc_id, i AS pos,
+             |        CAST(('0x' || substr(md5(array_to_string(w[i+1:i+5], ' ')), 1, 15))
+             |             AS UBIGINT) AS fp
+             |      FROM toks t CROSS JOIN (SELECT unnest(generate_series(0, 120)) AS i)
+             |      WHERE len(w) >= 5 AND i + 5 <= len(w)),
+             |dup AS (SELECT fp FROM (SELECT fp, min(doc_id) AS lo, max(doc_id) AS hi
+             |                        FROM g GROUP BY 1) WHERE lo <> hi),
+             |h AS (SELECT g.doc_id, g.pos,
+             |        lag(g.pos) OVER (PARTITION BY g.doc_id ORDER BY g.pos) AS prev
+             |      FROM g JOIN dup USING (fp)),
+             |isl AS (SELECT doc_id, pos,
+             |          sum(CASE WHEN prev IS NULL OR pos - prev > 5 THEN 1 ELSE 0 END)
+             |            OVER (PARTITION BY doc_id ORDER BY pos) AS run
+             |        FROM h),
+             |sp AS (SELECT doc_id, run, min(pos) AS span_start,
+             |         max(pos) - min(pos) + 5 AS span_len
+             |       FROM isl GROUP BY 1, 2
+             |       HAVING max(pos) - min(pos) + 5 >= 8)
+             |SELECT d.source,
+             |  count(sp.doc_id) AS n_spans,
+             |  CAST(coalesce(sum(sp.span_len), 0) AS BIGINT) AS span_tokens,
+             |  CAST(coalesce(max(sp.span_len), 0) AS BIGINT) AS max_span,
+             |  CAST(coalesce(sum(sp.doc_id), 0) AS BIGINT) AS span_doc_id_sum
+             |FROM documents d LEFT JOIN sp ON sp.doc_id = d.doc_id
+             |GROUP BY d.source ORDER BY d.source""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val spans = Dedup.duplicateSpans(docs, "doc_id", "text", n = 5,
+          minSpan = 8)
+        docs.select(col("doc_id"), col("source"))
+          .join(spans, Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(
+            count(col("span_len")).as("n_spans"),
+            coalesce(sum(col("span_len")), lit(0L)).cast("long").as("span_tokens"),
+            coalesce(max(col("span_len")), lit(0L)).cast("long").as("max_span"),
+            coalesce(sum(when(col("span_len").isNotNull, col("doc_id"))), lit(0L))
+              .cast("long").as("span_doc_id_sum"))
+          .orderBy("source")
+      }),
+
     // ---------------------------------------------------------------- multimodal GIF pixel decode (LZW)
     QueryDef(
       "q_m8_gif_decode", "LLM-multimodal-pixels",

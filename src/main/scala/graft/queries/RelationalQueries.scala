@@ -1768,18 +1768,8 @@ object RelationalQueries {
              |SELECT u AS user_id, round(pr, 6) AS pagerank FROM pr2
              |ORDER BY pagerank DESC, user_id LIMIT 20""".stripMargin),
       (s, dir) => {
-        val p = Tables.events(s, dir)
-          .filter(col("event_type") === "purchase")
-          .select(col("user_id").as("u"),
-            get_json_object(col("props"), "$.k").cast("long").as("k"))
-          .distinct()
-        val e = p.select(col("u").as("src"), col("k"))
-          .join(p.select(col("u").as("dst"), col("k")), Seq("k"))
-          .filter(col("src") =!= col("dst"))
-          .groupBy("src", "dst").agg(count(lit(1)).as("__shared"))
-          .filter(col("__shared") >= 3)
-          .select("src", "dst")
-          .localCheckpoint(false) // consumed by deg + both iterations
+        // salted skew-parallel edge build (see CoPurchaseGraph)
+        val e = CoPurchaseGraph.strongTieEdges(s, dir, minShared = 3)
         val d = e.groupBy("src").agg(count(lit(1)).as("deg"))
           .localCheckpoint(false) // consumed by pr0 + both iterations
         def iterate(pr: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
@@ -1835,18 +1825,8 @@ object RelationalQueries {
              |  CAST(sum(u) AS BIGINT) AS id_sum
              |FROM l3 GROUP BY 1 ORDER BY 1""".stripMargin),
       (s, dir) => {
-        val p = Tables.events(s, dir)
-          .filter(col("event_type") === "purchase")
-          .select(col("user_id").as("u"),
-            get_json_object(col("props"), "$.k").cast("long").as("k"))
-          .distinct()
-        val e = p.select(col("u").as("src"), col("k"))
-          .join(p.select(col("u").as("dst"), col("k")), Seq("k"))
-          .filter(col("src") =!= col("dst"))
-          .groupBy("src", "dst").agg(count(lit(1)).as("__shared"))
-          .filter(col("__shared") >= 5)
-          .select("src", "dst")
-          .localCheckpoint(false) // consumed by init + all three rounds
+        // salted skew-parallel edge build (see CoPurchaseGraph)
+        val e = CoPurchaseGraph.strongTieEdges(s, dir, minShared = 5)
         val w = Window.partitionBy("u").orderBy(col("c").desc, col("lbl"))
         def propagate(l: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
           e.join(l.select(col("u").as("src"), col("lbl")), Seq("src"))
@@ -1892,18 +1872,8 @@ object RelationalQueries {
              |round(3.0 * tri.t / w.wedges, 6) AS clustering_coeff
              |FROM tri CROSS JOIN w""".stripMargin),
       (s, dir) => {
-        val p = Tables.events(s, dir)
-          .filter(col("event_type") === "purchase")
-          .select(col("user_id").as("u"),
-            get_json_object(col("props"), "$.k").cast("long").as("k"))
-          .distinct()
-        val und = p.select(col("u").as("src"), col("k"))
-          .join(p.select(col("u").as("dst"), col("k")), Seq("k"))
-          .filter(col("src") =!= col("dst"))
-          .groupBy("src", "dst").agg(count(lit(1)).as("__shared"))
-          .filter(col("__shared") >= 5)
-          .select("src", "dst")
-          .localCheckpoint(false) // consumed by deg + 3 wedge-join scans + count
+        // salted skew-parallel edge build (see CoPurchaseGraph)
+        val und = CoPurchaseGraph.strongTieEdges(s, dir, minShared = 5)
         val deg = und.groupBy(col("src").as("u")).agg(count(lit(1)).as("d"))
         val o = und.filter(col("src") < col("dst"))
         val tri = o.as("e1")

@@ -227,18 +227,9 @@ object StatQueries {
              |SELECT hop, count(*) AS n_users, min(u) AS min_user, max(u) AS max_user
              |FROM allhop GROUP BY 1 ORDER BY hop""".stripMargin),
       (s, dir) => {
-        val p = Tables.events(s, dir)
-          .filter(col("event_type") === "purchase")
-          .select(col("user_id").as("u"),
-            get_json_object(col("props"), "$.k").cast("long").as("k"))
-          .distinct()
-        val e = p.select(col("u").as("src"), col("k"))
-          .join(p.select(col("u").as("dst"), col("k")), Seq("k"))
-          .filter(col("src") =!= col("dst"))
-          .groupBy("src", "dst").agg(count(lit(1)).as("__shared"))
-          .filter(col("__shared") >= 6)
-          .select("src", "dst")
-          .localCheckpoint(false) // consumed by 3 expansion rounds
+        // salted skew-parallel edge build (CoPurchaseGraph scaladoc:
+        // the inline form single-tasked a ~300M-pair explosion at sf1.0)
+        val e = CoPurchaseGraph.strongTieEdges(s, dir, minShared = 6)
         val nodes = e.select(col("src").as("u")).distinct()
           .localCheckpoint(false)
         def expand(frontier: DataFrame, seen: DataFrame): DataFrame =
@@ -393,18 +384,8 @@ object StatQueries {
              |         * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
              |  AS assortativity FROM m""".stripMargin),
       (s, dir) => {
-        val p = Tables.events(s, dir)
-          .filter(col("event_type") === "purchase")
-          .select(col("user_id").as("u"),
-            get_json_object(col("props"), "$.k").cast("long").as("k"))
-          .distinct()
-        val e = p.select(col("u").as("src"), col("k"))
-          .join(p.select(col("u").as("dst"), col("k")), Seq("k"))
-          .filter(col("src") =!= col("dst"))
-          .groupBy("src", "dst").agg(count(lit(1)).as("__shared"))
-          .filter(col("__shared") >= 3)
-          .select("src", "dst")
-          .localCheckpoint(false) // consumed by deg + the edge-degree join
+        // salted skew-parallel edge build (see CoPurchaseGraph)
+        val e = CoPurchaseGraph.strongTieEdges(s, dir, minShared = 3)
         val d = e.groupBy("src").agg(count(lit(1)).as("deg"))
           .localCheckpoint(false) // joined twice (src and dst endpoints)
         val xy = e

@@ -116,6 +116,48 @@ object CdcStream {
     }
   }
 
+  /** Watch dir for the streaming pack-append twin (q_st19): the
+    * arriving slice (doc_id % 5 = 0) split into `nFiles` EXPLICIT
+    * micro-batches by (doc_id div 5) % nFiles. Unlike the range split
+    * of [[ensureStagedDocBatches]] (sampled boundaries), this
+    * assignment is a pure function of doc_id that the SQL oracle can
+    * replay — and shard numbering continuity across micro-batches
+    * depends on arrival ORDER, so each batch is written as one file
+    * with BOTH name and mtime ascending in batch index: the file
+    * source's (timestamp, path) ordering then delivers batch 0..n-1
+    * deterministically under maxFilesPerTrigger=1.
+    */
+  def ensureStagedDocBatchesIndexed(
+      spark: SparkSession, dir: String, nFiles: Int = 4): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9]+", "_")
+    ensureStagedDir(spark, s"/root/repo/target/tmp/stream_docs_idx_watch/$key",
+        s"$dir/documents.parquet", s"v1:$nFiles") { staged =>
+      import org.apache.spark.sql.functions._
+      val docs = graft.Tables.documents(spark, dir)
+        .filter(col("doc_id") % 5 === 0)
+      val conf = spark.sparkContext.hadoopConfiguration
+      val dst = new org.apache.hadoop.fs.Path(staged)
+      val fs = dst.getFileSystem(conf)
+      (0 until nFiles).foreach { b =>
+        val tmp = s"$staged/__tmp_b$b"
+        docs.filter(expr(s"pmod(doc_id div 5, $nFiles)") === b)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+          .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+          .sortBy(_.getName).headOption
+          .getOrElse(sys.error(s"no part file written for batch $b"))
+        val out = new org.apache.hadoop.fs.Path(dst, f"batch_$b%02d.parquet")
+        if (fs.exists(out)) fs.delete(out, false)
+        fs.rename(part, out)
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        // fixed epoch base keeps the staged dir byte-identical across
+        // runs (the marker guard skips re-staging); 60 s spacing keeps
+        // every file inside the source's maxFileAge window
+        fs.setTimes(out, 1000000000000L + b * 60000L, -1)
+      }
+    }
+  }
+
   /** Watch dir carrying the FULL embeddings table as `nFiles`
     * range-partitioned files — the arrival stream for sketch-state
     * convergence checks over the vector column (q_st17). Marker-
@@ -275,14 +317,24 @@ object CdcStream {
     */
   def runForeachBatchTransform(
       spark: SparkSession, events: DataFrame, outDir: String)(
-      transform: DataFrame => DataFrame): String = {
+      transform: DataFrame => DataFrame): String =
+    runForeachBatchTransformWithId(spark, events, outDir)((b, _) => transform(b))
+
+  /** [[runForeachBatchTransform]] variant handing the transform the
+    * micro-batch id — for operators whose per-batch work must be
+    * keyed by batch identity (e.g. q_st19's append-offset ledger,
+    * where a RETRIED batch must not advance the token base twice).
+    */
+  def runForeachBatchTransformWithId(
+      spark: SparkSession, events: DataFrame, outDir: String)(
+      transform: (DataFrame, Long) => DataFrame): String = {
     val conf = spark.sparkContext.hadoopConfiguration
     val out = new org.apache.hadoop.fs.Path(outDir)
     val fs = out.getFileSystem(conf)
     if (fs.exists(out)) fs.delete(out, true) // fresh run, stale batches poison the union
     val q = events.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        transform(batch).write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        transform(batch, batchId).write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
         ()
       }
       .start()

@@ -331,6 +331,47 @@ class CorpusSpec extends AnyFunSuite {
     assert(bad == 0L)
   }
 
+  test("shard damage is detected from the manifest and rebuilt exactly (negative path)") {
+    val docs = (1L to 400L).map(i => (i, ("tok " * 17).trim)).toDF("doc_id", "text")
+    val out = "target/tmp/corpus_spec_restore"
+    Corpus.writeShardFilesLedger(docs, "doc_id", "text", tokensPerShard = 512L, out)
+    // healthy layout: nothing to detect
+    assert(Corpus.detectDamagedShards(spark, out, "doc_id").count() == 0L)
+    // reference snapshot of the shard that is about to be lost
+    val before = spark.read.parquet(out)
+      .filter(col("shard_id") === 3)
+      .select("doc_id", "n_tokens", "token_start")
+      .collect().map(_.toSeq).toSet
+    // out-of-band loss
+    val dir3 = new java.io.File(s"$out/shard_id=3")
+    assert(dir3.exists())
+    dir3.listFiles().foreach(_.delete()); assert(dir3.delete())
+    // detection finds exactly the lost shard
+    val damaged = Corpus.detectDamagedShards(spark, out, "doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(damaged == Seq(3L), damaged)
+    // targeted rebuild: only the damaged dir is rewritten...
+    val mtimes = new java.io.File(out).listFiles()
+      .filter(f => f.getName.startsWith("shard_id=") && f.getName != "shard_id=3")
+      .map(f => f.getName -> f.listFiles().map(_.lastModified).max).toMap
+    Corpus.rebuildShards(docs, "doc_id", "text", 512L, out, damaged)
+    val mtimesAfter = new java.io.File(out).listFiles()
+      .filter(f => f.getName.startsWith("shard_id=") && f.getName != "shard_id=3")
+      .map(f => f.getName -> f.listFiles().map(_.lastModified).max).toMap
+    assert(mtimesAfter == mtimes, "a surviving shard was rewritten")
+    // ...and the layout converges back to the manifest, byte-for-value
+    assert(Corpus.detectDamagedShards(spark, out, "doc_id").count() == 0L)
+    val after = spark.read.parquet(out)
+      .filter(col("shard_id") === 3)
+      .select("doc_id", "n_tokens", "token_start")
+      .collect().map(_.toSeq).toSet
+    assert(after == before, "rebuilt shard differs from the lost one")
+    // API boundary: an empty damage set is a caller bug, not a no-op
+    intercept[IllegalArgumentException] {
+      Corpus.rebuildShards(docs, "doc_id", "text", 512L, out, Seq.empty)
+    }
+  }
+
   test("re-packing with a larger budget leaves NO stale shard dirs") {
     // under the session's dynamic partition-overwrite mode a shrink
     // rerun (fewer shards) would keep the old tail dirs — and a

@@ -269,6 +269,48 @@ class DedupSpec extends AnyFunSuite {
     assert(got(4L) == (16L, 10L), s"doc4 ${got(4L)}")
   }
 
+  test("duplicateSpans: parity with duplicateSpanStats (the executable spec)") {
+    // the fingerprint path must measure EXACTLY the coverage union the
+    // gram-string form measures: per doc, sum of maximal span lengths
+    // (minSpan = n keeps every island) == duplicateSpanStats.covered —
+    // on real data, not a toy (sf0.001 has planted exact duplicates)
+    val docs = Tables.documents(spark, sf)
+    val n = 5
+    val spec = Dedup.duplicateSpanStats(docs, "doc_id", "text", n)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val fast = Dedup.duplicateSpans(docs, "doc_id", "text", n, minSpan = n)
+      .groupBy("doc_id").agg(sum("span_len").as("cov"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every doc with coverage > 0 must match; docs absent from the
+    // span frame have coverage 0 in the spec
+    spec.foreach { case (id, cov) =>
+      assert(fast.getOrElse(id, 0L) == cov, s"doc $id: fast=${fast.get(id)} spec=$cov")
+    }
+    assert(fast.keySet.subsetOf(spec.filter(_._2 > 0).keySet), "span for a zero-coverage doc")
+    assert(spec.values.sum > 0, "testdata should contain planted duplicates")
+  }
+
+  test("duplicateSpans: islands break on gaps, minSpan filters short runs") {
+    import spark.implicits._
+    // docs 1 & 2 share two regions: "a b c d e f g" (7 tokens -> one
+    // span of 7) and, after a gap, "p q r s t" (5 tokens -> span of 5)
+    val docs = Seq(
+      (1L, "a b c d e f g x1 x2 x3 p q r s t"),
+      (2L, "a b c d e f g y1 y2 y3 p q r s t"),
+      (3L, "z1 z2 z3 z4 z5 z6 z7")).toDF("doc_id", "text")
+    val all = Dedup.duplicateSpans(docs, "doc_id", "text", n = 5, minSpan = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(all == Set((1L, 0L, 7L), (1L, 10L, 5L), (2L, 0L, 7L), (2L, 10L, 5L)), all)
+    // minSpan = 6 drops the 5-token spans but keeps the 7s
+    val cut = Dedup.duplicateSpans(docs, "doc_id", "text", n = 5, minSpan = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(cut == Set((1L, 0L, 7L), (2L, 0L, 7L)), cut)
+    // API boundary: minSpan below the seed length is a caller bug
+    intercept[IllegalArgumentException] {
+      Dedup.duplicateSpans(docs, "doc_id", "text", n = 5, minSpan = 4)
+    }
+  }
+
   test("semDedup keeps the far-from-centroid member of a duplicate pair") {
     import spark.implicits._
     // k=1, iters=1: one cluster whose centroid is the fixed md5 init —
