@@ -105,15 +105,18 @@ object Bench {
     val oracleWalls: Map[String, Double] = try {
       val p = java.nio.file.Paths.get("ORACLE_WALLS.json")
       if (java.nio.file.Files.exists(p)) {
-        val s = java.nio.file.Files.readString(p)
-        val i = s.indexOf("\"walls\"")
-        if (i < 0) Map.empty
+        // real JSON parse (Jackson ships with Spark) — immune to key
+        // ordering, extra top-level keys, and e-notation floats
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val walls = om.readTree(java.nio.file.Files.readString(p)).get("walls")
+        if (walls == null || !walls.isObject) Map.empty
         else {
-          val m = java.util.regex.Pattern
-            .compile("\"([A-Za-z0-9_]+)\"\\s*:\\s*(-?[0-9.]+)")
-            .matcher(s.substring(i))
           val b = Map.newBuilder[String, Double]
-          while (m.find()) b += (m.group(1) -> m.group(2).toDouble)
+          val it = walls.fields()
+          while (it.hasNext) {
+            val e = it.next()
+            if (e.getValue.isNumber) b += (e.getKey -> e.getValue.asDouble)
+          }
           b.result()
         }
       } else Map.empty

@@ -285,10 +285,18 @@ object Corpus {
     * `ck` is the manifest checksum column (see [[writeShardFiles]]).
     */
   def ledgerOfFiles(spark: SparkSession, outDir: String,
-      ck: String): DataFrame =
+      ck: String, tolerateCorrupt: Boolean = false): DataFrame =
     // partition-dir values read back as inferred ints — restore the
-    // plan's long so downstream comparisons are type-exact
-    spark.read.parquet(outDir)
+    // plan's long so downstream comparisons are type-exact.
+    // tolerateCorrupt (detection path only): a truncated/bit-rotted
+    // parquet file has a dead footer and would fail the whole scan —
+    // ignoreCorruptFiles turns it into zero rows, so the damaged
+    // shard surfaces as a ledger-vs-manifest mismatch instead of an
+    // unreadable corpus. Never set on the post-write verify read:
+    // there, a corrupt file IS the error.
+    spark.read
+      .option("ignoreCorruptFiles", tolerateCorrupt.toString)
+      .parquet(outDir)
       .withColumn("shard_id", col("shard_id").cast("long"))
       .groupBy("shard_id")
       .agg(count(lit(1)).as("n_items"),
@@ -299,16 +307,18 @@ object Corpus {
         max(col("token_start") + col("n_tokens")).cast("long").as("end_max"))
 
   /** Shards whose on-disk files no longer match the manifest — lost
-    * or corrupted shard files (missing rows), as well as shards the
-    * manifest never heard of. Full-outer join of the files ledger and
-    * the manifest on shard_id; any side-null or any field mismatch
-    * marks the shard damaged. Returns the damaged shard_ids (tiny:
-    * |damage| rows — the caller collects them to drive a targeted
-    * [[rebuildShards]], bounded driver control flow).
+    * dirs, corrupted/truncated parquet (dead footer → the
+    * corrupt-tolerant read yields zero rows for that file), and
+    * shards the manifest never heard of. Full-outer join of the
+    * files ledger and the manifest on shard_id; any side-null or any
+    * field mismatch marks the shard damaged. Returns the damaged
+    * shard_ids (tiny: |damage| rows — the caller collects them to
+    * drive a targeted [[rebuildShards]], bounded driver control
+    * flow).
     */
   def detectDamagedShards(spark: SparkSession, outDir: String,
       ck: String): DataFrame = {
-    val files = ledgerOfFiles(spark, outDir, ck)
+    val files = ledgerOfFiles(spark, outDir, ck, tolerateCorrupt = true)
     val man = spark.read.schema(ManifestSchema).json(outDir + "_manifest")
       .select(col("shard_id"), col("n_docs").as("__m_items"),
         col("shard_tokens").as("__m_tokens"), col("id_sum").as("__m_ids"),
@@ -328,10 +338,12 @@ object Corpus {
     * (the assignment is a pure function of the corpus, so the damaged
     * shards' contents are exactly recomputable), keep ONLY the
     * damaged shard_ids, and dynamic-partition-overwrite just those
-    * dirs. Untouched shards are never rewritten — at 100 TB the
-    * repair cost is |damaged shards|, the same bound
-    * [[repackAfterDelete]] gives delete propagation. The manifest is
-    * NOT rewritten: the layout must converge back to it.
+    * dirs. Untouched shards are never rewritten — the WRITE cost is
+    * |damaged shards|, while plan re-derivation is one full corpus
+    * scan + range shuffle + prefix sum (the same honest accounting as
+    * [[repackAfterDelete]]: read is corpus-bounded, write is
+    * damage-bounded). The manifest is NOT rewritten: the layout must
+    * converge back to it.
     */
   def rebuildShards(docs: DataFrame, idCol: String, textCol: String,
       tokensPerShard: Long, outDir: String,

@@ -44,7 +44,16 @@ object CoPurchaseGraph {
     * every caller consumes the edge list at least twice.
     */
   def strongTieEdges(spark: SparkSession, dir: String, minShared: Int,
-      salts: Int = 16): DataFrame = {
+      salts: Int = 16): DataFrame =
+    strongTieEdgesPlan(spark, dir, minShared, salts).localCheckpoint(false)
+
+  /** The edge build WITHOUT the lineage-truncating checkpoint —
+    * callers use [[strongTieEdges]]; this exists so PlanSpec can
+    * assert the salted-join layout (the user-pinned REPARTITION_BY_NUM
+    * exchange on (k, __salt)) that the checkpoint would hide.
+    */
+  private[graft] def strongTieEdgesPlan(spark: SparkSession, dir: String,
+      minShared: Int, salts: Int = 16): DataFrame = {
     require(minShared >= 1, s"strongTieEdges: minShared must be >= 1, got $minShared")
     require(salts >= 1, s"strongTieEdges: salts must be >= 1, got $salts")
     val p = purchaseKeys(spark, dir)
@@ -63,6 +72,5 @@ object CoPurchaseGraph {
       .groupBy("src", "dst").agg(count(lit(1)).as("__shared"))
       .filter(col("__shared") >= minShared)
       .select("src", "dst")
-      .localCheckpoint(false)
   }
 }

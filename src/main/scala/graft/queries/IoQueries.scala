@@ -1105,9 +1105,12 @@ object IoQueries {
       // cumulative token base — batch k's first doc continues the
       // partial tail shard batch k-1 left, so a training loader sees
       // ONE gap-free shard numbering across any number of appends.
-      // The base ledger is keyed by batch id (a retried batch cannot
-      // advance it twice — the offset twin of q_st8's idempotent
-      // sink). The oracle replays the whole arrival history in one
+      // The base ledger is keyed by batch id and stores each batch's
+      // pre-advance base: a retried batch re-packs at its ORIGINAL
+      // offset and cannot advance the base twice — the offset twin of
+      // q_st8's idempotent sink, idempotent in both the ledger and
+      // the batch's own output partition.
+      // The oracle replays the whole arrival history in one
       // window ordered by (batch, md5): per-shard sums match only if
       // every batch packed at exactly the right offset, which is the
       // continuity invariant stated as SQL. Shards that straddle a
@@ -1144,21 +1147,20 @@ object IoQueries {
           .option("maxFilesPerTrigger", 1)
           .parquet(watch)
         val outDir = s"$TmpBase/q_st19_out"
-        // cumulative appended-token ledger, keyed by batch id so a
-        // retried micro-batch is a no-op on the base (pairs with the
-        // overwrite-own-partition sink's idempotence). Restart-safe
-        // deployments persist this ledger next to the checkpoint.
-        val applied = new java.util.concurrent.ConcurrentHashMap[java.lang.Long, java.lang.Long]()
-        val cum = new java.util.concurrent.atomic.AtomicLong(base)
+        // batch-id-keyed append-offset ledger: a retried micro-batch
+        // re-packs at its ORIGINAL base (so its own partition
+        // rewrites value-identical) and cannot advance the base twice
+        // — replay-idempotent on both sides, see AppendBaseLedger
+        val ledger = new CdcStream.AppendBaseLedger(base)
         CdcStream.runForeachBatchTransformWithId(s, stream, outDir) { (b, batchId) =>
           val packed = graft.llm.Corpus.packShardsAppend(
               b.select(col("doc_id"), col("text")),
-              "doc_id", "text", 2048L, cum.get)
+              "doc_id", "text", 2048L, ledger.baseFor(batchId))
             .localCheckpoint(false) // read twice: token total + ledger
           val btok = packed
             .agg(coalesce(sum(col("n_tokens")), lit(0L)))
             .collect()(0).getLong(0)
-          if (applied.putIfAbsent(batchId, btok) == null) cum.addAndGet(btok)
+          ledger.advance(batchId, btok)
           packed.groupBy("shard_id")
             .agg(count(lit(1)).as("n_docs"),
               sum(col("n_tokens")).cast("long").as("shard_tokens"),

@@ -971,9 +971,10 @@ object LlmQueries {
       Some("""WITH toks AS (SELECT doc_id, source,
              |         string_split_regex(trim(text), '\s+') AS w
              |       FROM documents WHERE text IS NOT NULL),
+             |g0 AS (SELECT source, w, unnest(generate_series(0, len(w) - 8)) AS i
+             |       FROM toks WHERE len(w) >= 8),
              |g AS (SELECT DISTINCT source, array_to_string(w[i+1:i+8], ' ') AS gram
-             |      FROM toks CROSS JOIN (SELECT unnest(generate_series(0, 120)) AS i)
-             |      WHERE i + 8 <= len(w)),
+             |      FROM g0),
              |p AS (SELECT a.source AS source_a, b.source AS source_b
              |      FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source)
              |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_shared_grams
@@ -1053,9 +1054,10 @@ object LlmQueries {
              |         string_split_regex(trim(text), '\s+') AS w
              |       FROM documents WHERE text IS NOT NULL),
              |sz AS (SELECT doc_id, source, len(w) AS n_tokens FROM toks WHERE len(w) >= 5),
-             |g AS (SELECT t.doc_id, i AS pos, array_to_string(w[i+1:i+5], ' ') AS gram
-             |      FROM toks t CROSS JOIN (SELECT unnest(generate_series(0, 120)) AS i)
-             |      WHERE len(w) >= 5 AND i + 5 <= len(w)),
+             |g0 AS (SELECT doc_id, w, unnest(generate_series(0, len(w) - 5)) AS i
+             |       FROM toks WHERE len(w) >= 5),
+             |g AS (SELECT doc_id, i AS pos, array_to_string(w[i+1:i+5], ' ') AS gram
+             |      FROM g0),
              |dup AS (SELECT gram FROM (SELECT gram, min(doc_id) AS lo, max(doc_id) AS hi
              |                          FROM g GROUP BY 1) WHERE lo <> hi),
              |h AS (SELECT g.doc_id, g.pos,
@@ -1105,11 +1107,12 @@ object LlmQueries {
       Some("""WITH toks AS (SELECT doc_id, source,
              |         string_split_regex(trim(text), '\s+') AS w
              |       FROM documents WHERE text IS NOT NULL),
-             |g AS (SELECT t.doc_id, i AS pos,
+             |g0 AS (SELECT doc_id, w, unnest(generate_series(0, len(w) - 5)) AS i
+             |       FROM toks WHERE len(w) >= 5),
+             |g AS (SELECT doc_id, i AS pos,
              |        CAST(('0x' || substr(md5(array_to_string(w[i+1:i+5], ' ')), 1, 15))
              |             AS UBIGINT) AS fp
-             |      FROM toks t CROSS JOIN (SELECT unnest(generate_series(0, 120)) AS i)
-             |      WHERE len(w) >= 5 AND i + 5 <= len(w)),
+             |      FROM g0),
              |dup AS (SELECT fp FROM (SELECT fp, min(doc_id) AS lo, max(doc_id) AS hi
              |                        FROM g GROUP BY 1) WHERE lo <> hi),
              |h AS (SELECT g.doc_id, g.pos,

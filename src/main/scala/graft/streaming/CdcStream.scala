@@ -344,6 +344,41 @@ object CdcStream {
   }
 
 
+  /** Batch-id-keyed append-offset ledger for streaming pack-append
+    * (q_st19): each micro-batch packs shards at the cumulative token
+    * base and then advances it. Replay safety is double-sided —
+    * [[baseFor]] hands a RETRIED batch the base it ORIGINALLY packed
+    * at (not the since-advanced cum), so its overwrite-own-partition
+    * output rewrites value-identical, and [[advance]] is a no-op on
+    * a batch id it has already applied, so the base never advances
+    * twice. Restart-safe deployments persist both maps next to the
+    * streaming checkpoint.
+    */
+  final class AppendBaseLedger(initial: Long) {
+    private val packBase =
+      new java.util.concurrent.ConcurrentHashMap[java.lang.Long, java.lang.Long]()
+    private val applied =
+      new java.util.concurrent.ConcurrentHashMap[java.lang.Long, java.lang.Long]()
+    private val cum = new java.util.concurrent.atomic.AtomicLong(initial)
+
+    /** The token base this batch packs at — first call pins the
+      * current cum; every later call (a replay) returns that pin.
+      */
+    def baseFor(batchId: Long): Long = {
+      packBase.putIfAbsent(batchId, cum.get)
+      packBase.get(batchId)
+    }
+
+    /** Advance the base by this batch's token total — no-op if the
+      * batch id was already applied (retry).
+      */
+    def advance(batchId: Long, tokens: Long): Unit =
+      if (applied.putIfAbsent(batchId, tokens) == null) { cum.addAndGet(tokens); () }
+
+    /** The standing cumulative token base. */
+    def current: Long = cum.get
+  }
+
   /** Distributed sessionization via the built-in `session_window`
     * aggregation — the PRODUCTION-SCALE path: no per-user in-memory
     * materialization (state is the window store, merged incrementally),

@@ -372,6 +372,47 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("page-level corruption (truncated parquet, dir intact) is detected and rebuilt") {
+    // the sneakier damage mode: the shard DIR survives but its data
+    // file is bit-rotted/truncated — the parquet footer is dead, so a
+    // plain scan would throw, not detect. detectDamagedShards reads
+    // corrupt-tolerant: the dead file contributes zero rows and the
+    // shard surfaces as a ledger-vs-manifest mismatch like any other
+    // damage, and the same targeted rebuild converges.
+    val docs = (1L to 400L).map(i => (i, ("tok " * 17).trim)).toDF("doc_id", "text")
+    val out = "target/tmp/corpus_spec_restore_corrupt"
+    Corpus.writeShardFilesLedger(docs, "doc_id", "text", tokensPerShard = 512L, out)
+    assert(Corpus.detectDamagedShards(spark, out, "doc_id").count() == 0L)
+    val before = spark.read.parquet(out)
+      .filter(col("shard_id") === 5)
+      .select("doc_id", "n_tokens", "token_start")
+      .collect().map(_.toSeq).toSet
+    // truncate shard 5's single data file to its first 16 bytes: the
+    // magic header survives, the footer does not
+    val file5 = new java.io.File(s"$out/shard_id=5").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val raf = new java.io.RandomAccessFile(file5, "rw")
+    try raf.setLength(16L) finally raf.close()
+    val damaged = Corpus.detectDamagedShards(spark, out, "doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(damaged == Seq(5L), damaged)
+    // targeted rebuild: surviving shards are never rewritten
+    val mtimes = new java.io.File(out).listFiles()
+      .filter(f => f.getName.startsWith("shard_id=") && f.getName != "shard_id=5")
+      .map(f => f.getName -> f.listFiles().map(_.lastModified).max).toMap
+    Corpus.rebuildShards(docs, "doc_id", "text", 512L, out, damaged)
+    val mtimesAfter = new java.io.File(out).listFiles()
+      .filter(f => f.getName.startsWith("shard_id=") && f.getName != "shard_id=5")
+      .map(f => f.getName -> f.listFiles().map(_.lastModified).max).toMap
+    assert(mtimesAfter == mtimes, "a surviving shard was rewritten")
+    assert(Corpus.detectDamagedShards(spark, out, "doc_id").count() == 0L)
+    val after = spark.read.parquet(out)
+      .filter(col("shard_id") === 5)
+      .select("doc_id", "n_tokens", "token_start")
+      .collect().map(_.toSeq).toSet
+    assert(after == before, "rebuilt shard differs from the corrupted one")
+  }
+
   test("re-packing with a larger budget leaves NO stale shard dirs") {
     // under the session's dynamic partition-overwrite mode a shrink
     // rerun (fewer shards) would keep the old tail dirs — and a

@@ -379,4 +379,35 @@ class PlanSpec extends AnyFunSuite {
       s"pos must be partitioned by file_id:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
   }
+
+  test("salted co-purchase edge build: REPARTITION_BY_NUM on (k, __salt) survives AQE") {
+    // the round-12 sf1.0 scale-killer fix as a plan property: the
+    // heavy-key self-join's src side MUST arrive through a
+    // user-pinned numbered repartition on (k, __salt) — that shuffle
+    // origin (REPARTITION_BY_NUM) is the one AQE will never coalesce,
+    // so the quadratic pair generation keeps its width however small
+    // the map-output size estimate is. If the explicit partition
+    // count is dropped (origin degrades to REPARTITION_BY_COL) or the
+    // salt column disappears, this fails — and at sf1.0 the build
+    // collapses back to one 15-minute task.
+    val edges = CoPurchaseGraph.strongTieEdgesPlan(spark, sf, minShared = 2)
+    val p = plan(edges)
+    val salted = "Exchange hashpartitioning\\(k#\\d+L?, __salt#\\d+L?, \\d+\\), REPARTITION_BY_NUM".r
+    assert(salted.findFirstIn(p).isDefined,
+      s"src side must keep the user-pinned (k, __salt) repartition:\n$p")
+    // dst replication is a generator (explode of the salt sequence)
+    assert(p.contains("Generate explode"),
+      s"dst side must replicate via explode(sequence(0..salts-1)):\n$p")
+    // partial aggregation on (src, dst) — the explosion is combined
+    // map-side before any further shuffle
+    assert(p.contains("HashAggregate(keys=[src") || p.contains("HashAggregate(keys=[k"),
+      s"pair counting must partial-aggregate map-side:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // and the layout actually executes: after running, the final
+    // adaptive plan must still contain the numbered repartition
+    edges.write.format("noop").mode("overwrite").save()
+    val fin = plan(edges)
+    assert(salted.findFirstIn(fin).isDefined,
+      s"final adaptive plan lost the pinned repartition:\n$fin")
+  }
 }

@@ -166,4 +166,27 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(plain.orderBy("o_orderstatus").collect().toSeq ==
       salted.orderBy("o_orderstatus").collect().toSeq)
   }
+
+  test("AppendBaseLedger: a retried batch reuses its original base and never double-advances") {
+    // the q_st19 replay contract, both sides: first delivery of batch
+    // 0 packs at 100 and advances to 150; batch 1 packs at 150 and
+    // advances to 180; a RETRY of batch 0 must pack at 100 again (its
+    // original offset — cum has long moved) and leave cum at 180.
+    val ledger = new CdcStream.AppendBaseLedger(100L)
+    assert(ledger.baseFor(0L) == 100L)
+    ledger.advance(0L, 50L)
+    assert(ledger.current == 150L)
+    assert(ledger.baseFor(1L) == 150L)
+    ledger.advance(1L, 30L)
+    assert(ledger.current == 180L)
+    // replay of batch 0 after later batches have advanced the base
+    assert(ledger.baseFor(0L) == 100L,
+      "retried batch must re-pack at its ORIGINAL offset")
+    ledger.advance(0L, 50L)
+    assert(ledger.current == 180L, "retried batch must not advance the base twice")
+    // replay of the LATEST batch behaves the same way
+    assert(ledger.baseFor(1L) == 150L)
+    ledger.advance(1L, 30L)
+    assert(ledger.current == 180L)
+  }
 }
