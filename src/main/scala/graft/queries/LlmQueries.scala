@@ -297,7 +297,7 @@ object LlmQueries {
       Some("""WITH aug AS (
              |  SELECT vec_id, embedding FROM embeddings
              |  UNION ALL
-             |  SELECT vec_id + 10000, list_transform(embedding, x -> CAST(x * 2 AS FLOAT))
+             |  SELECT vec_id + 1000000000, list_transform(embedding, x -> CAST(x * 2 AS FLOAT))
              |  FROM embeddings WHERE vec_id < 50),
              |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM aug),
              |pairs AS (
@@ -312,7 +312,7 @@ object LlmQueries {
         // corpus + planted exact-direction duplicates (×2-scaled copies)
         val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
         val aug = emb.unionByName(emb.filter(col("vec_id") < 50).select(
-          (col("vec_id") + 10000).as("vec_id"),
+          (col("vec_id") + 1000000000L).as("vec_id"),
           transform(col("embedding"), x => (x * 2).cast("float")).as("embedding")))
         Similarity.cosineNearDupPairs(aug, "vec_id", "embedding", threshold = 0.9, nPlanes = 6)
           .orderBy("id_a", "id_b")
@@ -2768,7 +2768,7 @@ object LlmQueries {
       // drop the higher id. Clustering is the q_l26 exact-decimal
       // Lloyd replay WITH the final distance retained; pair scores are
       // round(cos, 3) exactly as q_l7. Planted exact copies
-      // (vec_id+10000) co-cluster with their originals by
+      // (vec_id+1e9, clear of the id space at any SF) co-cluster with their originals by
       // construction, tie on distance, and lose — every keep/drop
       // decision is pinned per vector.
       Some("""WITH cents0 AS (
@@ -2779,7 +2779,7 @@ object LlmQueries {
              |aug AS (
              |  SELECT vec_id, embedding FROM embeddings
              |  UNION ALL
-             |  SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id < 50),
+             |  SELECT vec_id + 1000000000, embedding FROM embeddings WHERE vec_id < 50),
              |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM aug),
              |d1 AS (SELECT vec_id, c, list_inner_product(d, d) AS dist
              |       FROM (SELECT v.vec_id, cl0.c,
@@ -2821,7 +2821,7 @@ object LlmQueries {
       (s, dir) => {
         val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
         val aug = emb.unionByName(emb.filter(col("vec_id") < 50)
-          .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+          .select((col("vec_id") + 1000000000L).as("vec_id"), col("embedding")))
         Dedup.semDedup(aug, "vec_id", "embedding", k = 8, iters = 2, tau = 0.95)
           .orderBy("vec_id")
       }),
@@ -2831,7 +2831,8 @@ object LlmQueries {
       "q_l57_line_dedup", "LLM-dedup-lines",
       // C4-style exact-line dedup with document reassembly. Docs are
       // restructured into 10-token lines (the corpus has no natural
-      // newlines); exact copies planted at doc_id+10000 lose every
+      // newlines); exact copies planted at doc_id+1e9 (clear of the
+      // id space at any SF) lose every
       // substantial line to their originals and reassemble to (at
       // most) their short tail line. Keep-first = min (doc, pos)
       // occurrence; lines under 20 chars never participate. Winner
@@ -2849,7 +2850,7 @@ object LlmQueries {
              |lined AS (
              |  SELECT doc_id, text FROM lined0
              |  UNION ALL
-             |  SELECT doc_id + 10000, text FROM lined0 WHERE doc_id < 20),
+             |  SELECT doc_id + 1000000000, text FROM lined0 WHERE doc_id < 20),
              |lines AS (SELECT doc_id,
              |    generate_subscripts(string_split(text, chr(10)), 1) - 1 AS pos,
              |    unnest(string_split(text, chr(10))) AS line
@@ -2878,7 +2879,7 @@ object LlmQueries {
             i => concat_ws(" ", slice(col("__w"), (i * 10 + 1).cast("int"), lit(10)))),
             "\n").as("text"))
         val lined = lined0.unionByName(lined0.filter(col("doc_id") < 20)
-          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+          .select((col("doc_id") + 1000000000L).as("doc_id"), col("text")))
         Corpus.lineDedup(lined, "doc_id", "text", minChars = 20)
           .orderBy("doc_id")
       }),
@@ -4292,31 +4293,31 @@ object LlmQueries {
       // the weighted accounting is bit-identical in any engine. The
       // oracle recomputes components via the recursive CTE.
       Some("""WITH RECURSIVE
-             |toks AS (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS w
+             |toks AS MATERIALIZED (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS w
              |         FROM documents),
-             |sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+             |sh AS MATERIALIZED (SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+2], ' ')
              |                                            for i in generate_series(1, len(w)-2)])) AS s
              |       FROM toks WHERE len(w) >= 3),
-             |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-             |np AS (SELECT id_a, id_b FROM
+             |sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+             |np AS MATERIALIZED (SELECT id_a, id_b FROM
              |         (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
              |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
              |          GROUP BY 1, 2) p
              |       JOIN sizes sa ON sa.doc_id = p.id_a
              |       JOIN sizes sb ON sb.doc_id = p.id_b
              |       WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8),
-             |fp AS (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f
+             |fp AS MATERIALIZED (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f
              |       FROM documents),
-             |ep AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |ep AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b
              |       FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id),
-             |edges AS (SELECT id_a, id_b FROM np UNION SELECT id_a, id_b FROM ep),
-             |sym AS (SELECT id_a AS src, id_b AS dst FROM edges
+             |edges AS MATERIALIZED (SELECT id_a, id_b FROM np UNION SELECT id_a, id_b FROM ep),
+             |sym AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM edges
              |        UNION SELECT id_b, id_a FROM edges),
              |reach(id, r) AS (
              |  SELECT src, src FROM (SELECT DISTINCT src FROM sym) t
              |  UNION
              |  SELECT s.src, q.r FROM sym s JOIN reach q ON q.id = s.dst),
-             |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+             |comp AS MATERIALIZED (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
              |cs AS (SELECT cluster_id, count(*) AS csize FROM comp GROUP BY 1),
              |mem AS (SELECT comp.id AS doc_id, cs.csize FROM comp JOIN cs USING (cluster_id)),
              |d AS (SELECT t.doc_id, t.source, CAST(len(w) AS BIGINT) AS ntok,
@@ -4685,7 +4686,7 @@ object LlmQueries {
   private[queries] def curationOracleCtes: String =
     """WITH d0 AS (SELECT doc_id, source, lang, trim(coalesce(text, '')) AS tt
       |  FROM documents),
-      |tok0 AS (SELECT doc_id, source, lang, string_split_regex(tt, '\s+') AS t
+      |tok0 AS MATERIALIZED (SELECT doc_id, source, lang, string_split_regex(tt, '\s+') AS t
       |  FROM d0),
       |g AS (SELECT doc_id, tk || ' ' || t[i + 1] AS gram
       |      FROM (SELECT doc_id, t, unnest(t) AS tk,
@@ -4694,7 +4695,7 @@ object LlmQueries {
       |gc AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
       |gsum AS (SELECT doc_id, sum(c) AS n2, count(*) AS d2, max(c) AS top2
       |         FROM gc GROUP BY 1),
-      |pass AS (SELECT tok0.doc_id, source, lang, t
+      |pass AS MATERIALIZED (SELECT tok0.doc_id, source, lang, t
       |  FROM tok0 LEFT JOIN gsum ON gsum.doc_id = tok0.doc_id
       |  WHERE len(t) >= 30
       |    AND (CASE WHEN coalesce(n2, 0) = 0 THEN 0.0
@@ -4713,7 +4714,7 @@ object LlmQueries {
       |  FROM pass
       |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
       |        / 4294967296.0 < 0.6),
-      |lines AS (SELECT * FROM body UNION ALL SELECT * FROM ban),
+      |lines AS MATERIALIZED (SELECT * FROM body UNION ALL SELECT * FROM ban),
       |sd AS (SELECT source, count(DISTINCT doc_id) AS n_docs FROM lines GROUP BY 1),
       |bdf AS (SELECT source, line, count(DISTINCT doc_id) AS df
       |        FROM lines GROUP BY 1, 2),
@@ -4728,7 +4729,7 @@ object LlmQueries {
       |  FROM cleaned),
       |ded AS (SELECT doc_id, source, lang, text FROM fp
       |        QUALIFY doc_id = min(doc_id) OVER (PARTITION BY f)),
-      |corp AS (SELECT * FROM ded WHERE doc_id % 97 <> 0),
+      |corp AS MATERIALIZED (SELECT * FROM ded WHERE doc_id % 97 <> 0),
       |ctoks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM corp),
       |csh AS (SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+4], ' ')
       |                                             for i in generate_series(1, len(w)-4)])) AS s
@@ -4751,12 +4752,12 @@ object LlmQueries {
       |  CAST(floor(mr) + CASE WHEN frac < mr - floor(mr) THEN 1 ELSE 0 END
       |       AS BIGINT) AS n
       |  FROM mx0),
-      |mix AS (SELECT doc_id, source, text,
+      |mix AS MATERIALIZED (SELECT doc_id, source, text,
       |    CAST(doc_id AS VARCHAR) || '#' || CAST(copy_id AS VARCHAR) AS item
       |  FROM (SELECT doc_id, source, text,
       |          unnest(generate_series(1, n)) AS copy_id
       |        FROM mcnt WHERE n > 0)),
-      |per AS (SELECT source,
+      |per AS MATERIALIZED (SELECT source,
       |    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS avail
       |  FROM mix GROUP BY 1),
       |rk AS (SELECT source, avail,
@@ -4766,13 +4767,13 @@ object LlmQueries {
       |    CAST(CASE WHEN qrank <= 5 THEN 4 WHEN qrank <= 15 THEN 2 ELSE 1 END
       |         * avail AS BIGINT) AS cap
       |  FROM rk),
-      |b AS (SELECT CAST(2 * sum(avail) AS BIGINT) AS budget,
+      |b AS MATERIALIZED (SELECT CAST(2 * sum(avail) AS BIGINT) AS budget,
       |             CAST(sum(avail) AS BIGINT) AS sumw0 FROM per),
-      |r1 AS (SELECT tt.*, least(cap, (b.budget * avail) // b.sumw0) AS alloc
+      |r1 AS MATERIALIZED (SELECT tt.*, least(cap, (b.budget * avail) // b.sumw0) AS alloc
       |       FROM tt CROSS JOIN b),
       |s2 AS (SELECT CAST(sum(CASE WHEN alloc < cap THEN avail ELSE 0 END) AS BIGINT)
       |         AS sumw, CAST(sum(alloc) AS BIGINT) AS tot FROM r1),
-      |r2 AS (SELECT r1.source, r1.avail, r1.cap,
+      |r2 AS MATERIALIZED (SELECT r1.source, r1.avail, r1.cap,
       |    CASE WHEN alloc < cap AND s2.sumw > 0
       |      THEN least(cap, alloc + greatest(((b.budget - s2.tot) * avail) // s2.sumw,
       |                                       0))

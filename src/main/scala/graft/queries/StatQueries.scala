@@ -207,18 +207,18 @@ object StatQueries {
       // loops with the frontier checkpointed per round, exactly like
       // the connected-components operator q_l14). Output: hop
       // histogram with -1 = not reached within 3 hops.
-      Some("""WITH p AS (SELECT DISTINCT user_id AS u,
+      Some("""WITH p AS MATERIALIZED (SELECT DISTINCT user_id AS u,
              |    CAST(props->>'$.k' AS BIGINT) AS k
              |  FROM events WHERE event_type = 'purchase'),
-             |e AS (SELECT a.u AS src, b.u AS dst FROM p a JOIN p b
+             |e AS MATERIALIZED (SELECT a.u AS src, b.u AS dst FROM p a JOIN p b
              |      ON a.k = b.k AND a.u <> b.u GROUP BY 1, 2 HAVING count(*) >= 6),
-             |nodes AS (SELECT DISTINCT src AS u FROM e),
-             |f0 AS (SELECT u FROM nodes WHERE u % 7 = 0),
-             |f1 AS (SELECT DISTINCT e.dst AS u FROM e JOIN f0 ON e.src = f0.u
+             |nodes AS MATERIALIZED (SELECT DISTINCT src AS u FROM e),
+             |f0 AS MATERIALIZED (SELECT u FROM nodes WHERE u % 7 = 0),
+             |f1 AS MATERIALIZED (SELECT DISTINCT e.dst AS u FROM e JOIN f0 ON e.src = f0.u
              |       EXCEPT SELECT u FROM f0),
-             |f2 AS (SELECT DISTINCT e.dst AS u FROM e JOIN f1 ON e.src = f1.u
+             |f2 AS MATERIALIZED (SELECT DISTINCT e.dst AS u FROM e JOIN f1 ON e.src = f1.u
              |       EXCEPT (SELECT u FROM f0 UNION SELECT u FROM f1)),
-             |f3 AS (SELECT DISTINCT e.dst AS u FROM e JOIN f2 ON e.src = f2.u
+             |f3 AS MATERIALIZED (SELECT DISTINCT e.dst AS u FROM e JOIN f2 ON e.src = f2.u
              |       EXCEPT (SELECT u FROM f0 UNION SELECT u FROM f1 UNION SELECT u FROM f2)),
              |lab AS (SELECT u, 0 AS hop FROM f0 UNION ALL SELECT u, 1 FROM f1
              |        UNION ALL SELECT u, 2 FROM f2 UNION ALL SELECT u, 3 FROM f3),

@@ -41,6 +41,12 @@ def main():
     only = set(sys.argv[3:])
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     con = duckdb.connect()
+    # big-SF hygiene: pin spill to a known dir and drop insertion-order
+    # preservation (cuts memory for the large-join/agg oracles; every
+    # gate query has a total ORDER BY so order never matters here)
+    os.makedirs("target/tmp/duck_spill", exist_ok=True)
+    con.execute("SET temp_directory='target/tmp/duck_spill'")
+    con.execute("SET preserve_insertion_order=false")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
