@@ -52,4 +52,20 @@ object Layout {
     }
     parted.sortWithinPartitions(col("__z")).drop("__z")
   }
+
+  /** Zone-map manifest of a parquet directory: one (file, zone_min,
+    * zone_max, n_rows) row per physical file, built in a single
+    * distributed pass. This is the metadata a table format (Iceberg
+    * manifest / Delta add-file stats) maintains incrementally at
+    * write time; here it is derived on demand so the PLANNING side —
+    * select files whose zone overlaps the predicate, hand only those
+    * to the scan — can be exercised and oracle-checked without a
+    * table-format dependency. Manifest size is |files|, never |rows|.
+    */
+  def zoneManifest(spark: org.apache.spark.sql.SparkSession, path: String,
+      zoneCol: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(zoneCol)).as("zone_min"), max(col(zoneCol)).as("zone_max"),
+        count(lit(1)).as("n_rows"))
 }

@@ -533,6 +533,49 @@ object IoQueries {
             countDistinct(col("user_id")).as("n_users"))
       }),
 
+    // ---------------------------------------------------------------- S27 (manifest-driven file skipping, table-format style)
+    QueryDef(
+      "q_s27_manifest_prune", "S10 S11 (manifest zone-map file skipping)",
+      // the table-format half of the skipping story (q_s21 is the
+      // parquet-row-group half): orders land range-clustered on
+      // o_orderdate, a MANIFEST of per-file [min, max] date zones is
+      // built in one distributed pass (|files| rows — the metadata an
+      // Iceberg/Delta table keeps), and the reader plans its scan
+      // FROM the manifest, handing Spark only the files whose zone
+      // overlaps the predicate. At 100 TB the scan's task count is
+      // proportional to the files that can match, not the table — and
+      // the oracle (the same filter over the full table) makes the
+      // pruning's correctness, not just its speed, the thing under
+      // test: a zone bug surfaces as missing rows, a hash mismatch.
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             |FROM orders
+             |WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1995-03-31'
+             |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin),
+      (s, dir) => {
+        val tmp = s"$TmpBase/q_s27_manifest"
+        Tables.orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate")
+          .repartitionByRange(8, col("o_orderdate"))
+          .write.mode("overwrite").parquet(tmp)
+        val (from, to) = (lit("1995-01-01").cast("timestamp"),
+          lit("1995-03-31").cast("timestamp"))
+        // |files|-bounded planner input: one (file, zone) row per
+        // physical file, pruned to the zones the predicate can touch
+        val matching = graft.io.Layout.zoneManifest(s, tmp, "o_orderdate")
+          .filter(col("zone_max") >= from && col("zone_min") <= to)
+          .select("file").collect().map(_.getString(0)).sorted
+        val planned =
+          if (matching.isEmpty) s.read.parquet(tmp).limit(0)
+          else s.read.parquet(matching: _*)
+        planned
+          .filter(col("o_orderdate").between(from, to))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+          .orderBy("o_orderstatus")
+      }),
+
     // ---------------------------------------------------------------- S23 (schema merge on read)
     QueryDef(
       "q_s23_merge_schema", "S16 (heterogeneous-batch schema merge)",

@@ -1581,6 +1581,86 @@ object RelationalQueries {
           .orderBy("o_orderkey")
       }),
 
+    // ---------------------------------------------------------------- W9 (as-of with linear interpolation)
+    QueryDef(
+      "q_w9_interp_asof", "W4 W1 (interpolated as-of lookup)",
+      // the time-series upgrade of q_w4's point as-of: each purchase
+      // reads the user's `value` SERIES from view events, linearly
+      // interpolated between the at-or-before and strictly-after
+      // views (flat extrapolation past either end) — the kdb/QuestDB
+      // "asof with interpolation" a feature store uses to sample a
+      // continuous signal at label timestamps. Execution is the
+      // union-marker pattern: views and purchases union into one
+      // frame, ONE key-partitioned window pass computes both
+      // neighbors (last/first IGNORE NULLS over (ts, kind)) — no
+      // self-join, no per-row probe, scales as a single shuffle on
+      // user_id. Tie discipline: views dedup to max(value) per
+      // (user, ts) and sort BEFORE a same-ts purchase, so prev is
+      // at-or-before and next is strictly-after in both engines. The
+      // interpolation chain is single IEEE ops on exact-µs integers
+      // (< 2^53, exact as doubles); per-day averaging rounds each
+      // interpolant to 6dp first and sums as DECIMAL(28,12).
+      Some("""WITH v AS (SELECT user_id, ts, max(value) AS v FROM events
+             |           WHERE event_type = 'view' GROUP BY 1, 2),
+             |p AS (SELECT DISTINCT user_id, ts FROM events
+             |      WHERE event_type = 'purchase'),
+             |u AS (SELECT user_id, ts, 0 AS kind, v FROM v
+             |      UNION ALL SELECT user_id, ts, 1, NULL FROM p),
+             |w AS (SELECT *,
+             |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, kind
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v0,
+             |  last_value(CASE WHEN kind = 0 THEN ts END IGNORE NULLS)
+             |    OVER (PARTITION BY user_id ORDER BY ts, kind
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t0,
+             |  first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, kind
+             |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v1,
+             |  first_value(CASE WHEN kind = 0 THEN ts END IGNORE NULLS)
+             |    OVER (PARTITION BY user_id ORDER BY ts, kind
+             |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS t1
+             |  FROM u),
+             |i AS (SELECT user_id, ts,
+             |  CASE WHEN t1 IS NULL THEN v0 WHEN v0 IS NULL THEN v1
+             |       ELSE v0 + (v1 - v0) *
+             |         (CAST(epoch_us(ts) - epoch_us(t0) AS DOUBLE) /
+             |          CAST(epoch_us(t1) - epoch_us(t0) AS DOUBLE)) END AS interp
+             |  FROM w WHERE kind = 1)
+             |SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             |count(*) AS n_purchases, count(interp) AS n_interp,
+             |round(CAST(sum(CAST(round(interp, 6) AS DECIMAL(28,12))) AS DOUBLE)
+             |      / count(interp), 6) AS avg_interp
+             |FROM i GROUP BY 1 ORDER BY day""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy("user_id", "ts").agg(max("value").as("v"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .select("user_id", "ts").distinct()
+        val u = v.select(col("user_id"), col("ts"), lit(0).as("kind"), col("v"))
+          .unionByName(p.select(col("user_id"), col("ts"), lit(1).as("kind"),
+            lit(null).cast("double").as("v")))
+        val back = Window.partitionBy("user_id").orderBy(col("ts"), col("kind"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val fwd = Window.partitionBy("user_id").orderBy(col("ts"), col("kind"))
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val viewTs = when(col("kind") === 0, col("ts"))
+        u.withColumn("v0", last(col("v"), ignoreNulls = true).over(back))
+          .withColumn("t0", last(viewTs, ignoreNulls = true).over(back))
+          .withColumn("v1", first(col("v"), ignoreNulls = true).over(fwd))
+          .withColumn("t1", first(viewTs, ignoreNulls = true).over(fwd))
+          .filter(col("kind") === 1)
+          .withColumn("interp",
+            when(col("t1").isNull, col("v0"))
+              .when(col("v0").isNull, col("v1"))
+              .otherwise(col("v0") + (col("v1") - col("v0")) *
+                ((unix_micros(col("ts")) - unix_micros(col("t0"))).cast("double") /
+                 (unix_micros(col("t1")) - unix_micros(col("t0"))).cast("double"))))
+          .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+          .agg(count(lit(1)).as("n_purchases"), count(col("interp")).as("n_interp"),
+            round(sum(round(col("interp"), 6).cast(DecimalType(28, 12)))
+              .cast("double") / count(col("interp")), 6).as("avg_interp"))
+          .orderBy("day")
+      }),
+
     // ---------------------------------------------------------------- A26 (ordered string aggregation)
     QueryDef(
       "q_a26_listagg", "A26 ordered string aggregation (listagg)",

@@ -977,6 +977,76 @@ object StatQueries {
             lo = 0.0, hi = 512000.0, buckets = 1024)
           .select("o_orderstatus", "q_name", "est", "n")
           .orderBy("o_orderstatus", "q_name")
+      }),
+
+    // ---------------------------------------------------------------- A50 (k-core decomposition by iterative peeling)
+    QueryDef(
+      "q_a50_kcore", "A50 k-core peeling (graph degeneracy)",
+      // k-core extraction over the strong-tie co-purchase graph
+      // (q_a30/q_a35's edge build, ≥6 shared props.k): repeatedly
+      // drop nodes whose degree WITHIN the surviving set is < k.
+      // Four peel rounds are unrolled so the oracle replays them;
+      // production loops to fixpoint with the survivor set
+      // checkpointed per round — each round is one semi-join of the
+      // edge list against the survivors on BOTH endpoints plus one
+      // key-partitioned degree count, the same BSP shuffle shape as
+      // q_a35's frontier expansion, so a round's cost scales with the
+      // surviving edge count and never materializes anything
+      // node-quadratic. Output is the per-round peel trace (survivor
+      // count, directed active-edge count, id checksum) — the curve a
+      // scheduler reads to size community extraction.
+      Some("""WITH p AS MATERIALIZED (SELECT DISTINCT user_id AS u,
+             |    CAST(props->>'$.k' AS BIGINT) AS k
+             |  FROM events WHERE event_type = 'purchase'),
+             |e AS MATERIALIZED (SELECT a.u AS src, b.u AS dst FROM p a JOIN p b
+             |      ON a.k = b.k AND a.u <> b.u GROUP BY 1, 2 HAVING count(*) >= 6),
+             |s0 AS MATERIALIZED (SELECT DISTINCT src AS u FROM e),
+             |d1 AS MATERIALIZED (SELECT e.src AS u, count(*) AS deg FROM e
+             |  JOIN s0 a ON e.src = a.u JOIN s0 b ON e.dst = b.u GROUP BY 1),
+             |s1 AS MATERIALIZED (SELECT u FROM d1 WHERE deg >= 3),
+             |d2 AS MATERIALIZED (SELECT e.src AS u, count(*) AS deg FROM e
+             |  JOIN s1 a ON e.src = a.u JOIN s1 b ON e.dst = b.u GROUP BY 1),
+             |s2 AS MATERIALIZED (SELECT u FROM d2 WHERE deg >= 3),
+             |d3 AS MATERIALIZED (SELECT e.src AS u, count(*) AS deg FROM e
+             |  JOIN s2 a ON e.src = a.u JOIN s2 b ON e.dst = b.u GROUP BY 1),
+             |s3 AS MATERIALIZED (SELECT u FROM d3 WHERE deg >= 3),
+             |d4 AS MATERIALIZED (SELECT e.src AS u, count(*) AS deg FROM e
+             |  JOIN s3 a ON e.src = a.u JOIN s3 b ON e.dst = b.u GROUP BY 1),
+             |s4 AS MATERIALIZED (SELECT u FROM d4 WHERE deg >= 3),
+             |tr AS (
+             |  SELECT 1 AS round, (SELECT count(*) FROM s1) AS n_nodes,
+             |    (SELECT CAST(coalesce(sum(deg), 0) AS BIGINT) FROM d1) AS active_edges,
+             |    (SELECT CAST(coalesce(sum(u), 0) AS BIGINT) FROM s1) AS sum_u
+             |  UNION ALL SELECT 2, (SELECT count(*) FROM s2),
+             |    (SELECT CAST(coalesce(sum(deg), 0) AS BIGINT) FROM d2),
+             |    (SELECT CAST(coalesce(sum(u), 0) AS BIGINT) FROM s2)
+             |  UNION ALL SELECT 3, (SELECT count(*) FROM s3),
+             |    (SELECT CAST(coalesce(sum(deg), 0) AS BIGINT) FROM d3),
+             |    (SELECT CAST(coalesce(sum(u), 0) AS BIGINT) FROM s3)
+             |  UNION ALL SELECT 4, (SELECT count(*) FROM s4),
+             |    (SELECT CAST(coalesce(sum(deg), 0) AS BIGINT) FROM d4),
+             |    (SELECT CAST(coalesce(sum(u), 0) AS BIGINT) FROM s4))
+             |SELECT round, n_nodes, active_edges, sum_u FROM tr ORDER BY round""".stripMargin),
+      (s, dir) => {
+        val k = 3
+        val e = CoPurchaseGraph.strongTieEdges(s, dir, minShared = 6)
+        var surv = e.select(col("src").as("u")).distinct().localCheckpoint(false)
+        val rounds = (1 to 4).map { r =>
+          // degree within the surviving subgraph: semi-join both ends
+          val deg = e
+            .join(surv.withColumnRenamed("u", "src"), Seq("src"), "left_semi")
+            .join(surv.withColumnRenamed("u", "dst"), Seq("dst"), "left_semi")
+            .groupBy(col("src").as("u")).agg(count(lit(1)).as("deg"))
+            .localCheckpoint(false) // feeds the trace row AND the next round
+          surv = deg.filter(col("deg") >= k).select("u").localCheckpoint(false)
+          val stats = deg.agg(coalesce(sum("deg"), lit(0L)).as("active_edges"))
+          surv.agg(count(lit(1)).as("n_nodes"),
+              coalesce(sum("u"), lit(0L)).as("sum_u"))
+            .crossJoin(stats)
+            .select(lit(r).as("round"), col("n_nodes"), col("active_edges"),
+              col("sum_u"))
+        }
+        rounds.reduce(_.union(_)).orderBy("round")
       })
   )
 }

@@ -50,4 +50,27 @@ class LayoutSpec extends AnyFunSuite {
     val uSpans = spansOf(tmpU)
     assert(uSpans.forall(_._2 == 63L), uSpans.mkString(","))
   }
+
+  test("zone manifest: one row per file, planner prunes to overlapping zones only") {
+    import spark.implicits._
+    val tmp = "/root/repo/target/tmp/layoutspec_manifest"
+    (0L until 800L).map(i => (i, i % 100)).toDF("v", "g")
+      .repartitionByRange(8, col("v"))
+      .write.mode("overwrite").parquet(tmp)
+    val manifest = Layout.zoneManifest(spark, tmp, "v").collect()
+    val nFiles = spark.read.parquet(tmp)
+      .select(input_file_name()).distinct().count()
+    assert(manifest.length.toLong == nFiles, "manifest must be |files|-sized")
+    assert(manifest.map(_.getAs[Long]("n_rows")).sum == 800L)
+    // a predicate covering ~1/8 of the value range must prune most
+    // files — and the files it keeps must cover ALL matching rows
+    val keep = manifest
+      .filter(r => r.getAs[Long]("zone_max") >= 100L && r.getAs[Long]("zone_min") <= 199L)
+      .map(_.getAs[String]("file"))
+    assert(keep.nonEmpty && keep.length < manifest.length,
+      s"expected pruning: kept ${keep.length}/${manifest.length}")
+    val got = spark.read.parquet(keep: _*)
+      .filter(col("v").between(100L, 199L)).count()
+    assert(got == 100L, s"pruned read lost rows: $got")
+  }
 }

@@ -213,4 +213,27 @@ class StatQueriesSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_exact") == 200L)
     assert(math.abs(r.getAs[Double]("est") - 200.0) / 200.0 < 0.3)
   }
+
+  test("k-core peeling: pendant drops round 1, K4 core is a fixpoint") {
+    import spark.implicits._
+    // users 1-4 share ks {1..6} pairwise (K4); user 5 shares {7..12}
+    // with user 1 only (a pendant). k=3 peeling: round 1 drops 5
+    // (degree 1), rounds 2-4 hold the K4 (degree 3 each).
+    val rows = ((1L to 4L).flatMap(u => (1L to 6L).map(k => (u, k))) ++
+      (7L to 12L).map(k => (1L, k)) ++ (7L to 12L).map(k => (5L, k)))
+      .zipWithIndex.map { case ((u, k), i) =>
+        (i.toLong, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), u,
+          "purchase", 1.0, s"""{"k": $k}""")
+      }
+    val dir = java.nio.file.Files.createTempDirectory("stat_kcore").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = q("q_a50_kcore").fn(spark, dir).collect()
+      .map(r => (r.getAs[Int]("round"), r.getAs[Long]("n_nodes"),
+        r.getAs[Long]("active_edges"), r.getAs[Long]("sum_u")))
+    // round 1 counts edges over ALL 5 nodes: K4 = 12 directed + the
+    // pendant pair = 2 more; survivors = the K4, checksum 1+2+3+4
+    assert(out.toSeq == Seq((1, 4L, 14L, 10L), (2, 4L, 12L, 10L),
+      (3, 4L, 12L, 10L), (4, 4L, 12L, 10L)), out.toSeq.toString)
+  }
 }
