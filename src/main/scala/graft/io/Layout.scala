@@ -68,4 +68,56 @@ object Layout {
       .groupBy(input_file_name().as("file"))
       .agg(min(col(zoneCol)).as("zone_min"), max(col(zoneCol)).as("zone_max"),
         count(lit(1)).as("n_rows"))
+
+  /** Per-file Bloom-index manifest: one (file, __bloom) row per
+    * physical file, where __bloom is an mBits-bit filter over
+    * `keyCol` stored as map<word:int, bits:long>. Zone maps (above)
+    * prune RANGE predicates on the clustering column; a per-file
+    * Bloom sidecar prunes POINT lookups on a column the layout does
+    * NOT cluster — the Parquet-bloom / Iceberg-bloom use case: a
+    * unique id lives in exactly one file of an unsorted table, so a
+    * probe reads 1 file instead of all of them even though every
+    * file's [min, max] id zone overlaps everything.
+    *
+    * Built in ONE distributed pass: k probe positions per row
+    * (xxhash64 over the key AS BIGINT, seed = probe index — the
+    * BloomJoin hashing convention), bit_or per (file, 64-bit word),
+    * map_from_entries per file. Manifest size is |files| rows of
+    * mBits/64 longs, never |rows|. Production sizes mBits from the
+    * file's row count (~10 bits/key for 1% FP); a false positive
+    * only costs an extra file read — false negatives are impossible
+    * by construction, which is what the oracle checks.
+    */
+  def bloomManifest(spark: org.apache.spark.sql.SparkSession, path: String,
+      keyCol: String, mBits: Int, k: Int): DataFrame = {
+    require(mBits % 64 == 0, "mBits must be a multiple of 64")
+    val probes = (0 until k).map(i =>
+      pmod(xxhash64(col(keyCol).cast("long"), lit(i)), lit(mBits.toLong)))
+    spark.read.parquet(path)
+      .select(input_file_name().as("file"),
+        explode(array(probes: _*)).as("pos"))
+      .groupBy(col("file"), (col("pos") / 64).cast("int").as("word"))
+      .agg(bit_or(expr("shiftleft(1L, cast(pos % 64 as int))")).as("bits"))
+      .groupBy("file")
+      .agg(map_from_entries(
+        sort_array(collect_list(struct(col("word"), col("bits"))))).as("__bloom"))
+  }
+
+  /** Files whose Bloom filter MIGHT contain at least one probe key —
+    * the planner step: |files| × |probes| bit tests over manifest
+    * rows, no data file touched. Same hash convention as
+    * bloomManifest (a mismatch would manufacture false negatives).
+    */
+  def bloomMatchingFiles(manifest: DataFrame, probeKeys: DataFrame,
+      keyCol: String, mBits: Int, k: Int): DataFrame = {
+    val mightContain = (0 until k).map { i =>
+      val pos = s"pmod(xxhash64(cast(`$keyCol` as bigint), $i), ${mBits}L)"
+      expr(s"""(shiftright(coalesce(element_at(__bloom, cast($pos div 64 as int)), 0L),
+               |           cast($pos % 64 as int)) & 1L) = 1L""".stripMargin)
+    }.reduce(_ && _)
+    manifest
+      .crossJoin(probeKeys.select(col(keyCol)))
+      .filter(mightContain)
+      .select("file").distinct()
+  }
 }

@@ -576,6 +576,90 @@ object IoQueries {
           .orderBy("o_orderstatus")
       }),
 
+    // ---------------------------------------------------------------- S28 (per-file Bloom-index point-lookup skipping)
+    QueryDef(
+      "q_s28_bloom_index_prune", "S10 S11 (per-file Bloom sidecar file skipping)",
+      // the third file-skipping mode (q_s21 row-group zones, q_s27
+      // manifest zones — both RANGE pruning on the clustering column):
+      // a per-file BLOOM sidecar prunes POINT lookups on a column the
+      // layout does NOT cluster. Orders land hash-distributed on
+      // o_custkey, so every file's [min, max] o_orderkey zone spans
+      // the whole table — zone maps prune NOTHING for an orderkey
+      // probe — but each unique orderkey lives in exactly one file,
+      // so the Bloom manifest routes a 5-key probe to ~5 of the files
+      // however many the table has. At 100 TB the probe cost is
+      // |files| bit tests (planner metadata) + the few files that
+      // might match; a Bloom false positive costs one extra file
+      // read, while a false NEGATIVE would drop a result row — which
+      // is exactly what the full-scan oracle would catch as a hash
+      // mismatch.
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+             |FROM orders WHERE o_orderkey IN (7, 113, 541, 997, 1499)
+             |ORDER BY o_orderkey""".stripMargin),
+      (s, dir) => {
+        val tmp = s"$TmpBase/q_s28_bloom"
+        val (mBits, k) = (1 << 20, 4)
+        Tables.orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+          .repartition(8, col("o_custkey"))
+          .write.mode("overwrite").parquet(tmp)
+        val probeKeys = Seq(7L, 113L, 541L, 997L, 1499L)
+        import s.implicits._
+        val manifest = graft.io.Layout.bloomManifest(s, tmp, "o_orderkey", mBits, k)
+        // |files| × 5 bit tests → the files a planner would schedule
+        val files = graft.io.Layout
+          .bloomMatchingFiles(manifest, probeKeys.toDF("o_orderkey"),
+            "o_orderkey", mBits, k)
+          .collect().map(_.getString(0)).sorted
+        val planned =
+          if (files.isEmpty) s.read.parquet(tmp).limit(0)
+          else s.read.parquet(files.toIndexedSeq: _*)
+        planned
+          .filter(col("o_orderkey").isin(probeKeys: _*))
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+          .orderBy("o_orderkey")
+      }),
+
+    // ---------------------------------------------------------------- S29 (merge-on-read deletes / deletion vectors)
+    QueryDef(
+      "q_s29_deletion_vectors", "S15 LLM-delete-propagation (merge-on-read deletes)",
+      // the lazy half of the GDPR-delete story: q_l83 REWRITES every
+      // affected shard (copy-on-write); here two delete batches land
+      // as (file, row_index) sidecars — cost |deleted rows|, base
+      // files untouched — and the reader subtracts positions at scan
+      // time with a broadcast anti-join (merge-on-read). Batch 2
+      // overlaps batch 1 on zh docs divisible by both 5 and 97, so
+      // the distinct-positions union is itself under test. The oracle
+      // applies the same predicates row-wise to the source table: a
+      // position-mapping bug (wrong file, off-by-one row_index)
+      // surfaces as a wrong live set, not lost speed. Compaction (the
+      // copy-on-write escalation for files past a deleted-fraction
+      // threshold) is spec-covered in DeletionVectorsSpec.
+      Some("""SELECT source, count(*) AS n_live,
+             |CAST(sum(doc_id) AS BIGINT) AS id_sum,
+             |CAST(sum(n_chars) AS BIGINT) AS chars_sum
+             |FROM documents
+             |WHERE NOT (doc_id % 97 = 0) AND NOT (lang = 'zh' AND doc_id % 5 = 0)
+             |GROUP BY source ORDER BY source""".stripMargin),
+      (s, dir) => {
+        val tmp = s"$TmpBase/q_s29_dv"
+        val (base, dvDir) = (s"$tmp/base", s"$tmp/dv")
+        Tables.documents(s, dir)
+          .repartition(8, col("doc_id"))
+          .write.mode("overwrite").parquet(base)
+        val dv1 = graft.io.DeletionVectors.build(s, base, col("doc_id") % 97 === 0)
+        graft.io.DeletionVectors.writeBatch(dv1, dvDir, 1)
+        val dv2 = graft.io.DeletionVectors.build(s, base,
+          col("lang") === "zh" && col("doc_id") % 5 === 0)
+        graft.io.DeletionVectors.writeBatch(dv2, dvDir, 2)
+        graft.io.DeletionVectors.readWithDv(s, base, dvDir)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_live"),
+            sum(col("doc_id")).as("id_sum"),
+            sum(col("n_chars")).as("chars_sum"))
+          .orderBy("source")
+      }),
+
     // ---------------------------------------------------------------- S23 (schema merge on read)
     QueryDef(
       "q_s23_merge_schema", "S16 (heterogeneous-batch schema merge)",
@@ -1217,6 +1301,71 @@ object IoQueries {
             sum(col("shard_tokens")).cast("long").as("shard_tokens"),
             sum(col("id_sum")).cast("long").as("id_sum"))
           .orderBy("shard_id")
+      }),
+
+    // ---------------------------------------------------------------- ST: streaming deletion-vector maintenance
+    QueryDef(
+      "q_st20_stream_dv_maintain", "ST S15 (streaming merge-on-read delete maintenance)",
+      // q_s29's deletion vectors maintained CONTINUOUSLY: GDPR delete
+      // requests arrive on the document stream (every third arriving
+      // doc id), and each micro-batch resolves its ids to base-file
+      // positions and lands them as its own DV sidecar partition —
+      // overwrite-own-batch idempotent (a retried batch rewrites the
+      // identical position set; DV union is a set, so replay cannot
+      // over-delete). Position resolution is routed through the
+      // per-file BLOOM manifest (q_s28): only files whose filter
+      // might contain a requested id are scanned, so per-batch cost
+      // is |candidate files|, not the table — the composition that
+      // keeps continuous delete maintenance viable at 100 TB. The
+      // base is never rewritten; readers subtract the accumulated
+      // sidecars at scan time. Because DV union is order- and
+      // split-insensitive, the final live set equals the batch closed
+      // form however the source micro-batched — the oracle is that
+      // closed form (arriving slice = doc_id % 5, deletes = % 3 of
+      // it, i.e. doc_id % 15 overall).
+      Some("""SELECT lang, count(*) AS n_live,
+             |CAST(sum(doc_id) AS BIGINT) AS id_sum,
+             |CAST(sum(n_chars) AS BIGINT) AS chars_sum
+             |FROM documents WHERE NOT (doc_id % 15 = 0)
+             |GROUP BY lang ORDER BY lang""".stripMargin),
+      (s, dir) => {
+        val key = dir.replaceAll("[^A-Za-z0-9]+", "_")
+        val tmp = s"$TmpBase/q_st20_dv/$key"
+        val (base, dvDir) = (s"$tmp/base", s"$tmp/dv")
+        val (mBits, k) = (1 << 20, 4)
+        Tables.documents(s, dir)
+          .repartition(8, col("doc_id"))
+          .write.mode("overwrite").parquet(base)
+        // |files|-row manifest, pinned once — every micro-batch probes
+        // it instead of re-deriving it (localCheckpoint, not cache:
+        // the Bench sweep reaps it between passes)
+        val manifest = graft.io.Layout.bloomManifest(s, base, "doc_id", mBits, k)
+          .localCheckpoint(true)
+        val watch = CdcStream.ensureStagedDocBatches(s, dir, nFiles = 4)
+        val stream = s.readStream
+          .schema(s.read.parquet(watch).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(watch)
+        CdcStream.runForeachBatchTransformWithId(s, stream, dvDir) { (b, _) =>
+          val ids = b.filter(col("doc_id") % 3 === 0).select("doc_id")
+          val files = graft.io.Layout
+            .bloomMatchingFiles(manifest, ids, "doc_id", mBits, k)
+            .collect().map(_.getString(0)).sorted // |files|-bounded planner step
+          if (files.isEmpty)
+            s.range(0).select(lit("").as("file"), col("id").as("row_index"))
+          else
+            s.read.parquet(files.toIndexedSeq: _*)
+              .select(col("doc_id"), col("_metadata.file_path").as("file"),
+                col("_metadata.row_index").as("row_index"))
+              .join(broadcast(ids), Seq("doc_id"), "left_semi")
+              .select("file", "row_index")
+        }
+        graft.io.DeletionVectors.readWithDv(s, base, dvDir)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_live"),
+            sum(col("doc_id")).as("id_sum"),
+            sum(col("n_chars")).as("chars_sum"))
+          .orderBy("lang")
       }),
 
     // ---------------------------------------------------------------- ST: streaming HLL distinct sketch

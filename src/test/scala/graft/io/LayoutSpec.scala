@@ -73,4 +73,39 @@ class LayoutSpec extends AnyFunSuite {
       .filter(col("v").between(100L, 199L)).count()
     assert(got == 100L, s"pruned read lost rows: $got")
   }
+
+  test("bloom manifest: point probes prune files zone maps cannot, zero false negatives") {
+    import spark.implicits._
+    val tmp = "/root/repo/target/tmp/layoutspec_bloom"
+    val (mBits, k) = (1 << 14, 4)
+    // hash-distributed on a DIFFERENT column: every file's id zone
+    // spans ~the full range (zone maps prune nothing for an id probe),
+    // but each unique id lives in exactly one file
+    (0L until 4000L).map(i => (i, i % 13)).toDF("id", "g")
+      .repartition(8, col("g"))
+      .write.mode("overwrite").parquet(tmp)
+    val zones = Layout.zoneManifest(spark, tmp, "id").collect()
+    assert(zones.forall(r =>
+      r.getAs[Long]("zone_min") < 400L && r.getAs[Long]("zone_max") > 3600L),
+      "layout precondition: id zones must be useless for point pruning")
+    val manifest = Layout.bloomManifest(spark, tmp, "id", mBits, k)
+    val probes = Seq(5L, 777L, 3999L)
+    val files = Layout.bloomMatchingFiles(manifest, probes.toDF("id"), "id", mBits, k)
+      .collect().map(_.getString(0))
+    assert(files.nonEmpty && files.length < zones.length,
+      s"expected pruning: kept ${files.length}/${zones.length}")
+    // no false negatives: the pruned read must surface every probe row
+    val got = spark.read.parquet(files.toIndexedSeq: _*)
+      .filter(col("id").isin(probes: _*)).select("id").as[Long].collect().sorted
+    assert(got.toSeq == probes.sorted, s"pruned read lost rows: ${got.toSeq}")
+    // probing a key that is NOT in the table may pass bits (false
+    // positive — allowed) but the exact filter must then return empty
+    val miss = Layout.bloomMatchingFiles(manifest, Seq(999999L).toDF("id"),
+      "id", mBits, k).collect().map(_.getString(0))
+    val missRows =
+      if (miss.isEmpty) 0L
+      else spark.read.parquet(miss.toIndexedSeq: _*)
+        .filter(col("id") === 999999L).count()
+    assert(missRows == 0L)
+  }
 }
