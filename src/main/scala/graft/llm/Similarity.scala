@@ -455,8 +455,16 @@ object Similarity {
       .select(col("query_id"), (col("pos") / nCodes).cast("int").as("__s"),
         pmod(col("pos"), lit(nCodes)).cast("int").as("__c"),
         round(col("col"), 12).as("__dt"))
-    val ccodes = corpus.select(col(idCol).as("neighbor_id"),
-      cellUdf(col(embCol)).as("__cell"), codesUdf(col(embCol)).as("__codes"))
+    // the corpus side carries ALL the per-row UDF work (cell route +
+    // code assignment) and the downstream explode/join/partial-agg
+    // pipelines inside the scan partitions — a small corpus arriving
+    // as ONE parquet file would run the whole chain single-task (the
+    // BENCH_r12 watch item: 8 sequential 1-task jobs, 3.4 cpu-s on one
+    // core). widenByFiles spreads a narrow scan to cluster width from
+    // file metadata only; a real many-file corpus is left untouched.
+    val ccodes = graft.SparkUtil.widenByFiles(corpus)
+      .select(col(idCol).as("neighbor_id"),
+        cellUdf(col(embCol)).as("__cell"), codesUdf(col(embCol)).as("__codes"))
     ccodes.join(broadcast(qc), Seq("__cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), posexplode(col("__codes")))
