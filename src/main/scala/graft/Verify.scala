@@ -19,9 +19,14 @@ object Verify {
     // (view star, incremental day-1 warehouse) up front and protect its
     // RDDs, then unpersist each query's lazy-checkpoint residue (e2e
     // builds, dedup candidate frames) so an 85-query run cannot
-    // accumulate block-manager state.
+    // accumulate block-manager state. The unpersist alone leaves dead
+    // shuffle/broadcast state for the ContextCleaner, which a 48 GB
+    // heap rarely GCs into collecting on its own — at sf1.0 the
+    // residue of ~180 queries OOM'd a pagerank task — so sweep with
+    // the same periodic System.gc() the Bench loop uses.
     graft.queries.DwhQueries.warmShared(spark, sfDir)
     val protectedIds = sc.getPersistentRDDs.keySet
+    var sinceGc = 0
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
@@ -30,9 +35,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      sc.getPersistentRDDs
+      val stray = sc.getPersistentRDDs
         .filterNot { case (id, _) => protectedIds(id) }
-        .values.foreach(_.unpersist(false))
+      stray.values.foreach(_.unpersist(false))
+      sinceGc += 1
+      if (stray.nonEmpty || sinceGc >= 10) { System.gc(); sinceGc = 0 }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
