@@ -103,6 +103,25 @@ object Layout {
         sort_array(collect_list(struct(col("word"), col("bits"))))).as("__bloom"))
   }
 
+  /** Combined per-file stats manifest: zone [min, max] of `zoneCol`
+    * AND a Bloom filter over `bloomKeyCol`, one row per physical
+    * file — the full Iceberg/Delta add-file stats shape, so a
+    * planner can AND range pruning on the clustering column with
+    * point pruning on a non-clustered one in a single |files|-row
+    * pass. Two aggregations over the path (zone grain is per-file,
+    * bloom grain is per-(file, word)) joined on file; a production
+    * writer folds both into the write itself — the cost model that
+    * matters is that BOTH are |new files|-bounded when called on an
+    * arriving batch's directory, which is exactly how
+    * [[q_s30 incremental maintenance]] uses it: the standing
+    * manifest is never recomputed, new batches contribute
+    * manifest DELTAS and the table's manifest is their union.
+    */
+  def statsManifest(spark: org.apache.spark.sql.SparkSession, path: String,
+      zoneCol: String, bloomKeyCol: String, mBits: Int, k: Int): DataFrame =
+    zoneManifest(spark, path, zoneCol)
+      .join(bloomManifest(spark, path, bloomKeyCol, mBits, k), Seq("file"))
+
   /** Files whose Bloom filter MIGHT contain at least one probe key —
     * the planner step: |files| × |probes| bit tests over manifest
     * rows, no data file touched. Same hash convention as

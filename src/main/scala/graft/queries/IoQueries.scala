@@ -660,6 +660,69 @@ object IoQueries {
           .orderBy("source")
       }),
 
+    // ---------------------------------------------------------------- S30 (incrementally-maintained combined-stats manifest)
+    QueryDef(
+      "q_s30_incremental_manifest", "S10 S11 S16 (manifest deltas + zone∧bloom planning)",
+      // the WRITE-side half of the q_s27/q_s28 skipping story: real
+      // table formats never rebuild their manifest — each committed
+      // batch contributes a manifest DELTA (stats over its own new
+      // files only, cost |new files|) and the table manifest is the
+      // union of deltas, itself a tiny parquet table. Two batches of
+      // orders land date-range-clustered; each gets a combined
+      // zone+Bloom stats delta at write time; the reader then plans
+      // one query with BOTH prunings ANDed — date range against the
+      // zones, custkey point set against the per-file Blooms — and
+      // scans only files surviving both, ACROSS batch generations.
+      // At 100 TB: manifest maintenance is |new files| per commit,
+      // planning is |manifest| metadata rows, and the scan is
+      // |files that can match|. The oracle (the same predicate over
+      // the full table) makes over-pruning a hash mismatch, the same
+      // proof shape as q_s27/q_s28.
+      Some("""SELECT o_custkey, count(*) AS n,
+             |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             |FROM orders
+             |WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1995-12-31'
+             |  AND o_custkey IN (3, 41, 77, 104, 149)
+             |GROUP BY 1 ORDER BY o_custkey""".stripMargin),
+      (s, dir) => {
+        val tmp = s"$TmpBase/q_s30_manifest"
+        val (mBits, k) = (1 << 17, 3)
+        val cols = Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        def land(batch: Int, pred: Column, nFiles: Int): Unit = {
+          Tables.orders(s, dir).filter(pred)
+            .select(cols.map(col): _*)
+            .repartitionByRange(nFiles, col("o_orderdate"))
+            .write.mode("overwrite").parquet(s"$tmp/data/batch=$batch")
+          // the manifest DELTA: stats over THIS batch's files only
+          graft.io.Layout.statsManifest(s, s"$tmp/data/batch=$batch",
+              "o_orderdate", "o_custkey", mBits, k)
+            .coalesce(1)
+            .write.mode("overwrite").parquet(s"$tmp/manifest/batch=$batch")
+        }
+        land(1, col("o_orderkey") % 4 =!= 0, nFiles = 6)
+        land(2, col("o_orderkey") % 4 === 0, nFiles = 4)
+        val (from, to) = (lit("1995-01-01").cast("timestamp"),
+          lit("1995-12-31").cast("timestamp"))
+        val probes = Seq(3L, 41L, 77L, 104L, 149L)
+        import s.implicits._
+        // plan from the UNION manifest: zone overlap AND bloom hit
+        val zoneSurvivors = s.read.parquet(s"$tmp/manifest")
+          .filter(col("zone_max") >= from && col("zone_min") <= to)
+        val files = graft.io.Layout
+          .bloomMatchingFiles(zoneSurvivors, probes.toDF("o_custkey"),
+            "o_custkey", mBits, k)
+          .collect().map(_.getString(0)).sorted
+        val planned =
+          if (files.isEmpty) s.read.parquet(s"$tmp/data").select(cols.map(col): _*).limit(0)
+          else s.read.parquet(files.toIndexedSeq: _*)
+        planned
+          .filter(col("o_orderdate").between(from, to) &&
+            col("o_custkey").isin(probes: _*))
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+          .orderBy("o_custkey")
+      }),
+
     // ---------------------------------------------------------------- S23 (schema merge on read)
     QueryDef(
       "q_s23_merge_schema", "S16 (heterogeneous-batch schema merge)",

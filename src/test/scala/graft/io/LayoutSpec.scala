@@ -108,4 +108,41 @@ class LayoutSpec extends AnyFunSuite {
         .filter(col("id") === 999999L).count()
     assert(missRows == 0L)
   }
+
+  test("manifest deltas: append batch never touches the standing delta; union == from-scratch") {
+    import spark.implicits._
+    val tmp = "/root/repo/target/tmp/layoutspec_deltas"
+    val (mBits, k) = (1 << 12, 3)
+    def land(batch: Int, lo: Long, hi: Long): Unit = {
+      (lo until hi).map(i => (i, i % 7)).toDF("v", "key")
+        .repartitionByRange(3, col("v"))
+        .write.mode("overwrite").parquet(s"$tmp/data/batch=$batch")
+      Layout.statsManifest(spark, s"$tmp/data/batch=$batch", "v", "key", mBits, k)
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/manifest/batch=$batch")
+    }
+    land(1, 0L, 600L)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def mtimes(p: String) = fs
+      .listStatus(new org.apache.hadoop.fs.Path(p))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(st => (st.getPath.getName, st.getModificationTime)).sortBy(_._1).toSeq
+    val standingDelta = mtimes(s"$tmp/manifest/batch=1")
+    val standingData = mtimes(s"$tmp/data/batch=1")
+    land(2, 600L, 1000L) // the append commit
+    assert(mtimes(s"$tmp/manifest/batch=1") == standingDelta,
+      "append rewrote the standing manifest delta")
+    assert(mtimes(s"$tmp/data/batch=1") == standingData,
+      "append rewrote standing data files")
+    // the union-of-deltas manifest must carry the same stats a
+    // from-scratch build over both generations would
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("zone_min"), col("zone_max"), col("n_rows"),
+        map_entries(col("__bloom")).cast("string").as("b"))
+      .collect().map(_.toString).sorted.toSeq
+    val union = canon(spark.read.parquet(s"$tmp/manifest"))
+    val scratch = canon(Layout.statsManifest(spark,
+      s"$tmp/data", "v", "key", mBits, k))
+    assert(union == scratch, "union-of-deltas diverged from from-scratch build")
+  }
 }
