@@ -410,4 +410,25 @@ class PlanSpec extends AnyFunSuite {
     assert(salted.findFirstIn(fin).isDefined,
       s"final adaptive plan lost the pinned repartition:\n$fin")
   }
+
+  test("deletion-vector read: DV side broadcasts into an anti-join, base never shuffles") {
+    // merge-on-read's scale contract: the base scan must flow straight
+    // into a BroadcastHashJoin LeftAnti against the (small) DV side —
+    // if the join ever degrades to a sort-merge anti-join, every read
+    // of the table shuffles ALL table data on (file, row_index), which
+    // at 100 TB is a full-table shuffle to subtract kilobytes.
+    import spark.implicits._
+    val tmp = "/root/repo/target/tmp/planspec_dv"
+    (0L until 500L).map(i => (i, i % 5)).toDF("id", "g")
+      .repartition(4, col("id"))
+      .write.mode("overwrite").parquet(s"$tmp/base")
+    val dv = graft.io.DeletionVectors.build(spark, s"$tmp/base", col("id") % 9 === 0)
+    graft.io.DeletionVectors.writeBatch(dv, s"$tmp/dv", 1)
+    val read = graft.io.DeletionVectors.readWithDv(spark, s"$tmp/base", s"$tmp/dv")
+    val p = plan(read)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"DV subtraction must be a broadcast anti-join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"DV read shuffled the base table:\n$p")
+  }
 }
