@@ -723,6 +723,61 @@ object IoQueries {
           .orderBy("o_custkey")
       }),
 
+    // ---------------------------------------------------------------- S31 (time-travel read: snapshot + log-suffix replay)
+    QueryDef(
+      "q_s31_time_travel", "S15 S14 (AS-OF-version read)",
+      // the Delta/Iceberg time-travel shape over this library's own
+      // snapshot + CDC pieces: the keyed last-wins state table is
+      // checkpointed as a SNAPSHOT at version 1 (batches 0-1 of the
+      // event stream), later batches land as per-batch LOG deltas,
+      // and a read AS OF version 2 reconstructs state as
+      // lastWins(snapshot ∪ log batch 2) — batch 3 exists on disk
+      // and MUST NOT leak into the result, which is precisely what
+      // the oracle (the closed form over batches ≤ 2) catches as a
+      // hash mismatch. Cost model at 100 TB: the snapshot bounds
+      // replay to the log SUFFIX (|batches since checkpoint|, never
+      // the full history), and last-wins is associative under any
+      // split, so checkpoint placement can't change answers — the
+      // q_st9 argument, now for point-in-time reads.
+      Some("""WITH upto AS (SELECT * FROM events WHERE event_id % 4 <= 2),
+             |last AS (SELECT user_id, ts, event_type, event_id,
+             |  row_number() OVER (PARTITION BY user_id
+             |    ORDER BY ts DESC, event_id DESC) AS rn FROM upto)
+             |SELECT event_type AS last_type, count(*) AS n_users,
+             |CAST(sum(event_id) AS BIGINT) AS id_sum,
+             |CAST(max(epoch_us(ts)) AS BIGINT) AS max_ts_us
+             |FROM last WHERE rn = 1 GROUP BY 1 ORDER BY last_type""".stripMargin),
+      (s, dir) => {
+        val tmp = s"$TmpBase/q_s31_tt"
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+        def lastWins(df: org.apache.spark.sql.DataFrame) =
+          df.withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1).drop("rn")
+        val ev = Tables.events(s, dir)
+          .select("event_id", "user_id", "event_type", "ts")
+        // version-1 checkpoint: last-wins state over batches 0-1
+        Snapshots.writeSnapshot(lastWins(ev.filter(col("event_id") % 4 <= 1)),
+          s"$tmp/snap", "1")
+        // later commits land as per-batch log deltas (idempotent
+        // overwrite-own-batch, the q_st8 sink contract)
+        Seq(2, 3).foreach { b =>
+          ev.filter(col("event_id") % 4 === b)
+            .write.mode("overwrite").parquet(s"$tmp/log/batch=$b")
+        }
+        // AS OF version 2 = snapshot + ONLY log batch 2
+        val asOf = lastWins(
+          Snapshots.readSnapshot(s, s"$tmp/snap", "1")
+            .unionByName(s.read.parquet(s"$tmp/log/batch=2")
+              .select("event_id", "user_id", "event_type", "ts")))
+        asOf
+          .groupBy(col("event_type").as("last_type"))
+          .agg(count(lit(1)).as("n_users"),
+            sum(col("event_id")).cast("long").as("id_sum"),
+            max(unix_micros(col("ts"))).as("max_ts_us"))
+          .orderBy("last_type")
+      }),
+
     // ---------------------------------------------------------------- S23 (schema merge on read)
     QueryDef(
       "q_s23_merge_schema", "S16 (heterogeneous-batch schema merge)",

@@ -4447,6 +4447,81 @@ object LlmQueries {
           .select(expr(s"stack(${n * (n + 1) / 2}, $stackArgs) " +
             "as (rule_a, rule_b, n_both, n_only)"))
           .orderBy("rule_a", "rule_b")
+      }),
+
+    // ---------------------------------------------------------------- inter-annotator agreement (Cohen's kappa)
+    QueryDef(
+      "q_l86_annotator_agreement", "LLM-annotator-agreement",
+      // labeled-data QA for preference/classification sets: two
+      // annotators' quality labels over the corpus reduced to a
+      // confusion matrix (|labels|² rows however big the corpus),
+      // then chance-corrected agreement — Cohen's κ =
+      // (pₒ − pₑ)/(1 − pₑ) with pₑ from the marginal products. The
+      // heavy pass is ONE scan + one tiny groupBy; everything after
+      // runs on ≤9 rows. Annotators are deterministic functions of
+      // the doc (a = length buckets; b = the same buckets under a
+      // doc_id-keyed perturbation, so disagreement is real and
+      // replayable), and all ratios divide exact longs in the same
+      // IEEE order on both engines before one terminal 6dp round.
+      // Per-label agreement rides along (n_a, n_b, both-agree) so a
+      // skewed label's inflated raw agreement is visible next to κ.
+      Some("""WITH lab AS (SELECT
+             |  CASE WHEN n_chars < 150 THEN 'low'
+             |       WHEN n_chars < 300 THEN 'mid' ELSE 'high' END AS a,
+             |  CASE WHEN n_chars + (doc_id % 7) * 25 < 150 THEN 'low'
+             |       WHEN n_chars + (doc_id % 7) * 25 < 300 THEN 'mid'
+             |       ELSE 'high' END AS b
+             |  FROM documents),
+             |conf AS (SELECT a, b, count(*) AS c FROM lab GROUP BY 1, 2),
+             |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+             |  CAST(sum(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT) AS agree
+             |  FROM conf),
+             |ma AS (SELECT a AS label, CAST(sum(c) AS BIGINT) AS n_a FROM conf GROUP BY 1),
+             |mb AS (SELECT b AS label, CAST(sum(c) AS BIGINT) AS n_b FROM conf GROUP BY 1),
+             |diag AS (SELECT a AS label, CAST(sum(c) AS BIGINT) AS n_agree
+             |         FROM conf WHERE a = b GROUP BY 1),
+             |pe AS (SELECT CAST(sum(ma.n_a * mb.n_b) AS BIGINT) AS pen
+             |       FROM ma JOIN mb USING (label))
+             |SELECT ma.label, ma.n_a, coalesce(mb.n_b, 0) AS n_b,
+             |  coalesce(diag.n_agree, 0) AS n_agree, tot.n,
+             |  round(CAST(tot.agree AS DOUBLE) / tot.n, 6) AS po,
+             |  round(CAST(pe.pen AS DOUBLE) / (tot.n * tot.n), 6) AS pe,
+             |  round((CAST(tot.agree AS DOUBLE) / tot.n
+             |          - CAST(pe.pen AS DOUBLE) / (tot.n * tot.n))
+             |        / (1 - CAST(pe.pen AS DOUBLE) / (tot.n * tot.n)), 6) AS kappa
+             |FROM ma LEFT JOIN mb USING (label) LEFT JOIN diag USING (label)
+             |CROSS JOIN tot CROSS JOIN pe
+             |ORDER BY label""".stripMargin),
+      (s, dir) => {
+        def bucket(c: Column) =
+          when(c < 150, "low").when(c < 300, "mid").otherwise("high")
+        val lab = Tables.documents(s, dir).select(
+          bucket(col("n_chars")).as("a"),
+          bucket(col("n_chars") + (col("doc_id") % 7) * 25).as("b"))
+        val conf = lab.groupBy("a", "b").agg(count(lit(1)).as("c"))
+          .localCheckpoint(false) // ≤9 rows feeding four tiny branches
+        val tot = conf.agg(sum("c").cast("long").as("n"),
+          sum(when(col("a") === col("b"), col("c")).otherwise(0L))
+            .cast("long").as("agree"))
+        val ma = conf.groupBy(col("a").as("label"))
+          .agg(sum("c").cast("long").as("n_a"))
+        val mb = conf.groupBy(col("b").as("label"))
+          .agg(sum("c").cast("long").as("n_b"))
+        val diag = conf.filter(col("a") === col("b"))
+          .groupBy(col("a").as("label"))
+          .agg(sum("c").cast("long").as("n_agree"))
+        val pen = ma.join(mb, "label")
+          .agg(sum(col("n_a") * col("n_b")).cast("long").as("pen"))
+        val poE = col("agree").cast("double") / col("n")
+        val peE = col("pen").cast("double") / (col("n") * col("n"))
+        ma.join(mb, Seq("label"), "left").join(diag, Seq("label"), "left")
+          .crossJoin(tot).crossJoin(pen)
+          .select(col("label"), col("n_a"),
+            coalesce(col("n_b"), lit(0L)).as("n_b"),
+            coalesce(col("n_agree"), lit(0L)).as("n_agree"), col("n"),
+            round(poE, 6).as("po"), round(peE, 6).as("pe"),
+            round((poE - peE) / (lit(1) - peE), 6).as("kappa"))
+          .orderBy("label")
       })
   )
 
