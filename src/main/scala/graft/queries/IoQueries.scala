@@ -778,6 +778,54 @@ object IoQueries {
           .orderBy("last_type")
       }),
 
+    // ---------------------------------------------------------------- S32 (column rename across generations, field-id mapping)
+    QueryDef(
+      "q_s32_rename_evolution", "S16 (RENAME COLUMN without rewrite)",
+      // the rename half of schema evolution (q_s16 is the add-column
+      // half): generation 1 landed with `o_orderpriority`, the table
+      // then renamed it to `priority`, and generation 2 writes under
+      // the new name — NO old file is rewritten. Readers resolve
+      // names through a field-MAPPING manifest (the Iceberg field-id
+      // idea: each generation's physical name → the canonical name),
+      // apply the per-generation rename at scan time, and union —
+      // so a name-based reader that would silently NULL the old
+      // generation's column instead surfaces it correctly, which the
+      // oracle's per-generation counts pin (n per priority must
+      // cover BOTH generations' rows; a mapping bug halves them).
+      Some("""WITH g1 AS (SELECT o_orderkey, o_totalprice, o_orderpriority AS priority
+             |            FROM orders WHERE o_orderkey % 3 = 0),
+             |g2 AS (SELECT o_orderkey, o_totalprice, o_orderpriority AS priority
+             |       FROM orders WHERE o_orderkey % 3 <> 0)
+             |SELECT priority, count(*) AS n,
+             |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             |FROM (SELECT * FROM g1 UNION ALL SELECT * FROM g2)
+             |GROUP BY priority ORDER BY priority""".stripMargin),
+      (s, dir) => {
+        val tmp = s"$TmpBase/q_s32_rename"
+        val o = Tables.orders(s, dir)
+        // gen 1: the ORIGINAL physical name
+        o.filter(col("o_orderkey") % 3 === 0)
+          .select("o_orderkey", "o_totalprice", "o_orderpriority")
+          .write.mode("overwrite").parquet(s"$tmp/gen=1")
+        // gen 2: written AFTER the rename, new physical name
+        o.filter(col("o_orderkey") % 3 =!= 0)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderpriority").as("priority"))
+          .write.mode("overwrite").parquet(s"$tmp/gen=2")
+        // the field-mapping manifest: generation → (physical, canonical)
+        val mapping = Map(1 -> ("o_orderpriority", "priority"),
+          2 -> ("priority", "priority"))
+        val gens = mapping.toSeq.sortBy(_._1).map { case (g, (phys, canon)) =>
+          s.read.parquet(s"$tmp/gen=$g")
+            .withColumnRenamed(phys, canon)
+            .select("o_orderkey", "o_totalprice", canon)
+        }
+        gens.reduce(_ unionByName _)
+          .groupBy("priority")
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+          .orderBy("priority")
+      }),
+
     // ---------------------------------------------------------------- S23 (schema merge on read)
     QueryDef(
       "q_s23_merge_schema", "S16 (heterogeneous-batch schema merge)",
