@@ -38,8 +38,14 @@ object Verify {
       val stray = sc.getPersistentRDDs
         .filterNot { case (id, _) => protectedIds(id) }
       stray.values.foreach(_.unpersist(false))
+      // GC on a fixed cadence, not per-stray: most queries checkpoint
+      // SOMETHING, so gating on stray.nonEmpty fired a full 48 GB-heap
+      // GC after nearly every query (~1 s each × 268). A 10-query
+      // cadence keeps the run-length OOM mitigation (the residue that
+      // mattered at sf1.0 accumulated over ~180 queries) at 1/10 the
+      // GC wall.
       sinceGc += 1
-      if (stray.nonEmpty || sinceGc >= 10) { System.gc(); sinceGc = 0 }
+      if (sinceGc >= 10) { System.gc(); sinceGc = 0 }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

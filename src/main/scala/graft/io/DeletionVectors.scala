@@ -27,12 +27,46 @@ import org.apache.spark.sql.functions._
   */
 object DeletionVectors {
 
+  /** The internal position-key column names. Base tables may not use
+    * them: build's output select and readWithDv's join key would
+    * silently bind to the DATA column instead of the synthesized
+    * metadata one, corrupting the subtraction. Checked up front so a
+    * colliding table fails loudly instead.
+    */
+  private val Reserved = Seq("__file", "__pos", "file", "row_index")
+  private def guardSchema(df: DataFrame, basePath: String): DataFrame = {
+    val clash = df.columns.toSet.intersect(Reserved.toSet)
+    require(clash.isEmpty,
+      s"base table $basePath has reserved DV column name(s) ${clash.mkString(", ")}; " +
+        "rename them before using deletion vectors")
+    df
+  }
+
+  /** True if `dvDir` holds at least one DV parquet file. A stream
+    * whose every micro-batch was empty may leave the directory
+    * missing or schema-less (empty partitions emit no part files);
+    * readers then fall back to the bare base scan.
+    */
+  private def hasDv(spark: SparkSession, dvDir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dvDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && {
+      val it = fs.listFiles(p, true)
+      var found = false
+      while (!found && it.hasNext) {
+        val f = it.next().getPath.getName
+        found = f.endsWith(".parquet") && !f.startsWith("_") && !f.startsWith(".")
+      }
+      found
+    }
+  }
+
   /** Positions of base rows matching `pred`, as a (file, row_index)
     * deletion vector. One distributed scan; output is |matches| rows.
     * The predicate sees every data column of the base table.
     */
   def build(spark: SparkSession, basePath: String, pred: Column): DataFrame =
-    spark.read.parquet(basePath)
+    guardSchema(spark.read.parquet(basePath), basePath)
       .select(col("*"), col("_metadata.file_path").as("file"),
         col("_metadata.row_index").as("row_index"))
       .filter(pred)
@@ -55,7 +89,9 @@ object DeletionVectors {
     * DVs are that large is past its compaction threshold anyway.
     */
   def readWithDv(spark: SparkSession, basePath: String, dvDir: String): DataFrame = {
-    val base = spark.read.parquet(basePath)
+    val raw = guardSchema(spark.read.parquet(basePath), basePath)
+    if (!hasDv(spark, dvDir)) return raw // no deletes yet: bare base scan
+    val base = raw
       .select(col("*"), col("_metadata.file_path").as("__file"),
         col("_metadata.row_index").as("__pos"))
     val dv = spark.read.parquet(dvDir)

@@ -88,16 +88,28 @@ object Layout {
     * only costs an extra file read — false negatives are impossible
     * by construction, which is what the oracle checks.
     */
+  /** The ONE hash/bit convention shared by the build and probe sides.
+    * Both used to re-implement it in different dialects (Column API vs
+    * a hand-built SQL string); they agreed only because pmod output is
+    * non-negative and the literal types happened to line up, and any
+    * drift would silently manufacture false negatives — dropped rows.
+    * Now the probe position, word index, and bit mask each exist once.
+    */
+  private def probePos(key: Column, i: Int, mBits: Int): Column =
+    pmod(xxhash64(key.cast("long"), lit(i)), lit(mBits.toLong))
+  private def bloomWord(pos: Column): Column = (pos / 64).cast("int")
+  private def bloomBit(pos: Column): Column =
+    call_function("shiftleft", lit(1L), pos.mod(lit(64L)).cast("int"))
+
   def bloomManifest(spark: org.apache.spark.sql.SparkSession, path: String,
       keyCol: String, mBits: Int, k: Int): DataFrame = {
     require(mBits % 64 == 0, "mBits must be a multiple of 64")
-    val probes = (0 until k).map(i =>
-      pmod(xxhash64(col(keyCol).cast("long"), lit(i)), lit(mBits.toLong)))
+    val probes = (0 until k).map(i => probePos(col(keyCol), i, mBits))
     spark.read.parquet(path)
       .select(input_file_name().as("file"),
         explode(array(probes: _*)).as("pos"))
-      .groupBy(col("file"), (col("pos") / 64).cast("int").as("word"))
-      .agg(bit_or(expr("shiftleft(1L, cast(pos % 64 as int))")).as("bits"))
+      .groupBy(col("file"), bloomWord(col("pos")).as("word"))
+      .agg(bit_or(bloomBit(col("pos"))).as("bits"))
       .groupBy("file")
       .agg(map_from_entries(
         sort_array(collect_list(struct(col("word"), col("bits"))))).as("__bloom"))
@@ -130,9 +142,9 @@ object Layout {
   def bloomMatchingFiles(manifest: DataFrame, probeKeys: DataFrame,
       keyCol: String, mBits: Int, k: Int): DataFrame = {
     val mightContain = (0 until k).map { i =>
-      val pos = s"pmod(xxhash64(cast(`$keyCol` as bigint), $i), ${mBits}L)"
-      expr(s"""(shiftright(coalesce(element_at(__bloom, cast($pos div 64 as int)), 0L),
-               |           cast($pos % 64 as int)) & 1L) = 1L""".stripMargin)
+      val pos = probePos(col(keyCol), i, mBits)
+      coalesce(element_at(col("__bloom"), bloomWord(pos)), lit(0L))
+        .bitwiseAND(bloomBit(pos)) =!= lit(0L)
     }.reduce(_ && _)
     manifest
       .crossJoin(probeKeys.select(col(keyCol)))

@@ -1,7 +1,8 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Shared edge build for the strong-tie co-purchase graph family
@@ -53,10 +54,16 @@ object CoPurchaseGraph {
     * exchange on (k, __salt)) that the checkpoint would hide.
     */
   private[graft] def strongTieEdgesPlan(spark: SparkSession, dir: String,
-      minShared: Int, salts: Int = 16): DataFrame = {
+      minShared: Int, salts: Int = 16): DataFrame =
+    edgesFromKeys(spark, purchaseKeys(spark, dir), minShared, salts)
+
+  /** The salted pair build over an arbitrary (u, k) incidence frame —
+    * shared by the exact build and the capped variant below.
+    */
+  private def edgesFromKeys(spark: SparkSession, p: DataFrame,
+      minShared: Int, salts: Int): DataFrame = {
     require(minShared >= 1, s"strongTieEdges: minShared must be >= 1, got $minShared")
     require(salts >= 1, s"strongTieEdges: salts must be >= 1, got $salts")
-    val p = purchaseKeys(spark, dir)
     // explicit partition count: a USER-specified repartition is the
     // one exchange AQE will not coalesce, so the join that reuses
     // this layout keeps its width however small the input estimate is
@@ -72,5 +79,50 @@ object CoPurchaseGraph {
       .groupBy("src", "dst").agg(count(lit(1)).as("__shared"))
       .filter(col("__shared") >= minShared)
       .select("src", "dst")
+  }
+
+  /** Knuth multiplicative-hash tiebreak for the contribution cap:
+    * deterministic, pseudo-random (so the cap doesn't systematically
+    * keep low ids), and exactly replayable in ANSI SQL —
+    * `(u * 2654435761) % 4294967296` — which is what lets the capped
+    * variant keep a full DuckDB oracle. Bijective on u < 2³² (the
+    * multiplier is odd), so collisions can't make the order partial;
+    * u itself is still the formal secondary key.
+    */
+  private[graft] def capTiebreak(u: Column): Column =
+    pmod(u * lit(2654435761L), lit(4294967296L))
+
+  /** The documented 100×-scale mitigation for this family's intrinsic
+    * quadratic: cap every k-group's CONTRIBUTION to `cap` users before
+    * pairing, chosen by the deterministic pseudo-random tiebreak above.
+    * Pair volume is then bounded by |k| · cap² regardless of corpus
+    * size — the standard industrial lever (top-k co-purchases per
+    * basket) for when the exact Σ n_k² build is no longer affordable.
+    *
+    * The cap itself is computed scalably: a per-(k, salt) top-cap
+    * window first (partitions bounded by users-per-k ÷ salts), then a
+    * per-k top-cap over the ≤ salts·cap survivors. Because both phases
+    * use the same TOTAL order, the two-phase result equals the
+    * single-window form the oracle replays — at no point does one task
+    * see a whole hot k-group.
+    */
+  def strongTieEdgesCapped(spark: SparkSession, dir: String, minShared: Int,
+      cap: Int, salts: Int = 16): DataFrame =
+    strongTieEdgesCappedPlan(spark, dir, minShared, cap, salts)
+      .localCheckpoint(false)
+
+  private[graft] def strongTieEdgesCappedPlan(spark: SparkSession, dir: String,
+      minShared: Int, cap: Int, salts: Int = 16): DataFrame = {
+    require(cap >= 1, s"strongTieEdgesCapped: cap must be >= 1, got $cap")
+    val p = purchaseKeys(spark, dir)
+    val tb = capTiebreak(col("u"))
+    val w1 = Window.partitionBy(col("k"),
+      pmod(xxhash64(col("u")), lit(salts.toLong))).orderBy(tb, col("u"))
+    val w2 = Window.partitionBy(col("k")).orderBy(tb, col("u"))
+    val capped = p
+      .withColumn("__rn", row_number().over(w1)).filter(col("__rn") <= cap)
+      .withColumn("__rn", row_number().over(w2)).filter(col("__rn") <= cap)
+      .select("u", "k")
+    edgesFromKeys(spark, capped, minShared, salts)
   }
 }

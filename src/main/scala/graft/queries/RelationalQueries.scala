@@ -1866,6 +1866,66 @@ object RelationalQueries {
           .limit(20)
       }),
 
+    // ---------------------------------------------------------------- A29b (PageRank over the CONTRIBUTION-CAPPED graph)
+    QueryDef(
+      "q_a29b_pagerank_capped", "A29 link analysis (degree-capped edge build)",
+      // q_a29's documented 100× mitigation, as a first-class parallel
+      // variant: the exact strong-tie build is Σ n_k² pairs — data-
+      // intrinsic quadratic growth (13–35× walls on 10× rows in the
+      // sf1.0 sweep) that salting parallelizes but cannot shrink. The
+      // standard industrial lever caps each k-group's CONTRIBUTION to
+      // the 16 users with the smallest deterministic pseudo-random
+      // tiebreak (Knuth scramble (u·2654435761) mod 2³² — replayable
+      // in ANSI SQL, bijective below 2³², so the cap keeps a
+      // consistent user sample rather than systematically low ids),
+      // bounding pair volume at |k|·cap² REGARDLESS of corpus size.
+      // Spark computes the cap as a salted two-phase top-k (no task
+      // ever sees a whole hot k-group); the oracle replays the
+      // identical cap with one row_number window, so a tiebreak or
+      // phase-equivalence bug is a hash mismatch, not lost rows. Same
+      // two unrolled rounded-DECIMAL PageRank iterations as q_a29 —
+      // the wall delta between the two queries IS the cap's value.
+      Some("""WITH p AS MATERIALIZED (SELECT DISTINCT user_id AS u,
+             |    CAST(props->>'$.k' AS BIGINT) AS k
+             |  FROM events WHERE event_type = 'purchase'),
+             |pc AS MATERIALIZED (SELECT u, k FROM (SELECT u, k,
+             |    row_number() OVER (PARTITION BY k
+             |      ORDER BY (u * 2654435761) % 4294967296, u) AS rn
+             |  FROM p) WHERE rn <= 16),
+             |e AS MATERIALIZED (SELECT a.u AS src, b.u AS dst
+             |      FROM pc a JOIN pc b ON a.k = b.k AND a.u <> b.u
+             |      GROUP BY 1, 2 HAVING count(*) >= 3),
+             |d AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+             |pr1 AS (SELECT e.dst AS u,
+             |    round(0.15 + 0.85 * CAST(sum(CAST(round(1.0 / d.deg, 12)
+             |        AS DECIMAL(28,12))) AS DOUBLE), 12) AS pr
+             |  FROM e JOIN d ON e.src = d.src GROUP BY e.dst),
+             |pr2 AS (SELECT e.dst AS u,
+             |    round(0.15 + 0.85 * CAST(sum(CAST(round(pr1.pr / d.deg, 12)
+             |        AS DECIMAL(28,12))) AS DOUBLE), 12) AS pr
+             |  FROM e JOIN d ON e.src = d.src JOIN pr1 ON pr1.u = e.src
+             |  GROUP BY e.dst)
+             |SELECT u AS user_id, round(pr, 6) AS pagerank FROM pr2
+             |ORDER BY pagerank DESC, user_id LIMIT 20""".stripMargin),
+      (s, dir) => {
+        val e = CoPurchaseGraph.strongTieEdgesCapped(s, dir, minShared = 3,
+          cap = 16)
+        val d = e.groupBy("src").agg(count(lit(1)).as("deg"))
+          .localCheckpoint(false)
+        def iterate(pr: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+          e.join(d, "src")
+            .join(pr.select(col("u").as("src"), col("pr")), Seq("src"))
+            .groupBy(col("dst").as("u"))
+            .agg(round(lit(0.15) + lit(0.85) *
+              sum(round(col("pr") / col("deg"), 12).cast(DecimalType(28, 12)))
+                .cast("double"), 12).as("pr"))
+        val pr0 = d.select(col("src").as("u"), lit(1.0).as("pr"))
+        val pr2 = iterate(iterate(pr0))
+        pr2.select(col("u").as("user_id"), round(col("pr"), 6).as("pagerank"))
+          .orderBy(col("pagerank").desc, col("user_id"))
+          .limit(20)
+      }),
+
     // ---------------------------------------------------------------- A44 (label-propagation communities)
     QueryDef(
       "q_a44_label_propagation", "A44 community detection (LPA)",
