@@ -1534,6 +1534,144 @@ object IoQueries {
           .orderBy("lang")
       }),
 
+    // ---------------------------------------------------------------- ST: streaming DV COMPACTION (merge-on-read → copy-on-write escalation mid-stream)
+    QueryDef(
+      "q_st21_stream_dv_compact", "ST S15 S4 (mid-stream deletion-vector compaction)",
+      // closes the q_st20 → q_s29 gap: q_st20 maintains DVs
+      // continuously but compaction (the copy-on-write escalation for
+      // files past a deleted-fraction threshold) only ran in batch.
+      // Here each micro-batch (1) appends its resolved delete
+      // positions as a DV sidecar, then (2) checks the per-file
+      // deleted fraction against the live stats manifest and, when a
+      // file crosses the threshold MID-STREAM, rewrites just that
+      // file's live rows into a new generation, tombstones the old
+      // file (logically — bytes on disk are never touched), and
+      // publishes a manifest delta for the new file so LATER batches
+      // resolve deletes against it. Deletes target doc_id classes 0-1
+      // (mod 8) and the base is laid out one file per class, so two
+      // files accumulate ~6.7% deletes — crossing the 3% threshold
+      // around the stream's midpoint — while the six cold files never
+      // compact: post-compaction delete batches then exercise the
+      // generation files (which can themselves cross the threshold
+      // and re-compact). Every per-batch write is
+      // overwrite-own-batch-dir, so a replayed batch sees the same
+      // DV/manifest/tombstone state and lands value-identical. DV
+      // union and tombstone sets are order-insensitive, so the final
+      // live set equals the batch closed form however the source
+      // micro-batched and WHENEVER compaction fired — which is
+      // exactly what the oracle checks; the cold-files-untouched and
+      // compaction-actually-fired physics are pinned in
+      // DvCompactionSpec. At 100 TB: per-batch delete resolution is
+      // |candidate files| via the Bloom manifest, compaction cost is
+      // |rows in crossing files| only, and manifest/tombstone
+      // maintenance is |files|-row metadata.
+      Some("""SELECT source, count(*) AS n_live,
+             |CAST(sum(doc_id) AS BIGINT) AS id_sum,
+             |CAST(sum(n_chars) AS BIGINT) AS chars_sum
+             |FROM documents WHERE NOT (doc_id % 15 = 0 AND doc_id % 8 < 2)
+             |GROUP BY source ORDER BY source""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val key = dir.replaceAll("[^A-Za-z0-9]+", "_")
+        val tmp = s"$TmpBase/q_st21_dvc/$key"
+        val (base, dvDir, genDir, tombDir, manDir) =
+          (s"$tmp/base", s"$tmp/dv", s"$tmp/gen", s"$tmp/tomb", s"$tmp/manifest")
+        val (mBits, k, threshold) = (1 << 17, 3, 0.03)
+        // file-path spellings differ between input_file_name() (the
+        // manifest side) and _metadata.file_path (the DV side) only in
+        // the scheme prefix; normalize both so they join
+        def norm(c: Column): Column = regexp_replace(c, "^file:/+", "/")
+        val fsRoot = new org.apache.hadoop.fs.Path(tmp)
+        val fs = fsRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(fsRoot)) fs.delete(fsRoot, true) // fresh run: stale generations poison the union
+        // base layout: one file per doc_id class (mod 8) — the unit of
+        // compaction is the FILE, so the class layout concentrates the
+        // deletes in exactly two of eight files
+        Tables.documents(s, dir)
+          .withColumn("cls", pmod(col("doc_id"), lit(8)))
+          .repartition(8, col("cls"))
+          .write.partitionBy("cls").mode("overwrite").parquet(base)
+        graft.io.Layout.statsManifest(s, base, "doc_id", "doc_id", mBits, k)
+          .withColumn("file", norm(col("file")))
+          .coalesce(1).write.parquet(s"$manDir/gen=base")
+        // sentinel seeds: unions over these dirs never hit a
+        // schema-less path even before the first real entry lands
+        Seq(("", -1L)).toDF("file", "row_index")
+          .write.parquet(s"$dvDir/batch_id=-1")
+        Seq("").toDF("file").write.parquet(s"$tombDir/batch_id=-1")
+        def tombSet(): Set[String] = // |files|-bounded planner metadata
+          s.read.parquet(tombDir).collect().map(_.getString(0)).toSet
+        def dvAll(): org.apache.spark.sql.DataFrame =
+          s.read.parquet(dvDir).filter(col("file") =!= "")
+            .select("file", "row_index").distinct()
+        def liveManifest(): org.apache.spark.sql.DataFrame = {
+          val dead = tombSet()
+          s.read.parquet(manDir).filter(!col("file").isin(dead.toSeq: _*))
+        }
+        val watch = CdcStream.ensureStagedDocBatches(s, dir, nFiles = 4)
+        val stream = s.readStream
+          .schema(s.read.parquet(watch).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(watch)
+        CdcStream.runForeachBatchEffect(s, stream) { (b, batchId) =>
+          val ids = b.filter(col("doc_id") % 3 === 0 && pmod(col("doc_id"), lit(8)) < 2)
+            .select("doc_id").localCheckpoint(true)
+          // 1. resolve positions against the CURRENT layout (live
+          //    files only — post-compaction deletes land on gen files)
+          val cand = graft.io.Layout
+            .bloomMatchingFiles(liveManifest(), ids, "doc_id", mBits, k)
+            .collect().map(_.getString(0)).sorted // |files|-bounded planner step
+          val dvBatch =
+            if (cand.isEmpty)
+              s.range(0).select(lit("").as("file"), col("id").as("row_index"))
+            else
+              s.read.parquet(cand.toIndexedSeq: _*)
+                .select(col("doc_id"), norm(col("_metadata.file_path")).as("file"),
+                  col("_metadata.row_index").as("row_index"))
+                .join(broadcast(ids), Seq("doc_id"), "left_semi")
+                .select("file", "row_index")
+          dvBatch.write.mode("overwrite").parquet(s"$dvDir/batch_id=$batchId")
+          // 2. compaction check: per-file deleted fraction from
+          //    |files|-row metadata (manifest n_rows × accumulated DV)
+          val dv = dvAll().localCheckpoint(true)
+          val hot = liveManifest().select("file", "n_rows")
+            .join(dv.groupBy("file").agg(count(lit(1)).as("n_del")), Seq("file"))
+            .filter(col("n_del") / col("n_rows") >= threshold)
+            .select("file").collect().map(_.getString(0)).sorted
+          if (hot.nonEmpty) {
+            val gen = s"$genDir/batch_id=$batchId"
+            s.read.parquet(hot.toIndexedSeq: _*)
+              .select(col("*"), norm(col("_metadata.file_path")).as("__file"),
+                col("_metadata.row_index").as("__pos"))
+              .join(broadcast(dv.select(col("file").as("__file"),
+                col("row_index").as("__pos"))), Seq("__file", "__pos"), "left_anti")
+              .drop("__file", "__pos")
+              .coalesce(1)
+              .write.mode("overwrite").parquet(gen)
+            graft.io.Layout.statsManifest(s, gen, "doc_id", "doc_id", mBits, k)
+              .withColumn("file", norm(col("file")))
+              .coalesce(1).write.mode("overwrite").parquet(s"$manDir/gen=b$batchId")
+            hot.toIndexedSeq.toDF("file")
+              .write.mode("overwrite").parquet(s"$tombDir/batch_id=$batchId")
+          }
+        }
+        // final merge-on-read scan over the surviving layout: live
+        // files (base minus tombstoned, plus generations) minus the
+        // residual DV positions
+        val liveFiles = liveManifest().select("file")
+          .collect().map(_.getString(0)).sorted // |files|-bounded
+        s.read.parquet(liveFiles.toIndexedSeq: _*)
+          .select(col("*"), norm(col("_metadata.file_path")).as("__file"),
+            col("_metadata.row_index").as("__pos"))
+          .join(broadcast(dvAll().select(col("file").as("__file"),
+            col("row_index").as("__pos"))), Seq("__file", "__pos"), "left_anti")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_live"),
+            sum(col("doc_id")).as("id_sum"),
+            sum(col("n_chars")).as("chars_sum"))
+          .orderBy("source")
+      }),
+
     // ---------------------------------------------------------------- ST: streaming HLL distinct sketch
     QueryDef(
       "q_st10_stream_hll", "ST HLL distinct (bounded streaming state)",

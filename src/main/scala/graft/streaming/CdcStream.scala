@@ -325,6 +325,23 @@ object CdcStream {
     * keyed by batch identity (e.g. q_st19's append-offset ledger,
     * where a RETRIED batch must not advance the token base twice).
     */
+  /** foreachBatch runner for maintenance sinks whose per-batch output
+    * is not ONE dataframe (multi-sidecar table upkeep like q_st21's
+    * DV-append + conditional compaction): the body receives the batch
+    * and its id and performs its own overwrite-own-batch-dir writes,
+    * which is what makes a replayed batch land value-identical.
+    */
+  def runForeachBatchEffect(spark: SparkSession, events: DataFrame)(
+      body: (DataFrame, Long) => Unit): Unit = {
+    val q = events.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        body(batch, batchId)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   def runForeachBatchTransformWithId(
       spark: SparkSession, events: DataFrame, outDir: String)(
       transform: (DataFrame, Long) => DataFrame): String = {
