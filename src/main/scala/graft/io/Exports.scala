@@ -81,7 +81,7 @@ object Exports {
   /** Months present in the fact table (staging_to_dwh.py:669-672). */
   def loadMonths(dwh: Dwh): Seq[String] =
     dwh.fact.select("load_month").distinct().orderBy("load_month")
-      .collect().map(_.getString(0)).toSeq
+      .collect().map(_.getString(0)).toSeq // ≤ |months| rows
 
   private def writeString(spark: SparkSession, path: String, content: String): Unit = {
     val p = new Path(path)
@@ -114,7 +114,7 @@ object Exports {
       df.groupBy(MonthTag).agg(count(lit(1)).as("n"))
         .select(lit(t).as("t"), col(MonthTag), col("n"))
     }.reduce(_ unionByName _)
-      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap // |types|·|months|-bounded
 
     // one partitioned write per type; per-month dirs land via renames
     // (driver-side metadata operations, not Spark jobs). mkdirs/rename

@@ -547,7 +547,7 @@ object Corpus {
     val cells = toks.groupBy("__b").agg(
       sum(when(col("__t"), 1L).otherwise(0L)).as("__tc"),
       count(lit(1)).as("__rc"))
-    val totals = cells.agg(sum("__tc").as("__tt"), sum("__rc").as("__rt")).collect()(0)
+    val totals = cells.agg(sum("__tc").as("__tt"), sum("__rc").as("__rt")).collect()(0) // 1-row aggregate
     val (tt, rt) = (totals.getLong(0), totals.getLong(1))
     val ratios = cells.select(col("__b"),
       round(log((col("__tc") + 1).cast("double") / lit(tt + buckets).cast("double")) -

@@ -622,7 +622,26 @@ object Dedup {
           lit(threshold) * greatest(col("__la"), col("__lb")) - lit(1e-9))
       .select("id_a", "id_b")
       .distinct()
-      .localCheckpoint(false) // consumed by two semi-joins + the verify join
+      .localCheckpoint(true) // consumed by two semi-joins + the verify join
+    // Candidate-growth guard: the distinct candidate count can never
+    // exceed the prefix-bucket pair bound Σ_t m_t·(m_t−1)/2 (every
+    // candidate shares ≥1 prefix token), and on real corpora the
+    // length filter keeps it WELL under. The sf1.0 sweep put this
+    // family at 17× on 10× rows — data-intrinsic tail growth — so the
+    // ratio is logged as the regression signal: a ratio drifting
+    // toward 1.0 means the length filter stopped pruning (e.g. an
+    // epsilon/ceil bug lengthened every prefix), long before the wall
+    // clock makes it obvious. The bound is |tokens|-row metadata; the
+    // count rides the checkpoint materialization the consumers need
+    // anyway.
+    val bound = prefix.groupBy("t").agg(count(lit(1)).as("m"))
+      .agg(sum(col("m") * (col("m") - 1) / 2).cast("long")).head().getLong(0)
+    val nCand = cand.count()
+    require(bound == 0 || nCand <= bound,
+      s"prefixFilterJaccardPairs: $nCand candidates exceed the bucket bound $bound — " +
+        "the candidate join no longer restricts to shared prefix tokens")
+    System.err.println(f"[ppjoin] candidates=$nCand%d bucketBound=$bound%d " +
+      f"ratio=${if (bound == 0) 0.0 else nCand.toDouble / bound}%.4f")
     val keptA = toksD.select(col("__id").as("id_a"), col("t"))
       .join(cand.select("id_a"), Seq("id_a"), "left_semi")
     val keptB = toksD.select(col("__id").as("id_b"), col("t"))

@@ -120,8 +120,8 @@ object Unigram {
         i => col("word").substr(i, lit(l)))).as("piece"))
       .groupBy("piece").agg(sum("freq").as("cnt"))
 
-    val chars = substrCounts(1).as[(String, Long)].collect()
-      .sortBy(_._1) // bounded: the observed alphabet
+    val chars = substrCounts(1).as[(String, Long)].collect() // bounded: the observed alphabet
+      .sortBy(_._1)
     val multis = (2 to maxPieceLen).map(substrCounts).reduce(_ unionAll _)
       .orderBy(col("cnt").desc, col("piece")).limit(seedMultis)
       .as[(String, Long)].collect() // bounded: ≤ seedMultis rows
@@ -138,7 +138,7 @@ object Unigram {
         .flatMap { case (w, f) => viterbi(w, bc.value, maxPieceLen).map(_ -> f) }
         .toDF("piece", "freq")
         .groupBy("piece").agg(sum("freq").as("cnt"))
-        .as[(String, Long)].collect().toMap
+        .as[(String, Long)].collect().toMap // bounded: the ≤ |vocab| piece inventory
       bc.unpersist()
       charV = charV.map { case (p, _) => p -> ecnt.getOrElse(p, 0L) }
       val rescored = multiV.map { case (p, _) => p -> ecnt.getOrElse(p, 0L) }

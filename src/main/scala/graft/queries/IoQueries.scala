@@ -610,7 +610,7 @@ object IoQueries {
         val files = graft.io.Layout
           .bloomMatchingFiles(manifest, probeKeys.toDF("o_orderkey"),
             "o_orderkey", mBits, k)
-          .collect().map(_.getString(0)).sorted
+          .collect().map(_.getString(0)).sorted // |files|-bounded planner step
         val planned =
           if (files.isEmpty) s.read.parquet(tmp).limit(0)
           else s.read.parquet(files.toIndexedSeq: _*)
@@ -711,7 +711,7 @@ object IoQueries {
         val files = graft.io.Layout
           .bloomMatchingFiles(zoneSurvivors, probes.toDF("o_custkey"),
             "o_custkey", mBits, k)
-          .collect().map(_.getString(0)).sorted
+          .collect().map(_.getString(0)).sorted // |files|-bounded planner step
         val planned =
           if (files.isEmpty) s.read.parquet(s"$tmp/data").select(cols.map(col): _*).limit(0)
           else s.read.parquet(files.toIndexedSeq: _*)
@@ -1434,7 +1434,7 @@ object IoQueries {
           .agg(coalesce(
             sum(graft.llm.TextAnalysis.tokenCount(col("text")).cast("long")),
             lit(0L)))
-          .collect()(0).getLong(0)
+          .collect()(0).getLong(0) // 1-row aggregate: the initial append base
         val stream = s.readStream
           .schema(s.read.parquet(watch).schema)
           .option("maxFilesPerTrigger", 1)
@@ -1452,7 +1452,7 @@ object IoQueries {
             .localCheckpoint(false) // read twice: token total + ledger
           val btok = packed
             .agg(coalesce(sum(col("n_tokens")), lit(0L)))
-            .collect()(0).getLong(0)
+            .collect()(0).getLong(0) // 1-row aggregate: this batch's token total
           ledger.advance(batchId, btok)
           packed.groupBy("shard_id")
             .agg(count(lit(1)).as("n_docs"),
@@ -1637,7 +1637,7 @@ object IoQueries {
           val hot = liveManifest().select("file", "n_rows")
             .join(dv.groupBy("file").agg(count(lit(1)).as("n_del")), Seq("file"))
             .filter(col("n_del") / col("n_rows") >= threshold)
-            .select("file").collect().map(_.getString(0)).sorted
+            .select("file").collect().map(_.getString(0)).sorted // |files|-bounded compaction plan
           if (hot.nonEmpty) {
             val gen = s"$genDir/batch_id=$batchId"
             s.read.parquet(hot.toIndexedSeq: _*)

@@ -3809,7 +3809,7 @@ object LlmQueries {
               TextAnalysis.stopwordRatio(col("text")) >= 0.02, 1L).otherwise(0L))
             .as("n_good"))
           .localCheckpoint(false)
-        val budget = 2L * per.agg(sum("avail")).collect()(0).getLong(0)
+        val budget = 2L * per.agg(sum("avail")).collect()(0).getLong(0) // 1-row aggregate
         // rank window runs over |sources| rows (20) — bounded by the
         // source vocabulary, never by the corpus
         val tiers = per
@@ -4223,7 +4223,7 @@ object LlmQueries {
         val baseTokens = docs.filter(col("doc_id") % 5 =!= 0)
           .agg(coalesce(sum(TextAnalysis.tokenCount(col("text")).cast("long")),
             lit(0L)))
-          .collect()(0).getLong(0)
+          .collect()(0).getLong(0) // 1-row aggregate: the append base
         Corpus.packShardsAppend(docs.filter(col("doc_id") % 5 === 0),
             "doc_id", "text", 2048L, baseTokens)
           .groupBy("shard_id")
@@ -4738,7 +4738,7 @@ object LlmQueries {
     // distributed q_l72 planner, minus ~8 agg/broadcast job floors.
     val perRows = mixed.groupBy("source")
       .agg(sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("avail"))
-      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .collect().map(r => (r.getString(0), r.getLong(1))) // |sources|-bounded planner input
     val budget = 2L * perRows.map(_._2).sum
     val tiers = perRows.sortBy { case (src, av) => (-av, src) }.zipWithIndex
       .map { case ((src, av), i) =>

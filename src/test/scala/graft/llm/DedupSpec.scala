@@ -84,6 +84,30 @@ class DedupSpec extends AnyFunSuite {
     assert(pf.nonEmpty, "testdata should contain planted near-duplicates")
   }
 
+  test("prefix-length ceil stays exact-rational-consistent across the token-count tail") {
+    // The prefix bound `n − ⌈t·n − ε⌉ + 1` (ε = 1e-9) runs as a DOUBLE
+    // expression in Spark AND in the DuckDB oracle. The superset
+    // guarantee needs it to equal the exact-rational `n − ⌈t·n⌉ + 1`
+    // for EVERY document size n the corpus can produce: too short
+    // voids the lemma (silently dropped true pairs), too long only
+    // costs candidates. sf1.0 shingle counts reach the tens of
+    // thousands; sweep far past that so the next scale step can't
+    // surprise. ε is safe iff it never crosses an integer boundary —
+    // i.e. frac(t·n) is never in (0, ~1e-9) — which holds for the
+    // rational thresholds used (denominator ≤ 20 ⇒ frac ≥ 1/20).
+    for ((tNum, tDen) <- Seq((4, 5), (7, 10), (9, 10), (1, 2), (17, 20))) {
+      val t = tNum.toDouble / tDen
+      var n = 1L
+      while (n <= 2000000L) {
+        val exact = n - (tNum * n + tDen - 1) / tDen + 1 // integer ⌈tNum·n/tDen⌉
+        val asRun = n - math.ceil(t * n - 1e-9).toLong + 1
+        assert(asRun == exact,
+          s"ceil drift at n=$n t=$tNum/$tDen: double-form $asRun vs exact $exact")
+        n += 1
+      }
+    }
+  }
+
   test("exact fingerprint collapses case/whitespace variants") {
     import spark.implicits._
     val df = Seq("hello  world", "HELLO WORLD  ", "other doc").toDF("text")
