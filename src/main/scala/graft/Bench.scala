@@ -36,7 +36,11 @@ import graft.queries.Registry
   *    interpreted ~5× slower — the dominant round-6 contamination.
   */
 object Bench {
-  private val Passes = 3
+  // Env-overridable for scale PROBES (e.g. the sf3 heavy-subset sweep,
+  // where a third pass of the quadratic graph family buys minutes of
+  // wall for no extra signal); the driver's per-round bench never sets
+  // it and keeps the min-of-3 contract.
+  private val Passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
 
   def main(args: Array[String]): Unit = {
     // f-interpolators delegate to String.format under the DEFAULT
