@@ -606,11 +606,17 @@ object Dedup {
     // high in doubles) can only LENGTHEN the prefix — a too-short
     // prefix would void the PPJoin superset guarantee and silently
     // drop true pairs (the oracle replays the same epsilon)
+    // checkpoint: the prefix frame feeds BOTH sides of the candidate
+    // self-join plus the bucket-bound aggregate below — uncheckpointed,
+    // Spark re-derives the df-join + per-doc window once per consumer
+    // (measured 2× the query wall at sf0.1 when the bound agg became
+    // the third consumer)
     val prefix = toksD.join(tokDf, Seq("t"))
       .withColumn("__rn", row_number().over(wDoc))
       .join(sizes, Seq("__id"))
       .filter(col("__rn") <= col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)) + 1)
       .select("__id", "t", "n")
+      .localCheckpoint(true)
     // length filter (also PPJoin): J >= t forces i >= t·max(|a|,|b|)
     // and i <= min(|a|,|b|), so mismatched set sizes can't qualify —
     // applied inside the candidate join, before the dedup shuffle
