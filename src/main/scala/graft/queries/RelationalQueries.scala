@@ -2029,6 +2029,58 @@ object RelationalQueries {
             round(lit(3.0) * col("t") / col("wedges"), 6).as("clustering_coeff"))
       }),
 
+    // ---------------------------------------------------------------- A30b (triangles over the CONTRIBUTION-CAPPED graph)
+    QueryDef(
+      "q_a30b_triangles_capped", "A30 triangle counting (degree-capped edge build)",
+      // the mitigated twin of q_a30, added the round the sf3 probe
+      // KILLED the exact form: the exact quadratic edge list's wedge
+      // join spilled past the sandbox's free disk at sf3 ("no space
+      // left on device" after 14k cpuSec of healthy parallel work) —
+      // spill BYTES, not CPU, are the exact build's first hard wall.
+      // Same per-key contribution cap as q_a29b (16 users per k by
+      // the ANSI-replayable Knuth scramble, salted two-phase top-k),
+      // bounding edges at |k|·cap² and wedges at (2·cap·|k|)² per
+      // node worst-case — then the identical once-per-triangle
+      // (a<b<c) two-join count and clustering coefficient. The
+      // oracle replays cap, threshold, and count exactly.
+      Some("""WITH p AS MATERIALIZED (SELECT DISTINCT user_id AS u,
+             |    CAST(props->>'$.k' AS BIGINT) AS k
+             |  FROM events WHERE event_type = 'purchase'),
+             |pc AS MATERIALIZED (SELECT u, k FROM (SELECT u, k,
+             |    row_number() OVER (PARTITION BY k
+             |      ORDER BY (u * 2654435761) % 4294967296, u) AS rn
+             |  FROM p) WHERE rn <= 16),
+             |und AS MATERIALIZED (SELECT a.u AS src, b.u AS dst
+             |        FROM pc a JOIN pc b ON a.k = b.k AND a.u <> b.u
+             |        GROUP BY 1, 2 HAVING count(*) >= 5),
+             |deg AS (SELECT src AS u, count(*) AS d FROM und GROUP BY 1),
+             |o AS MATERIALIZED (SELECT src, dst FROM und WHERE src < dst),
+             |tri AS (SELECT count(*) AS t
+             |  FROM o e1 JOIN o e2 ON e2.src = e1.dst
+             |            JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+             |w AS (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) AS wedges FROM deg)
+             |SELECT (SELECT count(*) FROM o) AS n_edges, tri.t AS n_triangles,
+             |w.wedges,
+             |round(3.0 * tri.t / w.wedges, 6) AS clustering_coeff
+             |FROM tri CROSS JOIN w""".stripMargin),
+      (s, dir) => {
+        val und = CoPurchaseGraph.strongTieEdgesCapped(s, dir, minShared = 5,
+          cap = 16)
+        val deg = und.groupBy(col("src").as("u")).agg(count(lit(1)).as("d"))
+        val o = und.filter(col("src") < col("dst"))
+        val tri = o.as("e1")
+          .join(o.as("e2"), col("e2.src") === col("e1.dst"))
+          .join(o.as("e3"),
+            col("e3.src") === col("e1.src") && col("e3.dst") === col("e2.dst"))
+          .agg(count(lit(1)).as("t"))
+        val wedges = deg.agg(sum(floor(col("d") * (col("d") - 1) / 2)).cast("long")
+          .as("wedges"))
+        val nEdges = o.agg(count(lit(1)).as("n_edges"))
+        nEdges.crossJoin(broadcast(tri)).crossJoin(broadcast(wedges))
+          .select(col("n_edges"), col("t").as("n_triangles"), col("wedges"),
+            round(lit(3.0) * col("t") / col("wedges"), 6).as("clustering_coeff"))
+      }),
+
     // ---------------------------------------------------------------- A28 (categorical set overlap / Jaccard matrix)
     QueryDef(
       "q_a28_set_overlap", "A28 audience overlap (set Jaccard)",
