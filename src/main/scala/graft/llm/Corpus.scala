@@ -375,6 +375,29 @@ object Corpus {
   /** True when `c` contains any maskable span. */
   def hasPii(c: Column): Column = redactPii(c) =!= c
 
+  /** k-anonymity enforcement over a quasi-identifier tuple: a row is
+    * releasable only when at least `k` rows share its quasi-id values
+    * (so no quasi-id combination singles out fewer than k people —
+    * the standard privacy bar before a corpus with demographic-ish
+    * columns leaves the pipeline). One pass: a window count over the
+    * quasi-id partition tags each row with its group size, and
+    * `__k_suppressed` marks the rows a release must drop.
+    *
+    * Scale shape: ONE hash-partitioned window on the quasi-id tuple —
+    * identical cost to the keep-first dedup family; no join, no
+    * second scan. A skewed quasi-id (one giant (lang, source) group)
+    * only makes a group that is safely over k — the window's count is
+    * a partial-agg-friendly running size, and at 100 TB the same
+    * check runs as groupBy(quasi-ids).count + broadcast of the
+    * (tiny) under-k group list if the row-level tag is not needed.
+    */
+  def kAnonymize(docs: DataFrame, quasiCols: Seq[String], k: Int): DataFrame = {
+    val w = Window.partitionBy(quasiCols.map(col): _*)
+    docs
+      .withColumn("__k_group_n", count(lit(1)).over(w))
+      .withColumn("__k_suppressed", col("__k_group_n") < k)
+  }
+
   /** Deterministic stratified resampling — the source/language MIXING
     * step of corpus assembly (C4/MassiveText-style): each stratum
     * (source, language, quality bucket, ...) gets a sampling rate;

@@ -68,6 +68,46 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "score")
   }
 
+  /** Late-interaction (MaxSim) retrieval over MULTI-vector documents —
+    * the ColBERT scoring shape: each document is a BAG of vectors (one
+    * per token/chunk), each query likewise, and
+    * score(q, d) = Σ_{qv ∈ q} max_{dv ∈ d} cos(qv, dv).
+    * Cosines are quantized to exact integer milli-units BEFORE the
+    * max/sum (max and sum of BIGINTs are order-independent, so the
+    * two-level aggregation hashes identically in any engine — the
+    * rounded-DECIMAL discipline, applied to a nested aggregate).
+    *
+    * Scale shape: queries are few (a query workload, not a corpus) so
+    * their vectors broadcast; the candidate side never self-joins —
+    * one broadcast nested-loop against the corpus vectors, then two
+    * hash aggregations, (query, q_vec, doc) → max and (query, doc) →
+    * sum, both partial-agg friendly. Cost is |q_vecs| · |corpus_vecs|
+    * map-side with nothing shuffled but the (query, doc) partials —
+    * the brute-force tier; at 100 TB the same scoring runs after an
+    * ANN candidate cut (q_l6/q_l12 shapes) shrinks the corpus side.
+    */
+  def maxSimTopK(
+      queryVecs: DataFrame, corpusVecs: DataFrame, docCol: String,
+      vecIdCol: String, embCol: String, k: Int): DataFrame = {
+    val q = queryVecs.select(col(docCol).as("query_id"),
+      col(vecIdCol).as("__qv"), asDouble(col(embCol)).as("__qe"))
+    val c = corpusVecs.select(col(docCol).as("neighbor_doc"), asDouble(col(embCol)).as("__ce"))
+    val milli = broadcast(q).crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_doc"))
+      .withColumn("__milli",
+        round(cosine(col("__qe"), col("__ce")) * 1000).cast("long"))
+    val best = milli.groupBy("query_id", "__qv", "neighbor_doc")
+      .agg(max("__milli").as("__best"))
+    val scored = best.groupBy("query_id", "neighbor_doc")
+      .agg(sum("__best").cast("long").as("score_milli"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_milli").desc, col("neighbor_doc"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_doc", "score_milli")
+  }
+
   private val TwoPow63 = math.pow(2.0, 63) // exact power of two
 
   /** Deterministic SQL-replayable hyperplane weight: first 64 md5 bits

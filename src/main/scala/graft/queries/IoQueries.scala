@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFns
-import graft.io.{Bucketing, Exports, Snapshots}
+import graft.io.{Bucketing, Exports, Snapshots, TableLog}
 import graft.streaming.CdcStream
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
@@ -822,6 +822,194 @@ object IoQueries {
         }
         gens.reduce(_ unionByName _)
           .groupBy("priority")
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+          .orderBy("priority")
+      }),
+
+    // ---------------------------------------------------------------- S33 (expire snapshots + vacuum unreferenced files)
+    QueryDef(
+      "q_s33_snapshot_expire", "S15 (snapshot expiration / VACUUM)",
+      // the maintenance half of q_s31's time travel: a commit-log table
+      // (TableLog) accumulates four versions — two ingests, a
+      // compaction that REWRITES v1's small files, one more ingest —
+      // and then retention expires versions 1-2. Vacuum deletes
+      // exactly the files no SURVIVING version references: the
+      // pre-compaction small files (freed by the rewrite once v1/v2
+      // left the horizon) and NOTHING else — the compacted file and
+      // both untouched ingests must survive, which the oracle (the
+      // FULL table aggregate over the post-vacuum read) turns into a
+      // hash mismatch if vacuum over-deletes, while the in-query
+      // requires pin under-deletion and that time travel to the
+      // oldest SURVIVING version still answers after the sweep.
+      // At 100 TB: the reference walk is |surviving versions| ×
+      // |files| set algebra over log metadata, deletes are
+      // |unreferenced files| filesystem calls — no data scan, no
+      // shuffle; space reclaim scales with what compaction actually
+      // freed, never with table size.
+      Some("""SELECT o_orderpriority AS priority, count(*) AS n,
+             |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             |FROM orders GROUP BY priority ORDER BY priority""".stripMargin),
+      (s, dir) => {
+        val tmp = s"$TmpBase/q_s33_expire"
+        val fs = new org.apache.hadoop.fs.Path(tmp)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true) // idempotent re-runs
+        val (dataDir, logDir) = (s"$tmp/data", s"$tmp/log")
+        val o = Tables.orders(s, dir)
+          .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        def land(sub: String, df: org.apache.spark.sql.DataFrame, n: Int): Seq[String] = {
+          df.repartition(n, col("o_orderkey"))
+            .write.mode("overwrite").parquet(s"$dataDir/$sub")
+          TableLog.filesUnder(s, s"$dataDir/$sub")
+        }
+        val a = land("c1", o.filter(col("o_orderkey") % 3 === 0), 4)
+        require(TableLog.tryClaim(s, logDir, TableLog.Commit(1, "ingest-a", a, Nil)))
+        val b = land("c2", o.filter(col("o_orderkey") % 3 === 1), 3)
+        require(TableLog.tryClaim(s, logDir, TableLog.Commit(2, "ingest-b", b, Nil)))
+        // v3: compaction — v1's four small files rewritten as one; the
+        // OLD files stay referenced by versions 1-2 until retention
+        val compacted = land("c3", s.read.parquet(a: _*), 1)
+        require(TableLog.tryClaim(s, logDir, TableLog.Commit(3, "compact", compacted, a)))
+        val c = land("c4", o.filter(col("o_orderkey") % 3 === 2), 3)
+        require(TableLog.tryClaim(s, logDir, TableLog.Commit(4, "ingest-c", c, Nil)))
+        val commits = TableLog.readCommits(s, logDir)
+        val v3Files = TableLog.liveFiles(commits, Some(3))
+        val v3Rows = s.read.parquet(v3Files: _*).count() // pre-vacuum baseline
+        val (deleted, _) = TableLog.expire(s, dataDir, logDir, keepFrom = 3)
+        require(deleted == a,
+          s"vacuum must free exactly the compacted-away files: got $deleted, want $a")
+        require(s.read.parquet(v3Files: _*).count() == v3Rows,
+          "time travel to the oldest surviving version broke after vacuum")
+        s.read.parquet(TableLog.liveFiles(commits): _*)
+          .groupBy(col("o_orderpriority").as("priority"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+          .orderBy("priority")
+      }),
+
+    // ---------------------------------------------------------------- S34 (partition-spec evolution across generations)
+    QueryDef(
+      "q_s34_partition_evolution", "S10 S11 S16 (per-generation partition specs)",
+      // the partition-layout half of schema evolution (q_s32 is the
+      // column-name half): generation 1 landed partitioned by month
+      // only; the table then evolved its spec to (month, priority) and
+      // generation 2 writes under the finer layout — NO old file moves
+      // (the Iceberg spec-evolution contract; a Hive table would
+      // demand a full rewrite). The reader resolves each generation
+      // through the spec manifest and pushes the SAME predicate at
+      // both: gen 1 dir-prunes month and in-scan-filters priority,
+      // gen 2 dir-prunes both (PartitionFilters at both scans —
+      // pinned in PlanSpec). The oracle computes the predicate over
+      // the raw table, so a generation skipped, double-read, or
+      // pruned too hard is a hash mismatch. At 100 TB the win is the
+      // usual one: re-partitioning a petabyte table costs a manifest
+      // row, not a rewrite, and new data immediately earns the finer
+      // pruning.
+      Some("""SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             |o_orderpriority AS priority, count(*) AS n,
+             |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             |FROM orders
+             |WHERE strftime(o_orderdate, '%Y-%m') IN ('1995-03', '1995-04')
+             |  AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+             |GROUP BY 1, 2 ORDER BY month, priority""".stripMargin),
+      (s, dir) => {
+        val tmp = s"$TmpBase/q_s34_specs"
+        val o = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"),
+            date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        // gen 1: coarse spec — partitioned by month only
+        o.filter(col("o_orderkey") % 2 === 0)
+          .write.mode("overwrite").partitionBy("month").parquet(s"$tmp/gen=1")
+        // spec evolution; gen 2 lands under (month, priority)
+        o.filter(col("o_orderkey") % 2 === 1)
+          .withColumnRenamed("o_orderpriority", "priority")
+          .write.mode("overwrite").partitionBy("month", "priority").parquet(s"$tmp/gen=2")
+        // the spec manifest: generation → its partition columns
+        val specs = Map(1 -> Seq("month"), 2 -> Seq("month", "priority"))
+        val months = Seq("1995-03", "1995-04")
+        val prios = Seq("1-URGENT", "2-HIGH")
+        val gens = specs.toSeq.sortBy(_._1).map { case (g, spec) =>
+          val pri = if (spec.contains("priority")) col("priority")
+                    else col("o_orderpriority")
+          s.read.parquet(s"$tmp/gen=$g")
+            .filter(col("month").isin(months: _*) && pri.isin(prios: _*))
+            .select(col("month"), pri.as("priority"), col("o_totalprice"))
+        }
+        gens.reduce(_ unionByName _)
+          .groupBy("month", "priority")
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+          .orderBy("month", "priority")
+      }),
+
+    // ---------------------------------------------------------------- S35 (optimistic concurrency: claim, rebase, abort)
+    QueryDef(
+      "q_s35_concurrent_commit", "S15 (multi-writer commit protocol)",
+      // three writers race from the SAME base version of a TableLog
+      // table, exercising all three outcomes of optimistic
+      // concurrency: writer A (GDPR delete, copy-on-write rewrite of
+      // only the files holding hits) claims v2 clean; writer B (blind
+      // append) loses the v2 race but rebases forward — appends
+      // remove nothing, so nothing can conflict — and lands v3;
+      // writer C (a compaction staged against the base file set)
+      // detects that A already removed files it rewrote and ABORTS:
+      // letting it land would resurrect the deleted rows. The final
+      // table is (base − A's deletes) ∪ B's append, which the oracle
+      // states in closed form — a lost update (C landing) or a missed
+      // rebase (B's rows absent) is a hash mismatch, and the version
+      // arithmetic is pinned by requires. The claim arbiter is the
+      // filesystem's create-fails-if-exists (the Delta LogStore
+      // idea): correct under any writer interleaving, no coordinator.
+      Some("""SELECT o_orderpriority AS priority, count(*) AS n,
+             |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             |FROM orders
+             |WHERE (o_orderkey % 4 <= 1 AND o_orderkey % 10 <> 0) OR o_orderkey % 4 = 2
+             |GROUP BY priority ORDER BY priority""".stripMargin),
+      (s, dir) => {
+        val tmp = s"$TmpBase/q_s35_occ"
+        val fs = new org.apache.hadoop.fs.Path(tmp)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true) // idempotent re-runs
+        val (dataDir, logDir) = (s"$tmp/data", s"$tmp/log")
+        val o = Tables.orders(s, dir)
+          .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        def land(sub: String, df: org.apache.spark.sql.DataFrame, n: Int): Seq[String] = {
+          df.repartition(n, col("o_orderkey"))
+            .write.mode("overwrite").parquet(s"$dataDir/$sub")
+          TableLog.filesUnder(s, s"$dataDir/$sub")
+        }
+        val base = land("c1", o.filter(col("o_orderkey") % 4 <= 1), 4)
+        require(TableLog.tryClaim(s, logDir, TableLog.Commit(1, "ingest", base, Nil)))
+        // writer A: delete o_orderkey%10==0 — rewrite ONLY files with hits
+        val hitFiles = s.read.parquet(base: _*)
+          .filter(col("o_orderkey") % 10 === 0)
+          .select(input_file_name().as("f")).distinct()
+          .collect() // ≤ |files| planner metadata
+          .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).toUri.getPath)
+          .sorted.toSeq
+        require(hitFiles.nonEmpty, "delete predicate matched no file — widen it")
+        val rewritten = land("c2",
+          s.read.parquet(hitFiles: _*).filter(col("o_orderkey") % 10 =!= 0),
+          hitFiles.size)
+        val rA = TableLog.tryCommit(s, logDir, base = 1, "writer-a-delete",
+          adds = rewritten, removes = hitFiles)
+        // writer B: blind append staged from the SAME base (never saw A)
+        val appended = land("c3", o.filter(col("o_orderkey") % 4 === 2), 2)
+        val rB = TableLog.tryCommit(s, logDir, base = 1, "writer-b-append",
+          adds = appended, removes = Nil)
+        // writer C: compaction staged from base 1 — rewrites files A removed
+        val staged = land("c4", s.read.parquet(base: _*), 1)
+        val rC = TableLog.tryCommit(s, logDir, base = 1, "writer-c-compact",
+          adds = staged, removes = base)
+        require(rA == Right(2), s"writer A should claim v2 clean: $rA")
+        require(rB == Right(3), s"writer B should rebase to v3: $rB")
+        require(rC == Left(hitFiles),
+          s"writer C must abort on A's removed files: $rC vs $hitFiles")
+        staged.foreach(f => // aborted writer sweeps its staged files
+          fs.delete(new org.apache.hadoop.fs.Path(f), false))
+        val commits = TableLog.readCommits(s, logDir)
+        require(commits.map(_.version) == Seq(1, 2, 3),
+          s"log must hold exactly v1-v3: ${commits.map(_.version)}")
+        s.read.parquet(TableLog.liveFiles(commits): _*)
+          .groupBy(col("o_orderpriority").as("priority"))
           .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
           .orderBy("priority")
       }),

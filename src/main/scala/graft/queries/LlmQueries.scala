@@ -4522,6 +4522,87 @@ object LlmQueries {
             round(poE, 6).as("po"), round(peE, 6).as("pe"),
             round((poE - peE) / (lit(1) - peE), 6).as("kappa"))
           .orderBy("label")
+      }),
+
+    // ---------------------------------------------------------------- k-anonymity suppression (quasi-identifier release gate)
+    QueryDef(
+      "q_l87_k_anonymity", "LLM-privacy-k-anonymity",
+      // the release gate that complements q_l18's span redaction: a
+      // row is publishable only when ≥ k rows share its quasi-id
+      // tuple (lang, source, 100-char length bucket) — otherwise the
+      // combination could single out an individual document. The
+      // engine pass is Corpus.kAnonymize: ONE window count over the
+      // quasi-id partition tags every row with its group size (same
+      // one-shuffle cost as keep-first dedup); the query then audits
+      // the release per lang — group counts, rows kept vs suppressed,
+      // and the suppression rate. The oracle recomputes group sizes
+      // from scratch, so an off-by-one in the k comparison or a
+      // quasi-id column drift flips kept↔suppressed rows and hashes
+      // differently.
+      Some("""WITH g AS (SELECT lang, source, n_chars // 100 AS len_b,
+             |    count(*) AS c FROM documents GROUP BY 1, 2, 3)
+             |SELECT lang, CAST(count(*) AS BIGINT) AS n_groups,
+             |  CAST(sum(CASE WHEN c < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_small_groups,
+             |  CAST(sum(CASE WHEN c < 5 THEN 0 ELSE c END) AS BIGINT) AS kept_rows,
+             |  CAST(sum(CASE WHEN c < 5 THEN c ELSE 0 END) AS BIGINT) AS suppressed_rows,
+             |  round(CAST(sum(CASE WHEN c < 5 THEN c ELSE 0 END) AS DOUBLE) / sum(c), 6)
+             |    AS suppression_rate
+             |FROM g GROUP BY lang ORDER BY lang""".stripMargin),
+      (s, dir) => {
+        val tagged = Corpus.kAnonymize(
+          Tables.documents(s, dir)
+            .withColumn("len_b", floor(col("n_chars") / 100)),
+          Seq("lang", "source", "len_b"), k = 5)
+        tagged
+          .groupBy("lang")
+          .agg(
+            countDistinct(col("source"), col("len_b")).as("n_groups"),
+            countDistinct(when(col("__k_suppressed"), struct(col("source"), col("len_b"))))
+              .as("n_small_groups"),
+            sum(when(col("__k_suppressed"), 0L).otherwise(1L)).as("kept_rows"),
+            sum(when(col("__k_suppressed"), 1L).otherwise(0L)).as("suppressed_rows"),
+            round(sum(when(col("__k_suppressed"), 1L).otherwise(0L)).cast("double") /
+              count(lit(1)), 6).as("suppression_rate"))
+          .orderBy("lang")
+      }),
+
+    // ---------------------------------------------------------------- late-interaction MaxSim retrieval (multi-vector docs)
+    QueryDef(
+      "q_l88_maxsim", "LLM-retrieval-late-interaction",
+      // ColBERT-style late interaction: documents are BAGS of vectors
+      // (10 consecutive embedding rows = one multi-vector doc), and
+      // score(q, d) = Σ over q's vectors of max over d's vectors of
+      // cosine — quantized to integer milli-units BEFORE the max/sum
+      // so the nested aggregation is order-independent and the oracle
+      // replays it exactly. Docs 0-4 are the query workload; top-3
+      // neighbors per query, self excluded. Scale: |q_vecs| is
+      // workload-bounded (broadcast), the corpus side is scanned once
+      // and only (query, doc) partials shuffle — and past brute-force
+      // scale the same scorer runs behind an ANN candidate cut
+      // (q_l6/q_l12 shapes).
+      Some("""WITH v AS (SELECT vec_id // 10 AS doc, vec_id,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+             |  FROM embeddings),
+             |pair AS (SELECT q.doc AS query_id, q.vec_id AS qv, c.doc AS neighbor_doc,
+             |    CAST(round(1000 * list_inner_product(q.e, c.e) /
+             |      (sqrt(list_inner_product(q.e, q.e)) * sqrt(list_inner_product(c.e, c.e))))
+             |      AS BIGINT) AS milli
+             |  FROM v q JOIN v c ON q.doc < 5 AND c.doc <> q.doc),
+             |best AS (SELECT query_id, qv, neighbor_doc, max(milli) AS m
+             |         FROM pair GROUP BY 1, 2, 3),
+             |score AS (SELECT query_id, neighbor_doc, CAST(sum(m) AS BIGINT) AS score_milli
+             |          FROM best GROUP BY 1, 2)
+             |SELECT query_id, rank, neighbor_doc, score_milli FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY query_id
+             |    ORDER BY score_milli DESC, neighbor_doc) AS rank
+             |  FROM score) t
+             |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
+      (s, dir) => {
+        val mv = Tables.embeddings(s, dir)
+          .select(floor(col("vec_id") / 10).as("doc"), col("vec_id"), col("embedding"))
+        Similarity.maxSimTopK(mv.filter(col("doc") < 5), mv,
+            docCol = "doc", vecIdCol = "vec_id", embCol = "embedding", k = 3)
+          .orderBy("query_id", "rank")
       })
   )
 
