@@ -108,6 +108,65 @@ object Similarity {
       .select("query_id", "rank", "neighbor_doc", "score_milli")
   }
 
+  /** Squared L2 distance with the SAME left-to-right accumulation as
+    * DuckDB's `list_inner_product(diff, diff)` — elementwise diff via
+    * zip_with, then the codegen'd dot kernel.
+    */
+  def distSq(a: Column, b: Column): Column = {
+    val d = zip_with(a, b, (x, y) => x - y)
+    dot(d, d)
+  }
+
+  /** Greedy k-center (farthest-point traversal) coreset selection —
+    * the data-selection step that picks a maximally-SPREAD subset of
+    * an embedding table (diverse fine-tuning subsets, eval probes,
+    * cluster seeding): seed with the smallest id, then k−1 times take
+    * the point FARTHEST from everything selected so far (ties to the
+    * smaller id). Points at distance 0 from the selected set (exact
+    * duplicates) are never picked — selecting one adds no coverage.
+    * Classic 2-approximation of the k-center objective.
+    *
+    * Scale shape: each round is ONE full scan computing
+    * min-over-centers distance (centers are a ≤ k×dim literal the
+    * executors fold over — broadcast-sized by construction) and a
+    * global top-1, i.e. k scans total with nothing shuffled but
+    * per-partition top-1 candidates. The driver holds only the k
+    * selected vectors. Distances reuse [[distSq]] so every comparison
+    * is bit-identical to the SQL replay; no distance ever crosses an
+    * engine boundary as an accumulated float.
+    *
+    * Returns (rank, vec_id, dist): dist is the point's squared
+    * distance to the previously-selected set at selection time
+    * (rounded 6dp for output; comparisons are unrounded), 0.0 for the
+    * seed.
+    */
+  def kCenterGreedy(
+      corpus: DataFrame, idCol: String, embCol: String, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val pts = corpus.select(col(idCol).cast("long").as("vec_id"),
+      asDouble(col(embCol)).as("e"))
+    val seed = pts.orderBy("vec_id").limit(1)
+      .collect()(0) // 1 row: the seed point
+    var selected = Vector((seed.getLong(0), seed.getSeq[Double](1).toArray, 0.0))
+    while (selected.size < k) {
+      val minDist = selected
+        .map { case (_, ce, _) => distSq(col("e"), array(ce.toSeq.map(lit): _*)) }
+        .reduce(least(_, _))
+      val next = pts.select(col("vec_id"), col("e"), minDist.as("d"))
+        .filter(col("d") > 0) // never re-pick a selected/duplicate point
+        .orderBy(col("d").desc, col("vec_id"))
+        .limit(1).collect()(0) // 1 row: this round's farthest point
+      selected :+= ((next.getLong(0), next.getSeq[Double](1).toArray, next.getDouble(2)))
+    }
+    selected.zipWithIndex
+      .map { case ((id, _, d), i) =>
+        // HALF_UP 6dp — the same rounding round(x, 6) applies in both engines
+        (i + 1, id, BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      .toDF("rank", "vec_id", "dist")
+  }
+
   private val TwoPow63 = math.pow(2.0, 63) // exact power of two
 
   /** Deterministic SQL-replayable hyperplane weight: first 64 md5 bits

@@ -1860,6 +1860,68 @@ object IoQueries {
           .orderBy("source")
       }),
 
+    // ---------------------------------------------------------------- ST: transactional streaming sink (commit-log visibility)
+    QueryDef(
+      "q_st22_stream_txn_sink", "ST S15 (exactly-once sink via version claims)",
+      // the TableLog commit protocol (q_s33/q_s35) as a STREAMING
+      // sink — the Delta streaming-sink idea: each micro-batch stages
+      // its files (overwrite-own-batch-dir, value-identical under
+      // replay) and then makes them VISIBLE by claiming version
+      // batchId+1 in the log. Readers resolve the table through the
+      // log, so a half-written batch is never observable (files exist
+      // but are not live), and exactly-once holds two ways: a
+      // replayed batch's staging rewrite is idempotent AND its
+      // version claim is refused (put-if-absent) — which the query
+      // exercises by re-claiming batch 0's version after the stream
+      // and requiring both the refusal and an unchanged live set.
+      // The oracle is the batch closed form over all events: a
+      // dropped batch, a double-counted replay, or a leaked
+      // uncommitted file is a hash mismatch. At 100 TB the claim is
+      // one create-fails-if-exists call per batch and the live-set
+      // replay is |commits| metadata — the sink's data path stays a
+      // plain distributed parquet write.
+      Some("""SELECT event_type, count(*) AS n,
+             |CAST(sum(event_id) AS BIGINT) AS id_sum,
+             |CAST(max(epoch_us(ts)) AS BIGINT) AS max_ts_us
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        val key = dir.replaceAll("[^A-Za-z0-9]+", "_")
+        val tmp = s"$TmpBase/q_st22_txn/$key"
+        val fsP = new org.apache.hadoop.fs.Path(tmp)
+        val fs = fsP.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(fsP, true) // fresh log: stale claims poison the replay check
+        val (watch, dataDir, logDir) = (s"$tmp/watch", s"$tmp/data", s"$tmp/log")
+        Tables.events(s, dir)
+          .select("event_id", "user_id", "event_type", "ts")
+          .repartitionByRange(4, col("event_id"))
+          .write.mode("overwrite").parquet(watch)
+        val stream = s.readStream
+          .schema(s.read.parquet(watch).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(watch)
+        CdcStream.runForeachBatchEffect(s, stream) { (batch, batchId) =>
+          val dirB = s"$dataDir/batch=$batchId"
+          batch.write.mode("overwrite").parquet(dirB) // idempotent staging
+          val claimed = TableLog.tryClaim(s, logDir,
+            TableLog.Commit(batchId.toInt + 1, "stream-writer",
+              TableLog.filesUnder(s, dirB), Nil))
+          require(claimed, s"single writer lost its claim on batch $batchId")
+        }
+        val live = TableLog.liveFiles(TableLog.readCommits(s, logDir))
+        // replay simulation: batch 0 fires again — claim refused, live set fixed
+        require(!TableLog.tryClaim(s, logDir, TableLog.Commit(1, "replayed-writer",
+            TableLog.filesUnder(s, s"$dataDir/batch=0"), Nil)),
+          "a replayed batch must not re-claim its version")
+        require(TableLog.liveFiles(TableLog.readCommits(s, logDir)) == live,
+          "live set changed under a replayed claim")
+        s.read.parquet(live: _*)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("event_id")).cast("long").as("id_sum"),
+            max(unix_micros(col("ts"))).as("max_ts_us"))
+          .orderBy("event_type")
+      }),
+
     // ---------------------------------------------------------------- ST: streaming HLL distinct sketch
     QueryDef(
       "q_st10_stream_hll", "ST HLL distinct (bounded streaming state)",

@@ -4603,8 +4603,64 @@ object LlmQueries {
         Similarity.maxSimTopK(mv.filter(col("doc") < 5), mv,
             docCol = "doc", vecIdCol = "vec_id", embCol = "embedding", k = 3)
           .orderBy("query_id", "rank")
-      })
+      }),
+
+    // ---------------------------------------------------------------- greedy k-center coreset selection
+    QueryDef(
+      "q_l89_coreset", "LLM-data-selection-kcenter",
+      // farthest-point traversal over the embedding table — the
+      // diversity-maximizing SELECTION step (diverse fine-tuning
+      // subsets, eval probes): seed at the smallest vec_id, then each
+      // round pick the point farthest (squared L2, running min over
+      // the selected set) from everything chosen so far, ties to the
+      // smaller id; distance-0 points (exact duplicates) are never
+      // picked. The oracle replays all 8 rounds as unrolled CTEs with
+      // the SAME least-chain over list_inner_product(diff, diff), so
+      // a single mis-ranked selection diverges every later round and
+      // the hash. Engine shape: k scans, each a min-over-centers fold
+      // against a ≤ k×64 literal + a global top-1 — nothing shuffled
+      // but per-partition candidates, driver state is k vectors.
+      Some(kcenterOracleSql(8)),
+      (s, dir) =>
+        Similarity.kCenterGreedy(Tables.embeddings(s, dir), "vec_id", "embedding", k = 8)
+          .orderBy("rank"))
   )
+
+  /** Generated oracle for q_l89: round i's CTE pair is
+    * mi (running min-dist after centering on round i−1's pick) and
+    * pi (that round's argmax), the exact unrolled replay of greedy
+    * k-center with the same tie and duplicate rules as the engine.
+    */
+  private def kcenterOracleSql(k: Int): String = {
+    val head =
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |           FROM embeddings),
+        |s0 AS (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 1),
+        |m1 AS MATERIALIZED (SELECT vec_id, e, list_inner_product(d, d) AS md
+        |  FROM (SELECT v.vec_id, v.e,
+        |          list_transform(list_zip(v.e, s0.e), s -> s[1] - s[2]) AS d
+        |        FROM v CROSS JOIN s0) t),
+        |p1 AS (SELECT vec_id, e, md FROM m1 WHERE md > 0
+        |       ORDER BY md DESC, vec_id LIMIT 1)""".stripMargin
+    val rounds = (2 until k).map { i =>
+      val p = i - 1
+      s"""m$i AS MATERIALIZED (SELECT vec_id, e, least(md, list_inner_product(d, d)) AS md
+         |  FROM (SELECT m$p.vec_id, m$p.e, m$p.md,
+         |          list_transform(list_zip(m$p.e, p$p.e), s -> s[1] - s[2]) AS d
+         |        FROM m$p CROSS JOIN p$p) t),
+         |p$i AS (SELECT vec_id, e, md FROM m$i WHERE md > 0
+         |        ORDER BY md DESC, vec_id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 until k)
+      .map(i => s"UNION ALL SELECT ${i + 1} AS rank, vec_id, round(md, 6) AS dist FROM p$i")
+      .mkString("\n")
+    s"""$head,
+       |$rounds
+       |SELECT rank, vec_id, dist FROM (
+       |  SELECT 1 AS rank, vec_id, CAST(0 AS DOUBLE) AS dist FROM s0
+       |  $sel) t
+       |ORDER BY rank""".stripMargin
+  }
 
   /** q_l80's score-bin boundaries: width-2 bins over [-18, 18]; the
     * bin index is the count of boundaries at or below the score —
