@@ -913,6 +913,12 @@ object IoQueries {
              |GROUP BY 1, 2 ORDER BY month, priority""".stripMargin),
       (s, dir) => {
         val tmp = s"$TmpBase/q_s34_specs"
+        // the session's dynamic partitionOverwriteMode replaces only
+        // partitions PRESENT in the new write — a previous run at a
+        // bigger SF leaves stale sibling partitions behind, so wipe
+        new org.apache.hadoop.fs.Path(tmp)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(tmp), true)
         val o = Tables.orders(s, dir)
           .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"),
             date_format(col("o_orderdate"), "yyyy-MM").as("month"))
