@@ -904,13 +904,13 @@ object IoQueries {
       // usual one: re-partitioning a petabyte table costs a manifest
       // row, not a rewrite, and new data immediately earns the finer
       // pruning.
-      Some("""SELECT strftime(o_orderdate, '%Y-%m') AS month,
+      Some("""SELECT strftime(o_orderdate, '%Y') AS year,
              |o_orderpriority AS priority, count(*) AS n,
              |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
              |FROM orders
-             |WHERE strftime(o_orderdate, '%Y-%m') IN ('1995-03', '1995-04')
+             |WHERE strftime(o_orderdate, '%Y') IN ('1995', '1996')
              |  AND o_orderpriority IN ('1-URGENT', '2-HIGH')
-             |GROUP BY 1, 2 ORDER BY month, priority""".stripMargin),
+             |GROUP BY 1, 2 ORDER BY year, priority""".stripMargin),
       (s, dir) => {
         val tmp = s"$TmpBase/q_s34_specs"
         // the session's dynamic partitionOverwriteMode replaces only
@@ -921,29 +921,33 @@ object IoQueries {
           .delete(new org.apache.hadoop.fs.Path(tmp), true)
         val o = Tables.orders(s, dir)
           .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"),
-            date_format(col("o_orderdate"), "yyyy-MM").as("month"))
-        // gen 1: coarse spec — partitioned by month only
+            date_format(col("o_orderdate"), "yyyy").as("year"))
+        // gen 1: coarse spec — partitioned by year only (clustered on
+        // the partition column first so a task never sprays a file
+        // into every year dir — writePartitioned's small-files rule)
         o.filter(col("o_orderkey") % 2 === 0)
-          .write.mode("overwrite").partitionBy("month").parquet(s"$tmp/gen=1")
-        // spec evolution; gen 2 lands under (month, priority)
+          .hint("rebalance", col("year"))
+          .write.mode("overwrite").partitionBy("year").parquet(s"$tmp/gen=1")
+        // spec evolution; gen 2 lands under (year, priority)
         o.filter(col("o_orderkey") % 2 === 1)
           .withColumnRenamed("o_orderpriority", "priority")
-          .write.mode("overwrite").partitionBy("month", "priority").parquet(s"$tmp/gen=2")
+          .hint("rebalance", col("year"), col("priority"))
+          .write.mode("overwrite").partitionBy("year", "priority").parquet(s"$tmp/gen=2")
         // the spec manifest: generation → its partition columns
-        val specs = Map(1 -> Seq("month"), 2 -> Seq("month", "priority"))
-        val months = Seq("1995-03", "1995-04")
+        val specs = Map(1 -> Seq("year"), 2 -> Seq("year", "priority"))
+        val years = Seq("1995", "1996")
         val prios = Seq("1-URGENT", "2-HIGH")
         val gens = specs.toSeq.sortBy(_._1).map { case (g, spec) =>
           val pri = if (spec.contains("priority")) col("priority")
                     else col("o_orderpriority")
           s.read.parquet(s"$tmp/gen=$g")
-            .filter(col("month").isin(months: _*) && pri.isin(prios: _*))
-            .select(col("month"), pri.as("priority"), col("o_totalprice"))
+            .filter(col("year").isin(years: _*) && pri.isin(prios: _*))
+            .select(col("year"), pri.as("priority"), col("o_totalprice"))
         }
         gens.reduce(_ unionByName _)
-          .groupBy("month", "priority")
+          .groupBy("year", "priority")
           .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
-          .orderBy("month", "priority")
+          .orderBy("year", "priority")
       }),
 
     // ---------------------------------------------------------------- S35 (optimistic concurrency: claim, rebase, abort)

@@ -60,27 +60,28 @@ class PlanSpec extends AnyFunSuite {
 
   test("partition-spec evolution: BOTH generations dir-prune, gen2 on both levels (q_s34)") {
     // the q_s34 contract as a plan property: after the spec evolved
-    // from (month) to (month, priority), a predicate on both columns
-    // must dir-prune month at the gen-1 scan and BOTH levels at the
+    // from (year) to (year, priority), a predicate on both columns
+    // must dir-prune year at the gen-1 scan and BOTH levels at the
     // gen-2 scan — if gen 2's priority filter degrades to a data
     // filter, the finer layout bought nothing and the read scans every
-    // priority dir of the month.
+    // priority dir of the year.
     val tmp = "/root/repo/target/tmp/planspec_specs"
+    graft.io.Snapshots.deleteDir(spark, tmp) // dynamic overwrite keeps stale siblings
     val o = Tables.orders(spark, sf)
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"),
-        date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        date_format(col("o_orderdate"), "yyyy").as("year"))
     o.filter(col("o_orderkey") % 2 === 0)
-      .write.mode("overwrite").partitionBy("month").parquet(s"$tmp/gen=1")
+      .write.mode("overwrite").partitionBy("year").parquet(s"$tmp/gen=1")
     o.filter(col("o_orderkey") % 2 === 1)
       .withColumnRenamed("o_orderpriority", "priority")
-      .write.mode("overwrite").partitionBy("month", "priority").parquet(s"$tmp/gen=2")
+      .write.mode("overwrite").partitionBy("year", "priority").parquet(s"$tmp/gen=2")
     val g1 = plan(spark.read.parquet(s"$tmp/gen=1")
-      .filter(col("month") === "1995-03" && col("o_orderpriority") === "1-URGENT"))
-    assert(g1.contains("PartitionFilters") && g1.contains("month"), g1)
+      .filter(col("year") === "1995" && col("o_orderpriority") === "1-URGENT"))
+    assert(g1.contains("PartitionFilters") && g1.contains("year"), g1)
     val g2 = plan(spark.read.parquet(s"$tmp/gen=2")
-      .filter(col("month") === "1995-03" && col("priority") === "1-URGENT"))
+      .filter(col("year") === "1995" && col("priority") === "1-URGENT"))
     val pf = g2.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
-    assert(pf.contains("month") && pf.contains("priority"),
+    assert(pf.contains("year") && pf.contains("priority"),
       s"gen-2 scan must prune BOTH partition levels:\n$g2")
   }
 
