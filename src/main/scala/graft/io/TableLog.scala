@@ -129,6 +129,36 @@ object TableLog {
     sys.error(s"tryCommit: gave up after $maxAttempts attempts from base $base")
   }
 
+  /** Squash-merge a BRANCH log onto a main log — the Iceberg/Nessie
+    * branching idea reduced to its commit-protocol core: a branch is
+    * just a second log whose commits were staged against main's state
+    * AS OF the fork version; merging replays the branch's NET file
+    * delta as ONE main commit (atomic — main readers see all of the
+    * branch or none of it), validated by the same remove-remove rule
+    * against everything that landed on main after the fork. In-branch
+    * churn nets out: a file added then removed on the branch never
+    * reaches main, a pre-fork file removed then re-added cancels to
+    * no-op. Returns the merge commit's version, or the blocking files
+    * when main concurrently removed something the branch also removed
+    * (the cross-branch lost-update case, which MUST abort).
+    * Metadata-bounded: |branch commits| replay + one claim.
+    */
+  def squashMerge(
+      spark: SparkSession, mainLog: String, branchLog: String,
+      fork: Int, committer: String): Either[Seq[String], Int] = {
+    val netAdds = scala.collection.mutable.LinkedHashSet.empty[String]
+    val netRemoves = scala.collection.mutable.LinkedHashSet.empty[String]
+    readCommits(spark, branchLog).foreach { c =>
+      c.adds.foreach { f =>
+        if (netRemoves.contains(f)) netRemoves -= f else netAdds += f
+      }
+      c.removes.foreach { f =>
+        if (netAdds.contains(f)) netAdds -= f else netRemoves += f
+      }
+    }
+    tryCommit(spark, mainLog, fork, committer, netAdds.toSeq, netRemoves.toSeq)
+  }
+
   /** Snapshot expiration + vacuum: drop every version < `keepFrom`
     * from the time-travel horizon and physically delete the data
     * files no SURVIVING version references. Append-only histories

@@ -1024,6 +1024,93 @@ object IoQueries {
           .orderBy("priority")
       }),
 
+    // ---------------------------------------------------------------- S36 (table branching + squash merge)
+    QueryDef(
+      "q_s36_table_branching", "S15 (branch, squash-merge, cross-branch conflict)",
+      // the Nessie/Iceberg-branch idea over the TableLog protocol: a
+      // BRANCH is a second commit log forked at a main version —
+      // writers iterate there (here: a GDPR delete rewrite, then a
+      // compaction of the branch's own rewrite, two commits whose
+      // in-branch churn must net out) without main readers seeing
+      // anything. Merging replays the branch's NET file delta as ONE
+      // atomic main commit validated against everything that landed
+      // on main since the fork (writer appends land concurrently and
+      // rebase under the merge fine); a SECOND branch that rewrote
+      // the same files the first branch deleted must abort at merge —
+      // the cross-branch lost-update. The oracle states the merged
+      // closed form; the in-query requires pin the version arithmetic,
+      // the conflict, and that the pre-merge fork read is untouched.
+      // At 100 TB: a branch costs one directory of metadata, merge is
+      // |branch commits| replay + one claim — data files never move.
+      Some("""SELECT o_orderpriority AS priority, count(*) AS n,
+             |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             |FROM orders WHERE o_orderkey % 15 <> 0
+             |GROUP BY priority ORDER BY priority""".stripMargin),
+      (s, dir) => {
+        val tmp = s"$TmpBase/q_s36_branch"
+        val fs = new org.apache.hadoop.fs.Path(tmp)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true) // idempotent re-runs
+        val (dataDir, mainLog) = (s"$tmp/data", s"$tmp/log/main")
+        val o = Tables.orders(s, dir)
+          .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        def land(sub: String, df: org.apache.spark.sql.DataFrame, n: Int): Seq[String] = {
+          df.repartition(n, col("o_orderkey"))
+            .write.mode("overwrite").parquet(s"$dataDir/$sub")
+          TableLog.filesUnder(s, s"$dataDir/$sub")
+        }
+        val a = land("c1", o.filter(col("o_orderkey") % 3 === 0), 4)
+        require(TableLog.tryClaim(s, mainLog, TableLog.Commit(1, "ingest-a", a, Nil)))
+        val b = land("c2", o.filter(col("o_orderkey") % 3 === 1), 3)
+        require(TableLog.tryClaim(s, mainLog, TableLog.Commit(2, "ingest-b", b, Nil)))
+        val fork = 2
+        val atFork = TableLog.liveFiles(TableLog.readCommits(s, mainLog), Some(fork))
+        // branch "dev": GDPR delete (%15==0) staged against the fork state
+        val devLog = s"$tmp/log/dev"
+        val hitFiles = s.read.parquet(atFork: _*)
+          .filter(col("o_orderkey") % 15 === 0)
+          .select(input_file_name().as("f")).distinct()
+          .collect() // ≤ |files| planner metadata
+          .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).toUri.getPath)
+          .sorted.toSeq
+        require(hitFiles.nonEmpty, "delete predicate matched no file — widen it")
+        val rewritten = land("dev1",
+          s.read.parquet(hitFiles: _*).filter(col("o_orderkey") % 15 =!= 0),
+          hitFiles.size)
+        require(TableLog.tryClaim(s, devLog,
+          TableLog.Commit(1, "dev-delete", rewritten, hitFiles)))
+        // second branch commit: compact dev's OWN rewrite — nets out
+        val compacted = land("dev2", s.read.parquet(rewritten: _*), 1)
+        require(TableLog.tryClaim(s, devLog,
+          TableLog.Commit(2, "dev-compact", compacted, rewritten)))
+        // main moves on concurrently: a blind append lands v3
+        val c = land("c3", o.filter(col("o_orderkey") % 3 === 2), 3)
+        require(TableLog.tryClaim(s, mainLog, TableLog.Commit(3, "ingest-c", c, Nil)))
+        // merge dev → main: net delta (adds=compacted, removes=hitFiles)
+        // as ONE commit, validated against v3
+        val merged = TableLog.squashMerge(s, mainLog, devLog, fork, "merge-dev")
+        require(merged == Right(4), s"squash merge should land as v4: $merged")
+        // a second branch that compacted the same files dev deleted
+        // must abort at merge — cross-branch lost update
+        val rivalLog = s"$tmp/log/rival"
+        val staged = land("rival1", s.read.parquet(atFork: _*), 1)
+        require(TableLog.tryClaim(s, rivalLog,
+          TableLog.Commit(1, "rival-compact", staged, atFork)))
+        val rival = TableLog.squashMerge(s, mainLog, rivalLog, fork, "merge-rival")
+        require(rival == Left(hitFiles),
+          s"rival merge must abort on dev's removed files: $rival")
+        staged.foreach(f => // aborted merge sweeps its staged files
+          fs.delete(new org.apache.hadoop.fs.Path(f), false))
+        val commits = TableLog.readCommits(s, mainLog)
+        // the fork read is untouched by everything that happened since
+        require(TableLog.liveFiles(commits, Some(fork)) == atFork,
+          "branch work leaked into the fork-version read")
+        s.read.parquet(TableLog.liveFiles(commits): _*)
+          .groupBy(col("o_orderpriority").as("priority"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+          .orderBy("priority")
+      }),
+
     // ---------------------------------------------------------------- S23 (schema merge on read)
     QueryDef(
       "q_s23_merge_schema", "S16 (heterogeneous-batch schema merge)",

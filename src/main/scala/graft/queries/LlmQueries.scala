@@ -4623,7 +4623,81 @@ object LlmQueries {
       Some(kcenterOracleSql(8)),
       (s, dir) =>
         Similarity.kCenterGreedy(Tables.embeddings(s, dir), "vec_id", "embedding", k = 8)
-          .orderBy("rank"))
+          .orderBy("rank")),
+
+    // ---------------------------------------------------------------- approximate-dedup audit (SimHash vs exact Jaccard)
+    QueryDef(
+      "q_l90_dedup_audit", "LLM-dedup-audit",
+      // the approximate family's quality, measured IN the engine as a
+      // gated query instead of a one-off profiling note: the SimHash
+      // candidate set (64-bit signatures, 4×16 band blocking,
+      // Hamming ≤ 8 — the q_l4 pipeline) scored against the EXACT
+      // 3-gram-Jaccard ≥ 0.8 pair set (complete shared-shingle
+      // blocking, the q_l2 oracle shape) — one full-outer join of the
+      // two pair sets reduced to precision/recall. This is the audit
+      // every production dedup pipeline re-runs when the corpus
+      // distribution drifts: recall says what the cheap pass misses,
+      // precision what it over-flags. Both halves replay exactly in
+      // SQL (md5 signatures / shingle join), so the metrics
+      // themselves are hash-checked — a drifted band count or a
+      // broken Hamming threshold moves a number. Scale shape: the two
+      // generators are the standing q_l2/q_l4 plans; the audit adds
+      // one (id_a, id_b)-keyed join over pair lists.
+      Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+             |sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+             |                                            for i in generate_series(1, len(w)-2)])) AS s
+             |       FROM toks WHERE len(w) >= 3),
+             |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+             |ipairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+             |           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |           GROUP BY 1, 2),
+             |ex AS (SELECT id_a, id_b FROM ipairs
+             |       JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+             |       WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8),
+             |t2 AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+             |       FROM documents),
+             |th AS (SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 16)) AS UBIGINT) AS h
+             |       FROM t2),
+             |votes AS (SELECT doc_id, i, sum(CASE WHEN ((h >> i) & 1) = 1 THEN 1 ELSE -1 END) AS v
+             |          FROM th CROSS JOIN generate_series(0, 63) s(i)
+             |          GROUP BY doc_id, i),
+             |sig AS (SELECT doc_id,
+             |          bit_or(CASE WHEN v > 0 THEN (1::UBIGINT << i) ELSE 0::UBIGINT END) AS sg
+             |        FROM votes GROUP BY doc_id),
+             |bands AS (SELECT doc_id, sg, b, (sg >> (b * 16)) & 65535 AS bh
+             |          FROM sig CROSS JOIN generate_series(0, 3) t(b)),
+             |ap AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+             |       FROM bands a JOIN bands c
+             |         ON a.b = c.b AND a.bh = c.bh AND a.doc_id < c.doc_id
+             |       WHERE bit_count(xor(a.sg, c.sg)) <= 8),
+             |fo AS (SELECT CASE WHEN e.id_a IS NOT NULL THEN 1 ELSE 0 END AS e,
+             |              CASE WHEN a.id_a IS NOT NULL THEN 1 ELSE 0 END AS ap
+             |       FROM ex e FULL OUTER JOIN ap a
+             |         ON e.id_a = a.id_a AND e.id_b = a.id_b)
+             |SELECT CAST(sum(e) AS BIGINT) AS n_exact,
+             |  CAST(sum(ap) AS BIGINT) AS n_approx,
+             |  CAST(sum(e * ap) AS BIGINT) AS n_both,
+             |  round(sum(e * ap) / CAST(nullif(sum(ap), 0) AS DOUBLE), 6) AS prec,
+             |  round(sum(e * ap) / CAST(nullif(sum(e), 0) AS DOUBLE), 6) AS rec
+             |FROM fo""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val keyed = docs.select(col("doc_id").as("__id"),
+          explode(Dedup.shingles(col("text"), 3)).as("s"))
+        val exact = Dedup.exactPairsUncapped(keyed, "s", threshold = 0.8)
+          .select("id_a", "id_b").withColumn("e", lit(1))
+        val approx = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxDistance = 8)
+          .select("id_a", "id_b").withColumn("ap", lit(1))
+        exact.join(approx, Seq("id_a", "id_b"), "full_outer")
+          .select(coalesce(col("e"), lit(0)).as("e"), coalesce(col("ap"), lit(0)).as("ap"))
+          .agg(sum("e").cast("long").as("n_exact"),
+            sum("ap").cast("long").as("n_approx"),
+            sum(col("e") * col("ap")).cast("long").as("n_both"),
+            round(sum(col("e") * col("ap")) /
+              nullif(sum("ap"), lit(0)).cast("double"), 6).as("prec"),
+            round(sum(col("e") * col("ap")) /
+              nullif(sum("e"), lit(0)).cast("double"), 6).as("rec"))
+      })
   )
 
   /** Generated oracle for q_l89: round i's CTE pair is

@@ -68,6 +68,33 @@ class TableLogSpec extends AnyFunSuite {
       == Right(4))
   }
 
+  test("squash merge nets in-branch churn and validates against post-fork main commits") {
+    val (dataDir, logDir) = wipe("merge")
+    val mainLog = s"$logDir/main"
+    val base = land(dataDir, "c1", 0 until 60, 2)
+    assert(TableLog.tryClaim(spark, mainLog, TableLog.Commit(1, "ingest", base, Nil)))
+    // branch: rewrite base.head, then compact its own rewrite — the
+    // intermediate file must never reach main
+    val devLog = s"$logDir/dev"
+    val rw = land(dataDir, "d1", 0 until 30, 1)
+    assert(TableLog.tryClaim(spark, devLog, TableLog.Commit(1, "dev-rw", rw, Seq(base.head))))
+    val comp = land(dataDir, "d2", 0 until 30, 1)
+    assert(TableLog.tryClaim(spark, devLog, TableLog.Commit(2, "dev-comp", comp, rw)))
+    // main moves on with a blind append
+    val app = land(dataDir, "c2", 60 until 80, 1)
+    assert(TableLog.tryClaim(spark, mainLog, TableLog.Commit(2, "append", app, Nil)))
+    assert(TableLog.squashMerge(spark, mainLog, devLog, fork = 1, "merge") == Right(3))
+    val live = TableLog.liveFiles(TableLog.readCommits(spark, mainLog)).toSet
+    assert(live == (base.tail ++ app ++ comp).toSet,
+      s"merged live set must skip the netted intermediate: $live")
+    // a rival branch that also removed base.head must abort at merge
+    val rivalLog = s"$logDir/rival"
+    val rw2 = land(dataDir, "r1", 0 until 30, 1)
+    assert(TableLog.tryClaim(spark, rivalLog, TableLog.Commit(1, "rival", rw2, Seq(base.head))))
+    assert(TableLog.squashMerge(spark, mainLog, rivalLog, fork = 1, "merge-rival")
+      == Left(Seq(base.head)))
+  }
+
   test("expire deletes exactly the files no surviving version references") {
     val (dataDir, logDir) = wipe("vac")
     val a = land(dataDir, "c1", 0 until 50, 3)
