@@ -2141,6 +2141,109 @@ object RelationalQueries {
           .groupBy(col("o_orderpriority").as("priority"))
           .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
           .orderBy("priority")
+      }),
+
+    // ---------------------------------------------------------------- A51 (multi-touch attribution)
+    QueryDef(
+      "q_a51_attribution", "A51 position-weighted multi-touch attribution",
+      // U-shaped (position-based) marketing attribution: every
+      // click/view/signup touch is attributed to the user's NEXT
+      // purchase (strictly later — an as-of association computed as a
+      // per-user min-over-later-conversions, one shuffle on user_id);
+      // within each (user, conversion) journey the first and last
+      // touch earn 0.4 each and the middles split 0.2 evenly
+      // (n=1 → 1.0, n=2 → 0.5/0.5 — the standard renormalizations).
+      // Weights are materialized as DECIMAL(9,6) BEFORE the per-channel
+      // sum, so the aggregate is exact and order-independent in both
+      // engines (the repo's decimal-sum convention; 0.2/(n-2) is first
+      // a double division — bit-identical IEEE in both — then a
+      // round(6) whose inputs never sit on a tie boundary because
+      // 0.2/k only terminates at k ∈ {2^a·5^b}, where it is exact).
+      // Touch order inside a journey is event_id — unique by
+      // construction and verified strictly ts-monotone in the
+      // generator, so rank/count windows are deterministic.
+      // At 100 TB: the conversion association and both windows
+      // partition by user_id — per-user work is bounded by events per
+      // user (whale users would take the q_j13 salting route), and the
+      // final rollup is a tiny per-(channel, n, position) reduction.
+      Some("""WITH conv AS (
+             |  SELECT user_id, ts AS cts FROM events WHERE event_type = 'purchase'
+             |),
+             |touch AS (
+             |  SELECT t.user_id, t.event_id, t.event_type AS channel, min(c.cts) AS cts
+             |  FROM events t JOIN conv c ON t.user_id = c.user_id AND c.cts > t.ts
+             |  WHERE t.event_type IN ('click','view','signup')
+             |  GROUP BY t.user_id, t.event_id, t.event_type
+             |),
+             |ranked AS (
+             |  SELECT channel,
+             |         row_number() OVER (PARTITION BY user_id, cts ORDER BY event_id) AS rn,
+             |         count(*) OVER (PARTITION BY user_id, cts) AS n
+             |  FROM touch
+             |)
+             |SELECT channel, count(*) AS n_touches,
+             |CAST(sum(CASE WHEN n = 1 THEN CAST(1.0 AS DECIMAL(9,6))
+             |              WHEN n = 2 THEN CAST(0.5 AS DECIMAL(9,6))
+             |              WHEN rn = 1 OR rn = n THEN CAST(0.4 AS DECIMAL(9,6))
+             |              ELSE CAST(round(CAST(0.2 AS DOUBLE) / (n - 2), 6) AS DECIMAL(9,6))
+             |         END) AS DOUBLE) AS credit
+             |FROM ranked GROUP BY channel ORDER BY channel""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select("user_id", "event_id", "event_type", "ts")
+        val conv = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("cts"))
+        val touch = ev
+          .filter(col("event_type").isin("click", "view", "signup"))
+          .join(conv, Seq("user_id"))
+          .filter(col("cts") > col("ts"))
+          .groupBy(col("user_id"), col("event_id"), col("event_type").as("channel"))
+          .agg(min(col("cts")).as("cts"))
+        val journey = Window.partitionBy("user_id", "cts")
+        val ranked = touch
+          .withColumn("rn", row_number().over(journey.orderBy("event_id")))
+          .withColumn("n", count(lit(1)).over(journey))
+        val w = when(col("n") === 1, lit(BigDecimal("1.0")).cast(DecimalType(9, 6)))
+          .when(col("n") === 2, lit(BigDecimal("0.5")).cast(DecimalType(9, 6)))
+          .when(col("rn") === 1 || col("rn") === col("n"),
+            lit(BigDecimal("0.4")).cast(DecimalType(9, 6)))
+          .otherwise(round(lit(0.2) / (col("n") - 2), 6).cast(DecimalType(9, 6)))
+        ranked.groupBy("channel")
+          .agg(count(lit(1)).as("n_touches"), sum(w).cast("double").as("credit"))
+          .orderBy("channel")
+      }),
+
+    // ---------------------------------------------------------------- A52 (OHLC time-bucket downsampling)
+    QueryDef(
+      "q_a52_ohlc_bars", "A52 OHLC candle downsampling",
+      // classic time-series downsampling: per (day, event_type) emit
+      // open/high/low/close/count/volume candles. Open/close are
+      // min_by/max_by over event_id — a true partial-aggregable
+      // aggregate (map-side combine, one shuffle on the tiny candle
+      // key), NOT a window over raw events: at 100 TB a
+      // (day, series) window partition would serialize millions of
+      // rows through one task, while min_by folds them on the map
+      // side. event_id is unique and strictly ts-monotone in the
+      // generator (verified at every SF), so "earliest value" is
+      // exactly min_by(value, event_id) with no tie to break; volume
+      // goes through the DECIMAL(18,2) sum convention.
+      Some("""SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
+             |min_by(value, event_id) AS open,
+             |max(value) AS high, min(value) AS low,
+             |max_by(value, event_id) AS close,
+             |count(*) AS n,
+             |CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
+             |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin),
+      (s, dir) => {
+        Tables.events(s, dir)
+          .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+            col("event_type"), col("value"), col("event_id"))
+          .groupBy("day", "event_type")
+          .agg(
+            min_by(col("value"), col("event_id")).as("open"),
+            max(col("value")).as("high"), min(col("value")).as("low"),
+            max_by(col("value"), col("event_id")).as("close"),
+            count(lit(1)).as("n"), dsum(col("value")).as("volume"))
+          .orderBy("day", "event_type")
       })
   )
 }
