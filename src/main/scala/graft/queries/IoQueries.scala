@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFns
-import graft.io.{Bucketing, Exports, Snapshots, TableLog}
+import graft.io.{Bucketing, ChangeFeed, CowMerge, Exports, Snapshots, TableLog}
 import graft.streaming.CdcStream
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
@@ -2394,6 +2394,238 @@ object IoQueries {
             Seq(("p50", 0.5), ("p90", 0.9)), lo = 0.0, hi = 600.0, buckets = 512)
           .select("event_type", "q_name", "est", "n")
           .orderBy("event_type", "q_name")
+      }),
+
+    // ---------------------------------------------------------------- S37 (copy-on-write MERGE INTO)
+    QueryDef(
+      "q_s37_merge_into", "S9 S15 (COW MERGE INTO: update/delete/insert clauses)",
+      // full MERGE semantics over the TableLog table (io/CowMerge):
+      // matched & op='D' deletes, matched & op='U' updates ONLY the
+      // price column (the target's own priority must survive — the
+      // clause distinction the oracle checks, since inserts carry the
+      // sentinel 'FROM-SRC' priority and form their own output group),
+      // unmatched op='U' inserts. The target lands as 8 key-RANGE
+      // files and the source keys live in a contiguous band
+      // (k ≤ max/4), so the COW rewrite must touch a strict subset of
+      // files — pinned by a require, as is by-reference survival of
+      // every untouched file. The oracle replays the merge as its
+      // closed-form relational algebra; a clause misapplied (update
+      // overwriting priority, delete resurrected, double insert) is a
+      // hash mismatch. At 100 TB: discovery is a key+filename
+      // projection vs broadcast source keys, the rewrite reads only
+      // touched files, and the commit is one metadata claim — cost
+      // tracks matched data, never table size.
+      Some("""WITH mx AS (SELECT CAST(floor(max(o_orderkey) / 4.0) AS BIGINT) AS cut FROM orders),
+             |tgt AS (SELECT o_orderkey AS k, o_totalprice AS price, o_orderpriority AS priority
+             |        FROM orders WHERE o_orderkey % 3 <> 2),
+             |src AS (SELECT o_orderkey AS k,
+             |               CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 100.00 AS DOUBLE) AS price,
+             |               CASE WHEN o_orderkey % 2 = 0 THEN 'D' ELSE 'U' END AS op
+             |        FROM orders, mx WHERE o_orderkey % 5 = 0 AND o_orderkey <= cut),
+             |merged AS (
+             |  SELECT t.k, t.price, t.priority FROM tgt t
+             |  WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.k = t.k)
+             |  UNION ALL
+             |  SELECT s.k, s.price, t.priority FROM src s JOIN tgt t ON s.k = t.k
+             |  WHERE s.op = 'U'
+             |  UNION ALL
+             |  SELECT s.k, s.price, 'FROM-SRC' FROM src s
+             |  WHERE s.op = 'U' AND NOT EXISTS (SELECT 1 FROM tgt t WHERE t.k = s.k))
+             |SELECT priority, count(*) AS n,
+             |CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             |FROM merged GROUP BY priority ORDER BY priority""".stripMargin),
+      (s, dir) => {
+        val tmp = s"$TmpBase/q_s37_merge"
+        val fs = new org.apache.hadoop.fs.Path(tmp)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true) // idempotent re-runs
+        val (dataDir, logDir) = (s"$tmp/data", s"$tmp/log")
+        val o = Tables.orders(s, dir)
+          .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"),
+            col("o_orderpriority").as("priority"))
+        val maxK = o.agg(max(col("k")).cast("long")).head.getLong(0)
+        val cut = maxK / 4 // floor — keys are positive
+        o.filter(col("k") % 3 =!= 2)
+          .repartitionByRange(8, col("k"))
+          .write.mode("overwrite").parquet(s"$dataDir/c1")
+        val ingested = TableLog.filesUnder(s, s"$dataDir/c1")
+        require(TableLog.tryClaim(s, logDir,
+          TableLog.Commit(1, "ingest", ingested, Nil)))
+        val src = o.filter(col("k") % 5 === 0 && col("k") <= cut)
+          .select(col("k"),
+            (col("price").cast(DecimalType(18, 2)) + lit(BigDecimal("100.00")))
+              .cast("double").as("price"),
+            lit("FROM-SRC").as("priority"),
+            when(col("k") % 2 === 0, "D").otherwise("U").as("op"))
+        val stats = CowMerge.merge(s, logDir, baseVersion = 1, key = "k",
+          op = "op", source = src, updateCols = Seq("price"),
+          newDataDir = s"$dataDir/c2", numFiles = 2, committer = "merge") match {
+          case Right(st) => st
+          case Left(blocking) => sys.error(s"merge aborted on $blocking")
+        }
+        require(stats.version == 2, s"merge should land as v2: ${stats.version}")
+        require(stats.touched.nonEmpty && stats.touched.size < ingested.size,
+          s"COW must rewrite a strict subset: ${stats.touched.size}/${ingested.size}")
+        val live = TableLog.liveFiles(TableLog.readCommits(s, logDir))
+        require((ingested.toSet -- stats.touched.toSet).subsetOf(live.toSet),
+          "untouched files must survive by reference")
+        s.read.parquet(live: _*)
+          .groupBy("priority")
+          .agg(count(lit(1)).as("n"), dsum(col("price")).as("sum_price"))
+          .orderBy("priority")
+      }),
+
+    // ---------------------------------------------------------------- S38 (row-level change data feed)
+    QueryDef(
+      "q_s38_change_feed", "S13 S14 S15 (CDF between versions from the commit log)",
+      // the Delta change-data-feed read derived WITHOUT stored change
+      // files (io/ChangeFeed): v1 ingests two-thirds of orders, v2 is
+      // a COW rewrite that updates price on k%11 rows and deletes
+      // k%13∧¬k%11 rows (the rewrite CARRIES every other row of the
+      // touched files — those must emit NOTHING), v3 blind-appends the
+      // remaining third. changes(v1→v3) nets the file delta, reads
+      // only those files, and one keyed full-outer join classifies
+      // insert / delete / update_preimage / update_postimage; the
+      // pre/post fan-out is a generated-array explode, not a second
+      // join. The oracle states the expected change set in closed
+      // form per (change_type, priority) — a carried row leaking, a
+      // missed preimage, or a misclassified append all shift a group.
+      // At 100 TB: CDF cost tracks the version range's churn (net
+      // delta files), never table size.
+      Some("""WITH base AS (SELECT o_orderkey AS k, o_totalprice AS price,
+             |                     o_orderpriority AS priority
+             |             FROM orders WHERE o_orderkey % 3 <> 2),
+             |changes AS (
+             |  SELECT 'update_preimage' AS change_type, priority, price
+             |  FROM base WHERE k % 11 = 0
+             |  UNION ALL
+             |  SELECT 'update_postimage', priority,
+             |         CAST(CAST(price AS DECIMAL(18,2)) + 50.00 AS DOUBLE)
+             |  FROM base WHERE k % 11 = 0
+             |  UNION ALL
+             |  SELECT 'delete', priority, price
+             |  FROM base WHERE k % 13 = 0 AND k % 11 <> 0
+             |  UNION ALL
+             |  SELECT 'insert', o_orderpriority, o_totalprice
+             |  FROM orders WHERE o_orderkey % 3 = 2)
+             |SELECT change_type, priority, count(*) AS n,
+             |CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             |FROM changes GROUP BY 1, 2 ORDER BY change_type, priority""".stripMargin),
+      (s, dir) => {
+        val tmp = s"$TmpBase/q_s38_cdf"
+        val fs = new org.apache.hadoop.fs.Path(tmp)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true) // idempotent re-runs
+        val (dataDir, logDir) = (s"$tmp/data", s"$tmp/log")
+        val o = Tables.orders(s, dir)
+          .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"),
+            col("o_orderpriority").as("priority"))
+        def land(sub: String, df: org.apache.spark.sql.DataFrame, n: Int): Seq[String] = {
+          df.repartition(n, col("k"))
+            .write.mode("overwrite").parquet(s"$dataDir/$sub")
+          TableLog.filesUnder(s, s"$dataDir/$sub")
+        }
+        val v1 = land("c1", o.filter(col("k") % 3 =!= 2), 6)
+        require(TableLog.tryClaim(s, logDir, TableLog.Commit(1, "ingest", v1, Nil)))
+        // v2: COW update (+50.00 on k%11) and delete (k%13 minus k%11)
+        val isUpd = col("k") % 11 === 0
+        val isDel = col("k") % 13 === 0 && col("k") % 11 =!= 0
+        val hit = s.read.parquet(v1: _*).filter(isUpd || isDel)
+          .select(input_file_name().as("f")).distinct()
+          .collect() // ≤ |files| planner metadata
+          .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).toUri.getPath)
+          .sorted.toSeq
+        require(hit.nonEmpty, "rewrite predicate matched no file — widen it")
+        val rewritten = land("c2",
+          s.read.parquet(hit: _*).filter(!isDel)
+            .withColumn("price",
+              when(isUpd, (col("price").cast(DecimalType(18, 2))
+                + lit(BigDecimal("50.00"))).cast("double"))
+                .otherwise(col("price"))),
+          hit.size)
+        require(TableLog.tryClaim(s, logDir,
+          TableLog.Commit(2, "merge-rewrite", rewritten, hit)))
+        // v3: blind append of the remaining third
+        val appended = land("c3", o.filter(col("k") % 3 === 2), 3)
+        require(TableLog.tryClaim(s, logDir,
+          TableLog.Commit(3, "append", appended, Nil)))
+        ChangeFeed.changes(s, logDir, fromV = 1, toV = 3, key = "k")
+          .groupBy("change_type", "priority")
+          .agg(count(lit(1)).as("n"), dsum(col("price")).as("sum_price"))
+          .orderBy("change_type", "priority")
+      }),
+
+    // ---------------------------------------------------------------- S39 (write-audit-publish)
+    QueryDef(
+      "q_s39_write_audit_publish", "S15 A5 (WAP: stage on a branch, audit, publish-or-abort)",
+      // the Iceberg/Netflix write-audit-publish pattern over TableLog
+      // branching: every batch stages on its own branch log (invisible
+      // to main readers), a quality audit runs AGAINST THE STAGED
+      // FILES (null merge keys, duplicate keys, negative measures —
+      // the Validator battery's checks as a publish gate), and only a
+      // passing batch squash-merges into main. Batch 1 is clean and
+      // publishes as v2; batch 2 carries deterministically injected
+      // duplicate keys (its k%8 slice re-appended), fails the audit,
+      // and its staged files are swept — main must still read as
+      // exactly ingest+batch1, which is what the oracle states; a
+      // leaked bad batch or a lost good one is a hash mismatch. At
+      // 100 TB: the audit is one aggregate over the staged batch
+      // (not the table), the publish is one metadata commit, and a
+      // rejected batch costs zero table I/O.
+      Some("""SELECT o_orderpriority AS priority, count(*) AS n,
+             |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             |FROM orders WHERE o_orderkey % 4 IN (0, 1)
+             |GROUP BY priority ORDER BY priority""".stripMargin),
+      (s, dir) => {
+        val tmp = s"$TmpBase/q_s39_wap"
+        val fs = new org.apache.hadoop.fs.Path(tmp)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true) // idempotent re-runs
+        val (dataDir, mainLog) = (s"$tmp/data", s"$tmp/log/main")
+        val o = Tables.orders(s, dir)
+          .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"),
+            col("o_orderpriority").as("priority"))
+        def land(sub: String, df: org.apache.spark.sql.DataFrame, n: Int): Seq[String] = {
+          df.repartition(n, col("k"))
+            .write.mode("overwrite").parquet(s"$dataDir/$sub")
+          TableLog.filesUnder(s, s"$dataDir/$sub")
+        }
+        // audit: (null keys, duplicate keys, negative measures) of a batch
+        def audit(files: Seq[String]): (Long, Long, Long) = {
+          val r = s.read.parquet(files: _*)
+            .agg(
+              sum(when(col("k").isNull, 1L).otherwise(0L)).as("nulls"),
+              (count(lit(1)) - countDistinct(col("k"))).as("dups"),
+              sum(when(col("price") < 0, 1L).otherwise(0L)).as("neg"))
+            .head
+          (r.getLong(0), r.getLong(1), r.getLong(2))
+        }
+        val base = land("c1", o.filter(col("k") % 4 === 0), 4)
+        require(TableLog.tryClaim(s, mainLog, TableLog.Commit(1, "ingest", base, Nil)))
+        // batch 1: clean — stage, audit, publish
+        val wap1 = s"$tmp/log/wap1"
+        val staged1 = land("b1", o.filter(col("k") % 4 === 1), 3)
+        require(TableLog.tryClaim(s, wap1, TableLog.Commit(1, "stage-b1", staged1, Nil)))
+        val (n1, d1, g1) = audit(staged1)
+        require(n1 == 0 && d1 == 0 && g1 == 0, s"clean batch failed audit: $n1/$d1/$g1")
+        require(TableLog.squashMerge(s, mainLog, wap1, fork = 1, "publish-b1") == Right(2),
+          "publishing the audited batch must land as v2")
+        // batch 2: dirty (its k%8 slice duplicated) — stage, audit, ABORT
+        val b2 = o.filter(col("k") % 4 === 2)
+        val wap2 = s"$tmp/log/wap2"
+        val staged2 = land("b2", b2.unionAll(b2.filter(col("k") % 8 === 2)), 3)
+        require(TableLog.tryClaim(s, wap2, TableLog.Commit(1, "stage-b2", staged2, Nil)))
+        val (n2, d2, _) = audit(staged2)
+        require(n2 == 0 && d2 > 0, s"the injected duplicates must trip the audit: $d2")
+        staged2.foreach(f => // rejected batch sweeps its staged files
+          fs.delete(new org.apache.hadoop.fs.Path(f), false))
+        val commits = TableLog.readCommits(s, mainLog)
+        require(commits.map(_.version).max == 2,
+          "a rejected batch must not move main")
+        s.read.parquet(TableLog.liveFiles(commits): _*)
+          .groupBy("priority")
+          .agg(count(lit(1)).as("n"), dsum(col("price")).as("sum_price"))
+          .orderBy("priority")
       })
   )
 }
