@@ -2626,6 +2626,89 @@ object IoQueries {
           .groupBy("priority")
           .agg(count(lit(1)).as("n"), dsum(col("price")).as("sum_price"))
           .orderBy("priority")
+      }),
+
+    // ---------------------------------------------------------------- ST23 (streaming CDC apply = streaming MERGE)
+    QueryDef(
+      "q_st23_stream_merge_apply", "ST S9 S15 (streaming MERGE INTO via per-batch COW + claims)",
+      // the Delta streaming-MERGE idea: a CDC stream applied into a
+      // TableLog table by running io/CowMerge INSIDE foreachBatch —
+      // each micro-batch's rows become upserts (value bumped +100.00
+      // on event_id%5) and deletes (event_id%7), the merge rewrites
+      // only the files its keys touch, and the batch's commit must
+      // land at exactly head+1 (single sequential writer). Exactly-
+      // once is the applied-version guard: a REPLAYED batch sees its
+      // version already in the log and skips before touching data —
+      // exercised post-stream by re-applying batch 0 and requiring an
+      // unchanged live set. The oracle is the stream's closed form
+      // over all events (k%7 survivors with the %5 bump); a dropped
+      // batch, a double-applied merge, or a resurrected delete is a
+      // hash mismatch. At 100 TB: per-batch cost is CowMerge's —
+      // touched-file rewrite + one metadata claim; the per-batch
+      // discovery scan is the key+filename projection of the live
+      // table, which a production deployment would cut further with
+      // the manifest family's key→file pruning (q_s27/q_s30).
+      Some("""SELECT event_type, count(*) AS n,
+             |CAST(sum(event_id) AS BIGINT) AS id_sum,
+             |CAST(sum(CASE WHEN event_id % 5 = 0
+             |              THEN CAST(value AS DECIMAL(18,2)) + 100.00
+             |              ELSE CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_value
+             |FROM events WHERE event_id % 7 <> 0
+             |GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        val key = dir.replaceAll("[^A-Za-z0-9]+", "_")
+        val tmp = s"$TmpBase/q_st23_merge/$key"
+        val fsP = new org.apache.hadoop.fs.Path(tmp)
+        val fs = fsP.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(fsP, true) // fresh log: stale claims poison the replay check
+        val (watch, dataDir, logDir) = (s"$tmp/watch", s"$tmp/data", s"$tmp/log")
+        val ev = Tables.events(s, dir)
+          .select(col("event_id").as("k"), col("value"), col("event_type"))
+        // v1: two-thirds of events pre-exist in the table
+        ev.filter(col("k") % 3 =!= 2)
+          .repartitionByRange(6, col("k"))
+          .write.mode("overwrite").parquet(s"$dataDir/c1")
+        require(TableLog.tryClaim(s, logDir, TableLog.Commit(1, "ingest",
+          TableLog.filesUnder(s, s"$dataDir/c1"), Nil)))
+        // the CDC stream: ALL events arrive as upsert/delete commands
+        ev.repartitionByRange(4, col("k"))
+          .write.mode("overwrite").parquet(watch)
+        def applyBatch(batch: org.apache.spark.sql.DataFrame, bid: Long): Unit = {
+          val commits = TableLog.readCommits(s, logDir)
+          val want = commits.map(_.version).max + 1
+          if (commits.exists(_.committer == s"stream-$bid")) return // replay: already applied
+          val src = batch.select(col("k"),
+            when(col("k") % 5 === 0,
+              (col("value").cast(DecimalType(18, 2)) + lit(BigDecimal("100.00")))
+                .cast("double"))
+              .otherwise(col("value")).as("value"),
+            col("event_type"),
+            when(col("k") % 7 === 0, "D").otherwise("U").as("op"))
+          CowMerge.merge(s, logDir, baseVersion = want - 1, key = "k",
+            op = "op", source = src, updateCols = Seq("value"),
+            newDataDir = s"$dataDir/merge=$bid", numFiles = 2,
+            committer = s"stream-$bid") match {
+            case Right(st) => require(st.version == want,
+              s"sequential writer must land at head+1: ${st.version} vs $want")
+            case Left(blocking) => sys.error(s"batch $bid merge aborted on $blocking")
+          }
+        }
+        val stream = s.readStream
+          .schema(s.read.parquet(watch).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(watch)
+        CdcStream.runForeachBatchEffect(s, stream)(applyBatch)
+        val live = TableLog.liveFiles(TableLog.readCommits(s, logDir))
+        // replay simulation: batch 0 fires again — guard skips, live set fixed
+        applyBatch(s.read.parquet(watch), 0L)
+        require(TableLog.liveFiles(TableLog.readCommits(s, logDir)) == live,
+          "live set changed under a replayed batch")
+        s.read.parquet(live: _*)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("k")).cast("long").as("id_sum"),
+            dsum(col("value")).as("sum_value"))
+          .orderBy("event_type")
       })
   )
 }
