@@ -193,6 +193,21 @@ object TableLog {
     (dead.sorted, kept.sorted)
   }
 
+  /** Iceberg-style `history` metadata relation: one row per commit
+    * with its file-level add/remove/live counts — |commits|² driver
+    * set algebra over log metadata, surfaced as a DataFrame so audits
+    * and maintenance jobs can join against it like any other table.
+    */
+  def history(spark: SparkSession, logDir: String): org.apache.spark.sql.DataFrame = {
+    val commits = readCommits(spark, logDir)
+    val rows = commits.map { c =>
+      (c.version, c.committer, c.adds.size.toLong, c.removes.size.toLong,
+        liveFiles(commits, Some(c.version)).size.toLong)
+    }
+    import spark.implicits._
+    rows.toDF("version", "committer", "n_added", "n_removed", "n_live_files")
+  }
+
   /** The data files a distributed write just produced under `dir` —
     * the `adds` list for its commit. ≤ |files| planner metadata.
     */

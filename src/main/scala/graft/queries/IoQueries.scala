@@ -2628,6 +2628,71 @@ object IoQueries {
           .orderBy("priority")
       }),
 
+    // ---------------------------------------------------------------- S40 (history metadata table)
+    QueryDef(
+      "q_s40_history_table", "S15 (queryable table-history metadata relation)",
+      // the Iceberg `history`/`snapshots` metadata-table idea over
+      // TableLog: TableLog.history surfaces one row per commit
+      // (version, committer, files added/removed, live-file count) as
+      // an ordinary DataFrame; the query builds the q_s33-shaped
+      // four-version table (two ingests, a compaction rewriting the
+      // first ingest's files, one more ingest), joins the history
+      // relation with a per-version time-travel row count, and pins
+      // with requires that compaction SHRANK the live-file count
+      // while leaving the row count fixed. The oracle states every
+      // version's expected row count in closed form over orders — a
+      // mis-replayed log (lost remove, double add, version misorder)
+      // shifts a row. At 100 TB: history is |commits|² driver set
+      // algebra over the log, no data scan; only the row-count audit
+      // column reads data, and a production table would serve it from
+      // commit-time stats (the q_s30 incremental-manifest route).
+      Some("""WITH c AS (SELECT
+             |  sum(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END) AS a,
+             |  sum(CASE WHEN o_orderkey % 3 = 1 THEN 1 ELSE 0 END) AS b,
+             |  sum(CASE WHEN o_orderkey % 3 = 2 THEN 1 ELSE 0 END) AS d
+             |  FROM orders)
+             |SELECT version, committer, CAST(n_live_rows AS BIGINT) AS n_live_rows FROM (
+             |  SELECT 1 AS version, 'ingest-a' AS committer, a AS n_live_rows FROM c
+             |  UNION ALL SELECT 2, 'ingest-b', a + b FROM c
+             |  UNION ALL SELECT 3, 'compact', a + b FROM c
+             |  UNION ALL SELECT 4, 'ingest-c', a + b + d FROM c)
+             |ORDER BY version""".stripMargin),
+      (s, dir) => {
+        val tmp = s"$TmpBase/q_s40_history"
+        val fs = new org.apache.hadoop.fs.Path(tmp)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true) // idempotent re-runs
+        val (dataDir, logDir) = (s"$tmp/data", s"$tmp/log")
+        val o = Tables.orders(s, dir).select("o_orderkey")
+        def land(sub: String, df: org.apache.spark.sql.DataFrame, n: Int): Seq[String] = {
+          df.repartition(n, col("o_orderkey"))
+            .write.mode("overwrite").parquet(s"$dataDir/$sub")
+          TableLog.filesUnder(s, s"$dataDir/$sub")
+        }
+        val a = land("c1", o.filter(col("o_orderkey") % 3 === 0), 4)
+        require(TableLog.tryClaim(s, logDir, TableLog.Commit(1, "ingest-a", a, Nil)))
+        val b = land("c2", o.filter(col("o_orderkey") % 3 === 1), 3)
+        require(TableLog.tryClaim(s, logDir, TableLog.Commit(2, "ingest-b", b, Nil)))
+        val compacted = land("c3", s.read.parquet(a: _*), 1)
+        require(TableLog.tryClaim(s, logDir, TableLog.Commit(3, "compact", compacted, a)))
+        val c = land("c4", o.filter(col("o_orderkey") % 3 === 2), 3)
+        require(TableLog.tryClaim(s, logDir, TableLog.Commit(4, "ingest-c", c, Nil)))
+        val hist = TableLog.history(s, logDir)
+        val fileCounts = hist.select("version", "n_live_files").collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap // |commits| metadata
+        require(fileCounts(3) < fileCounts(2),
+          s"compaction must shrink the live-file count: $fileCounts")
+        val commits = TableLog.readCommits(s, logDir)
+        val rowCounts = commits.map { cm =>
+          (cm.version,
+            s.read.parquet(TableLog.liveFiles(commits, Some(cm.version)): _*).count())
+        }
+        import s.implicits._
+        hist.join(rowCounts.toDF("version", "n_live_rows"), "version")
+          .select("version", "committer", "n_live_rows")
+          .orderBy("version")
+      }),
+
     // ---------------------------------------------------------------- ST23 (streaming CDC apply = streaming MERGE)
     QueryDef(
       "q_st23_stream_merge_apply", "ST S9 S15 (streaming MERGE INTO via per-batch COW + claims)",

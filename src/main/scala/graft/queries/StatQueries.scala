@@ -1047,6 +1047,78 @@ object StatQueries {
               col("sum_u"))
         }
         rounds.reduce(_.union(_)).orderBy("round")
+      }),
+
+    // ---------------------------------------------------------------- A53 (A/B analysis with CUPED)
+    QueryDef(
+      "q_a53_cuped", "A53 experiment analysis (CUPED variance reduction)",
+      // controlled-experiment readout with CUPED (Deng et al., WSDM
+      // 2013): users are split by id parity, the metric is each
+      // user's experiment-period value sum and the covariate is their
+      // PRE-period sum; theta = Cov(X,Y)/Var(X) from the moment sums,
+      // and the adjusted mean subtracts theta·(X̄_v − X̄) per variant.
+      // Oracle-parity discipline: X, Y and all four moment sums
+      // (ΣX, ΣY, ΣX², ΣXY) are DECIMAL aggregates of exact 2-dp
+      // values — order-independent and identical in both engines —
+      // and theta/means are then a fixed chain of single IEEE ops on
+      // those exact operands, so the doubles match bit-for-bit before
+      // the final round(6). At 100 TB: one shuffle to the per-user
+      // grain, then a two-row broadcast of the global moments — the
+      // classic map-side-heavy experiment-analysis shape.
+      Some("""WITH u AS (
+             |  SELECT user_id, user_id % 2 AS variant,
+             |    sum(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+             |             THEN CAST(value AS DECIMAL(18,2))
+             |             ELSE CAST(0 AS DECIMAL(18,2)) END) AS x,
+             |    sum(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+             |             THEN CAST(value AS DECIMAL(18,2))
+             |             ELSE CAST(0 AS DECIMAL(18,2)) END) AS y
+             |  FROM events GROUP BY 1, 2),
+             |g AS (
+             |  SELECT CAST(count(*) AS DOUBLE) AS n,
+             |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+             |    CAST(sum(x*x) AS DOUBLE) AS sxx, CAST(sum(x*y) AS DOUBLE) AS sxy
+             |  FROM u),
+             |t AS (SELECT (sxy - sx*sy/n) / (sxx - sx*sx/n) AS theta, sx/n AS mx FROM g)
+             |SELECT variant, count(*) AS n_users,
+             |  round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS mean_y,
+             |  round((CAST(sum(y) AS DOUBLE)
+             |         - t.theta * (CAST(sum(x) AS DOUBLE) - count(*) * t.mx))
+             |        / count(*), 6) AS mean_adj,
+             |  round(t.theta, 6) AS theta
+             |FROM u CROSS JOIN t GROUP BY variant, t.theta, t.mx
+             |ORDER BY variant""".stripMargin),
+      (s, dir) => {
+        val split = lit("2024-01-15 00:00:00").cast("timestamp")
+        val zero = lit(BigDecimal("0.00")).cast(DecimalType(18, 2))
+        val u = Tables.events(s, dir)
+          .groupBy(col("user_id"), (col("user_id") % 2).as("variant"))
+          .agg(
+            sum(when(col("ts") < split, col("value").cast(DecimalType(18, 2)))
+              .otherwise(zero)).as("x"),
+            sum(when(col("ts") >= split, col("value").cast(DecimalType(18, 2)))
+              .otherwise(zero)).as("y"))
+        val g = u.agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(col("x")).cast("double").as("sx"),
+          sum(col("y")).cast("double").as("sy"),
+          sum(col("x") * col("x")).cast("double").as("sxx"),
+          sum(col("x") * col("y")).cast("double").as("sxy"))
+        val t = g.select(
+          ((col("sxy") - col("sx") * col("sy") / col("n"))
+            / (col("sxx") - col("sx") * col("sx") / col("n"))).as("theta"),
+          (col("sx") / col("n")).as("mx"))
+        u.crossJoin(broadcast(t))
+          .groupBy("variant", "theta", "mx")
+          .agg(count(lit(1)).as("n_users"),
+            sum(col("x")).cast("double").as("svx"),
+            sum(col("y")).cast("double").as("svy"))
+          .select(col("variant"), col("n_users"),
+            round(col("svy") / col("n_users"), 6).as("mean_y"),
+            round((col("svy") - col("theta") * (col("svx") - col("n_users") * col("mx")))
+              / col("n_users"), 6).as("mean_adj"),
+            round(col("theta"), 6).as("theta"))
+          .orderBy("variant")
       })
   )
 }

@@ -120,4 +120,17 @@ class TableLogSpec extends AnyFunSuite {
     assert(spark.read.parquet(TableLog.liveFiles(
       TableLog.readCommits(spark, logDir), Some(3)): _*).count() == 80)
   }
+
+  test("history reports per-version add/remove/live file counts in order") {
+    val (dataDir, logDir) = wipe("hist")
+    val a = land(dataDir, "c1", 0 until 40, 3)
+    assert(TableLog.tryClaim(spark, logDir, TableLog.Commit(1, "a", a, Nil)))
+    val comp = land(dataDir, "c2", 0 until 40, 1)
+    assert(TableLog.tryClaim(spark, logDir, TableLog.Commit(2, "compact", comp, a)))
+    val got = TableLog.history(spark, logDir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1, "a", a.size.toLong, 0L, a.size.toLong),
+      (2, "compact", comp.size.toLong, a.size.toLong, comp.size.toLong)), got.toSeq)
+  }
 }
