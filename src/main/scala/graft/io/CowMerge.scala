@@ -38,6 +38,37 @@ object CowMerge {
   final case class MergeStats(
       version: Int, touched: Seq[String], rewrittenTo: Seq[String])
 
+  /** The touched-file discovery frame: the target's (key, filename)
+    * projection semi-joined against broadcast source keys. Exposed as
+    * a seam so PlanSpec can pin the shape (broadcast + key-only
+    * ReadSchema) that makes discovery cheap at 100 TB.
+    */
+  private[graft] def discovery(tgt: DataFrame, srcKeys: DataFrame, key: String): DataFrame =
+    tgt.select(col(key), input_file_name().as("__f"))
+      .join(broadcast(srcKeys), key)
+      .select("__f").distinct()
+
+  /** Clause application over the touched rows (target schema
+    * throughout): carry unmatched, update only `updateCols` on
+    * matched op='U', drop matched op='D', insert unmatched op='U'.
+    */
+  private[graft] def applyClauses(
+      touchedDf: DataFrame, source: DataFrame, key: String, op: String,
+      tgtCols: Seq[String], updateCols: Seq[String]): DataFrame = {
+    val srcKeys = source.select(key).distinct()
+    val kept = touchedDf.join(broadcast(srcKeys), Seq(key), "left_anti")
+    val upserts = source.filter(col(op) === "U")
+    val updated = touchedDf.as("t")
+      .join(broadcast(upserts).as("s"), col(s"t.$key") === col(s"s.$key"))
+      .select(tgtCols.map { c =>
+        (if (c != key && updateCols.contains(c)) col(s"s.$c") else col(s"t.$c")).as(c)
+      }: _*)
+    val inserts = upserts
+      .join(touchedDf.select(key), Seq(key), "left_anti")
+      .select(tgtCols.map(col): _*)
+    kept.unionByName(updated).unionByName(inserts)
+  }
+
   /** Run the merge. `source` must carry `key`, `op` ('U' upsert /
     * 'D' delete) and the target's payload columns; on update only
     * `updateCols` are taken from the source. New files land under
@@ -54,28 +85,14 @@ object CowMerge {
     val tgt = spark.read.parquet(live: _*)
     val srcKeys = source.select(key).distinct()
     // 1. touched files: ≤ |files| driver metadata
-    val touched = tgt
-      .select(col(key), input_file_name().as("__f"))
-      .join(broadcast(srcKeys), key)
-      .select("__f").distinct()
+    val touched = discovery(tgt, srcKeys, key)
       .collect()
       .map(r => new Path(r.getString(0)).toUri.getPath)
       .sorted.toSeq
     val touchedDf =
       if (touched.isEmpty) tgt.limit(0) else spark.read.parquet(touched: _*)
-    // 2. clause application (target schema throughout)
-    val tgtCols = tgt.columns.toSeq
-    val kept = touchedDf.join(broadcast(srcKeys), Seq(key), "left_anti")
-    val upserts = source.filter(col(op) === "U")
-    val updated = touchedDf.as("t")
-      .join(broadcast(upserts).as("s"), col(s"t.$key") === col(s"s.$key"))
-      .select(tgtCols.map { c =>
-        (if (c != key && updateCols.contains(c)) col(s"s.$c") else col(s"t.$c")).as(c)
-      }: _*)
-    val inserts = upserts
-      .join(touchedDf.select(key), Seq(key), "left_anti")
-      .select(tgtCols.map(col): _*)
-    val out = kept.unionByName(updated).unionByName(inserts)
+    // 2. clause application + rewrite
+    val out = applyClauses(touchedDf, source, key, op, tgt.columns.toSeq, updateCols)
       .repartition(numFiles, col(key))
     out.write.mode("overwrite").parquet(newDataDir)
     val rewritten = TableLog.filesUnder(spark, newDataDir)

@@ -458,4 +458,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"),
       s"DV read shuffled the base table:\n$p")
   }
+
+  test("COW merge: discovery is a key-only scan into a broadcast join; clauses never shuffle") {
+    // the two plan shapes that keep MERGE cost proportional to
+    // matched data at 100 TB: (1) touched-file discovery reads ONLY
+    // the key column (plus filename metadata) and probes broadcast
+    // source keys — a payload column leaking into that scan turns
+    // discovery into a full-table read; (2) every clause join rides
+    // the broadcast source, so the only shuffle in the whole merge is
+    // the final numFiles repartition of the rewrite.
+    import spark.implicits._
+    val tmp = "/root/repo/target/tmp/planspec_merge"
+    (0L until 500L).map(i => (i, i * 2, s"t$i")).toDF("id", "m", "tag")
+      .repartition(4, col("id"))
+      .write.mode("overwrite").parquet(s"$tmp/base")
+    val tgt = spark.read.parquet(s"$tmp/base")
+    val src = Seq((1L, 9L, "S", "U"), (2L, 0L, "S", "D")).toDF("id", "m", "tag", "op")
+    val pd = plan(graft.io.CowMerge.discovery(tgt, src.select("id").distinct(), "id"))
+    assert(pd.contains("BroadcastHashJoin"), pd)
+    assert(!pd.contains("SortMergeJoin"), s"discovery shuffled the table:\n$pd")
+    assert(pd.contains("struct<id:bigint>"),
+      s"discovery scan must read the key column only:\n$pd")
+    val pa = plan(graft.io.CowMerge.applyClauses(
+      tgt, src, "id", "op", Seq("id", "m", "tag"), Seq("m")))
+    assert(pa.contains("BroadcastHashJoin"), pa)
+    assert(!pa.contains("SortMergeJoin") && !pa.contains("CartesianProduct"),
+      s"clause application must stay on the broadcast path:\n$pa")
+  }
 }
