@@ -2678,8 +2678,9 @@ object IoQueries {
         val c = land("c4", o.filter(col("o_orderkey") % 3 === 2), 3)
         require(TableLog.tryClaim(s, logDir, TableLog.Commit(4, "ingest-c", c, Nil)))
         val hist = TableLog.history(s, logDir)
-        val fileCounts = hist.select("version", "n_live_files").collect()
-          .map(r => r.getInt(0) -> r.getLong(1)).toMap // |commits| metadata
+        val fileCounts = hist // ≤ |commits| rows of log metadata
+          .select("version", "n_live_files").collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
         require(fileCounts(3) < fileCounts(2),
           s"compaction must shrink the live-file count: $fileCounts")
         val commits = TableLog.readCommits(s, logDir)
@@ -2773,6 +2774,258 @@ object IoQueries {
           .agg(count(lit(1)).as("n"),
             sum(col("k")).cast("long").as("id_sum"),
             dsum(col("value")).as("sum_value"))
+          .orderBy("event_type")
+      }),
+
+    // ---------------------------------------------------------------- S41 (shallow clone + vacuum hazard)
+    QueryDef(
+      "q_s41_shallow_clone", "S15 (zero-copy shallow clone; divergence; vacuum hazard)",
+      // the Delta SHALLOW CLONE idea over TableLog: a clone is a brand
+      // new log whose v1 adds are the source's live files AS OF the
+      // clone version — zero data copied, metadata only. Both tables
+      // then diverge independently (source appends + compacts, clone
+      // appends its own files under its own dir) and each reads its
+      // own live set in isolation. The query also pins the DOCUMENTED
+      // production hazard of shallow clones: the clone's log holds
+      // file REFERENCES the source's retention does not know about,
+      // so when source-side VACUUM expires the last source version
+      // referencing the original ingest files (here: compaction made
+      // them dead at v3, expire keepFrom=3 frees them), the clone —
+      // whose snapshot was materialized before — becomes unreadable,
+      // which the query proves by requiring the post-vacuum clone
+      // scan to THROW. The result is both tables' per-priority
+      // aggregate (clone's computed and landed pre-vacuum); a clone
+      // that copied data, leaked a divergent write across tables, or
+      // survived the vacuum is a require-failure or hash mismatch.
+      // At 100 TB: clone creation is |live files| metadata lines —
+      // the whole point of shallow clones — and the hazard check is
+      // the same set algebra vacuum already does.
+      Some("""SELECT tbl, o_orderpriority AS priority, count(*) AS n,
+             |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             |FROM orders CROSS JOIN (SELECT unnest(['source','clone']) AS tbl)
+             |WHERE (tbl = 'source' AND o_orderkey % 4 IN (0, 1, 2))
+             |   OR (tbl = 'clone'  AND o_orderkey % 4 IN (0, 1, 3))
+             |GROUP BY tbl, priority ORDER BY tbl, priority""".stripMargin),
+      (s, dir) => {
+        val tmp = s"$TmpBase/q_s41_clone"
+        val fs = new org.apache.hadoop.fs.Path(tmp)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true) // idempotent re-runs
+        val (srcData, srcLog) = (s"$tmp/src", s"$tmp/log/src")
+        val (clnData, clnLog) = (s"$tmp/cln", s"$tmp/log/cln")
+        val o = Tables.orders(s, dir)
+          .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"),
+            col("o_orderpriority").as("priority"))
+        def land(base: String, sub: String, df: org.apache.spark.sql.DataFrame,
+            n: Int): Seq[String] = {
+          df.repartition(n, col("k")).write.mode("overwrite").parquet(s"$base/$sub")
+          TableLog.filesUnder(s, s"$base/$sub")
+        }
+        val fA = land(srcData, "c1", o.filter(col("k") % 4 === 0), 4)
+        require(TableLog.tryClaim(s, srcLog, TableLog.Commit(1, "ingest-a", fA, Nil)))
+        val fB = land(srcData, "c2", o.filter(col("k") % 4 === 1), 3)
+        require(TableLog.tryClaim(s, srcLog, TableLog.Commit(2, "append-b", fB, Nil)))
+        // shallow clone AS OF v2: one metadata commit, zero files copied
+        val snapV2 = TableLog.liveFiles(TableLog.readCommits(s, srcLog), Some(2))
+        require(snapV2.toSet == (fA ++ fB).toSet, "clone base must be v2's live set")
+        require(TableLog.tryClaim(s, clnLog,
+          TableLog.Commit(1, "clone@v2", snapV2, Nil)))
+        // diverge: source compacts A away and appends C; clone appends D
+        val fA2 = land(srcData, "c3", s.read.parquet(fA: _*), 1)
+        require(TableLog.tryClaim(s, srcLog, TableLog.Commit(3, "compact", fA2, fA)))
+        val fC = land(srcData, "c4", o.filter(col("k") % 4 === 2), 3)
+        require(TableLog.tryClaim(s, srcLog, TableLog.Commit(4, "append-c", fC, Nil)))
+        val fD = land(clnData, "c1", o.filter(col("k") % 4 === 3), 3)
+        require(TableLog.tryClaim(s, clnLog, TableLog.Commit(2, "append-d", fD, Nil)))
+        def agg(files: Seq[String], tag: String) =
+          s.read.parquet(files: _*)
+            .groupBy("priority")
+            .agg(count(lit(1)).as("n"), dsum(col("price")).as("sum_price"))
+            .select(lit(tag).as("tbl"), col("priority"), col("n"), col("sum_price"))
+        // the clone's snapshot must be LANDED before source-side vacuum:
+        // its live set still references fA, which source retention frees
+        val clnLive = TableLog.liveFiles(TableLog.readCommits(s, clnLog))
+        agg(clnLive, "clone").write.mode("overwrite").parquet(s"$tmp/cln_agg")
+        val (dead, kept) = TableLog.expire(s, srcData, srcLog, keepFrom = 3)
+        require(dead.toSet == fA.toSet,
+          s"vacuum must free exactly the compacted-away ingest: $dead")
+        require((fA2 ++ fB ++ fC).toSet.subsetOf(kept.toSet), "live files vacuumed")
+        // the documented shallow-clone hazard: the clone now dangles
+        val broken = scala.util.Try(
+          s.read.parquet(clnLive: _*).agg(count(lit(1))).head()).isFailure
+        require(broken, "clone must dangle after source vacuum frees its references")
+        val srcLive = TableLog.liveFiles(TableLog.readCommits(s, srcLog))
+        agg(srcLive, "source")
+          .unionAll(s.read.parquet(s"$tmp/cln_agg"))
+          .orderBy("tbl", "priority")
+      }),
+
+    // ---------------------------------------------------------------- S42 (CDF-driven incremental materialized view)
+    QueryDef(
+      "q_s42_incremental_mv", "S14 S15 A1 (incremental MV maintenance from the change feed)",
+      // incremental materialized-view maintenance — the Delta Live
+      // Tables / IVM pattern: a per-type (count, sum) aggregate is
+      // built ONCE from the initial version, then rolled forward one
+      // version at a time by folding in the row-level change feed
+      // (insert/update_postimage add, delete/update_preimage
+      // subtract) instead of re-aggregating the table. The table
+      // advances v1 (range-partitioned ingest of event_id%4≠3) → v2
+      // (COW rewrite: value+25.00 where id<120, delete 120≤id<200 —
+      // RANGE predicates, so the rewrite touches a strict subset of
+      // the range-partitioned files, which the query requires) → v3
+      // (blind append of id%4=3). Each MV state is an exact DECIMAL
+      // parquet table; counts that reach zero drop out. The oracle is
+      // the from-scratch closed form over events — any drift between
+      // incremental and direct (a missed preimage, a carried row
+      // leaking into the feed, a double-counted append) is a hash
+      // mismatch. At 100 TB: each refresh costs O(churn + |MV|), not
+      // O(table) — the whole point of IVM — and the require pins the
+      // churn-bounded file read that makes it true.
+      Some("""WITH fin AS (
+             |  SELECT event_type,
+             |    CASE WHEN event_id < 120
+             |         THEN CAST(value AS DECIMAL(18,2)) + 25.00
+             |         ELSE CAST(value AS DECIMAL(18,2)) END AS v
+             |  FROM events
+             |  WHERE event_id % 4 <> 3
+             |    AND NOT (event_id >= 120 AND event_id < 200)
+             |  UNION ALL
+             |  SELECT event_type, CAST(value AS DECIMAL(18,2))
+             |  FROM events WHERE event_id % 4 = 3)
+             |SELECT event_type, count(*) AS n, CAST(sum(v) AS DOUBLE) AS sum_value
+             |FROM fin GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        val tmp = s"$TmpBase/q_s42_ivm"
+        val fs = new org.apache.hadoop.fs.Path(tmp)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true) // idempotent re-runs
+        val (dataDir, logDir) = (s"$tmp/data", s"$tmp/log")
+        val dec = DecimalType(18, 2)
+        val ev = Tables.events(s, dir)
+          .select(col("event_id").as("k"), col("value"), col("event_type"))
+        def land(sub: String, df: org.apache.spark.sql.DataFrame, n: Int): Seq[String] = {
+          df.repartitionByRange(n, col("k"))
+            .write.mode("overwrite").parquet(s"$dataDir/$sub")
+          TableLog.filesUnder(s, s"$dataDir/$sub")
+        }
+        val v1 = land("c1", ev.filter(col("k") % 4 =!= 3), 8)
+        require(TableLog.tryClaim(s, logDir, TableLog.Commit(1, "ingest", v1, Nil)))
+        // v2: COW rewrite over RANGE predicates — touches few range files
+        val isUpd = col("k") < 120
+        val isDel = col("k") >= 120 && col("k") < 200
+        val hit = s.read.parquet(v1: _*).filter(isUpd || isDel)
+          .select(input_file_name().as("f")).distinct()
+          .collect() // ≤ |files| planner metadata
+          .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).toUri.getPath)
+          .sorted.toSeq
+        require(hit.nonEmpty && hit.size < v1.size,
+          s"range rewrite must touch a strict file subset: ${hit.size}/${v1.size}")
+        val rewritten = land("c2",
+          s.read.parquet(hit: _*).filter(!isDel)
+            .withColumn("value",
+              when(isUpd, (col("value").cast(dec) + lit(BigDecimal("25.00")))
+                .cast("double")).otherwise(col("value"))),
+          hit.size)
+        require(TableLog.tryClaim(s, logDir,
+          TableLog.Commit(2, "merge-rewrite", rewritten, hit)))
+        // v3: blind append of the remaining quarter
+        val appended = land("c3", ev.filter(col("k") % 4 === 3), 3)
+        require(TableLog.tryClaim(s, logDir, TableLog.Commit(3, "append", appended, Nil)))
+        // MV init from v1, then fold each version's change feed in
+        val commits = TableLog.readCommits(s, logDir)
+        s.read.parquet(TableLog.liveFiles(commits, Some(1)): _*)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(col("value").cast(dec)).cast(dec).as("sv"))
+          .write.mode("overwrite").parquet(s"$tmp/state_v1")
+        for (v <- 2 to 3) {
+          val (addF, remF) = ChangeFeed.netDelta(commits, v - 1, v)
+          require(addF.size + remF.size <=
+            2 * hit.size + appended.size, // churn-bounded refresh read
+            s"v$v feed read must track churn: ${addF.size}+${remF.size}")
+          val sign = when(col("change_type").isin("insert", "update_postimage"), 1L)
+            .otherwise(-1L)
+          val deltas = ChangeFeed.changes(s, logDir, v - 1, v, key = "k")
+            .select(col("event_type"), sign.as("dn"),
+              (sign * col("value").cast(dec)).cast(dec).as("dv"))
+            .groupBy("event_type")
+            .agg(sum("dn").as("n"), sum("dv").cast(dec).as("sv"))
+          s.read.parquet(s"$tmp/state_v${v - 1}")
+            .unionAll(deltas)
+            .groupBy("event_type")
+            .agg(sum("n").as("n"), sum("sv").cast(dec).as("sv"))
+            .filter(col("n") > 0)
+            .write.mode("overwrite").parquet(s"$tmp/state_v$v")
+        }
+        s.read.parquet(s"$tmp/state_v3")
+          .select(col("event_type"), col("n"), col("sv").cast("double").as("sum_value"))
+          .orderBy("event_type")
+      }),
+
+    // ---------------------------------------------------------------- ST24 (checkpoint recovery across restarts)
+    QueryDef(
+      "q_st24_stream_restart", "ST (stateful-aggregation recovery from the checkpoint)",
+      // the production streaming property no single-run query proves:
+      // a stateful aggregation STOPPED and RESTARTED against the same
+      // checkpoint must resume from its committed offsets AND its
+      // committed state. Run 1 aggregates two-thirds of events from a
+      // watched directory (per-type count + exact DECIMAL sum) into a
+      // complete-mode memory sink with a checkpoint; more files then
+      // land; run 2 is the SAME plan restarted on the SAME checkpoint
+      // into a fresh sink table. The require pins that run 2's source
+      // read exactly the NEW rows (offset recovery — old files are
+      // never re-read), so its complete-mode output can only equal
+      // the all-events closed form if the state store supplied run
+      // 1's contribution (state recovery); losing either yields a
+      // partial aggregate = hash mismatch against the oracle. At
+      // 100 TB: restart cost is new-data + state-store reload — this
+      // is the contract that makes long-lived streaming pipelines
+      // upgradeable at all.
+      Some("""SELECT event_type, count(*) AS n,
+             |CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        val key = dir.replaceAll("[^A-Za-z0-9]+", "_")
+        val tmp = s"$TmpBase/q_st24_restart/$key"
+        val fsP = new org.apache.hadoop.fs.Path(tmp)
+        val fs = fsP.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(fsP, true) // fresh checkpoint: stale offsets poison the run
+        val (watch, ckpt) = (s"$tmp/watch", s"$tmp/ckpt")
+        val ev = Tables.events(s, dir)
+          .select(col("event_id").as("k"), col("value"), col("event_type"))
+        ev.filter(col("k") % 3 =!= 2)
+          .repartitionByRange(4, col("k"))
+          .write.mode("overwrite").parquet(watch)
+        val dec = DecimalType(18, 2)
+        def agg() = s.readStream
+          .schema(s.read.parquet(watch).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(watch)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(col("value").cast(dec)).as("sv"))
+        def run(sinkName: String): Long = {
+          val q = agg().writeStream
+            .outputMode("complete")
+            .format("memory")
+            .queryName(sinkName)
+            .option("checkpointLocation", ckpt)
+            .start()
+          q.processAllAvailable()
+          val in = q.recentProgress.map(_.numInputRows).sum
+          q.stop()
+          in
+        }
+        val in1 = run("q_st24_run1")
+        require(s.table("q_st24_run1").count() > 0, "run 1 produced no state")
+        // new files land while the stream is down
+        val late = ev.filter(col("k") % 3 === 2)
+        val nLate = late.count()
+        late.repartitionByRange(3, col("k")).write.mode("append").parquet(watch)
+        val in2 = run("q_st24_run2")
+        require(in2 == nLate,
+          s"restart must resume from committed offsets: read $in2, new rows $nLate")
+        require(in1 > in2, s"run 1 must have carried the bulk: $in1 vs $in2")
+        s.table("q_st24_run2")
+          .select(col("event_type"), col("n"), col("sv").cast("double").as("sum_value"))
           .orderBy("event_type")
       })
   )

@@ -1119,6 +1119,74 @@ object StatQueries {
               / col("n_users"), 6).as("mean_adj"),
             round(col("theta"), 6).as("theta"))
           .orderBy("variant")
+      }),
+
+    // ---------------------------------------------------------------- A54 (Poisson bootstrap CI)
+    QueryDef(
+      "q_a54_bootstrap", "A54 resampling (deterministic Poisson bootstrap CI)",
+      // bootstrap confidence interval for the mean order price via the
+      // POISSON bootstrap (Chamandy et al., "Estimating Uncertainty
+      // for Massive Data Streams", Google 2012): instead of drawing n
+      // indices per replicate (which needs a global dense index — a
+      // driver-side or single-partition rank at scale), every row
+      // independently contributes multiplicity m ~ Poisson(1) to each
+      // replicate, so a replicate is ONE scan with map-side partial
+      // aggregation into B groups and the only shuffle is B rows wide.
+      // Determinism/oracle-parity: the uniform draw is the Knuth
+      // scramble s = ((k·B + b)·2654435761) mod 2^32 (exact BIGINT
+      // arithmetic in both engines) and m is the Poisson(1) inverse
+      // CDF as a CASE chain against floor(cdf·2^32) BIGINT literals —
+      // bit-exact integer compares, no libm. Replicate means are then
+      // exact DECIMAL sums divided as one IEEE op, and the 95% CI is
+      // the (3rd, 50th, 98th) order statistic of the B=100 means
+      // (rank over 100 rows — trivially small). At 100 TB: n·B
+      // intermediate rows never shuffle (partial agg per partition);
+      // the whole job is one pass over orders.
+      Some("""WITH draws AS (
+             |  SELECT b, o_totalprice AS price,
+             |    ((o_orderkey * 100 + b) * 2654435761) % 4294967296 AS s
+             |  FROM orders CROSS JOIN (SELECT unnest(generate_series(0, 99)) AS b)),
+             |m AS (
+             |  SELECT b, price,
+             |    CASE WHEN s < 1580030168 THEN 0 WHEN s < 3160060337 THEN 1
+             |         WHEN s < 3950075421 THEN 2 WHEN s < 4213413783 THEN 3
+             |         WHEN s < 4279248373 THEN 4 WHEN s < 4292415291 THEN 5
+             |         WHEN s < 4294609777 THEN 6 WHEN s < 4294923276 THEN 7
+             |         ELSE 8 END AS m
+             |  FROM draws),
+             |rep AS (
+             |  SELECT b, CAST(sum(m) AS BIGINT) AS n_eff,
+             |    round(CAST(sum(m * CAST(price AS DECIMAL(18,2))) AS DOUBLE)
+             |          / CAST(sum(m) AS DOUBLE), 6) AS mean_b
+             |  FROM m GROUP BY b),
+             |ranked AS (
+             |  SELECT b, n_eff, mean_b,
+             |    row_number() OVER (ORDER BY mean_b, b) AS rank_b
+             |  FROM rep)
+             |SELECT b, n_eff, mean_b, CAST(rank_b AS INT) AS rank_b,
+             |  (rank_b >= 3 AND rank_b <= 98) AS in_ci95
+             |FROM ranked ORDER BY b""".stripMargin),
+      (s, dir) => {
+        val reps = Tables.orders(s, dir)
+          .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"))
+          .withColumn("b", explode(sequence(lit(0L), lit(99L))))
+          .withColumn("s",
+            pmod((col("k") * 100L + col("b")) * 2654435761L, lit(4294967296L)))
+          .withColumn("m",
+            when(col("s") < 1580030168L, 0L).when(col("s") < 3160060337L, 1L)
+              .when(col("s") < 3950075421L, 2L).when(col("s") < 4213413783L, 3L)
+              .when(col("s") < 4279248373L, 4L).when(col("s") < 4292415291L, 5L)
+              .when(col("s") < 4294609777L, 6L).when(col("s") < 4294923276L, 7L)
+              .otherwise(8L))
+          .groupBy("b")
+          .agg(sum("m").cast("long").as("n_eff"),
+            round(sum(col("m") * col("price").cast(DecimalType(18, 2))).cast("double")
+              / sum("m").cast("double"), 6).as("mean_b"))
+        reps
+          .withColumn("rank_b",
+            row_number().over(Window.orderBy("mean_b", "b")).cast("int"))
+          .withColumn("in_ci95", col("rank_b") >= 3 && col("rank_b") <= 98)
+          .orderBy("b")
       })
   )
 }
