@@ -4697,6 +4697,72 @@ object LlmQueries {
               nullif(sum("ap"), lit(0)).cast("double"), 6).as("prec"),
             round(sum(col("e") * col("ap")) /
               nullif(sum("e"), lit(0)).cast("double"), 6).as("rec"))
+      }),
+
+    // ---------------------------------------------------------------- preference-pair assembly (DPO prep)
+    QueryDef(
+      "q_l91_preference_pairs", "LLM-preference-pair-assembly",
+      // preference-pair construction — the data-prep stage of
+      // DPO/RLHF reward modeling: within each (lang, source) bucket,
+      // documents are ranked by a quality signal (n_chars here, a
+      // trained scorer's output in production; ties broken by doc_id
+      // so the ranking is total), and rank i of the top half is
+      // paired with rank i+⌈n/2⌉ of the bottom half — a maximal
+      // disjoint pairing (no document on both sides of any pair, by
+      // construction of the rank offset) with a guaranteed quality
+      // gap direction; zero-margin pairs (equal scores carry no
+      // preference signal) are dropped. The result is the per-bucket
+      // pair count and exact-integer margin stats the curation run
+      // reports. The require re-proves disjointness in-query. Scale
+      // shape: ONE shuffle to the bucket grain for the rank window,
+      // then a (bucket, rank)-keyed equi-join — both sides partition
+      // by bucket; no broadcast of anything corpus-sized, no
+      // quadratic candidate set.
+      Some("""WITH r AS (
+             |  SELECT lang, source, doc_id, n_chars,
+             |    row_number() OVER (PARTITION BY lang, source
+             |                       ORDER BY n_chars DESC, doc_id) AS rn,
+             |    count(*) OVER (PARTITION BY lang, source) AS n
+             |  FROM documents),
+             |pairs AS (
+             |  SELECT a.lang, a.source, a.doc_id AS chosen_id, b.doc_id AS rejected_id,
+             |         a.n_chars - b.n_chars AS margin
+             |  FROM r a JOIN r b
+             |    ON a.lang = b.lang AND a.source = b.source
+             |   AND b.rn = a.rn + CAST(ceil(a.n / 2.0) AS BIGINT)
+             |  WHERE a.rn <= a.n // 2 AND a.n_chars > b.n_chars)
+             |SELECT lang, source, count(*) AS n_pairs,
+             |  CAST(sum(margin) AS BIGINT) AS sum_margin,
+             |  CAST(max(margin) AS BIGINT) AS max_margin,
+             |  round(CAST(sum(margin) AS DOUBLE) / count(*), 6) AS mean_margin
+             |FROM pairs GROUP BY lang, source ORDER BY lang, source""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy("lang", "source")
+        val r = Tables.documents(s, dir)
+          .select(col("lang"), col("source"), col("doc_id"), col("n_chars"))
+          .withColumn("rn",
+            row_number().over(w.orderBy(col("n_chars").desc, col("doc_id"))))
+          .withColumn("n", count(lit(1)).over(w))
+        val a = r.filter(col("rn") <= col("n") / 2) // rn integer ⇒ same cut as floor(n/2)
+          .select(col("lang"), col("source"), col("doc_id").as("chosen_id"),
+            col("n_chars").as("q_a"),
+            (col("rn") + ceil(col("n") / lit(2.0)).cast("long")).as("rn_b"))
+        val b = r.select(col("lang"), col("source"), col("doc_id").as("rejected_id"),
+          col("n_chars").as("q_b"), col("rn").as("rn_b"))
+        val pairs = a.join(b, Seq("lang", "source", "rn_b"))
+          .filter(col("q_a") > col("q_b"))
+          .withColumn("margin", col("q_a") - col("q_b"))
+        // disjointness re-proved in-query: no doc on both sides anywhere
+        val leaked = pairs.select(col("chosen_id").as("id"))
+          .intersect(pairs.select(col("rejected_id").as("id")))
+          .limit(1).count() // ≤ 1 row: existence probe
+        require(leaked == 0, "a document appeared on both sides of a pair")
+        pairs.groupBy("lang", "source")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum("margin").cast("long").as("sum_margin"),
+            max("margin").cast("long").as("max_margin"),
+            round(sum("margin").cast("double") / count(lit(1)), 6).as("mean_margin"))
+          .orderBy("lang", "source")
       })
   )
 

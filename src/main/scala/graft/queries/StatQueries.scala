@@ -1187,6 +1187,92 @@ object StatQueries {
             row_number().over(Window.orderBy("mean_b", "b")).cast("int"))
           .withColumn("in_ci95", col("rank_b") >= 3 && col("rank_b") <= 98)
           .orderBy("b")
+      }),
+
+    // ---------------------------------------------------------------- A55 (Holt double-exponential trend)
+    QueryDef(
+      "q_a55_holt_trend", "A55 time-series forecast (Holt linear trend)",
+      // Holt's double exponential smoothing over the daily event-value
+      // series: level l_t = α·y_t + (1−α)(l_{t−1}+b_{t−1}), trend
+      // b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1} with α=0.5, β=0.25,
+      // classic init (l₁=y₁, b₁=y₂−y₁), one-step in-sample fits
+      // ŷ_t = l_{t−1}+b_{t−1} and a 7-day out-of-sample forecast
+      // l_T + h·b_T. Architecture is the aggregate-then-model shape:
+      // ONE distributed shuffle reduces the corpus to |days| exact
+      // DECIMAL(18,2) daily sums; the recursion is inherently
+      // sequential scalar state, so it runs driver-side over ≤ 31
+      // rows. Oracle-parity: every step is small exact decimal
+      // arithmetic (α/β are exact decimal literals) with the state
+      // re-rounded HALF-UP to 2 dp — replayed bit-for-bit by a
+      // recursive CTE, so one mis-smoothed day diverges every later
+      // level/trend and the hash. At 100 TB the daily-agg scan is the
+      // entire cost; the model is O(|days|) driver arithmetic.
+      Some("""WITH RECURSIVE daily AS MATERIALIZED (
+             |  SELECT CAST(date_part('day', ts) AS INT) AS t,
+             |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS y
+             |  FROM events GROUP BY 1),
+             |base AS (SELECT d1.y AS y1, d2.y AS y2
+             |         FROM daily d1, daily d2 WHERE d1.t = 1 AND d2.t = 2),
+             |tm AS (SELECT max(t) AS tmax FROM daily),
+             |rec AS (
+             |  SELECT 1 AS t, CAST(y1 AS DECIMAL(18,2)) AS l,
+             |         CAST(y2 - y1 AS DECIMAL(18,2)) AS b FROM base
+             |  UNION ALL
+             |  SELECT d.t,
+             |    CAST(round(0.5 * d.y + 0.5 * (r.l + r.b), 2) AS DECIMAL(18,2)),
+             |    CAST(round(0.25 * (round(0.5 * d.y + 0.5 * (r.l + r.b), 2) - r.l)
+             |               + 0.75 * r.b, 2) AS DECIMAL(18,2))
+             |  FROM rec r JOIN daily d ON d.t = r.t + 1),
+             |fits AS (
+             |  SELECT d.t, CAST(d.y AS DOUBLE) AS y,
+             |         CAST(r.l + r.b AS DOUBLE) AS yhat
+             |  FROM daily d LEFT JOIN rec r ON r.t = d.t - 1),
+             |fc AS (
+             |  SELECT tm.tmax + h AS t, CAST(NULL AS DOUBLE) AS y,
+             |         CAST(r.l + h * r.b AS DOUBLE) AS yhat
+             |  FROM rec r, tm, (SELECT unnest(generate_series(1, 7)) AS h)
+             |  WHERE r.t = tm.tmax)
+             |SELECT CAST(t AS INT) AS t, y, yhat FROM fits
+             |UNION ALL SELECT CAST(t AS INT), y, yhat FROM fc
+             |ORDER BY t""".stripMargin),
+      (s, dir) => {
+        import java.math.{BigDecimal => JBD, RoundingMode}
+        val daily = Tables.events(s, dir)
+          .groupBy(dayofmonth(col("ts")).as("t"))
+          .agg(sum(col("value").cast(DecimalType(18, 2)))
+            .cast(DecimalType(18, 2)).as("y"))
+          .collect() // ≤ 31 rows: one per day of the event month
+          .map(r => r.getInt(0) -> r.getDecimal(1))
+          .sortBy(_._1)
+        require(daily.length >= 2 &&
+          daily.map(_._1).sameElements(1 to daily.length),
+          s"daily series must be contiguous from day 1: ${daily.map(_._1).toSeq}")
+        val y = daily.map(_._2)
+        val tMax = y.length
+        def r2(x: JBD): JBD = x.setScale(2, RoundingMode.HALF_UP)
+        val half = new JBD("0.5")
+        val (qr, thr) = (new JBD("0.25"), new JBD("0.75"))
+        val levels = new Array[JBD](tMax + 1)
+        val trends = new Array[JBD](tMax + 1)
+        levels(1) = y(0)
+        trends(1) = y(1).subtract(y(0))
+        for (t <- 2 to tMax) {
+          val prev = levels(t - 1).add(trends(t - 1))
+          levels(t) = r2(half.multiply(y(t - 1)).add(half.multiply(prev)))
+          trends(t) = r2(qr.multiply(levels(t).subtract(levels(t - 1)))
+            .add(thr.multiply(trends(t - 1))))
+        }
+        val fits = (1 to tMax).map { t =>
+          val yhat = if (t == 1) None
+            else Some(levels(t - 1).add(trends(t - 1)).doubleValue)
+          (t, Some(y(t - 1).doubleValue): Option[Double], yhat)
+        }
+        val fc = (1 to 7).map { h =>
+          (tMax + h, None: Option[Double],
+            Some(levels(tMax).add(new JBD(h).multiply(trends(tMax))).doubleValue))
+        }
+        import s.implicits._
+        (fits ++ fc).toDF("t", "y", "yhat").orderBy("t")
       })
   )
 }
