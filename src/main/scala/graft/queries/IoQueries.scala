@@ -3027,6 +3027,113 @@ object IoQueries {
         s.table("q_st24_run2")
           .select(col("event_type"), col("n"), col("sv").cast("double").as("sum_value"))
           .orderBy("event_type")
+      }),
+
+    // ---------------------------------------------------------------- S43 (FSCK: orphan/missing audit + repair)
+    QueryDef(
+      "q_s43_fsck", "S15 A5 (table FSCK: orphan-file audit, missing-file repair commit)",
+      // the lake maintenance op the commit-log model makes possible —
+      // Delta's FSCK REPAIR TABLE + VACUUM's dry-run audit in one
+      // query: reconcile the LOG's view of the table against the
+      // FILESYSTEM's. Planted anomalies, both closed-form: two
+      // ORPHAN files (a written-but-never-committed ingest — the
+      // debris a crashed writer leaves, which audit must report and
+      // retention may sweep but readers must never see) and one
+      // MISSING file (an ingested bucket file deleted out-of-band —
+      // bucket writes are per-modulus single files precisely so the
+      // lost rows are a closed-form slice). The audit is pure set
+      // algebra over log metadata + one directory listing; the
+      // REPAIR is a log commit removing the missing file so readers
+      // stop planning scans over it. The result reports per-status
+      // file counts and the readable rows/sums — a leaked orphan
+      // row, an unrepaired reader crash, or a wrong repair delta is
+      // a require-failure or hash mismatch. At 100 TB: the audit
+      // reads zero data (|files| metadata), repair is one metadata
+      // commit, and only the post-repair aggregate touches rows.
+      Some("""WITH base AS (SELECT o_orderkey AS k, o_totalprice AS p,
+             |                     o_orderpriority FROM orders)
+             |SELECT * FROM (
+             |  SELECT 'live_ok' AS status, CAST(6 AS BIGINT) AS n_files,
+             |         count(*) AS n_rows,
+             |         CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             |  FROM base WHERE (k % 3 = 0 AND k % 4 <> 2) OR k % 3 = 1
+             |  UNION ALL
+             |  SELECT 'missing', CAST(1 AS BIGINT), CAST(NULL AS BIGINT),
+             |         CAST(NULL AS DOUBLE)
+             |  UNION ALL
+             |  SELECT 'orphan', CAST(2 AS BIGINT), count(*),
+             |         CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE)
+             |  FROM base WHERE k % 3 = 2)
+             |ORDER BY status""".stripMargin),
+      (s, dir) => {
+        val tmp = s"$TmpBase/q_s43_fsck"
+        val hPath = new org.apache.hadoop.fs.Path(tmp)
+        val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(hPath, true) // idempotent re-runs
+        val (dataDir, logDir) = (s"$tmp/data", s"$tmp/log")
+        val o = Tables.orders(s, dir)
+          .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"),
+            col("o_orderpriority").as("priority"))
+        // v1: slice A ingested as one file PER k%4 bucket (closed-form
+        // file contents, so the planted deletion's lost rows are a slice)
+        val sliceA = o.filter(col("k") % 3 === 0)
+        val fA = (0 to 3).map { bkt =>
+          sliceA.filter(col("k") % 4 === bkt).coalesce(1)
+            .write.mode("overwrite").parquet(s"$dataDir/a$bkt")
+          TableLog.filesUnder(s, s"$dataDir/a$bkt") match {
+            case Seq(one) => one
+            case more => sys.error(s"bucket $bkt must be one file: $more")
+          }
+        }
+        require(TableLog.tryClaim(s, logDir,
+          TableLog.Commit(1, "ingest-a", fA, Nil)))
+        o.filter(col("k") % 3 === 1).repartition(3, col("k"))
+          .write.mode("overwrite").parquet(s"$dataDir/b")
+        val fB = TableLog.filesUnder(s, s"$dataDir/b")
+        require(TableLog.tryClaim(s, logDir,
+          TableLog.Commit(2, "append-b", fB, Nil)))
+        // planted anomalies: an uncommitted ingest (orphans) and an
+        // out-of-band deletion of the bucket-2 file (missing)
+        o.filter(col("k") % 3 === 2).repartition(2, col("k"))
+          .write.mode("overwrite").parquet(s"$dataDir/orphan")
+        val fOrphan = TableLog.filesUnder(s, s"$dataDir/orphan")
+        require(fOrphan.size == 2, s"orphan plant must be 2 files: $fOrphan")
+        fs.delete(new org.apache.hadoop.fs.Path(fA(2)), false)
+        // FSCK audit: log vs filesystem, zero data read
+        val commits = TableLog.readCommits(s, logDir)
+        val everReferenced = commits.flatMap(_.adds).toSet
+        val live = TableLog.liveFiles(commits).toSet
+        val onDisk = fs.listStatus(new org.apache.hadoop.fs.Path(dataDir)).toSeq
+          .flatMap { st =>
+            if (st.isDirectory)
+              fs.listStatus(st.getPath).toSeq.filter(_.isFile).map(_.getPath)
+            else Seq(st.getPath)
+          }
+          .filter(_.getName.endsWith(".parquet"))
+          .map(_.toUri.getPath).toSet
+        val orphans = onDisk -- everReferenced
+        val missing = live -- onDisk
+        require(orphans == fOrphan.toSet, s"orphan audit drift: $orphans")
+        require(missing == Set(fA(2)), s"missing audit drift: $missing")
+        // REPAIR: one metadata commit drops the missing file from the live set
+        TableLog.tryCommit(s, logDir, base = 2, committer = "fsck-repair",
+          adds = Nil, removes = missing.toSeq) match {
+          case Right(v) => require(v == 3, s"repair must land as v3: $v")
+          case Left(blocking) => sys.error(s"repair blocked on $blocking")
+        }
+        val postLive = TableLog.liveFiles(TableLog.readCommits(s, logDir))
+        require(postLive.toSet == live -- missing, "repair delta drift")
+        def statusAgg(files: Seq[String], status: String) =
+          s.read.parquet(files: _*)
+            .agg(count(lit(1)).as("n_rows"), dsum(col("price")).as("sum_price"))
+            .select(lit(status).as("status"), lit(files.size.toLong).as("n_files"),
+              col("n_rows"), col("sum_price"))
+        statusAgg(postLive, "live_ok")
+          .unionAll(s.range(1).select(lit("missing").as("status"),
+            lit(1L).as("n_files"), lit(null).cast("long").as("n_rows"),
+            lit(null).cast("double").as("sum_price")))
+          .unionAll(statusAgg(fOrphan, "orphan"))
+          .orderBy("status")
       })
   )
 }
