@@ -35,10 +35,14 @@ object LocationFns {
   private case class JsonScalar(value: String) extends Json
   private case object NotJson extends Json
 
+  // ObjectMapper is thread-safe for readTree and expensive to build —
+  // constructing one PER ROW dominated the JSON-fallback path of the
+  // E2 parse chain (guide §4.5: heavyweight state once, not per row)
+  private val SharedMapper = new ObjectMapper()
+
   private def parseJson(s: String): Json = {
     try {
-      val mapper = new ObjectMapper()
-      val node = mapper.readTree(s)
+      val node = SharedMapper.readTree(s)
       if (node == null || node.isMissingNode) NotJson
       else if (node.isArray) {
         val it = node.elements()
@@ -83,9 +87,13 @@ object LocationFns {
   /** Strip HTML tags (text nodes separated by newlines), keep
     * "key: value" pairs (both sides non-empty) and bare lines.
     */
+  // precompiled: String.replaceAll re-compiles its pattern per call —
+  // per ROW in this UDF (guide §4.5)
+  private val TagPat = java.util.regex.Pattern.compile("<[^>]+>")
+
   private[functions] def extractLocationInfoImpl(html: String): Seq[String] = {
     if (html == null) return Seq.empty
-    val text = html.replaceAll("<[^>]+>", "\n")
+    val text = TagPat.matcher(html).replaceAll("\n")
     text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).flatMap { line =>
       if (line.contains(":")) {
         val Array(k, v) = line.split(":", 2)

@@ -677,4 +677,78 @@ object Similarity {
         (col("score10").cast("double") / 10).as("mmr"))
       .orderBy("query_id", "step")
   }
+
+  /** [[mmrSelect]] with the greedy loop run driver-side — for callers
+    * whose candidate pool is BOUNDED by construction (an upstream
+    * top-k stage caps it at |probes|·k rows; q_l73 has 8·10). The
+    * distributed form plans `steps` rounds of join/agg over a
+    * frame of a few dozen rows — ~5 scheduling-floor jobs per greedy
+    * pick; here the pool and its pairwise cosine matrix (computed
+    * distributed, exactly as [[mmrSelect]] does) are collected once
+    * and the picks run in exact BigDecimal arithmetic, bit-identical
+    * to the distributed operator: same DECIMAL(18,9) values in, the
+    * same exact integer-weighted score (7·rel − 3·max_sim is exact in
+    * either engine), the same (score desc, cand_id asc) tie order,
+    * and the same final double casts. Equivalence to [[mmrSelect]] is
+    * pinned in SimilaritySpec. Large-|Q| rerank fleets stay on the
+    * distributed form.
+    */
+  def mmrSelectLocal(
+      cand: DataFrame, qCol: String, idCol: String, relCol: String,
+      embCol: String, steps: Int, lambdaNum: Int = 7): DataFrame = {
+    require(steps >= 1, "mmrSelectLocal needs at least one step")
+    require(lambdaNum >= 0 && lambdaNum <= 10, "lambdaNum is a tenth in [0,10]")
+    val spark = cand.sparkSession
+    val dec = org.apache.spark.sql.types.DecimalType(18, 9)
+    val base = cand.select(col(qCol).as("query_id"), col(idCol).as("cand_id"),
+      col(relCol).cast(dec).as("rel"), col(embCol).as("__e"))
+      .localCheckpoint(false)
+    // pairwise similarities computed DISTRIBUTED (same expression as
+    // mmrSelect — the doubles must match bit-for-bit), then collected:
+    // ≤ |pool|²/|Q| rows per query, |pool| ≤ |probes|·k by the
+    // caller's top-k contract
+    val simRows = base.select(col("query_id"), col("cand_id").as("a"), col("__e").as("__ea"))
+      .join(base.select(col("query_id"), col("cand_id").as("b"), col("__e").as("__eb")),
+        Seq("query_id"))
+      .filter(col("a") =!= col("b"))
+      .select(col("query_id"), col("a"), col("b"),
+        round(cosine(col("__ea"), col("__eb")), 9).cast(dec).as("sim"))
+      .collect() // bounded: |probes|·k² pool-pair rows (top-k contract)
+    val poolRows = base.select("query_id", "cand_id", "rel")
+      .collect() // bounded: |probes|·k pool rows (top-k contract)
+    val ZERO = java.math.BigDecimal.ZERO.setScale(9)
+    val sims = simRows.groupBy(_.getLong(0)).map { case (q, rs) =>
+      q -> rs.map(r => ((r.getLong(1), r.getLong(2)), r.getDecimal(3))).toMap
+    }
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Int, Long, Double, Double, Double)]
+    poolRows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val rel = rs.map(r => r.getLong(1) -> r.getDecimal(2)).toMap
+      val sim = sims.getOrElse(q, Map.empty[(Long, Long), java.math.BigDecimal])
+      var remaining = rel.keySet
+      var selected = List.empty[Long]
+      var step = 1
+      while (step <= steps && remaining.nonEmpty) {
+        // score10 = λ·rel − (10−λ)·max(sim to selected); exact decimals
+        val scored = remaining.toSeq.map { c =>
+          val ms =
+            if (selected.isEmpty) ZERO
+            else selected.map(s => sim((c, s))).max(Ordering.ordered[java.math.BigDecimal])
+          val score = rel(c).multiply(java.math.BigDecimal.valueOf(lambdaNum.toLong))
+            .subtract(ms.multiply(java.math.BigDecimal.valueOf((10 - lambdaNum).toLong)))
+          (c, ms, score)
+        }
+        val (pick, ms, score) = scored.minBy { case (c, _, sc) => (sc.negate, c) }(
+          Ordering.Tuple2(Ordering.ordered[java.math.BigDecimal], Ordering.Long))
+        out += ((q, step, pick, rel(pick).doubleValue, ms.doubleValue,
+          score.doubleValue / 10))
+        selected ::= pick
+        remaining -= pick
+        step += 1
+      }
+    }
+    import spark.implicits._
+    out.toSeq.toDF("query_id", "step", "cand_id", "rel", "max_sim", "mmr")
+      .orderBy("query_id", "step")
+  }
 }

@@ -80,11 +80,15 @@ object GroupedQuantiles {
       .select(col("__g"), col("__n"), col("__vmin"), col("__vmax"),
         col("__qs.__q").as("__q"),
         ceil(col("__qs.__qf") * col("__n")).cast("long").as("__r"))
+      // tiny (G·|qs| rows); checkpointed ONCE so that BOTH the live
+      // branch (three pass consumers) and the degenerate branch reuse
+      // pass A — degenerate previously hung off the raw stats agg and
+      // re-ran the full pass-A scan at final assembly
+      .localCheckpoint(false)
     val degenerate = qspec.filter(col("__vmin") === col("__vmax"))
       .select(col("__g"), col("__q"), col("__vmin").as("__val"))
     val live = qspec.filter(col("__vmin") =!= col("__vmax"))
       .select("__g", "__q", "__r", "__vmin", "__vmax")
-      .localCheckpoint(false) // tiny (G·|qs|), consumed by three passes
 
     // identical closed-form position/bucket expressions in every pass
     def posOf(lo: Column, hi: Column): Column = (vd - lo) / (hi - lo) * lit(B)

@@ -3002,7 +3002,7 @@ object IoQueries {
           .parquet(watch)
           .groupBy("event_type")
           .agg(count(lit(1)).as("n"), sum(col("value").cast(dec)).as("sv"))
-        def run(sinkName: String): Long = {
+        def run(sinkName: String): Long = CdcStream.withStreamShuffle(s) {
           val q = agg().writeStream
             .outputMode("complete")
             .format("memory")

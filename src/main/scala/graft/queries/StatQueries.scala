@@ -97,8 +97,12 @@ object StatQueries {
         val e = Tables.events(s, dir).select("event_type", "value")
         val med = graft.operators.GroupedQuantiles
           .exactQuantiles(e, "event_type", "value", Seq(("med", 0.5)))
+        // five consumers scan `d` (the MAD selector's four passes plus
+        // the final aggregate) — checkpoint the deviation frame once
+        // instead of re-running the events scan + median join per pass
         val d = e.join(broadcast(med), "event_type")
           .withColumn("adev", abs(col("value") - col("med")))
+          .localCheckpoint(false)
         val mad = graft.operators.GroupedQuantiles
           .exactQuantiles(d.select("event_type", "adev"), "event_type", "adev",
             Seq(("mad", 0.5)))
@@ -1167,8 +1171,13 @@ object StatQueries {
              |  (rank_b >= 3 AND rank_b <= 98) AS in_ci95
              |FROM ranked ORDER BY b""".stripMargin),
       (s, dir) => {
-        val reps = Tables.orders(s, dir)
-          .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"))
+        // the single-file orders scan yields 1-2 partitions and the
+        // ×100 replicate explode + decimal partial agg ran serially
+        // (measured 9.2 cpuSec on 4 tasks — a parallelism collapse);
+        // widenByFiles spreads the scan metadata-only (q_l43 precedent)
+        val reps = graft.SparkUtil.widenByFiles(
+          Tables.orders(s, dir)
+            .select(col("o_orderkey").as("k"), col("o_totalprice").as("price")))
           .withColumn("b", explode(sequence(lit(0L), lit(99L))))
           .withColumn("s",
             pmod((col("k") * 100L + col("b")) * 2654435761L, lit(4294967296L)))
@@ -1178,6 +1187,9 @@ object StatQueries {
               .when(col("s") < 4279248373L, 4L).when(col("s") < 4292415291L, 5L)
               .when(col("s") < 4294609777L, 6L).when(col("s") < 4294923276L, 7L)
               .otherwise(8L))
+          // m = 0 rows (≈37% of n·B) contribute exactly 0 to both sums
+          // — drop them before the aggregate touches the decimal math
+          .filter(col("m") > 0L)
           .groupBy("b")
           .agg(sum("m").cast("long").as("n_eff"),
             round(sum(col("m") * col("price").cast(DecimalType(18, 2))).cast("double")

@@ -25,6 +25,22 @@ final case class SessionState(
   */
 object CdcStream {
 
+  /** Run `body` (which starts AND finishes a streaming query) with
+    * `spark.sql.shuffle.partitions` set to the streaming value (see
+    * SparkUtil.streamShufflePartitions), restoring the session conf
+    * after. Structured streaming pins stateful-operator partitioning
+    * from the session conf at the FIRST batch and has no AQE
+    * coalescing, so this is the only way to right-size state-store
+    * parallelism; batch work inside foreachBatch bodies keeps AQE and
+    * is unaffected semantically (all keyed, order-insensitive ops).
+    */
+  def withStreamShuffle[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, graft.SparkUtil.streamShufflePartitions(spark).toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** events.parquet's physical schema, probed from the files actually
     * present: the generator has shipped `ts` both as INT64 nanos
     * (surfaced as long via nanosAsLong, see SparkUtil) and as
@@ -226,7 +242,7 @@ object CdcStream {
     val watch = new org.apache.hadoop.fs.Path(watchDir)
     val fs = watch.getFileSystem(conf)
     fs.mkdirs(watch)
-    try {
+    try withStreamShuffle(spark) {
       val stream = graft.Tables.normalizeTs(
         spark.readStream.schema(eventsSchema(spark, acts.head)).parquet(watchDir))
       val q = makeAgg(stream).writeStream
@@ -332,7 +348,7 @@ object CdcStream {
     * which is what makes a replayed batch land value-identical.
     */
   def runForeachBatchEffect(spark: SparkSession, events: DataFrame)(
-      body: (DataFrame, Long) => Unit): Unit = {
+      body: (DataFrame, Long) => Unit): Unit = withStreamShuffle(spark) {
     val q = events.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         body(batch, batchId)
@@ -344,7 +360,7 @@ object CdcStream {
 
   def runForeachBatchTransformWithId(
       spark: SparkSession, events: DataFrame, outDir: String)(
-      transform: (DataFrame, Long) => DataFrame): String = {
+      transform: (DataFrame, Long) => DataFrame): String = withStreamShuffle(spark) {
     val conf = spark.sparkContext.hadoopConfiguration
     val out = new org.apache.hadoop.fs.Path(outDir)
     val fs = out.getFileSystem(conf)
@@ -506,7 +522,7 @@ object CdcStream {
     * the batch last-wins query — the q_st9 oracle. Returns the
     * committed snapshot dir.
     */
-  def runMergeToStateTable(spark: SparkSession, events: DataFrame, baseDir: String): String = {
+  def runMergeToStateTable(spark: SparkSession, events: DataFrame, baseDir: String): String = withStreamShuffle(spark) {
     import org.apache.spark.sql.expressions.Window
     val conf = spark.sparkContext.hadoopConfiguration
     val base = new org.apache.hadoop.fs.Path(baseDir)
@@ -586,7 +602,7 @@ object CdcStream {
     * oracles check streaming semantics.
     */
   def runToMemory(spark: SparkSession, agg: DataFrame, name: String,
-      mode: String = "complete"): DataFrame = {
+      mode: String = "complete"): DataFrame = withStreamShuffle(spark) {
     val q = agg.writeStream
       .outputMode(mode)
       .format("memory")

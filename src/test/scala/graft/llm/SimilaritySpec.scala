@@ -205,4 +205,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(byStep(3)._4 - 0.32) < 1e-9) // (7·.8 − 3·.8)/10
     assert(math.abs(byStep(3)._3 - 0.8) < 1e-9) // c20's max sim is to c30
   }
+
+  test("mmrSelectLocal is bit-identical to the distributed mmrSelect") {
+    import spark.implicits._
+    // real-shaped pool: 3 probes × 6 candidates with irrational-ish
+    // vectors so the cosine rounding boundary is actually exercised
+    val cand = (for (q <- 1L to 3L; c <- 1L to 6L) yield {
+      val emb = Seq.tabulate(8)(i =>
+        math.sin(q * 31 + c * 7 + i * 3).abs + 0.01 * i)
+      (q, c * 10 + q, BigDecimal((0.95 - 0.07 * c).toString), emb)
+    }).toDF("query_id", "cand_id", "rel", "emb")
+    val a = Similarity.mmrSelect(cand, "query_id", "cand_id", "rel", "emb",
+      steps = 4, lambdaNum = 7).collect().map(_.toSeq).toSeq
+    val b = Similarity.mmrSelectLocal(cand, "query_id", "cand_id", "rel", "emb",
+      steps = 4, lambdaNum = 7).collect().map(_.toSeq).toSeq
+    assert(a == b, s"local/distributed MMR diverged:\n$a\n$b")
+    // steps > pool: both stop at pool exhaustion identically
+    val small = cand.filter($"cand_id" % 10 === 1 && $"query_id" === 1)
+    val a2 = Similarity.mmrSelect(small, "query_id", "cand_id", "rel", "emb",
+      steps = 4).collect().map(_.toSeq).toSeq
+    val b2 = Similarity.mmrSelectLocal(small, "query_id", "cand_id", "rel", "emb",
+      steps = 4).collect().map(_.toSeq).toSeq
+    assert(a2 == b2, s"single-candidate pool diverged:\n$a2\n$b2")
+  }
 }
