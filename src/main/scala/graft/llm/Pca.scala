@@ -58,7 +58,9 @@ object Pca {
       .select(col(idCol).as("vec_id"),
         posexplode(Similarity.asDouble(col(embCol))).as(Seq("j0", "x")))
       .select(col("vec_id"), (col("j0") + 1).as("j"), col("x"))
-      .repartition(32, col("vec_id"))
+      // defaultParallelism, not a literal 32: the driver ALSO benches
+      // at a lower core count to measure scaling (r14 optimization)
+      .repartition(emb.sparkSession.sparkContext.defaultParallelism, col("vec_id"))
     val m = x1.groupBy("j")
       .agg((sum(col("x").cast(DecimalType(25, 10))).cast("double") / count(lit(1))).as("m"))
     val nFrame = emb.agg(count(lit(1)).as("n"))

@@ -1889,22 +1889,25 @@ object IoQueries {
         def dvAll(): org.apache.spark.sql.DataFrame =
           s.read.parquet(dvDir).filter(col("file") =!= "")
             .select("file", "row_index").distinct()
-        def liveManifest(): org.apache.spark.sql.DataFrame = {
-          val dead = tombSet()
+        // tombstones are read ONCE per batch and the live view derived
+        // from that snapshot — the original liveManifest() re-collected
+        // the tombstone dir per call (2-3 collect jobs per micro-batch
+        // of pure scheduling floor)
+        def liveManifestOf(dead: Set[String]): org.apache.spark.sql.DataFrame =
           s.read.parquet(manDir).filter(!col("file").isin(dead.toSeq: _*))
-        }
         val watch = CdcStream.ensureStagedDocBatches(s, dir, nFiles = 4)
         val stream = s.readStream
           .schema(s.read.parquet(watch).schema)
           .option("maxFilesPerTrigger", 1)
           .parquet(watch)
         CdcStream.runForeachBatchEffect(s, stream) { (b, batchId) =>
+          val dead = tombSet() // once per batch; both steps share it
           val ids = b.filter(col("doc_id") % 3 === 0 && pmod(col("doc_id"), lit(8)) < 2)
-            .select("doc_id").localCheckpoint(true)
+            .select("doc_id").localCheckpoint(false) // lazy: materializes inside the first consumer
           // 1. resolve positions against the CURRENT layout (live
           //    files only — post-compaction deletes land on gen files)
           val cand = graft.io.Layout
-            .bloomMatchingFiles(liveManifest(), ids, "doc_id", mBits, k)
+            .bloomMatchingFiles(liveManifestOf(dead), ids, "doc_id", mBits, k)
             .collect().map(_.getString(0)).sorted // |files|-bounded planner step
           val dvBatch =
             if (cand.isEmpty)
@@ -1918,8 +1921,8 @@ object IoQueries {
           dvBatch.write.mode("overwrite").parquet(s"$dvDir/batch_id=$batchId")
           // 2. compaction check: per-file deleted fraction from
           //    |files|-row metadata (manifest n_rows × accumulated DV)
-          val dv = dvAll().localCheckpoint(true)
-          val hot = liveManifest().select("file", "n_rows")
+          val dv = dvAll().localCheckpoint(false) // lazy: 1-2 consumers
+          val hot = liveManifestOf(dead).select("file", "n_rows")
             .join(dv.groupBy("file").agg(count(lit(1)).as("n_del")), Seq("file"))
             .filter(col("n_del") / col("n_rows") >= threshold)
             .select("file").collect().map(_.getString(0)).sorted // |files|-bounded compaction plan
@@ -1943,7 +1946,7 @@ object IoQueries {
         // final merge-on-read scan over the surviving layout: live
         // files (base minus tombstoned, plus generations) minus the
         // residual DV positions
-        val liveFiles = liveManifest().select("file")
+        val liveFiles = liveManifestOf(tombSet()).select("file")
           .collect().map(_.getString(0)).sorted // |files|-bounded
         s.read.parquet(liveFiles.toIndexedSeq: _*)
           .select(col("*"), norm(col("_metadata.file_path")).as("__file"),
@@ -2334,20 +2337,38 @@ object IoQueries {
         // without this stateless shuffle the batch's d²-explode and
         // partial aggregation serialize into a single task (measured
         // 37 s for the 4-batch run → 6 s at 32-way)
+        // the first-moment sums Σround(xi,10) / Σround(xj,10) depend
+        // only on ci (resp. cj), yet the original form re-accumulated
+        // them per (ci,cj) CELL — 3 round+decimal-cast+decimal-add
+        // chains per d² row (measured 65 cpuSec, the registry's
+        // heaviest per-task stage). Prepending a 1.0 to the exploded
+        // vector emits one MARGINAL row per (vec, i) under cj=0
+        // (xi·1.0 ≡ xi bit-exactly, so its Σround(xi·xj,10) IS the
+        // first moment), and each d² cell keeps only its second
+        // moment + count: one decimal chain per row instead of three.
+        // Streaming state: 4096 cells + 64 marginals, still bounded;
+        // decimal addition stays order-insensitive, so the finished
+        // moments are identical to the batch build and the oracle.
         val pairs = stream
-          .repartition(32, col("vec_id"))
+          .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
           .select(col("vec_id"), asD.as("e"))
           .select(col("vec_id"), col("e"), posexplode(col("e")).as(Seq("i0", "xi")))
-          .select(col("i0"), col("xi"), posexplode(col("e")).as(Seq("j0", "xj")))
+          .select(col("i0"), col("xi"),
+            posexplode(concat(array(lit(1.0)), col("e"))).as(Seq("j0", "xj")))
           .select((col("i0") + 1).cast("long").as("ci"),
-            (col("j0") + 1).cast("long").as("cj"), col("xi"), col("xj"))
+            col("j0").cast("long").as("cj"), col("xi"), col("xj"))
         val cells = pairs
           .groupBy("ci", "cj")
           .agg(sum(round(col("xi") * col("xj"), 10).cast(DecimalType(28, 10))).as("sxyd"),
-            sum(round(col("xi"), 10).cast(DecimalType(28, 10))).as("sxd"),
-            sum(round(col("xj"), 10).cast(DecimalType(28, 10))).as("syd"),
             count(lit(1)).as("n"))
-        CdcStream.runToMemory(s, cells, name)
+        val finished = CdcStream.runToMemory(s, cells, name)
+        val marg = finished.filter(col("cj") === 0)
+          .select(col("ci").as("__mi"), col("sxyd").as("__m"))
+        finished.filter(col("cj") > 0)
+          .join(marg, col("ci") === col("__mi"))
+          .withColumn("sxd", col("__m")).drop("__mi", "__m")
+          .join(marg, col("cj") === col("__mi"))
+          .withColumn("syd", col("__m")).drop("__mi", "__m")
           .select(col("ci"), col("cj"),
             ((col("sxyd").cast("double")
               - col("sxd").cast("double") * col("syd").cast("double") / col("n"))

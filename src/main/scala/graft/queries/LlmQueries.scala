@@ -1827,25 +1827,21 @@ object LlmQueries {
              |CAST(sum(CAST(round(top2f, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_top_2gram
              |FROM per GROUP BY source ORDER BY source""".stripMargin),
       (s, dir) => {
-        val base = Tables.documents(s, dir).select(
+        // widened: the repetition measures are all per-row now and the
+        // single-file local scan would run them 3-5-way
+        val base = graft.SparkUtil.widenByFiles(Tables.documents(s, dir)).select(
           col("doc_id"), col("source"), col("text"),
           trim(coalesce(col("text"), lit(""))).as("__tt"))
-        // only the per-doc TOP gram needs an aggregation; the distinct
-        // and total counts stay native on the array
-        val gs = base
-          .select(col("doc_id"),
-            explode(TextAnalysis.wordBigrams(col("__tt"))).as("gram"))
-          .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
-          .groupBy("doc_id")
-          .agg(sum("c").as("n2"), count(lit(1)).as("d2"), max("c").as("top2"))
+        // all three repetition measures are per-row now: dup2 is
+        // definitionally dupBigramFraction (1 − distinct/total), and
+        // the per-doc TOP gram comes from the array_sort + run-length
+        // fold (TextAnalysis.topBigramStats) — the (doc, gram)
+        // explode+agg+join is gone (guide §2.4)
         base
-          .join(gs, Seq("doc_id"), "left")
           .select(col("source"),
             TextAnalysis.dupLineFraction(col("text")).as("dupl"),
-            when(coalesce(col("n2"), lit(0L)) === 0, lit(0.0))
-              .otherwise(lit(1.0) - col("d2").cast("double") / col("n2")).as("dup2"),
-            when(coalesce(col("n2"), lit(0L)) === 0, lit(0.0))
-              .otherwise(col("top2").cast("double") / col("n2")).as("top2f"))
+            TextAnalysis.dupBigramFraction(col("__tt")).as("dup2"),
+            TextAnalysis.topBigramFraction(col("__tt")).as("top2f"))
           .groupBy("source")
           .agg(
             count(lit(1)).as("n_docs"),
@@ -3667,24 +3663,19 @@ object LlmQueries {
              |  UNION ALL SELECT 5, 'top_bigram_mass', s4, s5 FROM a)
              |ORDER BY stage""".stripMargin),
       (s, dir) => {
-        val docs = Tables.documents(s, dir)
-        // the top-2gram mass needs a per-doc max over gram counts —
-        // the one measure the native array functions can't express;
-        // same doc_id-keyed explode+agg shape as q_l24
-        val gs = docs
-          .select(col("doc_id"),
-            explode(TextAnalysis.wordBigrams(trim(coalesce(col("text"), lit("")))))
-              .as("gram"))
-          .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
-          .groupBy("doc_id").agg(sum("c").as("n2"), max("c").as("top2"))
+        // the top-2gram mass is per-row after all (array_sort +
+        // run-length fold, TextAnalysis.topBigramStats) — the
+        // (doc, gram) explode+agg+join this used to ride is gone
+        // (guide §2.4: remove shuffles outright). The per-row text
+        // work is now scan-bound, so widen the single-file local scan.
+        val docs = graft.SparkUtil.widenByFiles(Tables.documents(s, dir))
         val flagged = docs
-          .join(gs, Seq("doc_id"), "left")
           .select(col("lang"),
             TextAnalysis.tokenCount(col("text")).as("n"),
             TextAnalysis.stopwordRatio(col("text")).as("stopratio"),
             TextAnalysis.dupBigramFraction(col("text")).as("dup2"),
-            when(coalesce(col("n2"), lit(0L)) === 0, lit(0.0))
-              .otherwise(col("top2").cast("double") / col("n2")).as("top2f"))
+            TextAnalysis.topBigramFraction(
+              trim(coalesce(col("text"), lit("")))).as("top2f"))
         Corpus.attritionFunnel(flagged, Seq(
           "lang_en" -> (col("lang") === "en"),
           "min_tokens" -> (col("n") >= 30),
@@ -4414,14 +4405,10 @@ object LlmQueries {
       // stack: trivially scale-safe at any corpus size.
       Some(ruleMatrixOracleSql),
       (s, dir) => {
-        val docs = Tables.documents(s, dir)
-        val gs = docs
-          .select(col("doc_id"),
-            explode(TextAnalysis.wordBigrams(trim(coalesce(col("text"), lit("")))))
-              .as("gram"))
-          .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
-          .groupBy("doc_id").agg(sum("c").as("n2"), max("c").as("top2"))
-        val flags = docs.join(gs, Seq("doc_id"), "left")
+        // per-row rule flags on a single-file local scan — widen so the
+        // text expressions don't run 3-way (metadata-only at scale)
+        val docs = graft.SparkUtil.widenByFiles(Tables.documents(s, dir))
+        val flags = docs
           .select(
             (col("lang") =!= "en").cast("long").as("f1"),
             // NULL-text hygiene: flags run on trim(coalesce(text,''))
@@ -4434,9 +4421,8 @@ object LlmQueries {
               .cast("long").as("f3"),
             (TextAnalysis.dupBigramFraction(trim(coalesce(col("text"), lit("")))) > 0.05)
               .cast("long").as("f4"),
-            (when(coalesce(col("n2"), lit(0L)) === 0, lit(0.0))
-              .otherwise(col("top2").cast("double") / col("n2")) > 0.025)
-              .cast("long").as("f5"))
+            (TextAnalysis.topBigramFraction(trim(coalesce(col("text"), lit(""))))
+              > 0.025).cast("long").as("f5"))
         val n = RuleNames.length
         val pairAggs = for (i <- 1 to n; j <- i to n)
           yield sum(col(s"f$i") * col(s"f$j")).as(s"h${i}_$j")
@@ -4953,19 +4939,26 @@ object LlmQueries {
     */
   private[queries] def curationItems(
       s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    // NOTE (r14 optimization round, measured twice): widening this
+    // scan (widenByFiles) was tried and REVERTED — both with the old
+    // explode-based stage 1 and with the per-row fold, the 32-way
+    // version multiplied the chain's cpuSec 2-6× (39-109 vs ~18): the
+    // docs subtree feeds several consumers with different pruned
+    // columns, so the inserted exchange defeats ReusedExchange and
+    // AQE's wider size estimates flip the boilerplate joins off their
+    // broadcast plans. At 100 TB the scan is wide by itself and the
+    // question disappears.
     val docs = Tables.documents(s, dir)
-    // stage 1 — cascade (q_l70's language-agnostic rules)
-    val gs = docs
-      .select(col("doc_id"),
-        explode(TextAnalysis.wordBigrams(trim(coalesce(col("text"), lit("")))))
-          .as("gram"))
-      .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id").agg(sum("c").as("n2"), max("c").as("top2"))
-    val pass = docs.join(gs, Seq("doc_id"), "left")
+    // stage 1 — cascade (q_l70's language-agnostic rules). The
+    // top-gram-mass rule is a pure per-row computation
+    // (TextAnalysis.topBigramStats) — the explode → (doc, gram) agg →
+    // join it used to ride was the chain's biggest shuffle, removed
+    // outright (guide §2.4); counts are exact integers either way.
+    val pass = docs
       .filter(TextAnalysis.tokenCount(col("text")) >= 30 &&
         TextAnalysis.dupBigramFraction(col("text")) <= 0.05 &&
-        when(coalesce(col("n2"), lit(0L)) === 0, lit(0.0))
-          .otherwise(col("top2").cast("double") / col("n2")) <= 0.025)
+        TextAnalysis.topBigramFraction(
+          trim(coalesce(col("text"), lit("")))) <= 0.025)
       .select("doc_id", "source", "lang", "text")
     // stage 2 — boilerplate removal with reassembly (q_l71 as a
     // rewrite: strip the planted banner + any natural chrome,
