@@ -2300,7 +2300,8 @@ object IoQueries {
       // the PCA kernel maintained AS STREAMING STATE: embeddings
       // arrive in 4 micro-batches and the d² raw-moment cells
       // (Σxᵢxⱼ, Σxᵢ, Σxⱼ, n as exact decimals) accumulate in a
-      // streaming aggregation whose state is BOUNDED at 4096 rows
+      // streaming aggregation whose state is BOUNDED at d(d+1)/2+d
+      // rows (the lower triangle + marginals, see the r15 note below)
       // however much data flows — decimal addition is
       // order-insensitive, so the finished cells are IDENTICAL to the
       // batch build (q_st10's convergence argument, now for
@@ -2346,15 +2347,23 @@ object IoQueries {
         // (xi·1.0 ≡ xi bit-exactly, so its Σround(xi·xj,10) IS the
         // first moment), and each d² cell keeps only its second
         // moment + count: one decimal chain per row instead of three.
-        // Streaming state: 4096 cells + 64 marginals, still bounded;
-        // decimal addition stays order-insensitive, so the finished
+        // r15: the moment matrix is SYMMETRIC — round(xi·xj,10) is
+        // bit-exactly round(xj·xi,10) (IEEE multiplication commutes)
+        // and decimal addition is order-insensitive, so sxyd(ci,cj) ≡
+        // sxyd(cj,ci) addend-for-addend. The explode therefore emits
+        // only the LOWER triangle cj ≤ ci (a slice of the prepended
+        // vector, ~half the rows/decimal chains), and finalize mirrors
+        // the off-diagonal cells back — the full matrix the top-8
+        // scan reads is value-identical. Streaming state: 2080
+        // triangle cells + 64 marginals, still bounded; the finished
         // moments are identical to the batch build and the oracle.
         val pairs = stream
           .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
           .select(col("vec_id"), asD.as("e"))
           .select(col("vec_id"), col("e"), posexplode(col("e")).as(Seq("i0", "xi")))
           .select(col("i0"), col("xi"),
-            posexplode(concat(array(lit(1.0)), col("e"))).as(Seq("j0", "xj")))
+            posexplode(slice(concat(array(lit(1.0)), col("e")), lit(1),
+              (col("i0") + 2).cast("int"))).as(Seq("j0", "xj")))
           .select((col("i0") + 1).cast("long").as("ci"),
             col("j0").cast("long").as("cj"), col("xi"), col("xj"))
         val cells = pairs
@@ -2364,7 +2373,12 @@ object IoQueries {
         val finished = CdcStream.runToMemory(s, cells, name)
         val marg = finished.filter(col("cj") === 0)
           .select(col("ci").as("__mi"), col("sxyd").as("__m"))
-        finished.filter(col("cj") > 0)
+        val tri = finished.filter(col("cj") > 0)
+        val fullCells = tri.unionByName(
+          tri.filter(col("ci") =!= col("cj"))
+            .select(col("cj").as("ci"), col("ci").as("cj"),
+              col("sxyd"), col("n")))
+        fullCells
           .join(marg, col("ci") === col("__mi"))
           .withColumn("sxd", col("__m")).drop("__mi", "__m")
           .join(marg, col("cj") === col("__mi"))
