@@ -41,45 +41,142 @@ object Pca {
     */
   /** d×d covariance cells (ci, cj, cov), one corpus pass.
     *
-    * A single parquet file arrives as ONE partition and every op here
-    * is narrow or vec_id-keyed, so parallelism must be set explicitly
-    * or the whole n·d² pass serializes into one task (measured: 9.3 s
-    * wall ≈ 9.5 cpu-sec, parallelism 1). The explicit vec_id exchange
-    * both spreads the scan 32-way and co-partitions the self-join —
-    * no further exchange follows it (PlanSpec pins this shape).
+    * r15 shape (guide §2.4, remove shuffles outright): the old form
+    * exploded every row to n·d (vec, j, x) rows, hash-repartitioned
+    * them by vec_id, broadcast-joined the per-dim means back per
+    * ELEMENT, and self-joined the centered rows to emit n·d² products
+    * — the corpus' exploded bytes crossed one full exchange and fed a
+    * join. But centering is per-row arithmetic once the d means are
+    * known, and the means are a |dim|-row aggregate: compute them
+    * first (one n·d pass, same DECIMAL(25,10)-sum/count expression —
+    * |dim| rows collected, bounded driver control flow like the
+    * epoch-planner input), embed them as an array LITERAL, and each
+    * row centers itself with zip_with and emits its outer products
+    * directly from a generator — no exchange, no join, map-side
+    * partial aggregation into at most d² cells. The only data-sized
+    * shuffle left is the d²-cell aggregation (tiny). The covariance
+    * matrix is also SYMMETRIC — round(a·b,10) ≡ round(b·a,10)
+    * bit-exactly and decimal addition is order-insensitive — so the
+    * generator emits only the lower triangle (cj ≤ ci, half the
+    * rounds/decimal adds) and the off-diagonal cells are mirrored
+    * after the aggregate, value-identical (the q_st17 argument).
+    *
+    * A single parquet file arrives as ONE partition and everything
+    * before the cell aggregation is narrow, so the scan is widened
+    * (widenByFiles — metadata-only, a no-op on a real many-file
+    * corpus) or the whole n·d² pass serializes into one task.
     */
-  def covariance(
-      emb: DataFrame, idCol: String, embCol: String,
-      // pin=false keeps the centered frame's lineage visible so
-      // PlanSpec can assert the exchange shape; production callers
-      // leave the checkpoint on (the frame feeds both join sides)
-      pin: Boolean = true): DataFrame = {
-    val x1 = emb
-      .select(col(idCol).as("vec_id"),
-        posexplode(Similarity.asDouble(col(embCol))).as(Seq("j0", "x")))
-      .select(col("vec_id"), (col("j0") + 1).as("j"), col("x"))
-      // defaultParallelism, not a literal 32: the driver ALSO benches
-      // at a lower core count to measure scaling (r14 optimization)
-      .repartition(emb.sparkSession.sparkContext.defaultParallelism, col("vec_id"))
-    val m = x1.groupBy("j")
+  /** The triangle kernel pre-checkpoint: per-row centering against the
+    * means literal + generator outer product + d²-cell aggregation.
+    * Public to `llm` so PlanSpec can pin the join-free single-pass
+    * shape (the checkpoint in [[covariance]] hides it from the plan).
+    */
+  private[graft] def covarianceTri(
+      emb: DataFrame, embCol: String): DataFrame = {
+    val wide = graft.SparkUtil.widenByFiles(emb)
+    val e = Similarity.asDouble(col(embCol))
+    val mRows = wide
+      .select(posexplode(e).as(Seq("j0", "x")))
+      .groupBy("j0")
       .agg((sum(col("x").cast(DecimalType(25, 10))).cast("double") / count(lit(1))).as("m"))
-    val nFrame = emb.agg(count(lit(1)).as("n"))
-    val cx0 = x1
-      .join(broadcast(m), "j")
-      .select(col("vec_id"), col("j"), (col("x") - col("m")).as("cx"))
-    val cx = if (pin) cx0.localCheckpoint(false) else cx0
-    cx.as("a")
-      .join(cx.as("b"), "vec_id") // co-partitioned: d scalar pairs per key side
-      .select(col("a.j").as("ci"), col("b.j").as("cj"),
-        round(col("a.cx") * col("b.cx"), 10).cast(DecimalType(28, 10)).as("p"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1) // |dim| rows
+    val mArr = array(mRows.map(t => lit(t._2)): _*)
+    wide
+      .select(zip_with(e, mArr, (x, mm) => x - mm).as("cx"))
+      .select(col("cx"), posexplode(col("cx")).as(Seq("i0", "cxi")))
+      .select(col("i0"), col("cxi"),
+        posexplode(slice(col("cx"), lit(1), (col("i0") + 1).cast("int")))
+          .as(Seq("j0", "cxj")))
+      .select((col("i0") + 1).as("ci"), (col("j0") + 1).as("cj"),
+        round(col("cxi") * col("cxj"), 10).cast(DecimalType(28, 10)).as("p"))
       .groupBy("ci", "cj")
       .agg(sum(col("p")).as("sp"))
+  }
+
+  def covariance(
+      emb: DataFrame, idCol: String, embCol: String): DataFrame = {
+    val nFrame = emb.agg(count(lit(1)).as("n"))
+    // d(d+1)/2 rows — pinned so the mirror union reads the finished
+    // cells instead of re-running the corpus pass (the ci≠cj filter
+    // pushes below the aggregate, so the two union branches would
+    // not be exchange-reusable subtrees)
+    val tri = covarianceTri(emb, embCol).localCheckpoint(false)
+    val cells = tri.unionByName(
+      tri.filter(col("ci") =!= col("cj"))
+        .select(col("cj").as("ci"), col("ci").as("cj"), col("sp")))
+    cells
       .crossJoin(broadcast(nFrame)) // 1 row: corpus size
       .select(col("ci"), col("cj"),
         (col("sp").cast("double") / (col("n") - 1)).as("cov"))
   }
 
+  /** Top principal component with the power steps run DRIVER-SIDE over
+    * the collected d² cells (bounded: |dim|² rows — driver control
+    * flow, the mmrSelectLocal/epochMixPlanLocal pattern). The corpus
+    * pass (covariance) stays distributed; the iteration is d²-row
+    * arithmetic that previously cost ~3 broadcast/checkpoint job
+    * floors per step. Arithmetic replicates the distributed loop
+    * EXACTLY — round(x,12) = BigDecimal.valueOf(x).setScale(12,
+    * HALF_UP) (Catalyst Round + the double→DECIMAL(28,12) cast),
+    * decimal addition exact and order-insensitive, norms/divisions in
+    * IEEE double — and [[topComponentDistributed]] stays as the
+    * distributed twin, pinned bit-identical in PcaSpec. The final
+    * projection (sign fix, 6-dp rounds) still runs through the SAME
+    * Spark expressions, so output formatting shares one code path.
+    *
+    * Contract (ADVICE r14 mmrSelectLocal note, applied here from the
+    * start): `cells` must be the dense d×d grid with non-null doubles
+    * — covariance() produces exactly that by construction.
+    */
   def topComponent(
+      emb: DataFrame, idCol: String, embCol: String, dim: Int, iters: Int): DataFrame = {
+    require(iters >= 1)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    // round(x,12) is DOUBLE-valued in Catalyst (BigDecimal.setScale →
+    // toDouble) and the DECIMAL(28,12) cast then re-derives a decimal
+    // from THAT double — replicate both hops, not just the setScale,
+    // or a 1-ulp divergence at the 12th place is possible where two
+    // 12-dp decimals share a nearest double
+    def dec12(x: Double): JBD = {
+      val rounded = JBD.valueOf(x).setScale(12, RoundingMode.HALF_UP).doubleValue
+      JBD.valueOf(rounded).setScale(12, RoundingMode.HALF_UP)
+    }
+    val cells = covariance(emb, idCol, embCol)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))) // |dim|² rows
+    var v: Map[Int, Double] = (1 to dim).map(j => j -> pcInit(j)).toMap
+    var nrm = 0.0
+    var it = 0
+    while (it < iters) {
+      val sums = scala.collection.mutable.Map.empty[Int, JBD]
+      cells.foreach { case (ci, cj, cov) =>
+        val p = dec12(cov * v(cj))
+        sums.update(ci, sums.get(ci).map(_.add(p)).getOrElse(p))
+      }
+      val u = sums.iterator.map { case (j, s) => j -> s.doubleValue }.toMap
+      val nrmDec = u.valuesIterator.foldLeft(JBD.ZERO.setScale(12)) {
+        (acc, x) => acc.add(dec12(x * x))
+      }
+      nrm = math.sqrt(nrmDec.doubleValue)
+      v = u.map { case (j, uj) => j -> uj / nrm }
+      it += 1
+    }
+    val sgn = if (v(1) < 0) -1.0 else 1.0
+    v.toSeq.sortBy(_._1).map { case (j, vj) => (j.toLong, vj) }
+      .toDF("j", "v")
+      .select(col("j"),
+        round(col("v") * lit(sgn), 6).as("loading"),
+        round(lit(nrm), 6).as("lambda"))
+      .orderBy("j")
+  }
+
+  /** The distributed power-step loop — kept as the local twin's
+    * equivalence witness (PcaSpec pins topComponent ≡ this,
+    * bit-identical) and for fleets where even d² rows should not
+    * transit the driver.
+    */
+  private[graft] def topComponentDistributed(
       emb: DataFrame, idCol: String, embCol: String, dim: Int, iters: Int): DataFrame = {
     require(iters >= 1)
     val spark = emb.sparkSession

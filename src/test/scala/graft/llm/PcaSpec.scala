@@ -25,6 +25,22 @@ class PcaSpec extends AnyFunSuite {
     assert(math.abs(out.head._3 - 5.0 / 3) < 1e-4, s"lambda ${out.head._3}")
   }
 
+  test("local power steps are bit-identical to the distributed loop (real embeddings)") {
+    // the r15 driver-side iteration must walk the EXACT decimal
+    // arithmetic of the distributed twin — compare full rows on the
+    // real generated table (the q_l63 input shape: 64 dims, float
+    // embeddings), not a synthetic cloud
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val local = Pca.topComponent(emb, "vec_id", "embedding", dim = 64, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val dist = Pca.topComponentDistributed(emb, "vec_id", "embedding", dim = 64, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(local.length == 64 && dist.length == 64)
+    local.zip(dist).foreach { case (l, d) =>
+      assert(l == d, s"local $l != distributed $d")
+    }
+  }
+
   test("md5 seed is the SQL closed form and lands in [-1, 1)") {
     (1 to 64).foreach { j =>
       val w = Pca.pcInit(j)

@@ -362,16 +362,29 @@ class PlanSpec extends AnyFunSuite {
       s"rank windows must be query-keyed:\n$p")
   }
 
-  test("PCA covariance: explicit cluster-wide vec_id exchange, self-join co-partitioned") {
+  test("PCA covariance: join-free outer-product kernel, corpus never key-shuffled") {
+    // the kernel pre-checkpoint: rows center themselves against a
+    // means LITERAL and emit triangle products from a generator — the
+    // corpus-sized data must reach the d²-cell aggregation without any
+    // join or key shuffle (r15; the old form key-shuffled n·d rows and
+    // self-joined them)
+    val kernel = graft.llm.Pca.covarianceTri(
+      graft.Tables.embeddings(spark, sf), "embedding")
+    val k = plan(kernel)
+    assert(!k.contains("Join"), s"covariance kernel must be join-free:\n$k")
+    assert(k.contains("hashpartitioning(ci"),
+      s"cell aggregation must be the (ci,cj)-keyed exchange:\n$k")
+    assert("Generate posexplode".r.findAllIn(k).size == 2,
+      s"triangle outer product is one outer+inner generator pair:\n$k")
+    // the full covariance: mirror union over the CHECKPOINTED cells —
+    // no generator re-run, no cartesian (the 1-row n crossJoin is a
+    // broadcast nested loop by construction)
     val cov = graft.llm.Pca.covariance(
-      graft.Tables.embeddings(spark, sf), "vec_id", "embedding", pin = false)
+      graft.Tables.embeddings(spark, sf), "vec_id", "embedding")
     val p = plan(cov)
-    // width = defaultParallelism, not a literal (r14: the driver also
-    // benches at a lower core count to measure scaling)
-    val width = spark.sparkContext.defaultParallelism
-    assert(s"hashpartitioning\\(vec_id#\\d+L?, $width\\)".r.findFirstIn(p).isDefined,
-      s"covariance must repartition $width-way by vec_id (single-file scans arrive 1-way):\n$p")
     assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Generate"),
+      s"mirror union must read the checkpointed cells, not re-run the pass:\n$p")
   }
 
   test("perceptual dHash dedup: banded pairing is an equi-join, never all-pairs") {
