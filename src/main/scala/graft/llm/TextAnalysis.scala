@@ -130,6 +130,45 @@ object TextAnalysis {
     when(n2 === 0, lit(0.0)).otherwise(best.cast("double") / n2)
   }
 
+  /** The curation cascade's repetition gate as ONE fold (r15): the
+    * conjunction tokenCount ≥ minTokens ∧ dupBigramFraction ≤
+    * maxDupFrac ∧ topBigramFraction ≤ maxTopFrac previously built the
+    * bigram array TWICE (dup + top are separate higher-order
+    * expressions codegen CSE cannot share) plus an array_distinct and
+    * a sort+fold. One sorted pass yields both signals — the distinct
+    * count is the number of runs, the top multiplicity the longest
+    * run — and the finish lambda emits the final boolean, so the fold
+    * is referenced exactly once (the r14 struct-field-duplication
+    * trap). Boolean-identical to the conjunction for every row,
+    * including null/empty text (false: tokenCount is 0) and the
+    * gram-less n2=0 edge (both fractions are 0.0 there, so the gate
+    * reduces to the token floor) — pinned in TextAnalysisSpec.
+    */
+  def repetitionGate(
+      c: Column, minTokens: Int, maxDupFrac: Double, maxTopFrac: Double): Column = {
+    val n = size(tokens(c))
+    val verdict = aggregate(array_sort(wordBigrams(c)),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best"),
+        lit(0L).as("dist"), lit(0L).as("cnt")),
+      (acc, g) => {
+        val isNew = g =!= acc.getField("prev")
+        val run = when(isNew, lit(1L)).otherwise(acc.getField("run") + 1L)
+        struct(g.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"),
+          (acc.getField("dist") + when(isNew, 1L).otherwise(0L)).as("dist"),
+          (acc.getField("cnt") + 1L).as("cnt"))
+      },
+      acc => {
+        val cnt = acc.getField("cnt")
+        when(cnt === 0L, lit(true)).otherwise(
+          (lit(1.0) - acc.getField("dist").cast("double") / cnt.cast("double"))
+            <= maxDupFrac &&
+            (acc.getField("best").cast("double") / cnt.cast("double")) <= maxTopFrac)
+      })
+    when(c.isNull || trim(c) === "", lit(false))
+      .otherwise(n >= minTokens && verdict)
+  }
+
   /** Composite quality score in [0,1]: length saturation, low stopword
     * share, healthy token length (heuristics in the C4/Gopher-rules
     * spirit; weights are policy, the plumbing is the point).

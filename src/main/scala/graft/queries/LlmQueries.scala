@@ -4954,12 +4954,25 @@ object LlmQueries {
     // (TextAnalysis.topBigramStats) — the explode → (doc, gram) agg →
     // join it used to ride was the chain's biggest shuffle, removed
     // outright (guide §2.4); counts are exact integers either way.
-    val pass = docs
-      .filter(TextAnalysis.tokenCount(col("text")) >= 30 &&
-        TextAnalysis.dupBigramFraction(col("text")) <= 0.05 &&
-        TextAnalysis.topBigramFraction(
-          trim(coalesce(col("text"), lit("")))) <= 0.025)
+    // r15: the three repetition predicates fold into ONE sorted pass
+    // (TextAnalysis.repetitionGate — boolean-identical, spec-pinned),
+    // halving the per-row bigram work, and the cascade output is
+    // CHECKPOINTED + re-spread: the stage profile showed `pass`
+    // re-evaluated up to 6× through the lines-union / boilerplate /
+    // anti-join tree, each time on the 1-2-partition scan (2-task
+    // stages at 3-5 runSec). The checkpoint runs the folds once; the
+    // post-materialization repartition is the Pipeline.checkpointWide
+    // precedent (partition check on a checkpointed frame is free). The
+    // raw docs scan itself stays narrow for its other consumers — the
+    // r14 note above stands for scan-level widening.
+    val passCk = docs
+      .filter(TextAnalysis.repetitionGate(col("text"), 30, 0.05, 0.025))
       .select("doc_id", "source", "lang", "text")
+      .localCheckpoint(false)
+    val pass =
+      if (passCk.rdd.getNumPartitions < s.sparkContext.defaultParallelism)
+        passCk.repartition(s.sparkContext.defaultParallelism)
+      else passCk
     // stage 2 — boilerplate removal with reassembly (q_l71 as a
     // rewrite: strip the planted banner + any natural chrome,
     // rebuild text from surviving 10-token lines in line order;
@@ -4977,7 +4990,10 @@ object LlmQueries {
       .select(col("doc_id"), col("source"), col("lang"), lit(-1L).as("i"),
         concat(lit("NOTICE "), col("source"),
           lit(" terms apply all rights reserved archive mirror copy")).as("line"))
-    val lines = bodyLines.unionByName(bannerLines)
+    // r15: three consumers (the two boilerplate aggregates + the
+    // anti-join's left side) — pinned so the 10-token line explode
+    // runs once, not three times
+    val lines = bodyLines.unionByName(bannerLines).localCheckpoint(false)
     val boiler = Corpus.boilerplateSet(lines, "source", "doc_id", "line",
         minDocs = 5, pctNum = 1, pctDen = 5)
       .select(col("source"), col("__line").as("line"))
@@ -4986,6 +5002,10 @@ object LlmQueries {
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("i"), col("line")))),
           x => x.getField("line")), " ").as("text"))
+      // r15: consumed by BOTH sides of the dedup self-join below —
+      // un-pinned, the anti-join + reassembly aggregate (and the whole
+      // lines subtree under them) ran twice
+      .localCheckpoint(false)
     // stage 3 — exact dedup on the CLEANED text, keep min doc_id
     val fp = cleaned.withColumn("__f", Dedup.exactFingerprint(col("text")))
     val ded = fp.join(

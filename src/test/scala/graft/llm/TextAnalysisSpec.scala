@@ -85,4 +85,37 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(viaFold("loop")._2 >= 29L)    // "cd ab" repeats 29x
     assert(viaFold("one") == ((0L, 0L)) && viaFold("empty") == ((0L, 0L)))
   }
+
+  test("repetitionGate equals the three-predicate conjunction row for row") {
+    // the r15 single-fold gate must pass EXACTLY the rows
+    // tokenCount≥min ∧ dupBigramFraction≤maxDup ∧ topBigramFraction≤
+    // maxTop passed — planted docs cover null/empty text, the 0-gram
+    // edge, threshold-exact fractions, and both long-doc outcomes
+    // 50 uniq tokens: 49 distinct bigrams, top run 1 → 1/49 ≤ 0.025
+    val long30 = (1 to 50).map(i => s"w$i").mkString(" ")
+    val loopy  = (1 to 30).map(_ => "ab").mkString(" ")       // dup/top blow both bounds
+    val docs = Seq(
+      ("pass", long30),
+      ("loop", loopy),
+      ("mixed", long30 + " " + loopy),
+      ("short", "only a few tokens here"),
+      ("empty", ""),
+      ("blank", "   "),
+      ("nullish", null)
+    ).toDF("doc_id", "text")
+    val conj =
+      TextAnalysis.tokenCount(col("text")) >= 30 &&
+        TextAnalysis.dupBigramFraction(col("text")) <= 0.05 &&
+        TextAnalysis.topBigramFraction(trim(coalesce(col("text"), lit("")))) <= 0.025
+    val got = docs.select(col("doc_id"),
+        TextAnalysis.repetitionGate(col("text"), 30, 0.05, 0.025).as("gate"),
+        coalesce(conj, lit(false)).as("conj"))
+      .as[(String, Boolean, Boolean)].collect()
+    got.foreach { case (id, gate, conj0) =>
+      assert(gate == conj0, s"$id: gate=$gate conjunction=$conj0")
+    }
+    val byId = got.map(r => r._1 -> r._2).toMap
+    assert(byId("pass") && !byId("loop") && !byId("short") &&
+      !byId("empty") && !byId("blank") && !byId("nullish"))
+  }
 }
