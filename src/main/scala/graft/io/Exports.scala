@@ -104,9 +104,22 @@ object Exports {
     // each tagged projection is lazily checkpointed so the counts
     // aggregate and the parquet write SHARE one computation of the
     // joins — the previous formulation planned every projection twice
-    // (once per consumer), doubling the export's join work
-    val taggedFrames: Seq[(String, DataFrame)] =
-      Types.map(t => t -> tagged(dwh, t, months).localCheckpoint(false))
+    // (once per consumer), doubling the export's join work.
+    // r15: `analytics` is a pure PROJECTION of the `facts` export's
+    // join (same fact ⋈ dimJob ⋈ dimCompany, narrower column list) —
+    // derive it from the facts checkpoint instead of re-running the
+    // whole join chain + broadcast builds a second time. Same rows,
+    // same column values, by construction.
+    val factsCk = tagged(dwh, "facts", months).localCheckpoint(false)
+    val analyticsFromFacts = factsCk.select(
+      col("title_clean"), col("job_id"), col("company_name_standardized"),
+      col("date_id"), col("salary_min"), col("salary_max"),
+      col("salary_type"), col("due_date"), col("posted_time"),
+      col("verified_employer"), col(MonthTag))
+    val taggedFrames: Seq[(String, DataFrame)] = Seq(
+      "analytics" -> analyticsFromFacts,
+      "facts" -> factsCk,
+      "locations" -> tagged(dwh, "locations", months).localCheckpoint(false))
 
     // all (type, month) record counts in one aggregation job — never a
     // per-file re-read

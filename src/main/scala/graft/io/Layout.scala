@@ -120,19 +120,37 @@ object Layout {
     * file — the full Iceberg/Delta add-file stats shape, so a
     * planner can AND range pruning on the clustering column with
     * point pruning on a non-clustered one in a single |files|-row
-    * pass. Two aggregations over the path (zone grain is per-file,
-    * bloom grain is per-(file, word)) joined on file; a production
-    * writer folds both into the write itself — the cost model that
-    * matters is that BOTH are |new files|-bounded when called on an
+    * pass. ONE scan (r15; it used to be two scans joined on file):
+    * the zone column rides the bloom probe explode, the per-(file,
+    * word) grain accumulates bits AND zone min/max/count, and the
+    * per-file rollup divides the count by k (every row emits exactly
+    * k probe rows, so the division is exact). A production writer
+    * folds both into the write itself — the cost model that matters
+    * is that the pass is |new files|-bounded when called on an
     * arriving batch's directory, which is exactly how
     * [[q_s30 incremental maintenance]] uses it: the standing
     * manifest is never recomputed, new batches contribute
     * manifest DELTAS and the table's manifest is their union.
     */
   def statsManifest(spark: org.apache.spark.sql.SparkSession, path: String,
-      zoneCol: String, bloomKeyCol: String, mBits: Int, k: Int): DataFrame =
-    zoneManifest(spark, path, zoneCol)
-      .join(bloomManifest(spark, path, bloomKeyCol, mBits, k), Seq("file"))
+      zoneCol: String, bloomKeyCol: String, mBits: Int, k: Int): DataFrame = {
+    require(mBits % 64 == 0, "mBits must be a multiple of 64")
+    val probes = (0 until k).map(i => probePos(col(bloomKeyCol), i, mBits))
+    spark.read.parquet(path)
+      .select(input_file_name().as("file"), col(zoneCol).as("__z"),
+        explode(array(probes: _*)).as("pos"))
+      .groupBy(col("file"), bloomWord(col("pos")).as("word"))
+      .agg(bit_or(bloomBit(col("pos"))).as("bits"),
+        min(col("__z")).as("__zmin"), max(col("__z")).as("__zmax"),
+        count(lit(1)).as("__cnt"))
+      .groupBy("file")
+      .agg(
+        min(col("__zmin")).as("zone_min"), max(col("__zmax")).as("zone_max"),
+        (sum(col("__cnt")) / k).cast("long").as("n_rows"),
+        map_from_entries(
+          sort_array(collect_list(struct(col("word"), col("bits"))))).as("__bloom"))
+      .select("file", "zone_min", "zone_max", "n_rows", "__bloom")
+  }
 
   /** Files whose Bloom filter MIGHT contain at least one probe key —
     * the planner step: |files| × |probes| bit tests over manifest

@@ -594,10 +594,14 @@ object Dedup {
       shingleN: Int, threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"prefixFilterJaccardPairs: threshold in (0,1], got $threshold")
+    // r15: five consumers (df agg, sizes agg, the prefix join's left
+    // side, keptA, keptB) — uncheckpointed, each re-ran the shingle
+    // UDF explode over the corpus
     val toksD = spread(docs)
       .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
       .select(col(idCol).as("__id"),
         explode(shingles(col(textCol), shingleN)).as("t"))
+      .localCheckpoint(false)
     val tokDf = toksD.groupBy("t").agg(count(lit(1)).as("__df"))
     val sizes = toksD.groupBy("__id").agg(count(lit(1)).as("n"))
     val wDoc = Window.partitionBy("__id").orderBy(col("__df"), col("t"))
