@@ -692,6 +692,14 @@ object Similarity {
     * and the same final double casts. Equivalence to [[mmrSelect]] is
     * pinned in SimilaritySpec. Large-|Q| rerank fleets stay on the
     * distributed form.
+    *
+    * CONTRACT (ADVICE r14): query/candidate ids must be non-null
+    * LongType and rel/embedding non-null with rel inside
+    * DECIMAL(18,9) — the local loop reads them with unchecked
+    * getLong/getDecimal where [[mmrSelect]] would degrade SQL-style
+    * (null-absorbing). The one caller (q_l73) satisfies this by
+    * construction; a new caller with different id types must widen
+    * the reads first.
     */
   def mmrSelectLocal(
       cand: DataFrame, qCol: String, idCol: String, relCol: String,

@@ -2357,6 +2357,14 @@ object IoQueries {
         // scan reads is value-identical. Streaming state: 2080
         // triangle cells + 64 marginals, still bounded; the finished
         // moments are identical to the batch build and the oracle.
+        // ASSUMPTION (ADVICE r14): the marginal-join rewrite (and now
+        // the triangle slice) is equivalent to per-cell first-moment
+        // sums only because every embedding array has the SAME length
+        // and no null elements — a ragged or null-element vector would
+        // desynchronize a cell's n from its joined marginals. Holds
+        // for the generated embeddings table by construction; a schema
+        // change to nullable/variable-length embeddings must revisit
+        // this query (the oracle hash would catch a violation).
         val pairs = stream
           .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
           .select(col("vec_id"), asD.as("e"))

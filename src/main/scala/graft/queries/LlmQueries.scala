@@ -2110,7 +2110,10 @@ object LlmQueries {
              |FROM scored GROUP BY source ORDER BY source""".stripMargin),
       (s, dir) => {
         val docs = Tables.documents(s, dir)
+        // r15: the term-frequency explode feeds the unigram-count agg
+        // AND the per-doc scoring join — pinned so it runs once
         val tf = Retrieval.termFreqs(docs, "doc_id", "text")
+          .localCheckpoint(false)
         val c = tf.groupBy("term").agg(sum(col("tf")).as("c"))
         val tot = c.agg(sum(col("c")).as("t"), count(lit(1)).as("v"))
         val contrib = col("tf") *
@@ -3132,7 +3135,10 @@ object LlmQueries {
              |GROUP BY 1, 2 ORDER BY s.lang, bucket""".stripMargin),
       (s, dir) => {
         val docs = Tables.documents(s, dir)
+        // r15: the term-frequency explode feeds the unigram-count agg
+        // AND the per-doc scoring join — pinned so it runs once
         val tf = Retrieval.termFreqs(docs, "doc_id", "text")
+          .localCheckpoint(false)
         val c = tf.groupBy("term").agg(sum(col("tf")).as("c"))
         val tot = c.agg(sum(col("c")).as("t"), count(lit(1)).as("v"))
         val contrib = col("tf") *

@@ -1188,7 +1188,12 @@ object StatQueries {
               .when(col("s") < 4294609777L, 6L).when(col("s") < 4294923276L, 7L)
               .otherwise(8L))
           // m = 0 rows (≈37% of n·B) contribute exactly 0 to both sums
-          // — drop them before the aggregate touches the decimal math
+          // — drop them before the aggregate touches the decimal math.
+          // ASSUMPTION (ADVICE r14): every replicate b keeps ≥1 row
+          // with m > 0, else that b's group would vanish where the
+          // oracle keeps an n_eff=0 row. P(all n orders draw m=0 for
+          // one b) = e^{-n}; at the smallest gate SF n ≈ 1500, so the
+          // 100-row shape is safe by ~650 orders of magnitude.
           .filter(col("m") > 0L)
           .groupBy("b")
           .agg(sum("m").cast("long").as("n_eff"),

@@ -33,6 +33,13 @@ object CdcStream {
     * coalescing, so this is the only way to right-size state-store
     * parallelism; batch work inside foreachBatch bodies keeps AQE and
     * is unaffected semantically (all keyed, order-insensitive ops).
+    *
+    * ASSUMPTION (ADVICE r14): the override mutates the SESSION-global
+    * shuffle-partition conf for the stream's duration, so a CONCURRENT
+    * query on the same SparkSession would silently plan under the
+    * temporary value. Bench/Verify run queries strictly sequentially;
+    * a deployment running concurrent streams should scope the
+    * override with a cloned session (spark.newSession) per stream.
     */
   def withStreamShuffle[T](spark: SparkSession)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
