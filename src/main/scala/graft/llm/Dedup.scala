@@ -389,8 +389,38 @@ object Dedup {
     *  - the best-match window partitions by new_id — batch-sized, never
     *    corpus-sized.
     */
+  /** The standing corpus's LSH band rows — split out so an
+    * INCREMENTAL caller (q_st15: one standing corpus, many arriving
+    * micro-batches) can compute and pin them ONCE instead of
+    * re-shingling + re-MinHashing the whole corpus inside every
+    * micro-batch (r15; the banding was the dominant per-batch cost).
+    * Single-shot callers get it inlined via [[dedupAgainstCorpus]].
+    */
+  def corpusBands(corpus: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, perms: Int, bands: Int): DataFrame =
+    spread(corpus)
+      .select(col(idCol).as("corpus_id"), shingles(col(textCol), shingleN).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .select(col("corpus_id"),
+        posexplode(lshBands(col("__sh"), perms, bands)).as(Seq("band", "bh")))
+
   def dedupAgainstCorpus(
       batch: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, perms: Int, bands: Int, threshold: Double): DataFrame =
+    dedupAgainstCorpusBanded(batch,
+      corpusBands(corpus, idCol, textCol, shingleN, perms, bands),
+      corpus, idCol, textCol, shingleN, perms, bands, threshold)
+
+  /** [[dedupAgainstCorpus]] with the corpus band rows supplied by the
+    * caller (pre-banded, typically checkpointed once per stream).
+    * `cBands` must be exactly [[corpusBands]] of `corpus` with the
+    * same parameters — the verify join re-shingles candidate corpus
+    * docs from `corpus` itself, so the pair set and Jaccard values
+    * are identical by construction.
+    */
+  def dedupAgainstCorpusBanded(
+      batch: DataFrame, cBands: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String,
       shingleN: Int, perms: Int, bands: Int, threshold: Double): DataFrame = {
     val bSh = spread(batch)
       .select(col(idCol).as("new_id"), shingles(col(textCol), shingleN).as("__sh_new"))
@@ -398,11 +428,6 @@ object Dedup {
       .localCheckpoint(false)
     val bBands = bSh.select(col("new_id"),
       posexplode(lshBands(col("__sh_new"), perms, bands)).as(Seq("band", "bh")))
-    val cBands = spread(corpus)
-      .select(col(idCol).as("corpus_id"), shingles(col(textCol), shingleN).as("__sh"))
-      .filter(size(col("__sh")) > 0)
-      .select(col("corpus_id"),
-        posexplode(lshBands(col("__sh"), perms, bands)).as(Seq("band", "bh")))
     val cand = cBands
       .join(bBands.select(col("new_id"), col("band"), col("bh")), Seq("band", "bh"))
       .select("new_id", "corpus_id").distinct()

@@ -2228,14 +2228,22 @@ object IoQueries {
           .filter(col("doc_id") % 5 =!= 0)
           .select("doc_id", "text")
           .localCheckpoint(false) // standing corpus: scanned once, pinned across batches
+        // r15: the corpus's shingle + 128-perm MinHash banding is a
+        // pure function of the STANDING corpus — band once and pin,
+        // instead of recomputing it inside every micro-batch (it was
+        // the dominant per-batch cost; the verify join still
+        // re-shingles only candidate docs, per batch, from `corpus`)
+        val cBands = graft.llm.Dedup.corpusBands(
+            corpus, "doc_id", "text", shingleN = 3, perms = 128, bands = 32)
+          .localCheckpoint(false)
         val stream = s.readStream
           .schema(s.read.parquet(watch).schema)
           .option("maxFilesPerTrigger", 1)
           .parquet(watch)
         val outDir = s"$TmpBase/q_st15_out"
         CdcStream.runForeachBatchTransform(s, stream, outDir)(b =>
-          graft.llm.Dedup.dedupAgainstCorpus(
-            b, corpus, "doc_id", "text",
+          graft.llm.Dedup.dedupAgainstCorpusBanded(
+            b, cBands, corpus, "doc_id", "text",
             shingleN = 3, perms = 128, bands = 32, threshold = 0.8))
         s.read.parquet(outDir)
           .select(col("new_id"), col("corpus_id"), round(col("jaccard"), 6).as("jaccard"))
