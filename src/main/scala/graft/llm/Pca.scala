@@ -79,7 +79,7 @@ object Pca {
       .select(posexplode(e).as(Seq("j0", "x")))
       .groupBy("j0")
       .agg((sum(col("x").cast(DecimalType(25, 10))).cast("double") / count(lit(1))).as("m"))
-      .collect().map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1) // |dim| rows
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1) // bounded: ≤ |dim| rows
     val mArr = array(mRows.map(t => lit(t._2)): _*)
     wide
       .select(zip_with(e, mArr, (x, mm) => x - mm).as("cx"))
@@ -144,7 +144,7 @@ object Pca {
       JBD.valueOf(rounded).setScale(12, RoundingMode.HALF_UP)
     }
     val cells = covariance(emb, idCol, embCol)
-      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))) // |dim|² rows
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))) // bounded: ≤ |dim|² rows
     var v: Map[Int, Double] = (1 to dim).map(j => j -> pcInit(j)).toMap
     var nrm = 0.0
     var it = 0

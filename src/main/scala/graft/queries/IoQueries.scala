@@ -2181,7 +2181,14 @@ object IoQueries {
             graft.llm.Multimodal.pngPayload(w, h, col("event_type")))
           .when(m === 1, graft.llm.Multimodal.gifPayload(w, h, col("event_type")))
           .otherwise(graft.llm.Jpeg.jpegPixelPayload(col("event_id"), w, h))
+        // one staged file = ONE input partition per micro-batch; the
+        // stateless spread runs BEFORE payload synthesis so the
+        // shuffle carries tiny event rows and the codec work runs
+        // cluster-wide (the q_st17 precedent; r15 — decode was
+        // serializing on one task). Long-sum aggregation is
+        // order-insensitive, so results are unchanged.
         val decoded = CdcStream.readEvents(s, watch)
+          .repartition(s.sparkContext.defaultParallelism)
           .select(graft.llm.Multimodal.decodeImage(payload).as("img"))
           .groupBy(col("img.format").as("format"))
           .agg(count(lit(1)).as("n"),
